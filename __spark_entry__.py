@@ -1,38 +1,259 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's example query,
+``/root/reference/src/app/influx_query.py:93-99``: range + measurement
+filter + aggregateWindow(mean) + sort) on sf0.001.
+
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+beyond-reference scale operators) to a callable ``(spark, sf_dir) ->
+DataFrame``; ``oracle_sql()`` holds the DuckDB-equivalent SQL. Column
+names are aliased identically on both sides — the driver hash-compares
+after sorting columns by name.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from solar_logger_spark.io.tables import load_table
+from solar_logger_spark.operators.asof import latest_per_key, status_gate
+from solar_logger_spark.operators.pivoting import pivot, unpivot
+from solar_logger_spark.query.builder import QueryBuilder
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# events spans 2024-01-01 .. 2024-01-30 (TESTDATA.md; generated seed=42)
+T0 = datetime(2024, 1, 5)
+T1 = datetime(2024, 1, 25)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_qb(spark: SparkSession, sf_dir: str, **kw) -> QueryBuilder:
+    return QueryBuilder(
+        load_table(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        series_cols=("event_type",),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flux pipeline surface (SURVEY.md §2: S1, P1-P5, A1/A2, O1)
+# ---------------------------------------------------------------------------
+
+def q_flux_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3+P5: range + OR-joined equality filters + projection."""
+    return (
+        _events_qb(spark, sf_dir)
+        .range(T0, T1)
+        .filter("event_type", "click", joiner="or")
+        .filter("event_type", "view", joiner="or")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .to_df()
+    )
+
+
+def q_flux_filter_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: conjunctive filter bands (chained Flux filter stages)."""
+    return (
+        _events_qb(spark, sf_dir)
+        .range(T0)
+        .filter("event_type", "purchase")
+        .filter("value", 50.0, op=">", new_band=True)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .to_df()
+    )
+
+
+def _agg_query(fn: str):
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            _events_qb(spark, sf_dir)
+            .range(T0, T1)
+            .aggregate_window("6h", fn)
+            .to_df()
+        )
+    return _q
+
+
+def q_flux_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: range + isin filter + window mean + sort (the
+    reference's run_example, src/app/influx_query.py:93-99)."""
+    return (
+        _events_qb(spark, sf_dir)
+        .range(T0, T1)
+        .filter_in("event_type", ["click", "view", "purchase"])
+        .aggregate_window("1d", "mean")
+        .sort("ts")
+        .sort("event_type")
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-per-key / status gate (SURVEY.md §2.3 J1, §2.5)
+# ---------------------------------------------------------------------------
+
+def q_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        events, ["user_id"], ts_col="ts", payload_cols=["event_type", "value"]
+    )
+
+
+def q_status_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    status = events.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", "online")
+        .otherwise("offline")
+        .alias("status"),
+    )
+    data = events.filter(F.col("event_type").isin("click", "view", "purchase"))
+    return status_gate(data, status, ["user_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping (SURVEY.md §2 T2/P5: unpivot fan-out; §1.3 wide views)
+# ---------------------------------------------------------------------------
+
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return unpivot(events, ids=["event_id", "ts"], values=["value", "user_id"])
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    long = events.select("user_id", F.col("event_type").alias("field"), "value")
+    return pivot(long, ["user_id"], field_values=EVENT_TYPES, agg="avg")
+
+
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (F5-F7 analog): JSON extraction + cast."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flux_pipeline_full(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "flux_range_filter": q_flux_range_filter,
+        "flux_filter_bands": q_flux_filter_bands,
+        "flux_pipeline_full": q_flux_pipeline_full,
+        "asof_latest": q_asof_latest,
+        "status_gate": q_status_gate,
+        "unpivot_events": q_unpivot_events,
+        "pivot_event_types": q_pivot_event_types,
+        "json_props_extract": q_json_props_extract,
+    }
+    for fn in ("mean", "min", "max", "sum", "count", "first", "last",
+               "median", "stddev"):
+        out[f"flux_agg_{fn}"] = _agg_query(fn)
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_AGG_ORACLE = {
+    "mean": "avg(value)",
+    "min": "min(value)",
+    "max": "max(value)",
+    "sum": "sum(value)",
+    "count": "count(value)",
+    "first": "arg_min(value, ts)",
+    "last": "arg_max(value, ts)",
+    "median": "median(value)",
+    "stddev": "stddev_samp(value)",
+}
+
+_RANGE = "ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "flux_range_filter": f"""
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            WHERE {_RANGE} AND (event_type = 'click' OR event_type = 'view')
+        """,
+        "flux_filter_bands": """
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05'
+              AND event_type = 'purchase' AND value > 50.0
+        """,
+        "flux_pipeline_full": f"""
+            SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+                   event_type, avg(value) AS value
+            FROM events
+            WHERE {_RANGE}
+              AND event_type IN ('click', 'view', 'purchase')
+            GROUP BY 1, 2
+        """,
+        "asof_latest": """
+            SELECT user_id, max(ts) AS ts,
+                   arg_max(event_type, ts) AS event_type,
+                   arg_max(value, ts) AS value
+            FROM events GROUP BY user_id
+        """,
+        "status_gate": """
+            WITH status AS (
+                SELECT user_id, ts,
+                       CASE WHEN event_type = 'signup' THEN 'online'
+                            ELSE 'offline' END AS status
+                FROM events WHERE event_type IN ('signup', 'error')
+            ), latest AS (
+                SELECT user_id, arg_max(status, ts) AS status
+                FROM status GROUP BY user_id
+            )
+            SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+            FROM events e
+            JOIN latest l ON e.user_id = l.user_id AND l.status = 'online'
+            WHERE e.event_type IN ('click', 'view', 'purchase')
+        """,
+        "unpivot_events": """
+            SELECT event_id, ts, 'value' AS field, value FROM events
+            UNION ALL
+            SELECT event_id, ts, 'user_id' AS field,
+                   CAST(user_id AS DOUBLE) AS value FROM events
+        """,
+        "pivot_event_types": """
+            SELECT user_id,
+                   avg(value) FILTER (WHERE event_type = 'click') AS click,
+                   avg(value) FILTER (WHERE event_type = 'error') AS error,
+                   avg(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   avg(value) FILTER (WHERE event_type = 'signup') AS signup,
+                   avg(value) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY user_id
+        """,
+        "json_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   CAST(value AS DOUBLE) AS value
+            FROM events
+        """,
+    }
+    for fn, expr in _AGG_ORACLE.items():
+        out[f"flux_agg_{fn}"] = f"""
+            SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
+                   event_type, {expr} AS value
+            FROM events WHERE {_RANGE}
+            GROUP BY 1, 2
+        """
+    return out

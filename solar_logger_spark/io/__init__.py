@@ -1,0 +1,3 @@
+from solar_logger_spark.io.tables import TABLES, load_table, load_tables, read_parquet
+
+__all__ = ["TABLES", "load_table", "load_tables", "read_parquet"]

@@ -1,0 +1,78 @@
+"""Parquet table loading — the engine's ``from(bucket)`` source.
+
+The reference's source operator selects an InfluxDB bucket
+(``src/classes/query_classes.py:86-93``); ours reads parquet directories
+(one per table) with schema/pushdown handled by the vectorized parquet
+reader. On a real deployment the point store is partitioned by
+(measurement, date) so time-range + measurement predicates become
+partition pruning; the flat test files still get row-group/page skipping
+from parquet min/max stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark has no native
+    nanosecond timestamp, so these are read as long and down-converted."""
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
+
+    Parquet written at nanosecond precision is unreadable by Spark
+    without the legacy nanos-as-long conf, so we enable it and truncate
+    ns → µs (matching DuckDB, whose timestamps are µs-native, for oracle
+    parity).
+    """
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in ns_cols:
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table: ``{sf_dir}/{name}.parquet``."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every table present under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out

@@ -1,0 +1,230 @@
+"""Fluent query builder — the reference's ``QueryBuilder``, Spark-first.
+
+The reference accumulates Flux string fragments and concatenates them in
+the fixed pipeline order ``from → range → filter → aggregate → sort``
+(reference: ``src/classes/query_classes.py:14-148``, ``_build_string`` at
+``:73-84``). Ours accumulates the same *logical* pieces but materializes
+them as a lazy DataFrame plan — Catalyst's analyzed plan is the IR, so
+predicate pushdown / column pruning / filter collapsing are free (§4 of
+SURVEY.md: the reference delegates all of this to InfluxDB; we delegate
+to Catalyst + parquet).
+
+Corrected semantics (reference bugs NOT replicated, SURVEY.md §2.11):
+unterminated parens and dangling joiners can't exist here because the
+plan is structural, not string-concatenation; predicate grouping is
+explicit (left-to-right fold within a band, AND across bands).
+
+Result modes mirror ``InfluxConnector.query_database`` (reference:
+``src/classes/influx_classes.py:84-105``): ``records()`` ≈ flux mode,
+``to_csv()`` ≈ csv mode, ``stream()`` ≈ stream mode (which the reference
+left ``NotImplemented`` — ours works).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from solar_logger_spark.durations import parse_duration
+from solar_logger_spark.operators.window_agg import aggregate_window
+
+_OPS = {
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    "=~": lambda c, v: c.rlike(v),
+    "in": lambda c, v: c.isin(*v) if isinstance(v, (list, tuple, set)) else c.isin(v),
+}
+
+
+@dataclass
+class _Predicate:
+    field: str
+    value: object
+    op: str = "=="
+    joiner: str = "and"  # combiner with the PREVIOUS predicate in the band
+
+    def column(self) -> Column:
+        return _OPS[self.op](F.col(self.field), self.value)
+
+
+@dataclass
+class _Band:
+    predicates: list[_Predicate] = dc_field(default_factory=list)
+
+    def column(self) -> Column:
+        out = self.predicates[0].column()
+        for pred in self.predicates[1:]:
+            out = (out | pred.column()) if pred.joiner == "or" else (out & pred.column())
+        return out
+
+
+def _time_bound(bound: str | datetime, now: datetime | None) -> Column:
+    """A range bound: Flux duration literal (relative to now) or datetime."""
+    if isinstance(bound, datetime):
+        return F.lit(bound)
+    try:
+        dur = parse_duration(bound)
+    except ValueError:
+        # absolute timestamp string
+        return F.to_timestamp(F.lit(bound))
+    if now is not None:
+        return F.lit(dur.add_to(now))
+    anchor = F.current_timestamp()
+    if dur.months:
+        anchor = F.add_months(anchor, dur.months)
+    return anchor + F.expr(f"INTERVAL '{int(dur.seconds)}' SECOND")
+
+
+class QueryBuilder:
+    """Compose ``from → range → filter → aggregateWindow → sort`` over a
+    DataFrame (or parquet path / table name) and execute it.
+
+    >>> q = (QueryBuilder(points, start_range="-5m")
+    ...      .filter("measurement", "fx-1", joiner="or")
+    ...      .filter("measurement", "mx-1")
+    ...      .aggregate_window("1h", "mean")
+    ...      .sort("ts"))
+    >>> q.to_df()
+    """
+
+    def __init__(
+        self,
+        source: DataFrame | str,
+        start_range: str | datetime | None = None,
+        end_range: str | datetime | None = None,
+        spark: SparkSession | None = None,
+        ts_col: str = "ts",
+        value_col: str = "value",
+        series_cols: Sequence[str] = ("measurement", "field"),
+        now: datetime | None = None,
+    ) -> None:
+        if isinstance(source, str):
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError("pass spark= when source is a path/table name")
+            if source.endswith(".parquet") or "/" in source:
+                from solar_logger_spark.io.tables import read_parquet
+
+                self._df = read_parquet(spark, source)
+            else:
+                self._df = spark.table(source)
+        else:
+            self._df = source
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.series_cols = list(series_cols)
+        self._now = now  # pin "now" for reproducible relative ranges
+        self._start = start_range
+        self._end = end_range
+        self._bands: list[_Band] = []
+        self._agg: tuple[str, str] | None = None
+        self._sorts: list[tuple[str, bool]] = []
+        self._projection: list[str] | None = None
+
+    # -- range -------------------------------------------------------
+    def range(self, start: str | datetime, stop: str | datetime | None = None):
+        """Flux ``range(start, stop)``: start inclusive, stop exclusive,
+        stop defaults to now (reference src/classes/query_classes.py:95-106)."""
+        self._start, self._end = start, stop
+        return self
+
+    # -- filter ------------------------------------------------------
+    def filter(
+        self,
+        field: str,
+        value: object,
+        op: str = "==",
+        joiner: str | None = None,
+        new_band: bool = False,
+    ):
+        """Append a predicate (reference ``append_filter``,
+        src/classes/query_classes.py:108-125).
+
+        ``joiner`` ("and"/"or") combines with the *previous* predicate in
+        the band — corrected from the reference's trailing-joiner bug.
+        ``new_band=True`` starts a new conjunctive filter stage.
+        """
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}; one of {sorted(_OPS)}")
+        pred = _Predicate(field, value, op, (joiner or "and").lower())
+        if new_band or not self._bands:
+            self._bands.append(_Band([pred]))
+        else:
+            self._bands[-1].predicates.append(pred)
+        return self
+
+    def filter_in(self, field: str, values: Sequence[object], new_band: bool = True):
+        """The common OR-of-equalities idiom as a single IN predicate."""
+        return self.filter(field, list(values), op="in", new_band=new_band)
+
+    # -- aggregate ---------------------------------------------------
+    def aggregate_window(self, every: str, fn: str):
+        """Flux ``aggregateWindow(every, fn)`` (reference
+        src/classes/query_classes.py:127-137)."""
+        self._agg = (every, fn)
+        return self
+
+    # -- sort --------------------------------------------------------
+    def sort(self, field: str, desc: bool = False):
+        """Flux ``sort(columns: [field], desc:)`` (reference
+        src/classes/query_classes.py:139-148)."""
+        self._sorts.append((field, desc))
+        return self
+
+    def select(self, *cols: str):
+        """Final projection (the reference's ``parse_flux`` projects to a
+        fixed 4-column record shape; ours is caller-chosen)."""
+        self._projection = list(cols)
+        return self
+
+    # -- build -------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        """Materialize the plan in the reference's fixed pipeline order:
+        from → range → filter → aggregate → sort."""
+        df = self._df
+        ts = F.col(self.ts_col)
+        if self._start is not None:
+            df = df.filter(ts >= _time_bound(self._start, self._now))
+        if self._end is not None:
+            df = df.filter(ts < _time_bound(self._end, self._now))
+        for band in self._bands:
+            df = df.filter(band.column())
+        if self._agg is not None:
+            every, fn = self._agg
+            by = [c for c in self.series_cols if c in df.columns]
+            df = aggregate_window(
+                df, every, fn, by=by, ts_col=self.ts_col,
+                value_col=self.value_col,
+            )
+        for fld, desc in self._sorts:
+            df = df.orderBy(F.col(fld).desc() if desc else F.col(fld).asc())
+        if self._projection:
+            df = df.select(*self._projection)
+        return df
+
+    # -- result modes (reference influx_classes.py:84-105) ------------
+    def records(self) -> list[dict]:
+        """"flux" mode: fully-parsed records (reference parse_flux,
+        src/app/influx_query.py:35-54)."""
+        return [row.asDict() for row in self.to_df().collect()]
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        """"csv" mode + CSV sink (reference write_results_to_csv,
+        src/helpers/py_functions.py:13-35)."""
+        self.to_df().coalesce(1).write.mode(mode).option(
+            "header", str(header).lower()
+        ).csv(path)
+
+    def stream(self) -> Iterator[dict]:
+        """"stream" mode — the reference's ``parse_stream`` raises
+        NotImplementedError (src/app/influx_query.py:56-62); ours yields
+        records incrementally without materializing the result."""
+        for row in self.to_df().toLocalIterator():
+            yield row.asDict()

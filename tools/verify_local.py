@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB over the same parquet, then compares
+row count, column names, and values (columns sorted by name, rows sorted,
+floats compared with tolerance). Usage::
+
+    python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from solar_logger_spark.io.tables import TABLES
+from solar_logger_spark.session import get_spark
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[col] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[col] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[col] = s.astype("Int64")
+    sort_cols = list(df.columns)
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    scols, ocols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if scols != ocols:
+        problems.append(f"columns spark={scols} oracle={ocols}")
+    if problems:
+        return problems
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for col in a.columns:
+        x, y = a[col], b[col]
+        if pd.api.types.is_float_dtype(x) and pd.api.types.is_float_dtype(y):
+            ok = np.allclose(
+                x.to_numpy(), y.to_numpy(), rtol=1e-9, atol=1e-12, equal_nan=True
+            )
+        else:
+            ok = x.equals(y) or (x.astype(str) == y.astype(str)).all()
+        if not ok:
+            mism = (x.astype(str) != y.astype(str))
+            idx = mism[mism].index[:3].tolist()
+            sample = [(col, i, x.iloc[i], y.iloc[i]) for i in idx]
+            problems.append(f"values differ in {col!r}: {sample}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    spark = get_spark("verify-local")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows={len(sdf)} (no oracle, rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = _compare(sdf, odf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
