@@ -71,6 +71,10 @@ def aggregate_window(
     Windows are epoch-aligned (Spark ``window()`` semantics), matching
     DuckDB ``time_bucket`` for the oracle comparison.
     """
+    if fn not in AGG_FNS:
+        raise ValueError(
+            f"unknown aggregate fn {fn!r}; supported: {sorted(AGG_FNS)}"
+        )
     width = duration_to_spark_window(every)
     win = F.window(F.col(ts_col), width)
     grouped = df.groupBy(win.alias("window"), *[F.col(c) for c in by])

@@ -1,0 +1,67 @@
+"""Duration-literal grammar (reference accepts Flux durations as params,
+src/classes/query_classes.py:95-106,127-137; README.md:209)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from solar_logger_spark.durations import (
+    duration_to_interval,
+    duration_to_spark_window,
+    parse_duration,
+)
+
+
+@pytest.mark.parametrize(
+    "text,seconds",
+    [
+        ("-5m", -300),
+        ("-20m", -1200),
+        ("1h", 3600),
+        ("1h30m", 5400),
+        ("2d", 2 * 86400),
+        ("1w", 7 * 86400),
+        ("10s", 10),
+        ("+45s", 45),
+        ("500ms", 0.5),
+    ],
+)
+def test_fixed_durations(text, seconds):
+    assert parse_duration(text).seconds == seconds
+
+
+def test_calendar_durations():
+    d = parse_duration("-2mo")
+    assert d.months == -2 and d.seconds == 0
+    assert parse_duration("1y").months == 12
+    assert parse_duration("1mo12h").seconds == 12 * 3600
+
+
+def test_add_to_calendar():
+    d = parse_duration("-1mo")
+    assert d.add_to(datetime(2024, 3, 31)) == datetime(2024, 2, 29)
+    assert parse_duration("-5m").add_to(datetime(2024, 1, 1)) == datetime(
+        2023, 12, 31, 23, 55
+    )
+
+
+@pytest.mark.parametrize("bad", ["", "5 minutes", "m5", "5x", "--5m", "5m3", None, "5"])
+def test_invalid(bad):
+    with pytest.raises(ValueError):
+        parse_duration(bad)
+
+
+def test_interval_rendering():
+    assert duration_to_interval("1h30m") == "INTERVAL '5400' SECOND"
+    assert duration_to_interval("-2mo") == "INTERVAL '-2' MONTH"
+    assert duration_to_spark_window("6h") == "21600 seconds"
+    with pytest.raises(ValueError):
+        duration_to_spark_window("1mo")
+    with pytest.raises(ValueError):
+        duration_to_spark_window("-1h")
+
+
+def test_timedelta_guard():
+    with pytest.raises(ValueError):
+        parse_duration("1mo").timedelta
+    assert parse_duration("90s").timedelta == timedelta(seconds=90)

@@ -1,0 +1,64 @@
+"""aggregate_window semantics: epoch alignment, stop-labeling, fn set
+(reference aggregateWindow, src/classes/query_classes.py:127-137)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from solar_logger_spark.operators.window_agg import aggregate_window
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    base = datetime(2024, 1, 1)
+    rows = [
+        Row(measurement="m", field="f",
+            ts=base.replace(minute=10 * i), value=float(i))
+        for i in range(6)  # 00:00..00:50, values 0..5
+    ] + [
+        Row(measurement="m", field="f",
+            ts=base.replace(hour=2, minute=5), value=100.0)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_stop_label_and_alignment(series):
+    out = {r.ts: r.value for r in aggregate_window(
+        series, "1h", "mean", by=["measurement", "field"]).collect()}
+    assert out == {
+        datetime(2024, 1, 1, 1): 2.5,     # mean(0..5)
+        datetime(2024, 1, 1, 3): 100.0,   # the lone 02:05 point
+    }
+
+
+def test_label_start_and_both(series):
+    start = {r.ts for r in aggregate_window(
+        series, "1h", "count", by=[], label="start").collect()}
+    assert datetime(2024, 1, 1, 0) in start
+    both = aggregate_window(series, "1h", "count", by=[], label="both")
+    assert {"window_start", "window_end", "value"} <= set(both.columns)
+
+
+@pytest.mark.parametrize(
+    "fn,expected",
+    [
+        ("min", 0.0), ("max", 5.0), ("sum", 15.0), ("count", 6),
+        ("first", 0.0), ("last", 5.0), ("median", 2.5),
+    ],
+)
+def test_agg_fns_first_window(series, fn, expected):
+    out = {r.ts: r.value for r in aggregate_window(
+        series, "1h", fn, by=["measurement"]).collect()}
+    assert out[datetime(2024, 1, 1, 1)] == expected
+
+
+def test_empty_window_not_emitted(series):
+    # hour 01:00-02:00 has no points → absent (createEmpty=false semantics)
+    labels = {r.ts for r in aggregate_window(series, "1h", "mean").collect()}
+    assert datetime(2024, 1, 1, 2) not in labels
+
+
+def test_unknown_fn():
+    with pytest.raises(ValueError, match="unknown aggregate fn"):
+        aggregate_window(None, "1h", "nope")
