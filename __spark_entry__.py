@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from solar_logger_spark.io.tables import load_table
 from solar_logger_spark.operators.asof import latest_per_key, status_gate
 from solar_logger_spark.operators.pivoting import pivot, unpivot
+from solar_logger_spark.queries import relational as rel
 from solar_logger_spark.query.builder import QueryBuilder
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -169,6 +170,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev"):
         out[f"flux_agg_{fn}"] = _agg_query(fn)
+    out.update(
+        {
+            "tpch_q1_pricing_summary": rel.tpch_q1,
+            "tpch_q3_shipping_priority": rel.tpch_q3,
+            "tpch_q5_nation_revenue": rel.tpch_q5,
+            "join_part_brand_volume": rel.join_part_brand_volume,
+            "topk_orders_per_customer": rel.topk_orders_per_customer,
+            "distinct_users_per_type": rel.distinct_users_per_type,
+            "set_purchase_days_without_errors": rel.set_purchase_days_without_errors,
+            "rollup_event_counts": rel.rollup_event_counts,
+            "sessionize_events": rel.sessionize_events,
+            "asof_purchase_attribution": rel.asof_purchase_attribution,
+        }
+    )
     return out
 
 
@@ -256,4 +271,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE {_RANGE}
             GROUP BY 1, 2
         """
+    out.update(
+        {
+            "tpch_q1_pricing_summary": rel.TPCH_Q1_SQL,
+            "tpch_q3_shipping_priority": rel.TPCH_Q3_SQL,
+            "tpch_q5_nation_revenue": rel.TPCH_Q5_SQL,
+            "join_part_brand_volume": rel.JOIN_PART_BRAND_SQL,
+            "topk_orders_per_customer": rel.TOPK_ORDERS_SQL,
+            "distinct_users_per_type": rel.DISTINCT_USERS_SQL,
+            "set_purchase_days_without_errors": rel.SET_EXCEPT_SQL,
+            "rollup_event_counts": rel.ROLLUP_SQL,
+            "sessionize_events": rel.SESSIONIZE_SQL,
+            "asof_purchase_attribution": rel.ASOF_ATTRIBUTION_SQL,
+        }
+    )
     return out

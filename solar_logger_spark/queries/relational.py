@@ -1,0 +1,372 @@
+"""Beyond-reference relational coverage: joins, analytic windows, set
+ops, rollup, sessionization, as-of attribution.
+
+The reference implements no relational joins (SURVEY.md §2.3) — these
+operators are "beyond-reference, built-in": expressed declaratively so
+Catalyst picks broadcast vs shuffle strategies (AQE re-plans at runtime).
+
+Numeric discipline: money aggregates run in exact DECIMAL (distributed
+sums are then order-independent and bit-identical to any other engine),
+converted to DOUBLE only in the final projection. Floating-point sums
+would differ from the oracle in the last ulp depending on partitioning.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from solar_logger_spark.io.tables import load_table
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _one() -> Column:
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def disc_price() -> Column:
+    """Exact l_extendedprice * (1 - l_discount) as DECIMAL(18,4)."""
+    return (_dec("l_extendedprice") * (_one() - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape) over lineitem."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(datetime(1999, 12, 31))
+    )
+    charge = (disc_price() * (_one() + _dec("l_tax"))).cast("decimal(24,6)")
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("_sum_qty"),
+        F.sum(_dec("l_extendedprice")).alias("_sum_base"),
+        F.sum(disc_price()).alias("_sum_disc"),
+        F.sum(charge).alias("_sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    cnt = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sum_qty").cast("double").alias("sum_qty"),
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        (F.col("_sum_qty").cast("double") / cnt).alias("avg_qty"),
+        (F.col("_sum_base").cast("double") / cnt).alias("avg_price"),
+        "count_order",
+    )
+
+
+TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))
+                AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape): 3-way join + top-k.
+
+    customer is small → broadcast; orders⋈lineitem shuffles on orderkey.
+    Revenue is exact decimal so the top-10 cut is deterministic.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(datetime(1998, 3, 15))
+    )
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(datetime(1998, 3, 15))
+    )
+    joined = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    g = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(disc_price()).alias("_rev")
+    )
+    return (
+        g.select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               AS DECIMAL(18,4))) DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume shape (TPC-H Q5): star join through
+    region→nation→customer→orders→lineitem, revenue per nation.
+
+    region/nation/customer are broadcast (dimension tables); only
+    orders⋈lineitem shuffles — at 100 TB that is the correct plan.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    line = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    joined = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(disc_price()).alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q5_SQL = """
+    SELECT n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+def join_part_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast fact⋈dim join: shipped quantity + revenue per brand."""
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_qty"),
+            F.sum(disc_price()).alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            F.col("_qty").cast("double").alias("total_qty"),
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+JOIN_PART_BRAND_SQL = """
+    SELECT p_brand,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function (SURVEY.md §2.5, beyond-reference):
+    top-3 orders by totalprice per customer, deterministic tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(win))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+TOPK_ORDERS_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT
+           ) AS rank_in_cust
+    FROM orders
+    QUALIFY rank_in_cust <= 3
+"""
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (beyond-reference, built-in)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DISTINCT_USERS_SQL = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+"""
+
+
+def set_purchase_days_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation EXCEPT (distinct semantics, like SQL EXCEPT):
+    (user, day) pairs with a purchase but no error that day."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", day
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", day)
+    return purchases.subtract(errors)
+
+
+SET_EXCEPT_SQL = """
+    SELECT user_id, date_trunc('day', ts) AS day FROM events
+    WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id, date_trunc('day', ts) AS day FROM events
+    WHERE event_type = 'error'
+"""
+
+
+def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set aggregation (beyond-reference): ROLLUP over
+    (event_type, day) with counts at every level."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ROLLUP_SQL = """
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+    FROM events GROUP BY ROLLUP (event_type, day)
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min inactivity gap) per user — Spark
+    ``session_window``; new session starts when the gap is >= 30 min.
+    Streaming-capable: the same expression works under readStream with a
+    watermark (SURVEY.md §2.9 T9 names sessions as beyond-reference)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(_dec("value")).alias("_val"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            F.col("_val").cast("double").alias("session_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the reference's status-gate generalized, SURVEY.md
+    §2.3 J1): each purchase attributed to the user's most recent click
+    at-or-before it. Union-merge implementation — no range cross-product."""
+    from solar_logger_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_ts", "click_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "value",
+                      "click_ts", "click_value")
+
+
+ASOF_ATTRIBUTION_SQL = """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
