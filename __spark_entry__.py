@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from solar_logger_spark.io.tables import load_table
 from solar_logger_spark.operators.asof import latest_per_key, status_gate
 from solar_logger_spark.operators.pivoting import pivot, unpivot
+from solar_logger_spark.operators.dedup import simhash_oracle_sql
+from solar_logger_spark.operators.text import lang_id_oracle_sql
 from solar_logger_spark.queries import relational as rel
+from solar_logger_spark.queries import scale_ops as sca
 from solar_logger_spark.query.builder import QueryBuilder
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -184,6 +187,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_purchase_attribution": rel.asof_purchase_attribution,
         }
     )
+    out.update(
+        {
+            "dedup_exact_docs": sca.dedup_exact_docs,
+            "dedup_ngram_jaccard_docs": sca.dedup_ngram_jaccard_docs,
+            "dedup_minhash_lsh_docs": sca.dedup_minhash_lsh_docs,
+            "dedup_simhash_docs": sca.dedup_simhash_docs,
+            "text_fingerprint_docs": sca.text_fingerprint_docs,
+            "text_token_stats_docs": sca.text_token_stats_docs,
+            "text_quality_score_docs": sca.text_quality_score_docs,
+            "text_lang_id_docs": sca.text_lang_id_docs,
+            "similarity_cosine_topk": sca.similarity_cosine_topk,
+            "embedding_neardup_pairs": sca.embedding_neardup_pairs,
+            "similarity_ann_lsh": sca.similarity_ann_lsh,
+            "multimodal_blob_meta": sca.multimodal_blob_meta,
+            "multimodal_decode_features": sca.multimodal_decode_features,
+        }
+    )
     return out
 
 
@@ -283,6 +303,26 @@ def oracle_sql() -> dict[str, str]:
             "rollup_event_counts": rel.ROLLUP_SQL,
             "sessionize_events": rel.SESSIONIZE_SQL,
             "asof_purchase_attribution": rel.ASOF_ATTRIBUTION_SQL,
+        }
+    )
+    out.update(
+        {
+            "dedup_exact_docs": sca.DEDUP_EXACT_SQL,
+            "dedup_ngram_jaccard_docs": sca.NGRAM_JACCARD_SQL,
+            # exact-jaccard oracle is valid for the LSH query: candidates
+            # are exact-verified (no FPs) and the collision curve is ~1.0
+            # at the corpus's observed similarity gap (no FNs)
+            "dedup_minhash_lsh_docs": sca.NGRAM_JACCARD_SQL,
+            "dedup_simhash_docs": simhash_oracle_sql(),
+            "text_fingerprint_docs": sca.FINGERPRINT_SQL,
+            "text_token_stats_docs": sca.TOKEN_STATS_SQL,
+            "text_quality_score_docs": sca.QUALITY_SCORE_SQL,
+            "text_lang_id_docs": lang_id_oracle_sql(),
+            "similarity_cosine_topk": sca.COSINE_TOPK_SQL,
+            "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
+            # similarity_ann_lsh / multimodal_decode_features: rows-only
+            # (plane literals / stub codec live Spark-side)
+            "multimodal_blob_meta": sca.BLOB_META_SQL,
         }
     )
     return out

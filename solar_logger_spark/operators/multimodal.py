@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` so the (CPU-heavy) per-item work is vectorized per
+partition and never touches the driver.
+
+The actual codec step is STUBBED (`decode_stub` below) because no
+image/audio libraries exist in this environment — it raises
+``NotImplementedError`` unless ``fake=True``, in which case it derives
+deterministic pseudo-features from the payload bytes. Everything
+Spark-side — schema, batching, partitioning, UDF signature — is real
+and tested; swapping in a real codec is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# what a decoded media item looks like to downstream operators
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("media_md5", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+
+def attach_blob(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload + metadata struct (stand-in
+    for real image/audio bytes; the testdata ships no media columns)."""
+    blob = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        blob.alias("payload"),
+        F.struct(
+            F.length(blob).alias("n_bytes"),
+            F.md5(blob).alias("md5"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, fake: bool) -> tuple[int, int, str]:
+    """The codec boundary. Real decoding needs PIL/ffmpeg — not present
+    in this container, so it is explicitly stubbed.
+
+    With ``fake=True``: deterministic pseudo-dimensions derived from the
+    payload digest, so tests exercise the full Spark plumbing with
+    stable outputs.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires an image/audio codec library; "
+            "swap decode_stub for a real decoder in production"
+        )
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 192          # 64..255
+    height = 64 + digest[1] % 192
+    mode = ["RGB", "RGBA", "L"][digest[2] % 3]
+    return width, height, mode
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps each executor working on whole record batches
+    (no per-row Python overhead) and the output schema is fixed, so the
+    operator composes with normal DataFrame code downstream.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            dims = [decode_stub(p, fake) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "media_md5": payloads.map(
+                        lambda p: hashlib.md5(p).hexdigest()
+                    ),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "mode": [d[2] for d in dims],
+                }
+            )
+
+    src = df.select(F.col(id_col), F.col(payload_col))
+    return src.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def blob_meta(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Pure-JVM metadata over binary payloads (no Python): byte length,
+    digest, hex prefix — the cheap pre-filter columns a media pipeline
+    partitions and dedups on before any decode."""
+    blob = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        F.length(blob).alias("n_bytes"),
+        F.md5(blob).alias("blob_md5"),
+        F.substring(F.hex(blob), 1, 16).alias("head_hex"),
+    )

@@ -1,0 +1,152 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+fingerprinting.
+
+All JVM-side expressions (split / translate / higher-order array
+functions) — no Python in the hot path, so these run inside whole-stage
+codegen over 100 TB of documents. Ratios are computed with identical
+integer→double arithmetic on the Spark and oracle sides so results are
+bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+PUNCT = ".,!?;:"
+
+# tiny marker-word inventories for the n-gram-free language heuristic;
+# deterministic and reproducible in plain SQL
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "une"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _toks(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _marker_hits(text_col: str, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(_toks(text_col), lambda t: F.array_contains(arr, t)))
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokens / chars / average token length / punctuation count."""
+    n_tokens = F.size(_toks(text_col))
+    n_chars = F.length(F.col(text_col))
+    punct = n_chars - F.length(F.translate(F.col(text_col), PUNCT, ""))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        # total token chars = chars minus the (n_tokens - 1) separators
+        (
+            (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+        punct.alias("punct_count"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Composite quality heuristic: length band + stopword presence −
+    punctuation noise. The exact formula matters less than that it is
+    deterministic, cheap, and monotone in the signals a filtering
+    pipeline uses."""
+    n_tokens = F.size(_toks(text_col))
+    n_chars = F.length(F.col(text_col))
+    punct = n_chars - F.length(F.translate(F.col(text_col), PUNCT, ""))
+    stop_hits = _marker_hits(text_col, STOPWORDS)
+    stop_ratio = stop_hits.cast("double") / n_tokens.cast("double")
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+    score = length_ok * 0.4 + stop_ratio * 0.4 + (F.lit(1.0) - punct_ratio) * 0.2
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits,
+    first-listed language wins ties (deterministic)."""
+    out = df.select(F.col(id_col), F.col(text_col))
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"hits_{lang}", _marker_hits(text_col, markers))
+    langs = list(LANG_MARKERS)
+    pred = F.lit(None).cast("string")
+    # build argmax right-to-left: earlier languages win ties
+    for lang in reversed(langs):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than every later language, >= every earlier
+            clause = (
+                F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+                if langs.index(other) > langs.index(lang)
+                else F.col(f"hits_{lang}") > F.col(f"hits_{other}")
+            )
+            cond = clause if cond is None else (cond & clause)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.select(
+        id_col, *[f"hits_{lang}" for lang in langs], pred.alias("pred_lang")
+    )
+
+
+def lang_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    def hits(markers: list[str]) -> str:
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        return (
+            f"len(list_filter(string_split({text_col}, ' '), "
+            f"t -> t IN ({inlist})))"
+        )
+
+    langs = list(LANG_MARKERS)
+    hit_cols = ", ".join(
+        f"{hits(m)} AS hits_{lang}" for lang, m in LANG_MARKERS.items()
+    )
+    branches = []
+    for lang in langs:
+        clauses = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            clauses.append(f"hits_{lang} {op} hits_{other}")
+        branches.append(f"WHEN {' AND '.join(clauses)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+        WITH h AS (SELECT {id_col}, {hit_cols} FROM {table})
+        SELECT {id_col}, {', '.join(f'hits_{lang}' for lang in langs)},
+               {case} AS pred_lang
+        FROM h
+    """
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprint: md5 of normalized text plus a 60-bit
+    integer prefix (join-friendly) — engine-reproducible."""
+    norm = F.lower(F.col(text_col))
+    digest = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        digest.alias("fp_md5"),
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint").alias("fp_int"),
+    )

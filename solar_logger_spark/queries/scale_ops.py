@@ -1,0 +1,229 @@
+"""Scale-operator queries: dedup / similarity / text / multimodal over
+the ``documents`` and ``embeddings`` tables, with DuckDB oracles where
+the semantics are SQL-expressible.
+
+Oracle notes:
+* jaccard values are exact integer ratios → identical doubles in both
+  engines;
+* simhash / fingerprints use md5-derived integers so DuckDB reproduces
+  them bit-for-bit;
+* cosine is accumulated left-to-right in double on both sides;
+* the MinHash-LSH query's oracle is the *exact* Jaccard-pairs SQL —
+  valid because the (64 hashes, 32 bands) collision curve is ≈1.0 at
+  the data's observed similarity gap (near-dups ≥0.8, next cluster
+  ≤0.2), and candidates are exact-verified so false positives are
+  impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from solar_logger_spark.io.tables import load_table
+from solar_logger_spark.operators import dedup, multimodal, similarity, text
+
+
+# -- dedup -----------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], id_col="doc_id").select(
+        "doc_id", "dup_count"
+    )
+
+
+DEDUP_EXACT_SQL = """
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY text
+"""
+
+
+def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+# word-3-gram shingle sets, exact pair jaccard >= 0.5
+NGRAM_JACCARD_SQL = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))]) AS s
+        FROM words
+    ),
+    sd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+"""
+
+
+def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=32)
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+def text_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs)
+
+
+FINGERPRINT_SQL = """
+    SELECT doc_id, md5(lower(text)) AS fp_md5,
+           CAST(('0x' || substring(md5(lower(text)), 1, 15)) AS BIGINT) AS fp_int
+    FROM documents
+"""
+
+
+# -- text analysis -----------------------------------------------------------
+
+def text_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs)
+
+
+TOKEN_STATS_SQL = """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+           length(text) - length(translate(text, '.,!?;:', '')) AS punct_count
+    FROM documents
+"""
+
+
+def text_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs)
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+QUALITY_SCORE_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(translate(text, '.,!?;:', '')) AS punct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({_STOP_IN}))) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                 THEN 1.0 ELSE 0.0 END) * 0.4
+             + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+             + (1.0 - CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2
+             AS quality_score
+    FROM base
+"""
+
+
+def text_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs)
+
+
+# -- similarity ---------------------------------------------------------------
+
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.topk_bruteforce(emb, queries, k=5)
+
+
+COSINE_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_sum([CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                         for i in range(1, len(q.q_vec) + 1)])
+               / (sqrt(list_sum([CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)
+                                 for i in range(1, len(q.q_vec) + 1)]))
+                  * sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                                   for i in range(1, len(c.embedding) + 1)])))
+               AS cos_sim
+        FROM embeddings c, q
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=0.45)
+
+
+NEARDUP_PAIRS_SQL = """
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                     for i in range(1, len(a.embedding) + 1)])
+           / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                             for i in range(1, len(a.embedding) + 1)]))
+              * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                               for i in range(1, len(b.embedding) + 1)])))
+           AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, len(a.embedding) + 1)])
+          / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                            for i in range(1, len(a.embedding) + 1)]))
+             * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                              for i in range(1, len(b.embedding) + 1)])))
+          >= 0.45
+"""
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane LSH buckets (rows-only check:
+    bucketing depends on Spark-side plane literals)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.topk_lsh(emb, queries, k=5, n_planes=8)
+
+
+# -- multimodal ---------------------------------------------------------------
+
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.blob_meta(docs)
+
+
+BLOB_META_SQL = """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS blob_md5,  -- DuckDB md5 takes VARCHAR; same bytes
+           substring(hex(encode(text)), 1, 16) AS head_hex
+    FROM documents
+"""
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with the deterministic stub codec
+    (rows-only: the pseudo-decode is not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.attach_blob(docs)
+    return multimodal.extract_features(blobs, fake=True)

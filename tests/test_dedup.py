@@ -1,0 +1,82 @@
+"""Dedup operator semantics on hand-built corpora."""
+
+import pytest
+from pyspark.sql import Row
+
+from solar_logger_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the sleepy dog"),        # near dup of 0
+    (3, "completely different text about spark query engines"),
+    (4, "a b"),                                                  # shorter than shingle
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS]
+    )
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = {r.doc_id: r.dup_count for r in
+           dedup.exact_dedup(docs, ["text"]).collect()}
+    assert out[0] == 2           # doc 0 survives for the 0/1 pair
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_shingles_window_and_short_doc(docs):
+    sh = dedup.doc_shingles(docs).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert "the quick brown" in by_doc[0]
+    assert "over the lazy" in by_doc[0]
+    # 9 tokens → 7 trigrams, 'the' repeats but sets are distinct
+    assert len(by_doc[0]) == 7
+    assert 4 not in by_doc   # 2 tokens < n → no shingles
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact(docs):
+    exact = {(r.a_id, r.b_id) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    lsh = {(r.a_id, r.b_id) for r in
+           dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert lsh == exact  # high-sim pairs must survive banding + verify
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signatures(docs, num_hashes=16)
+    row = sig.filter("doc_id = 0").collect()[0]
+    assert len([c for c in sig.columns if c.startswith("mh_")]) == 16
+    # identical docs → identical signatures
+    sig01 = sig.filter("doc_id <= 1").collect()
+    a, b = sorted(sig01, key=lambda r: r.doc_id)
+    assert [a[f"mh_{i}"] for i in range(16)] == [b[f"mh_{i}"] for i in range(16)]
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[3]
+    # near-dup docs: small hamming distance
+    ham = bin(fp[0] ^ fp[2]).count("1")
+    assert ham <= 20
+
+
+def test_stop_shingle_filter(docs):
+    # with max_shingle_df=1 every shared shingle is dropped → no pairs
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.1,
+                                     max_shingle_df=1).count() == 0

@@ -1,0 +1,84 @@
+"""Similarity-search semantics with known geometry."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from solar_logger_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 4-d toy space with known relationships
+    data = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # ~0 direction
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.8, 0.2, 0.0, 0.0]),   # ~0 direction
+    ]
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in data]
+    )
+
+
+def test_cosine_values(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0]),
+         Row(a=[1.0, 0.0], b=[-1.0, 0.0])]
+    )
+    from pyspark.sql import functions as F
+    out = [r.c for r in df.select(
+        similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(0.0)
+    assert out[2] == pytest.approx(-1.0)
+
+
+def test_topk_bruteforce_ordering(vectors):
+    queries = vectors.filter("vec_id = 0")
+    out = similarity.topk_bruteforce(vectors, queries, k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 4, 2]  # by cosine to [1,0,0,0]
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_topk_excludes_self(vectors):
+    out = similarity.topk_bruteforce(vectors, vectors, k=4).collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+
+
+def test_neardup_pairs_threshold(vectors):
+    pairs = {(r.a_id, r.b_id) for r in
+             similarity.neardup_pairs(vectors, threshold=0.95).collect()}
+    assert (0, 1) in pairs and (1, 4) in pairs and (0, 4) in pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_hyperplane_buckets_deterministic(vectors):
+    b1 = {r.vec_id: r.bucket for r in similarity.hyperplane_buckets(
+        vectors, n_planes=8, dim=4).collect()}
+    b2 = {r.vec_id: r.bucket for r in similarity.hyperplane_buckets(
+        vectors, n_planes=8, dim=4).collect()}
+    assert b1 == b2
+    # opposite vectors land in complementary buckets → different
+    assert b1[0] != b1[3]
+
+
+def test_topk_lsh_recalls_close_neighbors(vectors):
+    queries = vectors.filter("vec_id = 0")
+    out = similarity.topk_lsh(vectors, queries, k=3, n_planes=4, dim=4).collect()
+    got = {r.neighbor_id for r in out}
+    # same-direction vectors share all sign bits with the query
+    assert {1, 4} <= got
+
+
+def test_dot_is_left_to_right_double(spark):
+    """Accumulation order is deterministic (oracle reproducibility)."""
+    from pyspark.sql import functions as F
+    vals = [1e16, 1.0, -1e16]
+    df = spark.createDataFrame([Row(a=vals, b=[1.0, 1.0, 1.0])])
+    out = df.select(similarity.dot(F.col("a"), F.col("b")).alias("d")).collect()
+    # (1e16 + 1) - 1e16 == 0 in double left-to-right
+    assert out[0].d == 0.0
