@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — driver contract.
+
+Runs every query declared in ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock seconds across all queries (each timed to
+full materialization via a count action over the result DataFrame).
+Per-query seconds land in ``queries``. Noise from Spark's own stderr is
+kept off stdout so the driver can parse the single line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from solar_logger_spark.session import get_spark
+
+    spark = get_spark(app_name="solar-logger-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qmap = entry_mod.queries()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qmap.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # Materialize fully (all partitions, all expressions) without
+            # paying driver-side collect serialization.
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # keep the bench line parseable
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            per_query[name] = -1.0
+            continue
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_of(sf_dir),
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
