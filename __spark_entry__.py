@@ -150,6 +150,41 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packet_decode_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest decode path (SURVEY §2.8 F1-F6, §2.9 T1/T2) in batch form:
+    events → wire-format binary packets (4-byte LE epoch + packed
+    channels + padding) → ``decode_packets`` → canonical points. The
+    oracle recomputes the fan-out relationally, so the hash compare
+    verifies the whole binary encode/decode/unpivot plan end-to-end."""
+    from solar_logger_spark.streaming.decode import (
+        decode_packets, synthetic_packet_udf,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    packets = events.select(
+        F.lit("mx-1").alias("measurement"),
+        synthetic_packet_udf("mx-1")(
+            F.unix_timestamp("ts").cast("int"), F.col("value")
+        ).alias("payload"),
+    )
+    return decode_packets(packets)
+
+
+def _packet_decode_oracle() -> str:
+    from solar_logger_spark.streaming.decode import MX_FIELDS
+
+    values = ", ".join(f"('{f}', {i})" for i, f in enumerate(MX_FIELDS))
+    return f"""
+        SELECT 'mx-1' AS measurement,
+               date_trunc('second', e.ts) AS ts,
+               f.field,
+               e.value + f.i AS value
+        FROM events e
+        CROSS JOIN (VALUES {values}) AS f(field, i)
+        WHERE e.value IS NOT NULL
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -169,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_events": q_unpivot_events,
         "pivot_event_types": q_pivot_event_types,
         "json_props_extract": q_json_props_extract,
+        "packet_decode_points": q_packet_decode_points,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev"):
@@ -284,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
     }
+    out["packet_decode_points"] = _packet_decode_oracle()
     for fn, expr in _AGG_ORACLE.items():
         out[f"flux_agg_{fn}"] = f"""
             SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,

@@ -43,6 +43,13 @@ def main() -> int:
 
     qmap = entry_mod.queries()
 
+    # Warm the JVM/codegen/parquet-footer caches so the first timed query
+    # isn't charged session startup (a cluster service pays this once).
+    from solar_logger_spark.io.tables import load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "events").limit(1000).count()
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name, fn in qmap.items():

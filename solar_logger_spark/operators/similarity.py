@@ -83,27 +83,85 @@ def neardup_pairs(
     prefilter_buckets: bool = False,
     dim: int = 64,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold. Exact by default (self cross
-    pair join); with ``prefilter_buckets`` the pairing is restricted to
-    LSH-bucket collisions first (the 100 TB path — near-dups at high
-    cosine collide with high probability)."""
-    a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    """All pairs with cosine >= threshold.
+
+    Exact path (default): broadcast block-matrix — the corpus matrix
+    (N×dim doubles; ~0.5 GB at N=1M, dim=64) is broadcast once, and each
+    executor scores its corpus slice against it with a vectorized numpy
+    kernel, emitting only above-threshold pairs. No shuffle, no
+    materialized N² pair table — the N² work happens inside C loops and
+    only survivors surface. Dimensions are accumulated in index order so
+    the result is bit-identical to the ``aggregate``/``zip_with``
+    formulation (and stable across partitionings).
+
+    Beyond broadcastable N, ``prefilter_buckets`` restricts pairing to
+    sign-LSH bucket collisions first — fully distributed, approximate
+    (high-cosine pairs collide with high probability): the 100 TB path.
+    """
     if prefilter_buckets:
+        a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+        b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
         buckets = hyperplane_buckets(embeddings, id_col=id_col, vec_col=vec_col,
                                      n_planes=8, dim=dim)
         ab = buckets.select(F.col(id_col).alias("a_id"), "bucket")
         bb = buckets.select(F.col(id_col).alias("b_id"), "bucket")
         pairs = ab.join(bb, "bucket").filter(F.col("a_id") < F.col("b_id"))
         pairs = pairs.join(a, "a_id").join(b, "b_id")
-    else:
-        pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
-    return (
-        pairs.select(
-            "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim")
+        return (
+            pairs.select(
+                "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
         )
-        .filter(F.col("cos_sim") >= threshold)
+
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    side = embeddings.select(id_col, vec_col).toPandas()
+    ids_all = side[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in side[vec_col]])
+    norms_all = _ltr_norms(mat)
+    bc = spark.sparkContext.broadcast((ids_all, mat, norms_all))
+
+    out_schema = "a_id long, b_id long, cos_sim double"
+
+    def _score(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            a_norms = _ltr_norms(a_mat)
+            for lo in range(0, len(a_ids), 1024):  # bound the sim block
+                hi = min(lo + 1024, len(a_ids))
+                acc = np.zeros((hi - lo, len(b_ids)))
+                for d in range(a_mat.shape[1]):  # index order = HOF order
+                    acc += a_mat[lo:hi, d, None] * b_mat[None, :, d]
+                sim = acc / (a_norms[lo:hi, None] * b_norms[None, :])
+                mask = (sim >= threshold) & (a_ids[lo:hi, None] < b_ids[None, :])
+                ai, bj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "a_id": a_ids[lo + ai],
+                        "b_id": b_ids[bj],
+                        "cos_sim": sim[ai, bj],
+                    }
+                )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return embeddings.select(id_col, vec_col).repartition(n_parts).mapInPandas(
+        _score, out_schema
     )
+
+
+def _ltr_norms(mat: "np.ndarray") -> "np.ndarray":
+    """sqrt(Σ v_d²) accumulated in dimension order — matches the
+    left-to-right ``aggregate`` fold bit-for-bit."""
+    acc = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
 
 
 def _plane_literals(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:

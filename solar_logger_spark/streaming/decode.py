@@ -147,6 +147,28 @@ def encode_packet(
     return struct.pack("<i", epoch) + body + pad
 
 
+def synthetic_packet_udf(measurement: str):
+    """Arrow-batched packet builder for tests/benchmarks: (epoch, base)
+    → a wire-format packet whose channel i carries ``base + i``. Lets an
+    oracle recompute the decode fan-out without touching bytes."""
+    from pyspark.sql.types import BinaryType
+
+    fields = MEASUREMENT_FIELDS[measurement]
+
+    @pandas_udf(BinaryType())
+    def _encode(epoch: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_packet(
+                    measurement, int(e), {f: b + i for i, f in enumerate(fields)}
+                )
+                for e, b in zip(epoch, base)
+            ]
+        )
+
+    return _encode
+
+
 DECODERS: dict[str, Decoder] = {
     m: _codec_decoder(f) for m, f in MEASUREMENT_FIELDS.items()
 }
