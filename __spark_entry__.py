@@ -150,6 +150,32 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flux_agg_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregateWindow (Flux ``window(every: 6h, period:
+    1d)``): 1-day windows sliding 6h — each event fans out to 4 windows
+    JVM-side before one hash aggregation."""
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    events = load_table(spark, sf_dir, "events")
+    return aggregate_window(
+        events.filter((F.col("ts") >= T0) & (F.col("ts") < T1)),
+        every="1d",
+        slide="6h",
+        fn="mean",
+        by=["event_type"],
+    )
+
+
+SLIDING_AGG_SQL = f"""
+    SELECT time_bucket(INTERVAL '6 hours', ts) - (k * INTERVAL '6 hours')
+           + INTERVAL '1 day' AS ts,
+           event_type, avg(value) AS value
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(k)
+    WHERE {{range}}
+    GROUP BY 1, 2
+"""
+
+
 def q_packet_decode_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest decode path (SURVEY §2.8 F1-F6, §2.9 T1/T2) in batch form:
     events → wire-format binary packets (4-byte LE epoch + packed
@@ -221,6 +247,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rollup_event_counts": rel.rollup_event_counts,
             "sessionize_events": rel.sessionize_events,
             "asof_purchase_attribution": rel.asof_purchase_attribution,
+            "tpch_q6_forecast_revenue": rel.tpch_q6,
+            "tpch_q4_order_priority": rel.tpch_q4_shape,
+            "tpch_q10_returned_items": rel.tpch_q10,
+            "tpch_q18_large_orders": rel.tpch_q18_shape,
+            "tpch_q17_small_qty_revenue": rel.tpch_q17_shape,
+            "anti_join_never_ordered_parts": rel.anti_join_never_ordered_parts,
+            "window_running_totals": rel.window_running_totals,
+            "window_moving_avg": rel.window_moving_avg,
+            "flux_agg_sliding": q_flux_agg_sliding,
         }
     )
     out.update(
@@ -340,6 +375,15 @@ def oracle_sql() -> dict[str, str]:
             "rollup_event_counts": rel.ROLLUP_SQL,
             "sessionize_events": rel.SESSIONIZE_SQL,
             "asof_purchase_attribution": rel.ASOF_ATTRIBUTION_SQL,
+            "tpch_q6_forecast_revenue": rel.TPCH_Q6_SQL,
+            "tpch_q4_order_priority": rel.TPCH_Q4_SQL,
+            "tpch_q10_returned_items": rel.TPCH_Q10_SQL,
+            "tpch_q18_large_orders": rel.TPCH_Q18_SQL,
+            "tpch_q17_small_qty_revenue": rel.TPCH_Q17_SQL,
+            "anti_join_never_ordered_parts": rel.ANTI_JOIN_SQL,
+            "window_running_totals": rel.WINDOW_RUNNING_SQL,
+            "window_moving_avg": rel.WINDOW_MOVING_AVG_SQL,
+            "flux_agg_sliding": SLIDING_AGG_SQL.format(range=_RANGE),
         }
     )
     out.update(

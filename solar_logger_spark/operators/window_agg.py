@@ -59,14 +59,20 @@ def aggregate_window(
     value_col: str = "value",
     alias: str = "value",
     label: str = "stop",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window aggregate.
+    """Tumbling (or hopping) window aggregate.
 
     Parameters mirror Flux ``aggregateWindow``: ``every`` is a Flux
     duration (``"1h"``), ``fn`` one of :data:`AGG_FNS`. ``by`` are the
     series key columns. ``label`` picks the output timestamp: ``"stop"``
     (Flux default — window end), ``"start"``, or ``"both"`` (emit
     ``window_start`` and ``window_end`` columns, no ``ts``).
+
+    ``slide`` (a Flux duration < ``every``) makes the windows hopping —
+    Flux ``window(every: slide, period: every)``: each row lands in
+    ``every/slide`` overlapping windows. Spark's ``window()`` expands
+    that fan-out JVM-side before the same single hash aggregation.
 
     Windows are epoch-aligned (Spark ``window()`` semantics), matching
     DuckDB ``time_bucket`` for the oracle comparison.
@@ -76,7 +82,10 @@ def aggregate_window(
             f"unknown aggregate fn {fn!r}; supported: {sorted(AGG_FNS)}"
         )
     width = duration_to_spark_window(every)
-    win = F.window(F.col(ts_col), width)
+    if slide is not None:
+        win = F.window(F.col(ts_col), width, duration_to_spark_window(slide))
+    else:
+        win = F.window(F.col(ts_col), width)
     grouped = df.groupBy(win.alias("window"), *[F.col(c) for c in by])
     out = grouped.agg(agg_expr(fn, value_col, ts_col).alias(alias))
 

@@ -370,3 +370,272 @@ ASOF_ATTRIBUTION_SQL = """
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND c.ts <= p.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H shapes (adapted to the trimmed testdata schemas)
+# ---------------------------------------------------------------------------
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (Q6 shape): pure scan + aggregate. The
+    point at 100 TB: every predicate and both referenced columns reach
+    the parquet scan (PushedFilters + 4-column ReadSchema) — the scan IS
+    the query."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = l.filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1998, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1999, 1, 1)))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
+        ).alias("_rev")
+    )
+    return out.select(F.col("_rev").cast("double").alias("revenue"))
+
+
+TPCH_Q6_SQL = """
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (Q4 shape): EXISTS → left-semi join. The
+    semi-join shuffles only distinct orderkeys of the filtered lineitem
+    side; counts come from a map-side-combinable hash agg."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1998, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 7, 1)))
+    )
+    line = load_table(spark, sf_dir, "lineitem")
+    late = line.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        line.l_orderkey == F.col("o_orderkey"),
+        "inner",
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey")
+    qualified = orders.join(
+        late, orders.o_orderkey == late.l_orderkey, "left_semi"
+    )
+    return (
+        qualified.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+TPCH_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue top-20 (Q10 shape): fact-side filters first,
+    small dims broadcast, exact-decimal revenue so the cut is stable."""
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1998, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 4, 1)))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    g = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price()).alias("_rev"))
+    )
+    return (
+        g.select(
+            "c_custkey", "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1998-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                AS DECIMAL(18,4))) DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (Q18 shape): group-HAVING on the fact,
+    then semi-join back — only qualifying orderkeys cross the second
+    shuffle."""
+    line = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        line.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+TPCH_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sq AS DOUBLE) AS sum_qty
+    FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17 shape): correlated scalar
+    subquery decorrelated into an aggregate + equi-join on partkey (what
+    Catalyst does to the SQL form too)."""
+    line = load_table(spark, sf_dir, "lineitem")
+    brand_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    avg_qty = line.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("_half_avg")
+    )
+    filtered = (
+        line.join(F.broadcast(brand_parts), line.l_partkey == F.col("p_partkey"))
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+    )
+    out = filtered.agg(
+        (F.sum(_dec("l_extendedprice")) / F.lit(7.0)).alias("_avg_yearly")
+    )
+    return out.select(F.col("_avg_yearly").cast("double").alias("avg_yearly"))
+
+
+TPCH_Q17_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0 AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem l
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def anti_join_never_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: parts that never appear in lineitem. The anti
+    side ships only distinct partkeys."""
+    part = load_table(spark, sf_dir, "part")
+    line = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(line, part.p_partkey == line.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+ANTI_JOIN_SQL = """
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytic window frames (SURVEY.md §2.5 — beyond-reference, built-in)
+# ---------------------------------------------------------------------------
+
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue + order rank per customer: cumulative frame, rank,
+    and lag in one window spec — one shuffle on custkey, sorted once."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(cum).cast("double").alias("running_total"),
+        F.row_number().over(w).alias("order_rank"),
+        F.lag("o_totalprice", 1).over(w).cast("double").alias("prev_price"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS running_total,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_rank,
+           CAST(lag(o_totalprice, 1)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS DOUBLE) AS prev_price
+    FROM orders
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-day trailing moving average over event time: a
+    RANGE-interval frame (time-based, not row-count) — the canonical
+    smoothing query on the point store."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))  # µs so frame edges match the
+        .rangeBetween(-3 * 86400 * 1_000_000, 0)  # oracle's INTERVAL exactly
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.avg("value").over(w).alias("moving_avg"),
+    )
+
+
+WINDOW_MOVING_AVG_SQL = """
+    SELECT event_id, user_id, ts,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 3 DAYS PRECEDING
+                                      AND CURRENT ROW) AS moving_avg
+    FROM events
+"""

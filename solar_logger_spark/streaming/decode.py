@@ -38,7 +38,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, MapType, StringType
+from pyspark.sql.types import ArrayType, DoubleType
 
 TIME_PACKET_SIZE = 4  # reference: src/helpers/consts.py:15
 
@@ -117,7 +117,11 @@ Decoder = Callable[[bytes], dict]
 
 def _codec_decoder(fields: tuple[str, ...]) -> Decoder:
     """Default decoder: payload is the channels' float64 values packed
-    little-endian in field order (the deterministic stand-in codec)."""
+    little-endian in field order (the deterministic stand-in codec).
+
+    The ``codec_size`` attribute marks it bulk-decodable: the pandas UDF
+    below then decodes a whole Arrow batch with one ``np.frombuffer``
+    reshape instead of per-row ``struct.unpack`` calls."""
     fmt = f"<{len(fields)}d"
     size = struct.calcsize(fmt)
 
@@ -125,6 +129,7 @@ def _codec_decoder(fields: tuple[str, ...]) -> Decoder:
         values = struct.unpack(fmt, bytes(payload[:size]))
         return dict(zip(fields, values))
 
+    _decode.codec_size = size  # type: ignore[attr-defined]
     return _decode
 
 
@@ -150,20 +155,29 @@ def encode_packet(
 def synthetic_packet_udf(measurement: str):
     """Arrow-batched packet builder for tests/benchmarks: (epoch, base)
     → a wire-format packet whose channel i carries ``base + i``. Lets an
-    oracle recompute the decode fan-out without touching bytes."""
+    oracle recompute the decode fan-out without touching bytes.
+
+    Encoding is one numpy structured-array write per batch (header +
+    channels + zeroed padding laid out by dtype), not per-row
+    ``struct.pack``."""
+    import numpy as np
     from pyspark.sql.types import BinaryType
 
-    fields = MEASUREMENT_FIELDS[measurement]
+    n = len(MEASUREMENT_FIELDS[measurement])
+    pad = PADDING_AT_END[measurement]
+    layout = [("epoch", "<i4"), ("vals", "<f8", (n,))]
+    if pad:
+        layout.append(("pad", f"V{pad}"))
+    dtype = np.dtype(layout)
 
     @pandas_udf(BinaryType())
     def _encode(epoch: pd.Series, base: pd.Series) -> pd.Series:
+        rec = np.zeros(len(epoch), dtype=dtype)
+        rec["epoch"] = epoch.to_numpy()
+        rec["vals"] = base.to_numpy(dtype=np.float64)[:, None] + np.arange(n)[None, :]
+        buf, stride = rec.tobytes(), dtype.itemsize
         return pd.Series(
-            [
-                encode_packet(
-                    measurement, int(e), {f: b + i for i, f in enumerate(fields)}
-                )
-                for e, b in zip(epoch, base)
-            ]
+            [buf[i * stride : (i + 1) * stride] for i in range(len(epoch))]
         )
 
     return _encode
@@ -207,26 +221,63 @@ def _coerce(value) -> float | None:
         return None
 
 
-@pandas_udf(MapType(StringType(), DoubleType()))
-def decode_payload_udf(measurement: pd.Series, body: pd.Series) -> pd.Series:
+@pandas_udf(ArrayType(DoubleType()))
+def decode_values_udf(measurement: pd.Series, body: pd.Series) -> pd.Series:
     """Arrow-batched payload decode: (measurement, body bytes) → channel
-    map. Decode failures yield null (reference T8: errors are isolated,
-    the pipeline never dies — ``mqtt_classes.py:289-296``)."""
-    out = []
-    for m, b in zip(measurement, body):
-        dec = DECODERS.get(m)
-        if dec is None or b is None:
-            out.append(None)
+    values in ``MEASUREMENT_FIELDS`` order. Decode failures yield null
+    (reference T8: errors are isolated, the pipeline never dies —
+    ``mqtt_classes.py:289-296``).
+
+    Default-codec measurements take the bulk path: the batch's payloads
+    are concatenated and decoded with a single ``np.frombuffer`` reshape
+    — no per-row struct calls. Custom registered decoders fall back to
+    per-row dict decode + coercion."""
+    import numpy as np
+
+    out: list = [None] * len(measurement)
+    ms = measurement.to_numpy()
+    for m in pd.unique(ms):
+        dec, fields = DECODERS.get(m), MEASUREMENT_FIELDS.get(m)
+        if dec is None:
             continue
-        try:
-            raw = dec(bytes(b))
-            out.append({
-                k: v for k, v in ((k, _coerce(v)) for k, v in raw.items())
-                if v is not None and not (isinstance(v, float) and math.isnan(v))
-            })
-        except Exception:
-            out.append(None)
+        idx = np.nonzero(ms == m)[0]
+        size = getattr(dec, "codec_size", None)
+        if size is not None:
+            good = [
+                i for i in idx
+                if body.iat[i] is not None and len(body.iat[i]) == size
+            ]
+            if not good:
+                continue
+            buf = b"".join(bytes(body.iat[i]) for i in good)
+            vals = np.frombuffer(buf, dtype="<f8").reshape(len(good), -1)
+            for j, i in enumerate(good):
+                out[i] = vals[j]
+        else:
+            for i in idx:
+                b = body.iat[i]
+                if b is None:
+                    continue
+                try:
+                    raw = dec(bytes(b))
+                except Exception:
+                    continue
+                keys = fields if fields is not None else tuple(raw)
+                row = [_coerce(raw.get(k)) for k in keys]
+                out[i] = [
+                    None if (v is not None and math.isnan(v)) else v for v in row
+                ]
     return pd.Series(out)
+
+
+def field_names_map() -> Column:
+    """Literal measurement → channel-name-array map (JVM-side), so the
+    unpivot attaches field names without Python."""
+    entries = []
+    for m, fields in MEASUREMENT_FIELDS.items():
+        entries.append(F.lit(m))
+        entries.append(F.array(*[F.lit(f) for f in fields]))
+    return F.create_map(*entries)
 
 
 def decode_packets(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -234,10 +285,15 @@ def decode_packets(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     batch or streaming identically.
 
     epoch/body extraction is codegen'd JVM work; only the byte-level
-    field decode crosses to Python (Arrow batches); the unpivot fan-out
-    (T2: one packet → N single-field points) is ``explode`` back on the
-    JVM. Output: ``(measurement, ts, field, value)`` — the engine's
-    canonical point schema (SURVEY §1.3).
+    field decode crosses to Python (Arrow batches, bulk numpy for the
+    default codec); the unpivot fan-out (T2: one packet → N single-field
+    points) is ``posexplode`` back on the JVM, with field names resolved
+    from a literal map. Output: ``(measurement, ts, field, value)`` —
+    the engine's canonical point schema (SURVEY §1.3).
+
+    Custom decoders registered via ``register_decoder`` must emit the
+    measurement's registered field set (extra keys are ignored, missing
+    keys become null values).
     """
     padding_map = F.create_map(
         *[x for m, p in PADDING_AT_END.items() for x in (F.lit(m), F.lit(p))]
@@ -246,11 +302,18 @@ def decode_packets(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         df.withColumn("_pad", F.coalesce(padding_map[F.col("measurement")], F.lit(0)))
         .withColumn("ts", F.timestamp_seconds(epoch_expr(payload_col)))
         .withColumn("_body", body_expr(payload_col, "_pad"))
-        .withColumn("_fields", decode_payload_udf(F.col("measurement"), F.col("_body")))
-        .filter(F.col("_fields").isNotNull())  # T8: drop undecodable rows
+        .withColumn("_vals", decode_values_udf(F.col("measurement"), F.col("_body")))
+        .filter(F.col("_vals").isNotNull())  # T8: drop undecodable rows
     )
     return decoded.select(
         "measurement",
         "ts",
-        F.explode(F.col("_fields")).alias("field", "value"),
+        F.posexplode(F.col("_vals")).alias("_pos", "value"),
+    ).select(
+        "measurement",
+        "ts",
+        F.element_at(field_names_map()[F.col("measurement")], F.col("_pos") + 1).alias(
+            "field"
+        ),
+        "value",
     )

@@ -62,3 +62,23 @@ def test_empty_window_not_emitted(series):
 def test_unknown_fn():
     with pytest.raises(ValueError, match="unknown aggregate fn"):
         aggregate_window(None, "1h", "nope")
+
+
+def test_sliding_window_fanout(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 3, 0), 10.0), (datetime(2024, 1, 1, 9, 0), 30.0)],
+        ["ts", "value"],
+    )
+    out = aggregate_window(df, every="1d", slide="6h", fn="mean").collect()
+    # each row lands in 4 overlapping 1-day windows sliding 6h
+    got = {r.ts: r.value for r in out}
+    assert len(got) == 5  # stops 06,12 (overlap both) and 18,00,+06
+    assert got[datetime(2024, 1, 1, 6, 0)] == 10.0   # only first event
+    assert got[datetime(2024, 1, 1, 12, 0)] == 20.0  # both events
+    assert got[datetime(2024, 1, 2, 6, 0)] == 30.0   # only second event
