@@ -88,7 +88,15 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops shingles shared by more than that many docs
     before pairing (the d² pair blow-up guard for web-scale corpora).
     """
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    # 64-bit-hash the shingles before the self-join: the inverted index
+    # shuffles and compares fixed 8-byte keys instead of n-word strings
+    # (collision odds across ~2^20 distinct shingles are ~1e-8 — far
+    # below any float tolerance downstream)
+    sh = (
+        doc_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -193,8 +201,8 @@ def minhash_lsh_pairs(
     sets = (
         doc_shingles(df, id_col, text_col, n)
         .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sh_set"))
-    )
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("sh_set"))
+    )  # hashed shingle sets: 8-byte elements through collect/intersect
     a = sets.select(F.col(id_col).alias("a_id"), F.col("sh_set").alias("a_set"))
     b = sets.select(F.col(id_col).alias("b_id"), F.col("sh_set").alias("b_set"))
     verified = (

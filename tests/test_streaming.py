@@ -274,3 +274,58 @@ def test_mqtt_reader_requires_paho():
         pass
     with pytest.raises(ImportError, match="paho-mqtt"):
         M.MqttStreamReader({})
+
+
+# ---------------------------------------------------------------------------
+# stateful gate: applyInPandasWithState keeps last status across batches
+# ---------------------------------------------------------------------------
+
+def test_stateful_gate_across_batches(spark, tmp_path):
+    from solar_logger_spark.streaming.stateful import stateful_gated_stream
+    from solar_logger_spark.streaming.ingest import RAW_SCHEMA
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    fx_pkt, _ = _packet("fx-1", 1704067200, 1.0)
+
+    # file 1 (batch 1): fx online, one data msg (passes), then offline,
+    # another data msg (dropped) — in-batch ordering matters
+    b1 = [
+        ("mate/fx-1/status", b"online", datetime(2024, 1, 1, 0, 0)),
+        ("mate/fx-1/fx-status", fx_pkt, datetime(2024, 1, 1, 0, 1)),
+        ("mate/fx-1/status", b"offline", datetime(2024, 1, 1, 0, 2)),
+        ("mate/fx-1/fx-status", fx_pkt, datetime(2024, 1, 1, 0, 3)),
+    ]
+    # file 2 (batch 2): no status message — the carried state (offline)
+    # must gate this one out
+    b2 = [
+        ("mate/fx-1/fx-status", fx_pkt, datetime(2024, 1, 1, 0, 4)),
+    ]
+    spark.createDataFrame(b1, RAW_SCHEMA).coalesce(1).write.parquet(
+        str(input_dir / "f1")
+    )
+    spark.createDataFrame(b2, RAW_SCHEMA).coalesce(1).write.parquet(
+        str(input_dir / "f2")
+    )
+
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir) + "/*")
+    )
+    q = (
+        stateful_gated_stream(raw)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1  # only the while-online message survives
+    assert rows[0].arrival_ts == datetime(2024, 1, 1, 0, 1)
