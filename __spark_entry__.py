@@ -36,9 +36,15 @@ T1 = datetime(2024, 1, 25)
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-def _events_qb(spark: SparkSession, sf_dir: str, **kw) -> QueryBuilder:
+def _events_qb(
+    spark: SparkSession, sf_dir: str, t_range: tuple | None = None, **kw
+) -> QueryBuilder:
+    """``t_range=(t0, t1)`` additionally pushes the range as a raw-int64
+    scan predicate (events.ts is stored as parquet TIMESTAMP(NANOS);
+    post-conversion filters can't reach the scan — io.tables.read_parquet)."""
+    ns_range = {"ts": t_range} if t_range else None
     return QueryBuilder(
-        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "events", ns_range=ns_range),
         ts_col="ts",
         value_col="value",
         series_cols=("event_type",),
@@ -53,7 +59,7 @@ def _events_qb(spark: SparkSession, sf_dir: str, **kw) -> QueryBuilder:
 def q_flux_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+P2+P3+P5: range + OR-joined equality filters + projection."""
     return (
-        _events_qb(spark, sf_dir)
+        _events_qb(spark, sf_dir, t_range=(T0, T1))
         .range(T0, T1)
         .filter("event_type", "click", joiner="or")
         .filter("event_type", "view", joiner="or")
@@ -65,7 +71,7 @@ def q_flux_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_flux_filter_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: conjunctive filter bands (chained Flux filter stages)."""
     return (
-        _events_qb(spark, sf_dir)
+        _events_qb(spark, sf_dir, t_range=(T0, None))
         .range(T0)
         .filter("event_type", "purchase")
         .filter("value", 50.0, op=">", new_band=True)
@@ -77,7 +83,7 @@ def q_flux_filter_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _agg_query(fn: str):
     def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
-            _events_qb(spark, sf_dir)
+            _events_qb(spark, sf_dir, t_range=(T0, T1))
             .range(T0, T1)
             .aggregate_window("6h", fn)
             .to_df()
@@ -89,7 +95,7 @@ def q_flux_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: range + isin filter + window mean + sort (the
     reference's run_example, src/app/influx_query.py:93-99)."""
     return (
-        _events_qb(spark, sf_dir)
+        _events_qb(spark, sf_dir, t_range=(T0, T1))
         .range(T0, T1)
         .filter_in("event_type", ["click", "view", "purchase"])
         .aggregate_window("1d", "mean")
@@ -156,7 +162,7 @@ def q_flux_agg_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side before one hash aggregation."""
     from solar_logger_spark.operators.window_agg import aggregate_window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
     return aggregate_window(
         events.filter((F.col("ts") >= T0) & (F.col("ts") < T1)),
         every="1d",

@@ -46,26 +46,54 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     ]
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def _epoch_ns(dt) -> int:
+    """Naive-UTC datetime → integer epoch nanoseconds (exact; float
+    seconds would lose precision at the 1e18 scale)."""
+    import calendar
+
+    return calendar.timegm(dt.timetuple()) * 10**9 + dt.microsecond * 1000
+
+
+def read_parquet(spark: SparkSession, path: str, ns_range=None) -> DataFrame:
     """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
 
     Parquet written at nanosecond precision is unreadable by Spark
     without the legacy nanos-as-long conf, so we enable it and truncate
     ns → µs (matching DuckDB, whose timestamps are µs-native, for oracle
     parity).
+
+    ``ns_range`` — ``{col: (t0, t1)}`` with datetime or None bounds —
+    applies the equivalent raw-int64 predicate *before* the conversion.
+    Filters on the converted column can't cross ``timestamp_micros(ts
+    div 1000)`` into the scan, so without this a time-range query full-
+    scans the point table; with it the range reaches PushedFilters and
+    prunes row groups/pages (and, on a date-partitioned production
+    layout, whole partitions). The caller's post-conversion filter still
+    applies — this pushed predicate just has to be a superset.
     """
     ns_cols = _ns_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    if ns_range:
+        for col, (t0, t1) in ns_range.items():
+            if col in ns_cols:
+                if t0 is not None:
+                    df = df.filter(F.col(col) >= _epoch_ns(t0))
+                if t1 is not None:
+                    df = df.filter(F.col(col) < _epoch_ns(t1) + 1000)
     for col in ns_cols:
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, ns_range=None
+) -> DataFrame:
     """Read one testdata table: ``{sf_dir}/{name}.parquet``."""
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet(
+        spark, os.path.join(sf_dir, f"{name}.parquet"), ns_range=ns_range
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
