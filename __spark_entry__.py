@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "similarity_ann_lsh": sca.similarity_ann_lsh,
             "multimodal_blob_meta": sca.multimodal_blob_meta,
             "multimodal_decode_features": sca.multimodal_decode_features,
+            "text_tfidf_top_terms": sca.text_tfidf_top_terms,
+            "value_percentiles": sca.value_percentiles,
         }
     )
     return out
@@ -410,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
             # similarity_ann_lsh / multimodal_decode_features: rows-only
             # (plane literals / stub codec live Spark-side)
             "multimodal_blob_meta": sca.BLOB_META_SQL,
+            "text_tfidf_top_terms": sca.TFIDF_SQL,
+            "value_percentiles": sca.PERCENTILES_SQL,
         }
     )
     return out

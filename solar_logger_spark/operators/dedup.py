@@ -194,15 +194,26 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs at >= threshold: LSH candidates, then exact
     Jaccard verification of candidates only (output has no false
-    positives; recall is the LSH collision curve)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    positives; recall is the LSH collision curve).
+
+    One shingle explode and ONE per-doc aggregation feed both stages:
+    each (doc, 8-byte shingle hash) row contributes to the signature
+    mins (re-hashed per seed from the 64-bit hash, not the string) and
+    to the verification set in the same shuffle."""
+    sh = (
+        doc_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+        .cache()
+    )
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
 
-    sets = (
-        doc_shingles(df, id_col, text_col, n)
-        .groupBy(id_col)
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("sh_set"))
-    )  # hashed shingle sets: 8-byte elements through collect/intersect
+    sets = sh.groupBy(id_col).agg(F.collect_set("h").alias("sh_set"))
     a = sets.select(F.col(id_col).alias("a_id"), F.col("sh_set").alias("a_set"))
     b = sets.select(F.col(id_col).alias("b_id"), F.col("sh_set").alias("b_set"))
     verified = (

@@ -150,3 +150,48 @@ def fingerprint(
         digest.alias("fp_md5"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint").alias("fp_int"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N / df_t)).
+
+    Plan: one explode → (doc, term) count agg; document frequencies are
+    another count agg over the same intermediate; idf join is broadcast
+    (vocabulary ≪ corpus); per-doc top-k via window. Ties break on term
+    so the cut is deterministic. All JVM expressions — the explode is
+    the only fan-out, and both aggregations are map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus size as a lazy 1-row broadcast (no eager driver action)
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n_docs")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("_n_docs") / F.col("df_t").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

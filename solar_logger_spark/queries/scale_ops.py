@@ -227,3 +227,52 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.attach_blob(docs)
     return multimodal.extract_features(blobs, fake=True)
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3)
+
+
+TFIDF_SQL = """
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE)
+                                          / CAST(dfreq.df_t AS DOUBLE)) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per series — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation
+    definition, so the oracle matches to float equality."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+PERCENTILES_SQL = """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+"""
