@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_running_totals": rel.window_running_totals,
             "window_moving_avg": rel.window_moving_avg,
             "flux_agg_sliding": q_flux_agg_sliding,
+            "tpch_q7_bination_volume": rel.tpch_q7_shape,
+            "tpch_q9_product_profit": rel.tpch_q9_shape,
+            "tpch_q19_discounted_revenue": rel.tpch_q19_shape,
         }
     )
     out.update(
@@ -392,6 +395,9 @@ def oracle_sql() -> dict[str, str]:
             "window_running_totals": rel.WINDOW_RUNNING_SQL,
             "window_moving_avg": rel.WINDOW_MOVING_AVG_SQL,
             "flux_agg_sliding": SLIDING_AGG_SQL.format(range=_RANGE),
+            "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
+            "tpch_q9_product_profit": rel.TPCH_Q9_SQL,
+            "tpch_q19_discounted_revenue": rel.TPCH_Q19_SQL,
         }
     )
     out.update(

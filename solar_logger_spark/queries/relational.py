@@ -639,3 +639,138 @@ WINDOW_MOVING_AVG_SQL = """
                                       AND CURRENT ROW) AS moving_avg
     FROM events
 """
+
+
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-nation volume shipping (Q7 shape): supplier-nation ×
+    customer-nation yearly revenue for one nation pair, either
+    direction. Both nation dims broadcast twice under different aliases;
+    the only big shuffle is lineitem⋈orders."""
+    line = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), line.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    g = joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(disc_price()).alias("_rev"))
+    return g.select(
+        "supp_nation", "cust_nation", "l_year",
+        F.col("_rev").cast("double").alias("revenue"),
+    )
+
+
+TPCH_Q7_SQL = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9 shape): nation × year profit over parts
+    matching a name pattern. part filter applied before its broadcast;
+    profit in exact decimal."""
+    line = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), line.l_suppkey == supp.s_suppkey)
+        .join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    g = joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(F.sum(disc_price()).alias("_profit"))
+    return g.select(
+        "nation", "o_year", F.col("_profit").cast("double").alias("sum_profit")
+    )
+
+
+TPCH_Q9_SQL = """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (Q19 shape): disjunctive multi-attribute
+    predicate bands over part⋈lineitem — the OR-of-ANDs shape that
+    exercises predicate normalization; part is filtered to the union of
+    bands before broadcast so the fact scan stays tight."""
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity") >= 15) & (F.col("l_quantity") <= 35)
+    )
+    out = j.filter(band1 | band2).agg(F.sum(disc_price()).alias("_rev"))
+    return out.select(F.col("_rev").cast("double").alias("revenue"))
+
+
+TPCH_Q19_SQL = """
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 15 AND 35)
+"""

@@ -24,6 +24,7 @@ measurement queries prune partitions instead of scanning.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -168,6 +169,23 @@ def ingest_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    points: DataFrame,
+    keys: Sequence[str] = ("measurement", "field", "ts"),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup within a watermark horizon: re-delivered
+    points (at-least-once transports, reconnect replays — the reference
+    happily double-writes these, T6) are dropped if a row with the same
+    key was seen no longer than ``watermark`` ago. State is bounded by
+    the horizon: keys older than the watermark are evicted, so state
+    size tracks arrival rate × horizon, not stream history."""
+    return points.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 def windowed_rollup_query(

@@ -329,3 +329,29 @@ def test_stateful_gate_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 1  # only the while-online message survives
     assert rows[0].arrival_ts == datetime(2024, 1, 1, 0, 1)
+
+
+def test_dedup_stream_drops_redelivered_points(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pkt, _ = _packet("mx-1", 1704067200, 1.0)
+    rows = [
+        ("mate/mx-1/mx-status", pkt, datetime(2024, 1, 1)),
+        ("mate/mx-1/mx-status", pkt, datetime(2024, 1, 1)),  # redelivery
+    ]
+    _raw_df(spark, rows).write.parquet(input_dir)
+
+    raw = spark.readStream.schema(I.RAW_SCHEMA).parquet(input_dir)
+    deduped = I.dedup_stream(I.data_points(raw))
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.read.parquet(out_dir).collect()
+    assert len(rows_out) == len(D.MX_FIELDS)  # one copy, not two
