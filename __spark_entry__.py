@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "similarity_ann_lsh": sca.similarity_ann_lsh,
             "multimodal_blob_meta": sca.multimodal_blob_meta,
             "multimodal_decode_features": sca.multimodal_decode_features,
+            "multimodal_frame_sample": sca.multimodal_frame_sample,
             "text_tfidf_top_terms": sca.text_tfidf_top_terms,
             "value_percentiles": sca.value_percentiles,
         }

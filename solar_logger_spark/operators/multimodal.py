@@ -123,3 +123,104 @@ def blob_meta(df: DataFrame, id_col: str = "doc_id",
         F.md5(blob).alias("blob_md5"),
         F.substring(F.hex(blob), 1, 16).alias("head_hex"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_stub(
+    payload: bytes, width: int, height: int, fake: bool
+) -> bytes:
+    """Codec boundary for resize. Real implementation needs PIL/ffmpeg;
+    the fake produces a deterministic byte string of size width*height
+    derived from the payload (digest-seeded repetition), so output
+    sizing and schema behave like the real thing."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires a codec library; swap resize_stub "
+            "for a real resizer in production"
+        )
+    seed = hashlib.md5(payload).digest()
+    need = width * height
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Batch resize over binary payloads — one output row per input, new
+    payload bytes sized to the target dimensions. ``mapInPandas`` so the
+    (real) codec would get whole Arrow batches per call."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        resize_stub(p, width, height, fake)
+                        for p in pdf[payload_col]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    frame_bytes: int = 256,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling: one binary payload fans out to every n-th
+    "frame" row — the one→many decode shape (a real implementation
+    seeks keyframes; the stub treats the payload as fixed-size frame
+    chunks). The fan-out happens inside ``mapInPandas`` so frames land
+    already distributed — no driver round-trip, no explode of a
+    pre-materialized array."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(
+                        bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, FRAME_SCHEMA
+    )

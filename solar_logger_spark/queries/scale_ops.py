@@ -276,3 +276,13 @@ PERCENTILES_SQL = """
            quantile_cont(value, 0.99) AS p99
     FROM events GROUP BY event_type
 """
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One→many frame sampling over blob columns (rows-only check: the
+    frame chunking happens in the stubbed codec, Spark-side plumbing is
+    what this exercises)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.attach_blob(docs), every_n=2, frame_bytes=128
+    )

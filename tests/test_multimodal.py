@@ -44,3 +44,41 @@ def test_blob_meta_matches_payload(docs):
     src = {r.doc_id: r.text for r in docs.collect()}
     for i, t in src.items():
         assert meta[i].n_bytes == len(t.encode())
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.multimodal import attach_blob, resize_images
+
+    docs = attach_blob(load_table(spark, sf_dir, "documents").limit(20))
+    out = resize_images(docs, width=32, height=8).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 32 * 8 for r in out)
+    assert all((r.width, r.height) == (32, 8) for r in out)
+
+
+def test_resize_real_codec_is_explicitly_stubbed():
+    import pytest
+
+    from solar_logger_spark.operators.multimodal import resize_stub
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"x", 4, 4, fake=False)
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.multimodal import attach_blob, sample_frames
+
+    docs = attach_blob(load_table(spark, sf_dir, "documents").limit(5))
+    src = {r.doc_id: bytes(r.payload) for r in docs.collect()}
+    out = sample_frames(docs, every_n=2, frame_bytes=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        n_frames = max(len(src[doc_id]) // 64, 1)
+        assert len(rows) == len(range(0, n_frames, 2))
+        for r in rows:
+            lo = r.frame_idx * 64
+            assert bytes(r.frame) == src[doc_id][lo : lo + 64]
