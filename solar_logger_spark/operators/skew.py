@@ -1,0 +1,94 @@
+"""Skew mitigation: salted joins and two-phase aggregation.
+
+AQE's skew-join splitting (on in `session.py`) handles most hot-key
+cases at runtime; these operators are the explicit form for when the
+skew is known and extreme — a handful of keys holding a double-digit
+percentage of a 100 TB fact table:
+
+* ``salted_join`` — the fact side gets a salt in [0, n); the (small)
+  dimension side is exploded n× so every (key, salt) bucket finds its
+  match. The hot key's rows now spread across n tasks instead of one.
+  Results are identical to the unsalted join (verified in tests).
+* ``two_phase_agg`` — groupBy(keys+salt) partial → groupBy(keys) final.
+  Spark's hash aggregate already does map-side partial combine; the
+  explicit salted phase additionally splits a hot *reduce* key across
+  tasks (partial combine can't help when one grouping key dominates a
+  single reducer).
+
+Salts are deterministic when ``salt_from`` columns are given (hash of a
+high-cardinality column, e.g. the fact's primary key); otherwise a
+seeded ``rand`` — fine for resilience because both phases tolerate any
+salt assignment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (partial_fn, final_fn) per supported aggregate — the final must
+# combine partials correctly (count combines by summing).
+_TWO_PHASE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salt_col(n_salt: int, salt_from: Sequence[str] | None = None) -> Column:
+    """A salt in [0, n_salt): hash-derived (deterministic) when
+    ``salt_from`` names columns, else seeded-random."""
+    if salt_from:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(n_salt)).cast(
+            "int"
+        )
+    return F.floor(F.rand(seed=42) * n_salt).cast("int")
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    n_salt: int = 16,
+    how: str = "inner",
+    salt_from: Sequence[str] | None = None,
+) -> DataFrame:
+    """Join a skew-keyed fact table to a small dimension, spreading each
+    hot key over ``n_salt`` tasks. The dimension replicates n_salt× (it
+    must be small — that's also what makes it broadcastable; salting is
+    for when the join must shuffle anyway, e.g. the dim exceeds the
+    broadcast threshold but the fact's keys are skewed)."""
+    f = facts.withColumn("_salt", salt_col(n_salt, salt_from))
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return f.join(d, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    fn: str = "sum",
+    n_salt: int = 32,
+    alias: str | None = None,
+    salt_from: Sequence[str] | None = None,
+) -> DataFrame:
+    """Aggregate with an intermediate salted phase so one dominant key
+    doesn't serialize on a single reducer."""
+    try:
+        partial_fn, final_fn = _TWO_PHASE[fn]
+    except KeyError:
+        raise ValueError(
+            f"two-phase decomposition not defined for {fn!r}; "
+            f"supported: {sorted(_TWO_PHASE)}"
+        ) from None
+    alias = alias or f"{fn}_{value_col}"
+    partial = (
+        df.withColumn("_salt", salt_col(n_salt, salt_from))
+        .groupBy(*keys, "_salt")
+        .agg(partial_fn(F.col(value_col)).alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(final_fn(F.col("_partial")).alias(alias))

@@ -1,0 +1,77 @@
+"""Salting correctness: salted plans must return exactly the unsalted
+results (the whole point is changing the distribution, not the answer)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solar_logger_spark.io.tables import load_table
+from solar_logger_spark.operators.skew import salted_join, two_phase_agg
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dim = part.withColumnRenamed("p_partkey", "l_partkey")
+
+    plain = line.join(dim, on=["l_partkey"], how="inner")
+    salted = salted_join(
+        line, dim, on=["l_partkey"], n_salt=8, salt_from=["l_orderkey"]
+    )
+    cols = ["l_partkey", "l_orderkey", "l_quantity", "p_brand"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_join_random_salt_matches_too(spark, sf_dir):
+    line = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    plain_count = line.join(dim, ["l_partkey"]).count()
+    salted_count = salted_join(line, dim, ["l_partkey"], n_salt=4).count()
+    assert salted_count == plain_count
+
+
+def test_two_phase_agg_matches_direct(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    direct = (
+        events.groupBy("event_type")
+        .agg(F.sum("value").alias("sum_value"))
+    )
+    salted = two_phase_agg(
+        events, ["event_type"], "value", fn="sum", n_salt=16,
+        salt_from=["event_id"], alias="sum_value",
+    )
+    got = {r.event_type: r.sum_value for r in salted.collect()}
+    want = {r.event_type: r.sum_value for r in direct.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_two_phase_count_combines_by_sum(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    direct = {
+        r.event_type: r.c
+        for r in events.groupBy("event_type").agg(F.count("value").alias("c")).collect()
+    }
+    salted = {
+        r.event_type: r.c
+        for r in two_phase_agg(
+            events, ["event_type"], "value", fn="count", alias="c"
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_two_phase_rejects_non_decomposable():
+    with pytest.raises(ValueError, match="two-phase"):
+        two_phase_agg(None, ["k"], "v", fn="median")
