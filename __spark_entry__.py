@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q7_bination_volume": rel.tpch_q7_shape,
             "tpch_q9_product_profit": rel.tpch_q9_shape,
             "tpch_q19_discounted_revenue": rel.tpch_q19_shape,
+            "cube_returnflag_status": rel.cube_returnflag_status,
         }
     )
     out.update(
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,
             "tpch_q19_discounted_revenue": rel.TPCH_Q19_SQL,
+            "cube_returnflag_status": rel.CUBE_SQL,
         }
     )
     out.update(

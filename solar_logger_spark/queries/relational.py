@@ -774,3 +774,28 @@ TPCH_Q19_SQL = """
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
            AND l_quantity BETWEEN 15 AND 35)
 """
+
+
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    pass — completes the grouping-sets family next to rollup
+    (SURVEY.md §2.4 'beyond-reference, built-in')."""
+    line = load_table(spark, sf_dir, "lineitem")
+    g = line.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).alias("_qty"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.col("_qty").cast("double").alias("sum_qty"),
+    )
+
+
+CUBE_SQL = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
