@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "similarity_cosine_topk": sca.similarity_cosine_topk,
             "embedding_neardup_pairs": sca.embedding_neardup_pairs,
             "similarity_ann_lsh": sca.similarity_ann_lsh,
+            "similarity_ann_ivf": sca.similarity_ann_ivf,
             "multimodal_blob_meta": sca.multimodal_blob_meta,
             "multimodal_decode_features": sca.multimodal_decode_features,
             "multimodal_frame_sample": sca.multimodal_frame_sample,

@@ -102,5 +102,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = read_parquet(spark, path)
     return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a temp view so the whole engine
+    surface is reachable from plain ``spark.sql`` — the same catalog
+    names the DuckDB oracle uses. Returns the registered names."""
+    registered = []
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+        registered.append(name)
+    return registered

@@ -61,3 +61,14 @@ def test_write_results_append_mode(small_df, tmp_path):
 
 def test_health_check(spark):
     assert R.health_check(spark) is True
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from solar_logger_spark.io.tables import register_views
+
+    names = register_views(spark, sf_dir)
+    assert {"events", "lineitem", "documents"} <= set(names)
+    out = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    ).collect()
+    assert len(out) == 5
