@@ -1,0 +1,92 @@
+"""Public engine facade — the library entry point (SURVEY §3 entry 3).
+
+The reference's programmatic path (``README.md:126-171`` there) has the
+user wire ``MqttConnector`` + ``InfluxConnector`` and drain the queue by
+hand. Ours is two calls::
+
+    engine = SolarEngine(spark, store_dir="/data/points")
+    engine.ingest(input_dir="/data/raw")          # streaming ETL
+    engine.query("events", sf_dir) \
+          .range("-5m").filter("event_type", "click").to_df()
+
+plus result modes (``execute``), plain-SQL access (``sql`` after
+``register``), and the health check the reference runs at startup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from solar_logger_spark.io import results as _results
+from solar_logger_spark.io.tables import load_table, register_views
+from solar_logger_spark.query.builder import QueryBuilder
+from solar_logger_spark.streaming.ingest import ingest_query, windowed_rollup_query
+
+
+class SolarEngine:
+    """One object tying the query surface, ingest pipeline, result
+    modes, and catalog together."""
+
+    def __init__(self, spark: SparkSession, store_dir: str | None = None):
+        self.spark = spark
+        self.store_dir = store_dir
+        if not _results.health_check(spark):  # reference: S7 at startup
+            raise RuntimeError("SparkSession failed health check")
+
+    # -- query path ------------------------------------------------------
+
+    def query(
+        self,
+        table: str,
+        sf_dir: str,
+        ts_col: str = "ts",
+        value_col: str = "value",
+        series_cols: tuple = (),
+    ) -> QueryBuilder:
+        """Start a fluent from→range→filter→aggregate→sort pipeline over
+        one table (the reference's ``QueryBuilder``, corrected)."""
+        return QueryBuilder(
+            load_table(self.spark, sf_dir, table),
+            ts_col=ts_col,
+            value_col=value_col,
+            series_cols=series_cols,
+        )
+
+    def execute(self, df: DataFrame, query_mode: str = "flux"):
+        """Result modes csv / flux / stream (reference S6)."""
+        return _results.execute(df, query_mode)
+
+    def register(self, sf_dir: str) -> list[str]:
+        """Expose every table to ``spark.sql``."""
+        return register_views(self.spark, sf_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- ingest path -----------------------------------------------------
+
+    def ingest(self, input_dir: str, checkpoint_dir: str | None = None,
+               gate_online: bool = True):
+        """Run the streaming ETL: raw messages → decoded gated points in
+        the engine's store, partitioned by (measurement, date)."""
+        if self.store_dir is None:
+            raise ValueError("SolarEngine(store_dir=...) required for ingest")
+        ckpt = checkpoint_dir or f"{self.store_dir}/_checkpoint"
+        return ingest_query(
+            self.spark, input_dir, self.store_dir, ckpt, gate_online=gate_online
+        )
+
+    def rollup(self, input_dir: str, output_dir: str,
+               checkpoint_dir: str, every: str = "1h", agg: str = "mean"):
+        """Streaming aggregateWindow over the live packet stream."""
+        return windowed_rollup_query(
+            self.spark, input_dir, output_dir, checkpoint_dir,
+            every=every, agg=agg,
+        )
+
+    def points(self) -> DataFrame:
+        """The persisted point store (long format, partition-pruned by
+        measurement/date predicates)."""
+        if self.store_dir is None:
+            raise ValueError("SolarEngine(store_dir=...) required")
+        return self.spark.read.parquet(f"{self.store_dir}/points")
