@@ -287,6 +287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_frame_sample": sca.multimodal_frame_sample,
             "text_tfidf_top_terms": sca.text_tfidf_top_terms,
             "value_percentiles": sca.value_percentiles,
+            "ts_difference_events": sca.ts_difference_events,
+            "ts_derivative_events": sca.ts_derivative_events,
+            "ts_cumulative_sum_events": sca.ts_cumulative_sum_events,
+            "ts_forward_fill_events": sca.ts_forward_fill_events,
+            "ts_increase_events": sca.ts_increase_events,
         }
     )
     return out
@@ -424,6 +429,11 @@ def oracle_sql() -> dict[str, str]:
             "multimodal_blob_meta": sca.BLOB_META_SQL,
             "text_tfidf_top_terms": sca.TFIDF_SQL,
             "value_percentiles": sca.PERCENTILES_SQL,
+            "ts_difference_events": sca.TS_DIFFERENCE_SQL,
+            "ts_derivative_events": sca.TS_DERIVATIVE_SQL,
+            "ts_cumulative_sum_events": sca.TS_CUMSUM_SQL,
+            "ts_forward_fill_events": sca.TS_FILL_SQL,
+            "ts_increase_events": sca.TS_INCREASE_SQL,
         }
     )
     return out

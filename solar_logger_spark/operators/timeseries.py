@@ -1,0 +1,116 @@
+"""Per-series time-series transforms: difference, derivative,
+cumulative sum, forward fill, monotonic increase.
+
+The reference's query surface stops at ``aggregateWindow`` (its Flux
+backend offers these as stdlib stages a user would reach for next —
+``difference()``, ``derivative()``, ``cumulativeSum()``, ``fill()``,
+``increase()``). Each is one analytic window over (series, event-time):
+a single shuffle on the series key, sort within partition, whole-stage
+codegen — no Python.
+
+Ordering is made deterministic with an explicit tiebreak column
+(time-series data carries duplicate timestamps; ``lag`` over a tie is
+otherwise partition-order-dependent and would not reproduce).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def _series_window(
+    series: Sequence[str], ts_col: str, tiebreak: Sequence[str] = ()
+) -> WindowSpec:
+    return Window.partitionBy(*series).orderBy(ts_col, *tiebreak)
+
+
+def difference(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "diff",
+) -> DataFrame:
+    """v_t − v_{t−1} per series (first row null) — Flux ``difference``."""
+    w = _series_window(series, ts_col, tiebreak)
+    return df.withColumn(alias, F.col(value_col) - F.lag(value_col).over(w))
+
+
+def derivative(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "rate",
+) -> DataFrame:
+    """Δvalue / Δseconds per series — Flux ``derivative(unit: 1s)``.
+    Zero time gaps (duplicate timestamps) yield null, not ±inf."""
+    w = _series_window(series, ts_col, tiebreak)
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    dt_us = (F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w))
+    return df.withColumn(
+        alias,
+        F.when(dt_us > 0, dv / (dt_us.cast("double") / 1_000_000.0)),
+    )
+
+
+def cumulative_sum(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "cum_sum",
+) -> DataFrame:
+    """Running total per series — Flux ``cumulativeSum``."""
+    w = _series_window(series, ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(alias, F.sum(value_col).over(w))
+
+
+def forward_fill(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "filled",
+) -> DataFrame:
+    """Nulls take the most recent non-null value per series — Flux
+    ``fill(usePrevious: true)``. ``last(..., ignorenulls)`` over a
+    cumulative frame; leading nulls stay null."""
+    w = _series_window(series, ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        alias, F.last(F.col(value_col), ignorenulls=True).over(w)
+    )
+
+
+def increase(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "increase",
+) -> DataFrame:
+    """Cumulative sum of non-negative differences — Flux ``increase``:
+    the total a monotonic counter advanced, robust to resets (a reset's
+    negative difference contributes zero). Two stacked windows (lag,
+    then running sum) — still one shuffle; the second window reuses the
+    first's partitioning and sort."""
+    w = _series_window(series, ts_col, tiebreak)
+    cum = _series_window(series, ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    diff = F.col(value_col) - F.lag(value_col).over(w)
+    staged = df.withColumn(
+        "_pos_diff", F.when(diff > 0, diff).otherwise(F.lit(0.0))
+    )
+    return staged.withColumn(alias, F.sum("_pos_diff").over(cum)).drop("_pos_diff")

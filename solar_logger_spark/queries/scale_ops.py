@@ -296,3 +296,127 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(
         emb, emb.limit(10), k=5, n_cells=16, n_probe=4
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series transforms over the events series (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+def ts_difference_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.difference(events, ["event_type"], tiebreak=["event_id"])
+    return out.select("event_id", "event_type", "ts", "value", "diff")
+
+
+TS_DIFFERENCE_SQL = """
+    SELECT event_id, event_type, ts, value,
+           value - lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS diff
+    FROM events
+"""
+
+
+def ts_derivative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.derivative(events, ["event_type"], tiebreak=["event_id"])
+    return out.select("event_id", "event_type", "ts", "value", "rate")
+
+
+TS_DERIVATIVE_SQL = """
+    SELECT event_id, event_type, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY event_type ORDER BY ts, event_id) > 0
+                THEN (value - lag(value)
+                      OVER (PARTITION BY event_type ORDER BY ts, event_id))
+                     / (CAST(epoch_us(ts) - lag(epoch_us(ts))
+                             OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                        AS DOUBLE) / 1000000.0)
+           END AS rate
+    FROM events
+"""
+
+
+def ts_cumulative_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solar_logger_spark.operators import timeseries as T
+
+    # running sum in exact decimal: float accumulation differs from the
+    # oracle's window-sum algorithm in the last ulp, which reorders the
+    # hash-compare's row sort; decimal is order-independent and exact
+    # (events.value carries <= 6 decimals)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_v", F.col("value").cast("decimal(25,6)")
+    )
+    out = T.cumulative_sum(
+        events, ["event_type"], value_col="_v", tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id", "event_type", "ts",
+        F.col("cum_sum").cast("double").alias("cum_sum"),
+    )
+
+
+TS_CUMSUM_SQL = """
+    SELECT event_id, event_type, ts,
+           CAST(sum(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cum_sum
+    FROM events
+"""
+
+
+def ts_forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nulls injected deterministically (event_id % 5 == 0), then
+    forward-filled per series — same construction in the oracle."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "gappy",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")),
+    )
+    out = T.forward_fill(
+        events, ["event_type"], value_col="gappy", tiebreak=["event_id"]
+    )
+    return out.select("event_id", "event_type", "ts", "gappy", "filled")
+
+
+TS_FILL_SQL = """
+    WITH gapped AS (
+        SELECT event_id, event_type, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gappy
+        FROM events
+    )
+    SELECT event_id, event_type, ts, gappy,
+           last_value(gappy IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM gapped
+"""
+
+
+def ts_increase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.increase(events, ["event_type"], tiebreak=["event_id"])
+    return out.select("event_id", "event_type", "ts", "increase")
+
+
+TS_INCREASE_SQL = """
+    WITH diffed AS (
+        SELECT event_id, event_type, ts,
+               value - lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS d
+        FROM events
+    )
+    SELECT event_id, event_type, ts,
+           sum(CASE WHEN d > 0 THEN d ELSE 0.0 END)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS increase
+    FROM diffed
+"""

@@ -1,0 +1,67 @@
+"""Time-series transform semantics on a hand-computed series."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from solar_logger_spark.operators import timeseries as T
+
+
+@pytest.fixture()
+def series(spark):
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 0), 1, 10.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 10), 2, 14.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 30), 3, 11.0),   # counter reset
+        ("a", datetime(2024, 1, 1, 0, 0, 40), 4, 20.0),
+        ("b", datetime(2024, 1, 1, 0, 0, 0), 5, 100.0),
+        ("b", datetime(2024, 1, 1, 0, 0, 5), 6, None),
+        ("b", datetime(2024, 1, 1, 0, 0, 9), 7, 101.0),
+    ]
+    return spark.createDataFrame(rows, "series string, ts timestamp, id long, value double")
+
+
+def _col(df, alias, key="id"):
+    return {r[key]: r[alias] for r in df.collect()}
+
+
+def test_difference(series):
+    got = _col(T.difference(series, ["series"], tiebreak=["id"]), "diff")
+    assert got[1] is None and got[2] == 4.0 and got[3] == -3.0 and got[4] == 9.0
+    assert got[5] is None and got[6] is None  # null value → null diff
+
+
+def test_derivative_per_second(series):
+    got = _col(T.derivative(series, ["series"], tiebreak=["id"]), "rate")
+    assert got[2] == pytest.approx(0.4)    # +4 over 10s
+    assert got[3] == pytest.approx(-0.15)  # -3 over 20s
+    assert got[1] is None
+
+
+def test_derivative_zero_dt_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1, 1.0), ("a", datetime(2024, 1, 1), 2, 5.0)],
+        "series string, ts timestamp, id long, value double",
+    )
+    got = _col(T.derivative(df, ["series"], tiebreak=["id"]), "rate")
+    assert got[2] is None  # duplicate timestamp: no ±inf
+
+
+def test_cumulative_sum(series):
+    got = _col(T.cumulative_sum(series, ["series"], tiebreak=["id"]), "cum_sum")
+    assert got[4] == pytest.approx(55.0)
+    assert got[7] == pytest.approx(201.0)  # null contributes nothing
+
+
+def test_forward_fill(series):
+    got = _col(T.forward_fill(series, ["series"], tiebreak=["id"]), "filled")
+    assert got[6] == 100.0  # null filled from previous
+    assert got[7] == 101.0  # real values untouched
+
+
+def test_increase_skips_resets(series):
+    got = _col(T.increase(series, ["series"], tiebreak=["id"]), "increase")
+    # +4, reset (-3 → 0), +9 → total 13
+    assert got[4] == pytest.approx(13.0)
