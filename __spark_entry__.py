@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_cumulative_sum_events": sca.ts_cumulative_sum_events,
             "ts_forward_fill_events": sca.ts_forward_fill_events,
             "ts_increase_events": sca.ts_increase_events,
+            "text_bpe_token_count": sca.text_bpe_token_count,
         }
     )
     return out
@@ -434,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_cumulative_sum_events": sca.TS_CUMSUM_SQL,
             "ts_forward_fill_events": sca.TS_FILL_SQL,
             "ts_increase_events": sca.TS_INCREASE_SQL,
+            "text_bpe_token_count": sca.BPE_TOKEN_SQL,
         }
     )
     return out

@@ -195,3 +195,18 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+# marks — the coarse split GPT-style tokenizers apply before merges.
+# Kept to a regex dialect subset (character classes + alternation) that
+# behaves identically in Java regex (Spark) and RE2 (DuckDB/others).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count, JVM regexp — a closer proxy for LLM
+    token budgets than whitespace words (punctuation and digit runs
+    count separately)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)"))

@@ -420,3 +420,20 @@ TS_INCREASE_SQL = """
            AS increase
     FROM diffed
 """
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+    )
+
+
+BPE_TOKEN_SQL = """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+           len(string_split(text, ' ')) AS ws_tokens
+    FROM documents
+"""
