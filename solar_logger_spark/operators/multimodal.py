@@ -119,7 +119,7 @@ def blob_meta(df: DataFrame, id_col: str = "doc_id",
     blob = F.encode(F.col(text_col), "utf-8")
     return df.select(
         F.col(id_col),
-        F.length(blob).alias("n_bytes"),
+        F.length(blob).cast("long").alias("n_bytes"),
         F.md5(blob).alias("blob_md5"),
         F.substring(F.hex(blob), 1, 16).alias("head_hex"),
     )

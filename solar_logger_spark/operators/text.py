@@ -44,13 +44,13 @@ def token_stats(
     punct = n_chars - F.length(F.translate(F.col(text_col), PUNCT, ""))
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
         # total token chars = chars minus the (n_tokens - 1) separators
         (
             (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
         ).alias("avg_token_len"),
-        punct.alias("punct_count"),
+        punct.cast("long").alias("punct_count"),
     )
 
 
@@ -71,7 +71,7 @@ def quality_score(
     score = length_ok * 0.4 + stop_ratio * 0.4 + (F.lit(1.0) - punct_ratio) * 0.2
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
         punct_ratio.alias("punct_ratio"),
         score.alias("quality_score"),
@@ -85,7 +85,9 @@ def lang_id(
     first-listed language wins ties (deterministic)."""
     out = df.select(F.col(id_col), F.col(text_col))
     for lang, markers in LANG_MARKERS.items():
-        out = out.withColumn(f"hits_{lang}", _marker_hits(text_col, markers))
+        out = out.withColumn(
+            f"hits_{lang}", _marker_hits(text_col, markers).cast("long")
+        )
     langs = list(LANG_MARKERS)
     pred = F.lit(None).cast("string")
     # build argmax right-to-left: earlier languages win ties
@@ -191,7 +193,7 @@ def tfidf_top_terms(
         F.col("tfidf").desc(), F.col("term").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )

@@ -594,7 +594,7 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         F.sum(_dec("o_totalprice")).over(cum).cast("double").alias("running_total"),
-        F.row_number().over(w).alias("order_rank"),
+        F.row_number().over(w).cast("long").alias("order_rank"),
         F.lag("o_totalprice", 1).over(w).cast("double").alias("prev_price"),
     )
 

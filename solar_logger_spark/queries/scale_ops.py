@@ -426,8 +426,8 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        text.bpe_ish_token_count("text").alias("bpe_tokens"),
-        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
     )
 
 
