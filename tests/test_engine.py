@@ -49,3 +49,43 @@ def test_engine_ingest_to_points(spark, tmp_path):
     pts = engine.points()
     assert pts.count() == len(MX_FIELDS)
     assert set(pts.columns) >= {"measurement", "ts", "field", "value"}
+
+
+def test_point_store_partition_pruning(spark, tmp_path):
+    """Time-range + measurement predicates must prune the point store's
+    (measurement, date) partitions, not scan them."""
+    from solar_logger_spark.streaming.decode import MX_FIELDS, DC_FIELDS, encode_packet
+
+    input_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    rows = [("mate/mx-1/status", b"online", datetime(2024, 1, 1)),
+            ("mate/dc-1/status", b"online", datetime(2024, 1, 1))]
+    for day, epoch in [(1, 1704067200), (2, 1704153600), (3, 1704240000)]:
+        rows.append(
+            ("mate/mx-1/mx-status",
+             encode_packet("mx-1", epoch, {f: float(day) for f in MX_FIELDS}),
+             datetime(2024, 1, day))
+        )
+        rows.append(
+            ("mate/dc-1/dc-status",
+             encode_packet("dc-1", epoch, {f: float(day) for f in DC_FIELDS}),
+             datetime(2024, 1, day))
+        )
+    spark.createDataFrame(
+        rows, "topic string, payload binary, arrival_ts timestamp"
+    ).write.parquet(input_dir)
+
+    engine = SolarEngine(spark, store_dir=store)
+    engine.ingest(input_dir).awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    pruned = engine.points().filter(
+        (F.col("measurement") == "mx-1") & (F.col("date") == "2024-01-02")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # 1 of 6 (measurement × date) partitions read
+    assert pruned.count() == len(MX_FIELDS)
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert all("measurement=mx-1" in f and "date=2024-01-02" in f for f in files)

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Physical-plan audit over every declared query.
+
+Flags plan smells that matter at 100 TB:
+  * CartesianProduct / BroadcastNestedLoopJoin — quadratic unless intended
+  * BatchEvalPython — row-at-a-time Python in the plan (ArrowEvalPython /
+    MapInPandas are the sanctioned Python paths)
+
+Two queries intentionally trip the join flag: similarity_cosine_topk
+(brute-force scorer: corpus × broadcast query set IS the algorithm) and
+text_tfidf_top_terms (cross join against a broadcast 1-row scalar).
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as entry_mod
+    from solar_logger_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    findings: dict[str, list[str]] = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as exc:
+            findings[name] = [f"PLAN ERROR: {exc}"]
+            continue
+        flags = []
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            flags.append("nested-loop/cartesian join")
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time Python UDF")
+        # (no codegen check: AQE's pre-execution explain elides codegen
+        # ids, so presence can only be observed on the executed plan)
+        n_scans = plan.count("Scan parquet") // 2 or plan.count("Scan parquet")
+        n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        if flags:
+            findings[name] = flags
+        print(f"{name}: scans={n_scans} pushed={n_pushed} "
+              f"{'; '.join(flags) if flags else 'ok'}")
+
+    print()
+    if findings:
+        print(f"{len(findings)} queries flagged:")
+        for name, flags in findings.items():
+            print(f"  {name}: {'; '.join(flags)}")
+    else:
+        print("no plan smells flagged")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
