@@ -355,3 +355,77 @@ def test_dedup_stream_drops_redelivered_points(spark, tmp_path):
     q.awaitTermination(120)
     rows_out = spark.read.parquet(out_dir).collect()
     assert len(rows_out) == len(D.MX_FIELDS)  # one copy, not two
+
+
+def test_mqtt_reader_logic_with_fake_paho(monkeypatch):
+    """Drive MqttStreamReader's buffer/offset/replay protocol with a
+    stubbed paho module — the transport contract, minus the network."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeClient:
+        def __init__(self, *a, **k):
+            calls["client"] = self
+
+        def username_pw_set(self, u, t):
+            calls["auth"] = (u, t)
+
+        def tls_set(self):
+            calls["tls"] = True
+
+        def connect(self, host, port):
+            calls["connect"] = (host, port)
+            # paho fires on_connect from the network loop; emulate it
+            self.on_connect(self, None, None, 0)
+
+        def loop_start(self):
+            calls["loop"] = True
+
+        def subscribe(self, topic, qos=0):
+            calls["subscribe"] = (topic, qos)
+
+    fake_mqtt = types.ModuleType("paho.mqtt.client")
+    fake_mqtt.Client = FakeClient
+    fake_paho = types.ModuleType("paho")
+    fake_paho_mqtt = types.ModuleType("paho.mqtt")
+    monkeypatch.setitem(sys.modules, "paho", fake_paho)
+    monkeypatch.setitem(sys.modules, "paho.mqtt", fake_paho_mqtt)
+    monkeypatch.setitem(sys.modules, "paho.mqtt.client", fake_mqtt)
+
+    from solar_logger_spark.streaming.mqtt_source import MqttStreamReader
+
+    reader = MqttStreamReader(
+        {"host": "h", "port": "1883", "user": "u", "token": "t",
+         "topic": "mate/#", "qos": "1", "tls": "false"}
+    )
+    assert calls["connect"] == ("h", 1883)
+    assert calls["subscribe"] == ("mate/#", 1)
+    assert calls["auth"] == ("u", "t")
+    assert "tls" not in calls  # tls=false honored
+
+    client = calls["client"]
+
+    class Msg:
+        topic = "mate/mx-1/mx-status"
+        payload = b"\x01\x02"
+
+    assert reader.initialOffset() == {"n": 0}
+    client.on_message(client, None, Msg())
+    client.on_message(client, None, Msg())
+
+    rows, end = reader.read({"n": 0})
+    rows = list(rows)
+    assert end == {"n": 1}
+    assert len(rows) == 2
+    assert rows[0][0] == "mate/mx-1/mx-status" and rows[0][1] == b"\x01\x02"
+
+    # retry path: same batch replays between the same offsets
+    replay = list(reader.readBetweenOffsets({"n": 0}, {"n": 1}))
+    assert [(t, p) for t, p, _ in replay] == [(t, p) for t, p, _ in rows]
+
+    # next read drains nothing (buffer empty), offset still advances
+    rows2, end2 = reader.read(end)
+    assert list(rows2) == [] and end2 == {"n": 2}
+    reader.commit(end2)
