@@ -115,3 +115,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         df.createOrReplaceTempView(name)
         registered.append(name)
     return registered
+
+
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition a narrow input up to cluster parallelism before a
+    fan-out or Python stage, IF the source collapsed to few partitions.
+    On a multi-thousand-partition production table the guard makes this
+    a no-op. Measured tradeoff: below ~10M rows the shuffle + per-task
+    Arrow worker overhead exceeds the parallelism win (the engine's hot
+    paths therefore do NOT call it by default); it pays off for
+    CPU-heavy per-row work (real media codecs, heavyweight UDFs) on
+    narrow single-file inputs."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < max(target // 2, 1):
+        return df.repartition(target)
+    return df
