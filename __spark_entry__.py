@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_forward_fill_events": sca.ts_forward_fill_events,
             "ts_increase_events": sca.ts_increase_events,
             "text_bpe_token_count": sca.text_bpe_token_count,
+            "value_histogram": sca.value_histogram,
         }
     )
     return out
@@ -436,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_forward_fill_events": sca.TS_FILL_SQL,
             "ts_increase_events": sca.TS_INCREASE_SQL,
             "text_bpe_token_count": sca.BPE_TOKEN_SQL,
+            "value_histogram": sca.VALUE_HISTOGRAM_SQL,
         }
     )
     return out

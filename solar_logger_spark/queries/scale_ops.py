@@ -437,3 +437,25 @@ BPE_TOKEN_SQL = """
            len(string_split(text, ' ')) AS ws_tokens
     FROM documents
 """
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``histogram()`` analog: fixed-width value buckets per series
+    — floor arithmetic both sides, one hash aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    width = 10.0
+    bucket = (F.floor(F.col("value") / width) * width).alias("bucket_low")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+    SELECT event_type, floor(value / 10.0) * 10.0 AS bucket_low,
+           count(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, floor(value / 10.0) * 10.0
+"""
