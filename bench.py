@@ -50,27 +50,39 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "events").limit(1000).count()
 
+    # Two passes, min per query: pass 1 absorbs per-plan codegen/JIT
+    # compilation (a long-lived cluster service pays that once, not per
+    # query); min-of-2 is the steady-state number and kills most
+    # run-to-run scheduler noise. Reported via "passes" for honesty.
+    PASSES = 2
     per_query: dict[str, float] = {}
-    total = 0.0
-    for name, fn in qmap.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # Materialize fully (all partitions, all expressions) without
-            # paying driver-side collect serialization.
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # keep the bench line parseable
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            per_query[name] = -1.0
-            continue
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+    failed: set[str] = set()
+    for _ in range(PASSES):
+        for name, fn in qmap.items():
+            if name in failed:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # Materialize fully (all partitions, all expressions)
+                # without paying driver-side collect serialization.
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # keep the bench line parseable
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                per_query[name] = -1.0
+                failed.add(name)
+                continue
+            dt = time.perf_counter() - t0
+            prev = per_query.get(name)
+            per_query[name] = round(dt if prev is None else min(prev, dt), 3)
 
+    total = sum(v for v in per_query.values() if v >= 0)
     result = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        "passes": PASSES,
+        "timing": "min_per_query",
         "queries": per_query,
         "sf": _sf_of(sf_dir),
     }
