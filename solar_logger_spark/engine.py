@@ -90,3 +90,23 @@ class SolarEngine:
         if self.store_dir is None:
             raise ValueError("SolarEngine(store_dir=...) required")
         return self.spark.read.parquet(f"{self.store_dir}/points")
+
+
+def wide_view(
+    points: DataFrame, measurement: str, field_names: tuple | None = None
+) -> DataFrame:
+    """Per-measurement wide view of the long point store (SURVEY §1.3):
+    one row per timestamp, one column per channel. Channel names come
+    from the decoder registry when known — pinning them avoids the
+    driver-side distinct pass and fixes column order."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.operators.pivoting import pivot
+    from solar_logger_spark.streaming.decode import MEASUREMENT_FIELDS
+
+    if field_names is None:
+        field_names = MEASUREMENT_FIELDS.get(measurement)
+    long = points.filter(F.col("measurement") == measurement).select(
+        "ts", "field", "value"
+    )
+    return pivot(long, ["ts"], field_values=field_names, agg="first")

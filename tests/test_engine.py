@@ -89,3 +89,21 @@ def test_point_store_partition_pruning(spark, tmp_path):
     assert pruned.count() == len(MX_FIELDS)
     files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
     assert all("measurement=mx-1" in f and "date=2024-01-02" in f for f in files)
+
+
+def test_wide_view_per_measurement(spark):
+    from pyspark.sql import Row
+
+    from solar_logger_spark.engine import wide_view
+    from solar_logger_spark.streaming.decode import MX_FIELDS
+
+    ts = datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [Row(measurement="mx-1", ts=ts, field=f, value=float(i))
+         for i, f in enumerate(MX_FIELDS)]
+        + [Row(measurement="dc-1", ts=ts, field="bat_current", value=9.9)]
+    )
+    wide = wide_view(points, "mx-1")
+    assert set(wide.columns) == {"ts", *MX_FIELDS}
+    row = wide.collect()[0]
+    assert row.bat_voltage == float(MX_FIELDS.index("bat_voltage"))
