@@ -193,28 +193,44 @@ def q_packet_decode_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    packets = events.select(
-        F.lit("mx-1").alias("measurement"),
-        synthetic_packet_udf("mx-1")(
-            F.unix_timestamp("ts").cast("int"), F.col("value")
-        ).alias("payload"),
+    # route rows across all three packet types (device fleets interleave)
+    measurement = (
+        F.when(F.col("event_id") % 3 == 0, "dc-1")
+        .when(F.col("event_id") % 3 == 1, "fx-1")
+        .otherwise("mx-1")
     )
+    tagged = events.withColumn("measurement", measurement)
+    streams = []
+    for m in ("dc-1", "fx-1", "mx-1"):
+        streams.append(
+            tagged.filter(F.col("measurement") == m).select(
+                "measurement",
+                synthetic_packet_udf(m)(
+                    F.unix_timestamp("ts").cast("int"), F.col("value")
+                ).alias("payload"),
+            )
+        )
+    packets = streams[0].unionByName(streams[1]).unionByName(streams[2])
     return decode_packets(packets)
 
 
 def _packet_decode_oracle() -> str:
-    from solar_logger_spark.streaming.decode import MX_FIELDS
+    from solar_logger_spark.streaming.decode import MEASUREMENT_FIELDS
 
-    values = ", ".join(f"('{f}', {i})" for i, f in enumerate(MX_FIELDS))
-    return f"""
-        SELECT 'mx-1' AS measurement,
+    parts = []
+    for mod, m in [(0, "dc-1"), (1, "fx-1"), (2, "mx-1")]:
+        values = ", ".join(
+            f"('{f}', {i})" for i, f in enumerate(MEASUREMENT_FIELDS[m])
+        )
+        parts.append(f"""
+        SELECT '{m}' AS measurement,
                date_trunc('second', e.ts) AS ts,
                f.field,
                e.value + f.i AS value
         FROM events e
         CROSS JOIN (VALUES {values}) AS f(field, i)
-        WHERE e.value IS NOT NULL
-    """
+        WHERE e.value IS NOT NULL AND e.event_id % 3 = {mod}""")
+    return " UNION ALL ".join(parts)
 
 
 # ---------------------------------------------------------------------------

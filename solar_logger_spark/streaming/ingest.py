@@ -154,6 +154,10 @@ def ingest_query(
             ).withColumnRenamed("device", "measurement")
         (
             points.withColumn("date", F.to_date("ts"))
+            # time-sorted within each written file → tight per-row-group
+            # ts min/max stats, so time-range scans skip row groups even
+            # inside a partition
+            .sortWithinPartitions("measurement", "date", "ts")
             .write.mode("append")
             .partitionBy("measurement", "date")
             .parquet(points_path)
