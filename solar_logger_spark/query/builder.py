@@ -184,6 +184,14 @@ class QueryBuilder:
         self._projection = list(cols)
         return self
 
+    def limit(self, n: int):
+        """Flux ``limit(n:)`` — not exposed by the reference's builder
+        (SURVEY §2.6, beyond-reference built-in). With a preceding
+        ``sort`` this plans as a distributed top-k (TakeOrdered), not a
+        full sort."""
+        self._limit = n
+        return self
+
     # -- build -------------------------------------------------------
     def to_df(self) -> DataFrame:
         """Materialize the plan in the reference's fixed pipeline order:
@@ -207,6 +215,8 @@ class QueryBuilder:
             df = df.orderBy(F.col(fld).desc() if desc else F.col(fld).asc())
         if self._projection:
             df = df.select(*self._projection)
+        if getattr(self, "_limit", None) is not None:
+            df = df.limit(self._limit)
         return df
 
     # -- result modes (reference influx_classes.py:84-105) ------------

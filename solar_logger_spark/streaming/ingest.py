@@ -103,6 +103,72 @@ def gated_batch(raw: DataFrame) -> DataFrame:
     ).withColumnRenamed("device", "measurement")
 
 
+class IngestBatchProcessor:
+    """foreachBatch body for the ingest sink — pulled into a class so
+    idempotency and gating are unit-testable without a live stream.
+
+    Effectively-once (T6): foreachBatch is at-least-once — after a crash
+    between sink write and checkpoint commit, the same ``epoch_id``
+    replays. A committed-batch marker directory (one empty file per
+    epoch, written *after* the points append) lets the replay detect the
+    duplicate and skip the append, upgrading the plain-parquet sink to
+    effectively-once. (A transactional table format gets this from its
+    commit protocol; this is the same idea scaled down.)
+    """
+
+    def __init__(self, output_dir: str, gate_online: bool = True) -> None:
+        self.status_path = os.path.join(output_dir, "_status")
+        self.points_path = os.path.join(output_dir, "points")
+        self.commits_path = os.path.join(output_dir, "_commits")
+        self.gate_online = gate_online
+
+    def _commit_marker(self, epoch_id: int) -> str:
+        return os.path.join(self.commits_path, f"epoch-{epoch_id}")
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(self._commit_marker(epoch_id)):
+            return  # crash-replay of an already-committed batch
+        spark_b = batch.sparkSession
+        # 1. fold this batch's status updates into the persisted
+        #    latest-per-device table (the reference's ``self._status``
+        #    dict, mqtt_classes.py:114-119 — bounded: one row per device)
+        status = status_updates(batch)
+        try:
+            status = spark_b.read.parquet(self.status_path).unionByName(status)
+        except Exception:
+            pass  # first batch: no persisted status yet
+        latest = latest_per_key(status, ["device"], payload_cols=["status"])
+        # tiny by construction (≤ #devices rows) — safe to materialize on
+        # the driver, which also breaks the read-then-overwrite cycle
+        latest_rows = latest.collect()
+        # 2. decode + gate against the merged status
+        points = data_points(batch)
+        if self.gate_online and latest_rows:
+            latest_df = spark_b.createDataFrame(latest_rows, latest.schema)
+            points = status_gate(
+                points.withColumnRenamed("measurement", "device"),
+                latest_df,
+                keys=["device"],
+            ).withColumnRenamed("device", "measurement")
+        (
+            points.withColumn("date", F.to_date("ts"))
+            # time-sorted within each written file → tight per-row-group
+            # ts min/max stats, so time-range scans skip row groups even
+            # inside a partition
+            .sortWithinPartitions("measurement", "date", "ts")
+            .write.mode("append")
+            .partitionBy("measurement", "date")
+            .parquet(self.points_path)
+        )
+        if latest_rows:
+            spark_b.createDataFrame(latest_rows, latest.schema).write.mode(
+                "overwrite"
+            ).parquet(self.status_path)
+        os.makedirs(self.commits_path, exist_ok=True)
+        with open(self._commit_marker(epoch_id), "w"):
+            pass
+
+
 def ingest_query(
     spark: SparkSession,
     input_dir: str,
@@ -120,56 +186,14 @@ def ingest_query(
     ``self._status`` dict, but restart-safe (status survives in the sink
     directory's ``_status`` subtable).
     """
-    status_path = os.path.join(output_dir, "_status")
-    points_path = os.path.join(output_dir, "points")
-
     raw = (
         spark.readStream.schema(RAW_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
-
-    def _process(batch: DataFrame, epoch_id: int) -> None:
-        spark_b = batch.sparkSession
-        # 1. fold this batch's status updates into the persisted
-        #    latest-per-device table (the reference's ``self._status``
-        #    dict, mqtt_classes.py:114-119 — bounded: one row per device)
-        status = status_updates(batch)
-        try:
-            status = spark_b.read.parquet(status_path).unionByName(status)
-        except Exception:
-            pass  # first batch: no persisted status yet
-        latest = latest_per_key(status, ["device"], payload_cols=["status"])
-        # tiny by construction (≤ #devices rows) — safe to materialize on
-        # the driver, which also breaks the read-then-overwrite cycle
-        latest_rows = latest.collect()
-        # 2. decode + gate against the merged status
-        points = data_points(batch)
-        if gate_online and latest_rows:
-            latest_df = spark_b.createDataFrame(latest_rows, latest.schema)
-            points = status_gate(
-                points.withColumnRenamed("measurement", "device"),
-                latest_df,
-                keys=["device"],
-            ).withColumnRenamed("device", "measurement")
-        (
-            points.withColumn("date", F.to_date("ts"))
-            # time-sorted within each written file → tight per-row-group
-            # ts min/max stats, so time-range scans skip row groups even
-            # inside a partition
-            .sortWithinPartitions("measurement", "date", "ts")
-            .write.mode("append")
-            .partitionBy("measurement", "date")
-            .parquet(points_path)
-        )
-        if latest_rows:
-            spark_b.createDataFrame(latest_rows, latest.schema).write.mode(
-                "overwrite"
-            ).parquet(status_path)
-
-    writer = raw.writeStream.foreachBatch(_process).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = raw.writeStream.foreachBatch(
+        IngestBatchProcessor(output_dir, gate_online=gate_online)
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

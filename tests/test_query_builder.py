@@ -111,3 +111,17 @@ def test_csv_mode(points, tmp_path):
     assert len(files) == 1
     header = files[0].read_text().splitlines()[0]
     assert set(header.split(",")) == {"measurement", "ts", "field", "value"}
+
+
+def test_limit_caps_rows_after_sort(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    qb = QueryBuilder(
+        load_table(spark, sf_dir, "events"),
+        ts_col="ts", value_col="value", series_cols=("event_type",),
+    )
+    rows = qb.sort("value", desc=True).limit(7).records()
+    assert len(rows) == 7
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)

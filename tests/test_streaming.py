@@ -429,3 +429,26 @@ def test_mqtt_reader_logic_with_fake_paho(monkeypatch):
     rows2, end2 = reader.read(end)
     assert list(rows2) == [] and end2 == {"n": 2}
     reader.commit(end2)
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay of a committed epoch must not duplicate points."""
+    from solar_logger_spark.streaming.ingest import IngestBatchProcessor
+
+    out = str(tmp_path / "store")
+    pkt, _ = _packet("mx-1", 1704067200, 2.0)
+    batch = _raw_df(
+        spark,
+        [
+            ("mate/mx-1/status", b"online", datetime(2024, 1, 1)),
+            ("mate/mx-1/mx-status", pkt, datetime(2024, 1, 1)),
+        ],
+    )
+    proc = IngestBatchProcessor(out)
+    proc(batch, epoch_id=7)
+    n1 = spark.read.parquet(out + "/points").count()
+    proc(batch, epoch_id=7)  # at-least-once replay of the same epoch
+    n2 = spark.read.parquet(out + "/points").count()
+    assert n1 == n2 == len(D.MX_FIELDS)
+    proc(batch, epoch_id=8)  # a genuinely new batch still appends
+    assert spark.read.parquet(out + "/points").count() == 2 * len(D.MX_FIELDS)
