@@ -76,7 +76,16 @@ def main() -> int:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
-    spark = get_spark("verify-local")
+    if os.environ.get("VERIFY_VANILLA"):
+        # the driver's own session has none of our engine configs —
+        # verify under the same conditions
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "verify-vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark("verify-local")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     n_pass = n_fail = n_weak = 0
