@@ -74,3 +74,24 @@ def test_asof_join_picks_most_recent_at_or_before(spark, status):
 def test_asof_join_inner_drops_unmatched(spark, status):
     left = spark.createDataFrame([Row(device="fx-1", ts=ts(0))])
     assert asof_join(left, status, ["device"], how="inner").count() == 0
+
+
+def test_status_gate_plans_broadcast_semi_join(spark, sf_dir):
+    """The scale property the gate exists for: the big data side joins
+    the tiny latest-status table as a BROADCAST left-semi join — no
+    shuffle of the data stream."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.asof import status_gate
+
+    events = load_table(spark, sf_dir, "events")
+    status = events.select(
+        "user_id", "ts", F.lit("online").alias("status")
+    )
+    gated = status_gate(events, status, ["user_id"])
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # and the fact side must not exchange for the join
+    before_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in before_join
