@@ -127,6 +127,8 @@ class QueryBuilder:
         self._agg: tuple[str, str] | None = None
         self._sorts: list[tuple[str, bool]] = []
         self._projection: list[str] | None = None
+        self._limit: int | None = None
+        self._bucket = source if isinstance(source, str) else "df"
 
     # -- range -------------------------------------------------------
     def range(self, start: str | datetime, stop: str | datetime | None = None):
@@ -218,6 +220,49 @@ class QueryBuilder:
         if getattr(self, "_limit", None) is not None:
             df = df.limit(self._limit)
         return df
+
+    # -- rendering ----------------------------------------------------
+    def to_flux(self) -> str:
+        """Render the accumulated pipeline as *corrected* Flux text.
+
+        The reference builds this string as its only IR and emits broken
+        syntax — unclosed ``aggregateWindow(``/``sort(`` parens and
+        dangling ``Or`` joiners, golden-asserted by its own tests
+        (SURVEY §2.11.1, ``src/classes/query_classes.py:123-148``).
+        Here the plan is structural, so rendering is total: every paren
+        closes and joiners only appear between predicates. Useful for
+        logging/debugging and for parity review against the reference's
+        query strings."""
+        def _bound(b) -> str:
+            return b.isoformat() if isinstance(b, datetime) else str(b)
+
+        parts = [f'from(bucket: "{self._bucket}")']
+        if self._start is not None or self._end is not None:
+            rng = f"start: {_bound(self._start)}" if self._start is not None else "start: 0"
+            if self._end is not None:
+                rng += f", stop: {_bound(self._end)}"
+            parts.append(f"range({rng})")
+        for band in self._bands:
+            terms = []
+            for i, p in enumerate(band.predicates):
+                op = {"==": "==", "!=": "!=", ">": ">", ">=": ">=",
+                      "<": "<", "<=": "<=", "=~": "=~", "in": "in"}[p.op]
+                term = f'r["{p.field}"] {op} {p.value!r}'
+                if i > 0:
+                    term = f"{p.joiner} {term}"
+                terms.append(term)
+            parts.append(f"filter(fn: (r) => {' '.join(terms)})")
+        if self._agg is not None:
+            every, fn = self._agg
+            parts.append(f"aggregateWindow(every: {every}, fn: {fn})")
+        for fld, desc in self._sorts:
+            parts.append(f'sort(columns: ["{fld}"], desc: {str(desc).lower()})')
+        if self._limit is not None:
+            parts.append(f"limit(n: {self._limit})")
+        return " |> ".join(parts)
+
+    def __str__(self) -> str:  # parity with the reference's __str__
+        return self.to_flux()
 
     # -- result modes (reference influx_classes.py:84-105) ------------
     def records(self) -> list[dict]:

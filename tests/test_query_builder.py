@@ -125,3 +125,34 @@ def test_limit_caps_rows_after_sort(spark, sf_dir):
     assert len(rows) == 7
     vals = [r["value"] for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_to_flux_renders_corrected_syntax(spark, sf_dir):
+    """The reference golden-asserts BROKEN Flux (unclosed parens,
+    dangling joiners — its tests at test_query_classes.py:110-141).
+    Ours must render the same pipeline with every paren closed and
+    joiners only between predicates."""
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    qb = (
+        QueryBuilder(load_table(spark, sf_dir, "events"), ts_col="ts")
+        .range("-5m")
+        .filter("_measurement", "fx-1")
+        .filter("_measurement", "mx-1", joiner="or")
+        .filter("_measurement", "dc-1", new_band=True)
+        .aggregate_window("1h", "mean")
+        .sort("ts", desc=True)
+        .limit(5)
+    )
+    flux = str(qb)
+    assert flux == (
+        'from(bucket: "df") |> range(start: -5m) |> '
+        "filter(fn: (r) => r[\"_measurement\"] == 'fx-1' "
+        "or r[\"_measurement\"] == 'mx-1') |> "
+        "filter(fn: (r) => r[\"_measurement\"] == 'dc-1') |> "
+        "aggregateWindow(every: 1h, fn: mean) |> "
+        'sort(columns: ["ts"], desc: true) |> limit(n: 5)'
+    )
+    assert flux.count("(") == flux.count(")")  # §2.11.1 corrected
+    assert not flux.rstrip().endswith("or")
