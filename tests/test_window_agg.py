@@ -82,3 +82,36 @@ def test_sliding_window_fanout(spark):
     assert got[datetime(2024, 1, 1, 6, 0)] == 10.0   # only first event
     assert got[datetime(2024, 1, 1, 12, 0)] == 20.0  # both events
     assert got[datetime(2024, 1, 2, 6, 0)] == 30.0   # only second event
+
+
+def test_window_alignment_matches_floor_arithmetic(spark):
+    """SURVEY §7 hard part 1: aggregateWindow bucket edges. For random
+    timestamps and every width, the stop label must equal
+    floor(epoch/width)*width + width (epoch-aligned tumbling windows,
+    Flux/DuckDB time_bucket semantics)."""
+    import random
+
+    from pyspark.sql import Row, functions as F
+
+    from solar_logger_spark.durations import parse_duration
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    rng = random.Random(42)
+    epochs = [rng.randrange(1_500_000_000, 1_800_000_000) for _ in range(200)]
+    df = spark.createDataFrame(
+        [Row(epoch=e, value=float(i)) for i, e in enumerate(epochs)]
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "value")
+
+    for every in ["1m", "5m", "1h", "6h", "1d"]:
+        width = int(parse_duration(every).timedelta.total_seconds())
+        out = aggregate_window(df, every, "count").collect()
+        got_stops = {r.ts for r in out}
+        want_stops = {
+            __import__("datetime").datetime.utcfromtimestamp(
+                (e // width) * width + width
+            )
+            for e in epochs
+        }
+        assert got_stops == want_stops, f"misaligned for every={every}"
+        # every input row lands in exactly one window
+        assert sum(r.value for r in out) == len(epochs)  # count agg
