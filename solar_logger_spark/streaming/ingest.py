@@ -225,21 +225,30 @@ def windowed_rollup_query(
     agg: str = "mean",
     watermark: str = "10 minutes",
     available_now: bool = True,
+    slide: str | None = None,
+    session_gap: str | None = None,
 ) -> StreamingQuery:
     """Streaming ``aggregateWindow`` (A1 over the live stream): tumbling
-    event-time windows per (measurement, field) with a watermark for late
-    data (T4 — the reference leaves late data undefined; we bound it
-    explicitly, SURVEY §7 hard-part 2)."""
+    (default), hopping (``slide``), or session (``session_gap``)
+    event-time windows per (measurement, field) with a watermark for
+    late data (T4 — the reference leaves late data undefined; we bound
+    it explicitly, SURVEY §7 hard-part 2)."""
     raw = (
         spark.readStream.schema(RAW_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
     agg_col = getattr(F, {"mean": "avg"}.get(agg, agg))("value").alias(f"{agg}_value")
+    if session_gap is not None:
+        win = F.session_window(F.col("ts"), session_gap)
+    elif slide is not None:
+        win = F.window(F.col("ts"), every, slide)
+    else:
+        win = F.window(F.col("ts"), every)
     rollup = (
         data_points(raw)
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", every), "measurement", "field")
+        .groupBy(win.alias("window"), "measurement", "field")
         .agg(agg_col)
         .select(
             F.col("window.end").alias("ts"),  # Flux labels windows by stop

@@ -452,3 +452,44 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     assert n1 == n2 == len(D.MX_FIELDS)
     proc(batch, epoch_id=8)  # a genuinely new batch still appends
     assert spark.read.parquet(out + "/points").count() == 2 * len(D.MX_FIELDS)
+
+
+def test_session_rollup_stream(spark, tmp_path):
+    """Streaming session windows: two bursts separated by > gap become
+    two sessions per (measurement, field)."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = 1704067200
+    rows = []
+    # burst 1: 0s, 60s; burst 2: 1h later; flush record far ahead
+    for off, bv in [(0, 10.0), (60, 20.0), (3600, 40.0), (90000, 1.0)]:
+        values = {f: bv for f in D.MX_FIELDS}
+        pkt = D.encode_packet("mx-1", base + off, values)
+        rows.append(("mate/mx-1/mx-status", pkt, datetime(2024, 1, 1)))
+    _raw_df(spark, rows).write.parquet(input_dir)
+
+    q = I.windowed_rollup_query(
+        spark, input_dir, out_dir, ckpt,
+        agg="mean", session_gap="10 minutes", available_now=False,
+    )
+    import time as _time
+
+    got = {}
+    deadline = _time.time() + 120
+    while _time.time() < deadline and len(got) < 2:
+        _time.sleep(2)
+        try:
+            got = {
+                r.ts: r.mean_value
+                for r in spark.read.parquet(out_dir)
+                .filter(F.col("field") == "bat_voltage")
+                .collect()
+            }
+        except Exception:
+            got = {}
+    q.stop()
+    # session windows are labeled by their (extended) end: last event + gap
+    assert got[datetime(2024, 1, 1, 0, 11, 0)] == pytest.approx(15.0)
+    assert got[datetime(2024, 1, 1, 1, 10, 0)] == pytest.approx(40.0)
