@@ -493,3 +493,52 @@ def test_session_rollup_stream(spark, tmp_path):
     # session windows are labeled by their (extended) end: last event + gap
     assert got[datetime(2024, 1, 1, 0, 11, 0)] == pytest.approx(15.0)
     assert got[datetime(2024, 1, 1, 1, 10, 0)] == pytest.approx(40.0)
+
+
+def test_running_increase_carries_state_across_batches(spark, tmp_path):
+    """Streaming increase(): counter advances accumulate, resets
+    contribute zero, and state survives micro-batch boundaries."""
+    from solar_logger_spark.streaming.counters import running_increase
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mx_packet(epoch, kwh):
+        values = {f: 0.0 for f in D.MX_FIELDS}
+        values["kilowatt_hours"] = kwh
+        return D.encode_packet("mx-1", epoch, values)
+
+    base = 1704067200
+    # batch 1: 1.0 → 3.5 (adv 2.5); batch 2: reset to 0.5 (adv 0), → 2.0 (adv 1.5)
+    b1 = [("mate/mx-1/mx-status", mx_packet(base + i * 60, v), datetime(2024, 1, 1))
+          for i, v in [(0, 1.0), (1, 3.5)]]
+    b2 = [("mate/mx-1/mx-status", mx_packet(base + i * 60, v), datetime(2024, 1, 1))
+          for i, v in [(2, 0.5), (3, 2.0)]]
+    _raw_df(spark, b1).coalesce(1).write.parquet(str(input_dir / "f1"))
+    _raw_df(spark, b2).coalesce(1).write.parquet(str(input_dir / "f2"))
+
+    raw = (
+        spark.readStream.schema(I.RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir) + "/*")
+    )
+    q = (
+        running_increase(I.data_points(raw))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("field") == "kilowatt_hours")
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r.value for r in rows] == [1.0, 3.5, 0.5, 2.0]
+    assert [r.increase for r in rows] == [0.0, 2.5, 2.5, 4.0]
