@@ -91,6 +91,17 @@ class SolarEngine:
             raise ValueError("SolarEngine(store_dir=...) required")
         return self.spark.read.parquet(f"{self.store_dir}/points")
 
+    def query_points(self) -> QueryBuilder:
+        """The reference's full loop: query the store the ingest path
+        fills — from(points) |> range |> filter |> aggregateWindow |>
+        sort over (measurement, field) series."""
+        return QueryBuilder(
+            self.points(),
+            ts_col="ts",
+            value_col="value",
+            series_cols=("measurement", "field"),
+        )
+
 
 def wide_view(
     points: DataFrame, measurement: str, field_names: tuple | None = None

@@ -107,3 +107,38 @@ def test_wide_view_per_measurement(spark):
     assert set(wide.columns) == {"ts", *MX_FIELDS}
     row = wide.collect()[0]
     assert row.bat_voltage == float(MX_FIELDS.index("bat_voltage"))
+
+
+def test_ingest_then_query_full_loop(spark, tmp_path):
+    """The reference's two programs end-to-end: ingest packets, then run
+    the Flux-pipeline query surface over the stored points."""
+    from solar_logger_spark.streaming.decode import MX_FIELDS, encode_packet
+
+    input_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    rows = [("mate/mx-1/status", b"online", datetime(2024, 1, 1))]
+    for i, bv in enumerate([10.0, 20.0, 30.0]):
+        values = {f: bv for f in MX_FIELDS}
+        rows.append(
+            ("mate/mx-1/mx-status",
+             encode_packet("mx-1", 1704067200 + i * 1800, values),
+             datetime(2024, 1, 1))
+        )
+    spark.createDataFrame(
+        rows, "topic string, payload binary, arrival_ts timestamp"
+    ).write.parquet(input_dir)
+
+    engine = SolarEngine(spark, store_dir=store)
+    engine.ingest(input_dir).awaitTermination(120)
+
+    out = (
+        engine.query_points()
+        .range(datetime(2024, 1, 1), datetime(2024, 1, 2))
+        .filter("measurement", "mx-1")
+        .filter("field", "bat_voltage", new_band=True)
+        .aggregate_window("1h", "mean")
+        .sort("ts")
+        .records()
+    )
+    # events at 00:00, 00:30 (window →01:00, mean 15) and 01:00 (→02:00)
+    assert [(r["ts"].hour, r["value"]) for r in out] == [(1, 15.0), (2, 30.0)]

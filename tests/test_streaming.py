@@ -542,3 +542,79 @@ def test_running_increase_carries_state_across_batches(spark, tmp_path):
     )
     assert [r.value for r in rows] == [1.0, 3.5, 0.5, 2.0]
     assert [r.increase for r in rows] == [0.0, 2.5, 2.5, 4.0]
+
+
+def test_watermark_drops_too_late_event(spark, tmp_path):
+    """T4 pinned: an event arriving after the watermark passed its
+    window is excluded from the rollup (the reference would happily
+    write it; our policy is explicit and bounded)."""
+    import os
+    import time as _time
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+
+    def mx(epoch, bv):
+        values = {f: bv for f in D.MX_FIELDS}
+        return D.encode_packet("mx-1", epoch, values)
+
+    # batch 0: events at 00:05 and 06:00 → watermark advances to 05:50
+    b0 = [
+        ("mate/mx-1/mx-status", mx(base + 300, 10.0), datetime(2024, 1, 1)),
+        ("mate/mx-1/mx-status", mx(base + 6 * 3600, 1.0), datetime(2024, 1, 1)),
+    ]
+    # batch 1: any event — triggers eviction/emission of the now-closed
+    # [00:00,01:00) window (rows may still join a window until the batch
+    # whose operative watermark passed it evicts the state)
+    b1 = [("mate/mx-1/mx-status", mx(base + 7 * 3600, 1.0), datetime(2024, 1, 1))]
+    # batch 2: a 00:10 straggler — its window is emitted and gone
+    b2 = [("mate/mx-1/mx-status", mx(base + 600, 99.0), datetime(2024, 1, 1))]
+    # batch 3: far-future flush so pending windows emit
+    b3 = [("mate/mx-1/mx-status", mx(base + 48 * 3600, 2.0), datetime(2024, 1, 1))]
+
+    for i, batch in enumerate([b0, b1, b2, b3]):
+        path = str(input_dir / f"f{i}")
+        _raw_df(spark, batch).coalesce(1).write.parquet(path)
+        # file source orders batches by modification time — pin it
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+        os.utime(path, (1000 + i, 1000 + i))
+
+    raw = (
+        spark.readStream.schema(I.RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir) + "/*")
+    )
+    rollup = (
+        I.data_points(raw)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "measurement", "field")
+        .agg(F.avg("value").alias("mean_value"))
+        .select(F.col("window.end").alias("ts"), "field", "mean_value")
+    )
+    q = (
+        rollup.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("field") == "bat_voltage")
+        .collect()
+    )
+    first_window = [r for r in rows if r.ts == datetime(2024, 1, 1, 1, 0)]
+    # the 00:00-01:00 window emitted once, holding ONLY the on-time
+    # 00:05 event — the 00:10 straggler (value 99) was dropped, not
+    # averaged in and not emitted as a duplicate window
+    assert len(first_window) == 1
+    assert first_window[0].mean_value == pytest.approx(10.0)
