@@ -90,3 +90,51 @@ def stateful_gated_stream(raw: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_gated(
+    raw: DataFrame,
+    status_validity: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The online gate as a stream-stream interval join (the third form
+    SURVEY J1 maps to, after the broadcast batch gate and the
+    state-store gate): data messages join status messages of the same
+    device whose 'online' report arrived within ``status_validity``
+    before them.
+
+    Differs from latest-status semantics — a data row passes if ANY
+    online report covers it, rather than the single latest report
+    deciding; the validity interval is what lets Spark bound both join
+    states (watermark + time-range condition → old rows evicted).
+    Choose this form when status messages are heartbeats; choose the
+    state-store gate when they are edge-triggered transitions.
+    """
+    tagged = split_topic(raw)
+    data = (
+        tagged.filter(F.col("kind") == "data")
+        .select("device", "payload", "arrival_ts")
+        .withWatermark("arrival_ts", watermark)
+    )
+    online = (
+        tagged.filter(
+            (F.col("kind") == "status")
+            & (F.col("payload").cast("string") == "online")
+        )
+        .select(
+            F.col("device").alias("s_device"),
+            F.col("arrival_ts").alias("status_ts"),
+        )
+        .withWatermark("status_ts", watermark)
+    )
+    joined = data.join(
+        online,
+        (F.col("device") == F.col("s_device"))
+        & (F.col("status_ts") <= F.col("arrival_ts"))
+        & (
+            F.col("status_ts")
+            >= F.col("arrival_ts") - F.expr(f"INTERVAL {status_validity}")
+        ),
+        "leftsemi",
+    )
+    return joined.select("device", "payload", "arrival_ts")

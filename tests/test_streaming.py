@@ -618,3 +618,41 @@ def test_watermark_drops_too_late_event(spark, tmp_path):
     # averaged in and not emitted as a duplicate window
     assert len(first_window) == 1
     assert first_window[0].mean_value == pytest.approx(10.0)
+
+
+def test_stream_stream_gate_interval_join(spark, tmp_path):
+    """Stream-stream form of the gate: data passes only with an online
+    heartbeat within the validity interval before it."""
+    from solar_logger_spark.streaming.stateful import stream_stream_gated
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pkt, _ = _packet("mx-1", 1704067200, 1.0)
+    rows = [
+        ("mate/mx-1/status", b"online", datetime(2024, 1, 1, 0, 0)),
+        # covered: 30 min after the heartbeat (validity 1h)
+        ("mate/mx-1/mx-status", pkt, datetime(2024, 1, 1, 0, 30)),
+        # not covered: 3h after the last heartbeat
+        ("mate/mx-1/mx-status", pkt, datetime(2024, 1, 1, 3, 0)),
+        # fx-1 never reported online at all
+        ("mate/fx-1/fx-status", pkt, datetime(2024, 1, 1, 0, 30)),
+    ]
+    _raw_df(spark, rows).write.parquet(input_dir)
+
+    raw = spark.readStream.schema(I.RAW_SCHEMA).parquet(input_dir)
+    q = (
+        stream_stream_gated(raw, status_validity="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(out_dir).collect()
+    assert len(out) == 1
+    assert out[0].device == "mx-1"
+    assert out[0].arrival_ts == datetime(2024, 1, 1, 0, 30)
