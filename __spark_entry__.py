@@ -182,6 +182,26 @@ SLIDING_AGG_SQL = f"""
 """
 
 
+def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
+    one pipeline — the remaining filter operators of the builder."""
+    return (
+        _events_qb(spark, sf_dir)
+        .filter("event_type", "^(cl|vi)", op="=~")
+        .filter("event_type", "view", op="!=", new_band=True)
+        .filter("value", 30.0, op="<=", new_band=True)
+        .select("event_id", "ts", "event_type", "value")
+        .to_df()
+    )
+
+
+REGEX_FILTER_SQL = """
+    SELECT event_id, ts, event_type, value FROM events
+    WHERE regexp_matches(event_type, '^(cl|vi)')
+      AND event_type <> 'view' AND value <= 30.0
+"""
+
+
 def q_packet_decode_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest decode path (SURVEY §2.8 F1-F6, §2.9 T1/T2) in batch form:
     events → wire-format binary packets (4-byte LE epoch + packed
@@ -253,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_types": q_pivot_event_types,
         "json_props_extract": q_json_props_extract,
         "packet_decode_points": q_packet_decode_points,
+        "flux_regex_filter": q_flux_regex_filter,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev"):
@@ -393,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out["packet_decode_points"] = _packet_decode_oracle()
+    out["flux_regex_filter"] = REGEX_FILTER_SQL
     for fn, expr in _AGG_ORACLE.items():
         out[f"flux_agg_{fn}"] = f"""
             SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
