@@ -303,6 +303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q9_product_profit": rel.tpch_q9_shape,
             "tpch_q19_discounted_revenue": rel.tpch_q19_shape,
             "cube_returnflag_status": rel.cube_returnflag_status,
+            "tpch_q8_market_share": rel.tpch_q8_shape,
+            "tpch_q12_late_priority": rel.tpch_q12_shape,
+            "tpch_q13_order_distribution": rel.tpch_q13_shape,
+            "tpch_q14_promo_share": rel.tpch_q14_shape,
+            "tpch_q15_top_supplier": rel.tpch_q15_shape,
+            "tpch_q16_supplier_counts": rel.tpch_q16_shape,
+            "tpch_q22_dormant_customers": rel.tpch_q22_shape,
         }
     )
     out.update(
@@ -447,6 +454,13 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,
             "tpch_q19_discounted_revenue": rel.TPCH_Q19_SQL,
             "cube_returnflag_status": rel.CUBE_SQL,
+            "tpch_q8_market_share": rel.TPCH_Q8_SQL,
+            "tpch_q12_late_priority": rel.TPCH_Q12_SQL,
+            "tpch_q13_order_distribution": rel.TPCH_Q13_SQL,
+            "tpch_q14_promo_share": rel.TPCH_Q14_SQL,
+            "tpch_q15_top_supplier": rel.TPCH_Q15_SQL,
+            "tpch_q16_supplier_counts": rel.TPCH_Q16_SQL,
+            "tpch_q22_dormant_customers": rel.TPCH_Q22_SQL,
         }
     )
     out.update(

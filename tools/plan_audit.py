@@ -6,9 +6,11 @@ Flags plan smells that matter at 100 TB:
   * BatchEvalPython — row-at-a-time Python in the plan (ArrowEvalPython /
     MapInPandas are the sanctioned Python paths)
 
-Two queries intentionally trip the join flag: similarity_cosine_topk
-(brute-force scorer: corpus × broadcast query set IS the algorithm) and
-text_tfidf_top_terms (cross join against a broadcast 1-row scalar).
+Three queries intentionally trip the join flag: similarity_cosine_topk
+(brute-force scorer: corpus × broadcast query set IS the algorithm),
+text_tfidf_top_terms and tpch_q22_dormant_customers (cross join against
+a broadcast 1-row scalar — the plan Spark itself produces for an
+uncorrelated scalar subquery).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
