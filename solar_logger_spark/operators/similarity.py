@@ -280,6 +280,100 @@ def seeded_centroids(
     return np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
 
 
+def kmeans_refine(
+    df: DataFrame,
+    init: "np.ndarray",
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Refine an IVF codebook with distributed spherical k-means (Lloyd)
+    sweeps. Each sweep is ONE scan of the corpus: an Arrow-batched
+    kernel computes per-partition partial ``(cell, Σv, n)`` sums, the
+    k×dim partials reduce on the driver (tiny — this is the same
+    topology Spark ML's KMeans uses), and new centroids are the
+    L2-normalized cell means. Empty cells keep their previous centroid.
+
+    Deterministic: partials carry their partition id and reduce in
+    (partition, cell) order, so the float sums associate identically
+    run-to-run. No vector ever shuffles; sweep cost is a map-only scan.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    cents = np.asarray(init, dtype=np.float64).copy()
+    k, dim = cents.shape
+    data = df.select(vec_col)
+
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast((cents, _ltr_norms(cents)))
+
+        def _partials(batches):
+            from pyspark import TaskContext
+
+            mat, norms = bc.value
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                a = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                if len(a) == 0:
+                    continue
+                an = _ltr_norms(a)
+                assign = (
+                    (a @ mat.T) / (an[:, None] * norms[None, :])
+                ).argmax(axis=1)
+                np.add.at(sums, assign, a)
+                counts += np.bincount(assign, minlength=k)
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "cell": np.arange(k, dtype="int32"),
+                    "vsum": list(sums),
+                    "n": counts,
+                }
+            )
+
+        rows = data.mapInPandas(
+            _partials, "pid int, cell int, vsum array<double>, n long"
+        ).collect()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r["pid"], r["cell"])):
+            sums[r["cell"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cell"]] += r["n"]
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        cents[nonempty] = means / _ltr_norms(means)[:, None]
+    return cents
+
+
+def ivf_inertia(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine distance (1 − cos) of each vector to its assigned
+    centroid — the spherical k-means objective, for codebook quality
+    checks."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cents_df = df.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in cmat[i]]) for i in range(len(cmat))],
+        "cell int, c_vec array<double>",
+    )
+    row = (
+        assigned.join(F.broadcast(cents_df), "cell")
+        .select((1 - cosine(F.col(vec_col), F.col("c_vec"))).alias("d"))
+        .agg(F.avg("d").alias("inertia"))
+        .collect()[0]
+    )
+    return float(row["inertia"])
+
+
 def topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -288,11 +382,15 @@ def topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-
     centroid cell; each query scores only its ``n_probe`` closest cells.
     Per-query work drops from O(N) to O(N·n_probe/n_cells); recall is
     controlled by n_probe. Same output shape as ``topk_bruteforce``.
+    ``refine_iters`` > 0 runs that many distributed k-means sweeps over
+    the seeded codebook (better-balanced cells → better recall per
+    probe), at one extra corpus scan per sweep.
 
     The probe join is an equi-join on ``cell`` (queries exploded n_probe
     ways), so Catalyst broadcasts the (small) query side and the corpus
@@ -301,6 +399,8 @@ def topk_ivf(
     from pyspark.sql import Window, functions as F
 
     cents = seeded_centroids(corpus, n_cells, id_col, vec_col)
+    if refine_iters > 0:
+        cents = kmeans_refine(corpus, cents, refine_iters, id_col, vec_col)
     c_assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
     )

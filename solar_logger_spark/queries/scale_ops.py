@@ -289,12 +289,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: centroid assignment + probe
-    ordering live in the numpy kernels; recall vs brute force is pinned
-    in tests/test_similarity.py)."""
+    """IVF approximate top-k with one k-means codebook sweep (rows-only:
+    centroid assignment + probe ordering live in the numpy kernels;
+    recall vs brute force is pinned in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.topk_ivf(
-        emb, emb.limit(10), k=5, n_cells=16, n_probe=4
+        emb, emb.limit(10), k=5, n_cells=16, n_probe=4, refine_iters=1
     )
 
 

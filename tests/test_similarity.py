@@ -103,3 +103,48 @@ def test_ivf_topk_shape_and_recall(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_query.values())
     # recall with half the cells probed should be well above chance
     assert len(ap & ex) / len(ex) >= 0.5
+
+
+def test_kmeans_refine_improves_codebook(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeded = S.seeded_centroids(emb, k=8)
+    refined = S.kmeans_refine(emb, seeded, n_iter=2)
+    assert refined.shape == seeded.shape
+    # Lloyd sweeps never increase the spherical k-means objective
+    before = S.ivf_inertia(emb, seeded)
+    after = S.ivf_inertia(emb, refined)
+    assert after <= before + 1e-9
+    # refined centroids are unit-norm (spherical update)
+    import numpy as np
+
+    norms = np.sqrt((refined * refined).sum(axis=1))
+    changed = ~np.all(refined == seeded, axis=1)
+    assert np.allclose(norms[changed], 1.0)
+
+
+def test_kmeans_refine_deterministic(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import similarity as S
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeded = S.seeded_centroids(emb, k=4)
+    a = S.kmeans_refine(emb, seeded, n_iter=1)
+    b = S.kmeans_refine(emb, seeded, n_iter=1)
+    assert np.array_equal(a, b)
+
+
+def test_ivf_refined_recall_not_worse_than_chance(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(10)
+    exact = topk_bruteforce(emb, queries, k=5)
+    approx = topk_ivf(emb, queries, k=5, n_cells=8, n_probe=4, refine_iters=1)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(ap & ex) / len(ex) >= 0.5
