@@ -92,6 +92,75 @@ def stateful_gated_stream(raw: DataFrame) -> DataFrame:
     )
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _GateProcessor(StatefulProcessor):
+    """``StatefulProcessor`` for the online gate — same semantics as
+    ``_gate_group`` on Spark 4's ``transformWithState`` API (typed state
+    variables, RocksDB-backed, evolvable schema)."""
+
+    def init(self, handle) -> None:
+        self._status = handle.getValueState("status", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        status = self._status.get()[0] if self._status.exists() else "offline"
+        for pdf in rows:
+            pdf = pdf.sort_values("arrival_ts", kind="mergesort")
+            keep: list[dict[str, Any]] = []
+            for row in pdf.itertuples(index=False):
+                if row.kind == "status":
+                    status = bytes(row.payload).decode("ascii", errors="replace")
+                elif row.kind == "data" and status == "online":
+                    keep.append(
+                        {
+                            "device": row.device,
+                            "payload": row.payload,
+                            "arrival_ts": row.arrival_ts,
+                        }
+                    )
+            if keep:
+                yield pd.DataFrame(keep)
+        self._status.update((status,))
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        self._status.update((initial_state["status"].iloc[0],))
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_gated_stream_tws(raw: DataFrame) -> DataFrame:
+    """The online gate on ``transformWithStateInPandas`` — Spark 4's
+    successor state API (arbitrary typed state variables, TTL, timers,
+    state-schema evolution). Functionally identical to
+    ``stateful_gated_stream``; requires the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...RocksDBStateStoreProvider``), which is also the provider you
+    want at scale: incremental checkpointing + changelog uploads instead
+    of full HDFS snapshots of executor state. The Python side of the
+    transformWithState protocol additionally needs ``protobuf``
+    (import-time optional here; the processor logic itself is tested
+    without it)."""
+    proc = _GateProcessor()
+    tagged = split_topic(raw).filter(F.col("kind").isin("status", "data"))
+    return (
+        tagged.select("device", "kind", "payload", "arrival_ts")
+        .groupBy("device")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=GATED_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 def stream_stream_gated(
     raw: DataFrame,
     status_validity: str = "1 hour",
