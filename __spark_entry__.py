@@ -182,6 +182,41 @@ SLIDING_AGG_SQL = f"""
 """
 
 
+def q_flux_agg_create_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateWindow with Flux's ``createEmpty`` semantics: hourly
+    mean over a sparse series — windows with no input rows are emitted
+    with a null value, spine pinned to the builder's range() bounds."""
+    return (
+        _events_qb(spark, sf_dir, t_range=(T0, T1))
+        .range(T0, T1)
+        .filter("event_type", "error")
+        .aggregate_window("1h", "mean", create_empty=True)
+        .to_df()
+    )
+
+
+CREATE_EMPTY_SQL = """
+    WITH spine AS (
+        SELECT ts_b FROM generate_series(
+            TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-24 23:00:00',
+            INTERVAL '1 hour') AS t(ts_b)
+    ), keys AS (
+        SELECT DISTINCT event_type FROM events
+        WHERE {range} AND event_type = 'error'
+    ), agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ts_b, event_type,
+               avg(value) AS value
+        FROM events
+        WHERE {range} AND event_type = 'error'
+        GROUP BY 1, 2
+    )
+    SELECT spine.ts_b + INTERVAL '1 hour' AS ts, keys.event_type,
+           agg.value AS value
+    FROM spine CROSS JOIN keys
+    LEFT JOIN agg ON agg.ts_b = spine.ts_b AND agg.event_type = keys.event_type
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -274,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_extract": q_json_props_extract,
         "packet_decode_points": q_packet_decode_points,
         "flux_regex_filter": q_flux_regex_filter,
+        "flux_agg_create_empty": q_flux_agg_create_empty,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev"):
@@ -450,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
             "window_running_totals": rel.WINDOW_RUNNING_SQL,
             "window_moving_avg": rel.WINDOW_MOVING_AVG_SQL,
             "flux_agg_sliding": SLIDING_AGG_SQL.format(range=_RANGE),
+            "flux_agg_create_empty": CREATE_EMPTY_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,
             "tpch_q19_discounted_revenue": rel.TPCH_Q19_SQL,

@@ -17,10 +17,11 @@ not input rows.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from datetime import datetime
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from solar_logger_spark.durations import duration_to_spark_window
+from solar_logger_spark.durations import duration_to_spark_window, parse_duration
 
 # Flux's standard aggregate set (README of the reference names min/max;
 # `fn` is free-form, reference src/classes/query_classes.py:134-137).
@@ -60,6 +61,8 @@ def aggregate_window(
     alias: str = "value",
     label: str = "stop",
     slide: str | None = None,
+    create_empty: bool = False,
+    bounds: tuple[datetime, datetime] | None = None,
 ) -> DataFrame:
     """Tumbling (or hopping) window aggregate.
 
@@ -74,8 +77,20 @@ def aggregate_window(
     ``every/slide`` overlapping windows. Spark's ``window()`` expands
     that fan-out JVM-side before the same single hash aggregation.
 
+    ``create_empty`` (Flux ``createEmpty``, default true THERE, false
+    here to keep the cheap path the default) also emits windows with no
+    input rows: null aggregate (0 for ``count``, Flux's convention), one
+    row per (window, series-key combination). ``bounds`` pins the
+    emitted window range to ``[start, stop)`` — what Flux's preceding
+    ``range()`` does; without it the spine spans the data's own
+    [min(ts), max(ts)]. Not combinable with ``slide``.
+
     Windows are epoch-aligned (Spark ``window()`` semantics), matching
     DuckDB ``time_bucket`` for the oracle comparison.
+
+    Scale: the fill path adds one distinct over the series keys and a
+    broadcast of the window spine — both bounded by *output*
+    cardinality, never input rows; the base aggregation is unchanged.
     """
     if fn not in AGG_FNS:
         raise ValueError(
@@ -83,11 +98,18 @@ def aggregate_window(
         )
     width = duration_to_spark_window(every)
     if slide is not None:
+        if create_empty:
+            raise ValueError("create_empty is not supported with slide")
         win = F.window(F.col(ts_col), width, duration_to_spark_window(slide))
     else:
         win = F.window(F.col(ts_col), width)
     grouped = df.groupBy(win.alias("window"), *[F.col(c) for c in by])
     out = grouped.agg(agg_expr(fn, value_col, ts_col).alias(alias))
+
+    if create_empty:
+        out = _fill_empty_windows(
+            df, out, every, by, ts_col, value_col, alias, fn, bounds
+        )
 
     if label == "stop":
         return out.select(
@@ -105,3 +127,79 @@ def aggregate_window(
             alias,
         )
     raise ValueError(f"label must be start|stop|both, got {label!r}")
+
+
+def _fill_empty_windows(
+    df: DataFrame,
+    out: DataFrame,
+    every: str,
+    by: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alias: str,
+    fn: str,
+    bounds: tuple[datetime, datetime] | None,
+) -> DataFrame:
+    """Left-join the aggregated windows onto a (series-keys × window
+    spine) grid. The spine is generated JVM-side with ``sequence()`` —
+    one array per key row, no data shuffle beyond the keys' distinct."""
+    dur = parse_duration(every)
+    if dur.months or dur.seconds <= 0 or dur.seconds != int(dur.seconds):
+        raise ValueError(
+            f"create_empty needs a positive whole-second width: {every!r}"
+        )
+    sec = int(dur.seconds)
+    step = F.expr(f"INTERVAL '{sec}' SECOND")
+
+    keys = (
+        df.select(*by).distinct()
+        if by
+        else df.sparkSession.range(1).select()
+    )
+    if bounds is not None:
+        start, stop = bounds
+        lo = int(start.timestamp()) // sec * sec
+        hi = (int(stop.timestamp()) - 1) // sec * sec
+        if hi < lo:
+            raise ValueError(f"empty bounds range: {bounds!r}")
+        grid = keys.select(
+            *by,
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(F.lit(lo)),
+                    F.timestamp_seconds(F.lit(hi)),
+                    step,
+                )
+            ).alias("_wstart"),
+        )
+    else:
+        # data-derived extent: one tiny aggregate row broadcast onto the
+        # key set (constant cost at any scale)
+        ext = df.agg(
+            F.timestamp_seconds(
+                F.floor(F.min(F.unix_timestamp(F.col(ts_col))) / sec) * sec
+            ).alias("_lo"),
+            F.timestamp_seconds(
+                F.floor(F.max(F.unix_timestamp(F.col(ts_col))) / sec) * sec
+            ).alias("_hi"),
+        )
+        grid = keys.crossJoin(F.broadcast(ext)).select(
+            *by,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(
+                "_wstart"
+            ),
+        )
+
+    agg_flat = out.select(F.col("window.start").alias("_wstart"), *by, alias)
+    filled = grid.join(agg_flat, on=["_wstart", *by], how="left")
+    value = F.col(alias)
+    if fn == "count":
+        value = F.coalesce(value, F.lit(0)).cast("long")  # Flux: count()=0
+    return filled.select(
+        F.struct(
+            F.col("_wstart").alias("start"),
+            (F.col("_wstart") + step).alias("end"),
+        ).alias("window"),
+        *by,
+        value.alias(alias),
+    )

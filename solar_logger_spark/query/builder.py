@@ -124,7 +124,7 @@ class QueryBuilder:
         self._start = start_range
         self._end = end_range
         self._bands: list[_Band] = []
-        self._agg: tuple[str, str] | None = None
+        self._agg: tuple[str, str, bool] | None = None
         self._sorts: list[tuple[str, bool]] = []
         self._projection: list[str] | None = None
         self._limit: int | None = None
@@ -167,10 +167,13 @@ class QueryBuilder:
         return self.filter(field, list(values), op="in", new_band=new_band)
 
     # -- aggregate ---------------------------------------------------
-    def aggregate_window(self, every: str, fn: str):
+    def aggregate_window(self, every: str, fn: str, create_empty: bool = False):
         """Flux ``aggregateWindow(every, fn)`` (reference
-        src/classes/query_classes.py:127-137)."""
-        self._agg = (every, fn)
+        src/classes/query_classes.py:127-137). ``create_empty`` emits
+        empty windows too (Flux's ``createEmpty``); the spine covers
+        this builder's ``range()`` when both bounds resolve, else the
+        data extent."""
+        self._agg = (every, fn, create_empty)
         return self
 
     # -- sort --------------------------------------------------------
@@ -194,6 +197,30 @@ class QueryBuilder:
         self._limit = n
         return self
 
+    def _resolved_bounds(self) -> tuple[datetime, datetime] | None:
+        """This builder's range as concrete datetimes, when both bounds
+        are statically resolvable (datetime literals, or durations with
+        a pinned ``now``). None → callers fall back to data extent."""
+
+        def _one(bound):
+            if isinstance(bound, datetime):
+                return bound
+            try:
+                dur = parse_duration(bound)
+            except (ValueError, TypeError):
+                try:
+                    return datetime.fromisoformat(str(bound))
+                except ValueError:
+                    return None
+            return dur.add_to(self._now) if self._now is not None else None
+
+        if self._start is None or self._end is None:
+            return None
+        start, end = _one(self._start), _one(self._end)
+        if start is None or end is None:
+            return None
+        return (start, end)
+
     # -- build -------------------------------------------------------
     def to_df(self) -> DataFrame:
         """Materialize the plan in the reference's fixed pipeline order:
@@ -207,11 +234,13 @@ class QueryBuilder:
         for band in self._bands:
             df = df.filter(band.column())
         if self._agg is not None:
-            every, fn = self._agg
+            every, fn, create_empty = self._agg
             by = [c for c in self.series_cols if c in df.columns]
             df = aggregate_window(
                 df, every, fn, by=by, ts_col=self.ts_col,
                 value_col=self.value_col,
+                create_empty=create_empty,
+                bounds=self._resolved_bounds() if create_empty else None,
             )
         for fld, desc in self._sorts:
             df = df.orderBy(F.col(fld).desc() if desc else F.col(fld).asc())
@@ -253,8 +282,9 @@ class QueryBuilder:
                 terms.append(term)
             parts.append(f"filter(fn: (r) => {' '.join(terms)})")
         if self._agg is not None:
-            every, fn = self._agg
-            parts.append(f"aggregateWindow(every: {every}, fn: {fn})")
+            every, fn, create_empty = self._agg
+            ce = f", createEmpty: {str(create_empty).lower()}" if create_empty else ""
+            parts.append(f"aggregateWindow(every: {every}, fn: {fn}{ce})")
         for fld, desc in self._sorts:
             parts.append(f'sort(columns: ["{fld}"], desc: {str(desc).lower()})')
         if self._limit is not None:

@@ -115,3 +115,94 @@ def test_window_alignment_matches_floor_arithmetic(spark):
         assert got_stops == want_stops, f"misaligned for every={every}"
         # every input row lands in exactly one window
         assert sum(r.value for r in out) == len(epochs)  # count agg
+
+
+def test_create_empty_fills_gap_windows(spark):
+    from datetime import datetime
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    # rows in hours 0 and 2; hour 1 is empty
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 10), 1.0),
+            ("a", datetime(2024, 1, 1, 2, 20), 3.0),
+        ],
+        "measurement string, ts timestamp, value double",
+    )
+    out = aggregate_window(
+        df, "1h", "mean", by=["measurement"], create_empty=True
+    ).orderBy("ts")
+    rows = out.collect()
+    assert [r.ts.hour for r in rows] == [1, 2, 3]  # stop-labeled
+    assert [r.value for r in rows] == [1.0, None, 3.0]
+
+
+def test_create_empty_count_is_zero(spark):
+    from datetime import datetime
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0, 10), 1.0)],
+        "measurement string, ts timestamp, value double",
+    )
+    out = aggregate_window(
+        df, "1h", "count", by=["measurement"], create_empty=True,
+        bounds=(datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 3)),
+    ).orderBy("ts")
+    rows = out.collect()
+    assert [r.value for r in rows] == [1, 0, 0]  # Flux: empty count = 0
+
+
+def test_create_empty_bounds_pin_spine(spark):
+    from datetime import datetime
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 1, 30), 5.0)],
+        "measurement string, ts timestamp, value double",
+    )
+    out = aggregate_window(
+        df, "1h", "mean", by=["measurement"], create_empty=True,
+        bounds=(datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 4)),
+    ).orderBy("ts")
+    rows = out.collect()
+    # spine covers [00:00, 04:00): stops at 01..04
+    assert [r.ts.hour for r in rows] == [1, 2, 3, 4]
+    assert [r.value for r in rows] == [None, 5.0, None, None]
+
+
+def test_create_empty_per_series_keys(spark):
+    from datetime import datetime
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 10), 1.0),
+            ("b", datetime(2024, 1, 1, 1, 10), 2.0),
+        ],
+        "measurement string, ts timestamp, value double",
+    )
+    out = aggregate_window(
+        df, "1h", "mean", by=["measurement"], create_empty=True
+    )
+    rows = {(r.measurement, r.ts.hour): r.value for r in out.collect()}
+    # both series get both windows
+    assert rows == {
+        ("a", 1): 1.0, ("a", 2): None, ("b", 1): None, ("b", 2): 2.0,
+    }
+
+
+def test_create_empty_rejects_slide_and_calendar(spark):
+    import pytest
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    df = spark.createDataFrame([], "ts timestamp, value double")
+    with pytest.raises(ValueError, match="slide"):
+        aggregate_window(df, "1h", "mean", slide="30m", create_empty=True)
+    with pytest.raises(ValueError, match="whole-second"):
+        aggregate_window(df, "500ms", "mean", create_empty=True)
