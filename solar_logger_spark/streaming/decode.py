@@ -221,53 +221,68 @@ def _coerce(value) -> float | None:
         return None
 
 
-@pandas_udf(ArrayType(DoubleType()))
-def decode_values_udf(measurement: pd.Series, body: pd.Series) -> pd.Series:
-    """Arrow-batched payload decode: (measurement, body bytes) → channel
-    values in ``MEASUREMENT_FIELDS`` order. Decode failures yield null
-    (reference T8: errors are isolated, the pipeline never dies —
+def make_decode_values_udf(decoders: dict[str, Decoder] | None = None):
+    """Build the Arrow-batched payload-decode UDF over a SNAPSHOT of the
+    decoder registry: (measurement, body bytes) → channel values in
+    ``MEASUREMENT_FIELDS`` order. Decode failures yield null (reference
+    T8: errors are isolated, the pipeline never dies —
     ``mqtt_classes.py:289-296``).
+
+    The snapshot matters for distribution: Spark's Python workers import
+    this module themselves, so a UDF that read the module-level
+    ``DECODERS`` at execution time would see each worker's own pristine
+    copy — ``register_decoder`` calls on the driver would silently not
+    propagate (reused workers never re-import). Closing over a dict
+    value makes the active registry part of the serialized closure
+    instead.
 
     Default-codec measurements take the bulk path: the batch's payloads
     are concatenated and decoded with a single ``np.frombuffer`` reshape
     — no per-row struct calls. Custom registered decoders fall back to
     per-row dict decode + coercion."""
-    import numpy as np
+    snapshot = dict(DECODERS if decoders is None else decoders)
 
-    out: list = [None] * len(measurement)
-    ms = measurement.to_numpy()
-    for m in pd.unique(ms):
-        dec, fields = DECODERS.get(m), MEASUREMENT_FIELDS.get(m)
-        if dec is None:
-            continue
-        idx = np.nonzero(ms == m)[0]
-        size = getattr(dec, "codec_size", None)
-        if size is not None:
-            good = [
-                i for i in idx
-                if body.iat[i] is not None and len(body.iat[i]) == size
-            ]
-            if not good:
+    @pandas_udf(ArrayType(DoubleType()))
+    def decode_values(measurement: pd.Series, body: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out: list = [None] * len(measurement)
+        ms = measurement.to_numpy()
+        for m in pd.unique(ms):
+            dec, fields = snapshot.get(m), MEASUREMENT_FIELDS.get(m)
+            if dec is None:
                 continue
-            buf = b"".join(bytes(body.iat[i]) for i in good)
-            vals = np.frombuffer(buf, dtype="<f8").reshape(len(good), -1)
-            for j, i in enumerate(good):
-                out[i] = vals[j]
-        else:
-            for i in idx:
-                b = body.iat[i]
-                if b is None:
-                    continue
-                try:
-                    raw = dec(bytes(b))
-                except Exception:
-                    continue
-                keys = fields if fields is not None else tuple(raw)
-                row = [_coerce(raw.get(k)) for k in keys]
-                out[i] = [
-                    None if (v is not None and math.isnan(v)) else v for v in row
+            idx = np.nonzero(ms == m)[0]
+            size = getattr(dec, "codec_size", None)
+            if size is not None:
+                good = [
+                    i for i in idx
+                    if body.iat[i] is not None and len(body.iat[i]) == size
                 ]
-    return pd.Series(out)
+                if not good:
+                    continue
+                buf = b"".join(bytes(body.iat[i]) for i in good)
+                vals = np.frombuffer(buf, dtype="<f8").reshape(len(good), -1)
+                for j, i in enumerate(good):
+                    out[i] = vals[j]
+            else:
+                for i in idx:
+                    b = body.iat[i]
+                    if b is None:
+                        continue
+                    try:
+                        raw = dec(bytes(b))
+                    except Exception:
+                        continue
+                    keys = fields if fields is not None else tuple(raw)
+                    row = [_coerce(raw.get(k)) for k in keys]
+                    out[i] = [
+                        None if (v is not None and math.isnan(v)) else v
+                        for v in row
+                    ]
+        return pd.Series(out)
+
+    return decode_values
 
 
 def field_names_map() -> Column:
@@ -302,7 +317,10 @@ def decode_packets(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         df.withColumn("_pad", F.coalesce(padding_map[F.col("measurement")], F.lit(0)))
         .withColumn("ts", F.timestamp_seconds(epoch_expr(payload_col)))
         .withColumn("_body", body_expr(payload_col, "_pad"))
-        .withColumn("_vals", decode_values_udf(F.col("measurement"), F.col("_body")))
+        .withColumn(
+            "_vals",
+            make_decode_values_udf()(F.col("measurement"), F.col("_body")),
+        )
         .filter(F.col("_vals").isNotNull())  # T8: drop undecodable rows
     )
     return decoded.select(

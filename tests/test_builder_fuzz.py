@@ -1,0 +1,161 @@
+"""Property-based differential test: random Flux pipelines through the
+QueryBuilder vs an independently-generated DuckDB oracle.
+
+Each example draws a pipeline — range bounds, up to two filter
+predicates (string equality / numeric comparisons, AND/OR joiners, band
+splits), an optional windowed aggregate — runs it both ways on the
+sf0.001 events table, and compares full row sets. This fuzzes exactly
+the semantics the golden oracle queries pin at fixed points: range
+inclusivity ([start, stop)), predicate composition, window bucket
+alignment and stop-labeling.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+AGG_SQL = {"mean": "avg", "min": "min", "max": "max", "sum": "sum",
+           "count": "count"}
+EVERY_SECONDS = {"1h": 3600, "6h": 21600, "1d": 86400}
+EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{EVENTS}'")
+    return con
+
+
+str_filter = st.tuples(
+    st.just("event_type"),
+    st.sampled_from(["==", "!="]),
+    st.sampled_from(EVENT_TYPES),
+)
+num_filter = st.tuples(
+    st.just("value"),
+    st.sampled_from(["<", "<=", ">", ">="]),
+    st.integers(-20, 120).map(float),
+)
+predicate = st.one_of(str_filter, num_filter)
+
+pipelines = st.fixed_dictionaries(
+    {
+        "t0_day": st.integers(1, 25),
+        "span_days": st.integers(1, 8),
+        "filters": st.lists(
+            st.tuples(predicate, st.sampled_from(["and", "or"]),
+                      st.booleans()),
+            max_size=2,
+        ),
+        "agg": st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(sorted(AGG_SQL)),
+                      st.sampled_from(sorted(EVERY_SECONDS))),
+        ),
+    }
+)
+
+
+def _sql_pred(field: str, op: str, value) -> str:
+    sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+    lit = f"'{value}'" if isinstance(value, str) else repr(value)
+    return f"{field} {sql_op} {lit}"
+
+
+def _oracle_sql(t0: datetime, t1: datetime, bands: list[list], agg) -> str:
+    where = [f"ts >= TIMESTAMP '{t0}' AND ts < TIMESTAMP '{t1}'"]
+    for band in bands:
+        terms = []
+        for i, (field, op, value, joiner) in enumerate(band):
+            prefix = f" {joiner.upper()} " if i else ""
+            terms.append(prefix + _sql_pred(field, op, value))
+        where.append("(" + "".join(terms) + ")")
+    cond = " AND ".join(where)
+    if agg is None:
+        return (
+            "SELECT event_id, ts, event_type, value FROM events "
+            f"WHERE {cond}"
+        )
+    fn, every = agg
+    sec = EVERY_SECONDS[every]
+    return f"""
+        SELECT time_bucket(INTERVAL '{sec} seconds', ts)
+               + INTERVAL '{sec} seconds' AS ts,
+               event_type, {AGG_SQL[fn]}(value) AS value
+        FROM events WHERE {cond} GROUP BY 1, 2
+    """
+
+
+def _norm(rows, agg) -> list[tuple]:
+    out = []
+    for r in rows:
+        vals = [
+            v.replace(tzinfo=None) if isinstance(v, datetime) else v
+            for v in r
+        ]
+        out.append(tuple(vals))
+    # sort on the non-float columns only — they form a unique key in
+    # every generated shape (event_id, or (window, event_type)), so the
+    # ordering never depends on float representation differences
+    return sorted(
+        out,
+        key=lambda t: tuple(str(v) for v in t if not isinstance(v, float)),
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(p=pipelines)
+def test_builder_matches_duckdb(spark, duck, p):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    t0 = datetime(2024, 1, p["t0_day"])
+    t1 = t0 + timedelta(days=p["span_days"])
+
+    qb = QueryBuilder(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        ts_col="ts",
+        value_col="value",
+        series_cols=("event_type",),
+    ).range(t0, t1)
+
+    # replay the drawn predicates through the builder, tracking the band
+    # structure so the oracle WHERE clause matches semantically
+    bands: list[list] = []
+    for (field, op, value), joiner, new_band in p["filters"]:
+        qb = qb.filter(field, value, op=op, joiner=joiner, new_band=new_band)
+        if new_band or not bands:
+            bands.append([(field, op, value, "and")])
+        else:
+            bands[-1].append((field, op, value, joiner))
+
+    if p["agg"] is None:
+        qb = qb.select("event_id", "ts", "event_type", "value")
+    else:
+        fn, every = p["agg"]
+        qb = qb.aggregate_window(every, fn)
+
+    got = _norm([tuple(r) for r in qb.to_df().collect()], p["agg"])
+    want = _norm(
+        duck.execute(_oracle_sql(t0, t1, bands, p["agg"])).fetchall(),
+        p["agg"],
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and isinstance(wv, float):
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
+            else:
+                assert gv == wv
