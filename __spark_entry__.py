@@ -312,7 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_agg_create_empty": q_flux_agg_create_empty,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
-               "median", "stddev"):
+               "median", "stddev", "spread"):
         out[f"flux_agg_{fn}"] = _agg_query(fn)
     out.update(
         {
@@ -389,6 +389,7 @@ _AGG_ORACLE = {
     "last": "arg_max(value, ts)",
     "median": "median(value)",
     "stddev": "stddev_samp(value)",
+    "spread": "max(value) - min(value)",
 }
 
 _RANGE = "ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'"

@@ -37,6 +37,7 @@ AGG_FNS: dict[str, object] = {
     "stddev": lambda v, t: F.stddev_samp(v),
     "first": lambda v, t: F.min_by(v, t),
     "last": lambda v, t: F.max_by(v, t),
+    "spread": lambda v, t: F.max(v) - F.min(v),  # Flux spread(): max - min
 }
 
 
