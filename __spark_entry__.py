@@ -217,6 +217,37 @@ CREATE_EMPTY_SQL = """
 """
 
 
+def q_flux_agg_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateWindow(fn: integral): per-window trapezoidal area under
+    each event-type series (Flux integral(unit: 1s))."""
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return aggregate_window(
+        events.filter((F.col("ts") >= T0) & (F.col("ts") < T1)),
+        every="6h",
+        fn="integral",
+        by=["event_type"],
+    )
+
+
+INTEGRAL_SQL = """
+    WITH seg AS (
+        SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS w,
+               (value + lag(value) OVER win) / 2
+               * (epoch(ts) - lag(epoch(ts)) OVER win) AS area
+        FROM events
+        WHERE {range}
+        WINDOW win AS (
+            PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+            ORDER BY ts, value)
+    )
+    SELECT w + INTERVAL '6 hours' AS ts, event_type,
+           coalesce(sum(area), 0.0) AS value
+    FROM seg GROUP BY 1, 2
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -310,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packet_decode_points": q_packet_decode_points,
         "flux_regex_filter": q_flux_regex_filter,
         "flux_agg_create_empty": q_flux_agg_create_empty,
+        "flux_agg_integral": q_flux_agg_integral,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev", "spread"):
@@ -488,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
             "window_moving_avg": rel.WINDOW_MOVING_AVG_SQL,
             "flux_agg_sliding": SLIDING_AGG_SQL.format(range=_RANGE),
             "flux_agg_create_empty": CREATE_EMPTY_SQL.format(range=_RANGE),
+            "flux_agg_integral": INTEGRAL_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,
             "tpch_q19_discounted_revenue": rel.TPCH_Q19_SQL,

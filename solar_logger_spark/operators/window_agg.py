@@ -93,9 +93,17 @@ def aggregate_window(
     broadcast of the window spine — both bounded by *output*
     cardinality, never input rows; the base aggregation is unchanged.
     """
+    if fn == "integral":
+        if slide is not None or create_empty:
+            raise ValueError("integral supports neither slide nor create_empty")
+        return integral_window(
+            df, every, by=by, ts_col=ts_col, value_col=value_col,
+            alias=alias, label=label,
+        )
     if fn not in AGG_FNS:
         raise ValueError(
-            f"unknown aggregate fn {fn!r}; supported: {sorted(AGG_FNS)}"
+            f"unknown aggregate fn {fn!r}; supported: "
+            f"{sorted(AGG_FNS) + ['integral']}"
         )
     width = duration_to_spark_window(every)
     if slide is not None:
@@ -203,4 +211,62 @@ def _fill_empty_windows(
         ).alias("window"),
         *by,
         value.alias(alias),
+    )
+
+
+def integral_window(
+    df: DataFrame,
+    every: str,
+    by: Sequence[str] = (),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alias: str = "value",
+    label: str = "stop",
+    unit_seconds: float = 1.0,
+) -> DataFrame:
+    """Flux ``aggregateWindow(fn: integral)``: per window and series,
+    the trapezoidal area under consecutive points *within* the window,
+    in value·``unit`` (Flux ``integral(unit:)``, default 1s). Windows
+    with fewer than two points yield 0.0 (no segment to integrate).
+
+    Plan shape: one analytic ``lag`` over (series, window) ordered by
+    time, then a hash aggregation on the same keys — Catalyst reuses the
+    window's exchange for the groupBy (one shuffle total), so this costs
+    the same as any other windowed aggregate plus the in-partition sort
+    the trapezoid inherently needs.
+    """
+    from pyspark.sql import Window as W
+
+    width = duration_to_spark_window(every)
+    win = F.window(F.col(ts_col), width)
+    keyed = df.select(
+        *by, F.col(ts_col), F.col(value_col).alias("_v"), win.alias("window")
+    )
+    # value as tiebreak: equal timestamps otherwise pair with lag()
+    # nondeterministically, changing which trapezoids get drawn
+    spec = W.partitionBy(*by, "window").orderBy(F.col(ts_col), F.col("_v"))
+    seg = keyed.select(
+        *by,
+        "window",
+        (
+            (F.col("_v") + F.lag("_v").over(spec)) / 2.0
+            * (
+                F.col(ts_col).cast("double")
+                - F.lag(F.col(ts_col).cast("double")).over(spec)
+            )
+            / F.lit(float(unit_seconds))
+        ).alias("_area"),
+    )
+    out = seg.groupBy(*by, "window").agg(
+        F.coalesce(F.sum("_area"), F.lit(0.0)).alias(alias)
+    )
+    if label == "stop":
+        return out.select(F.col("window.end").alias(ts_col), *by, alias)
+    if label == "start":
+        return out.select(F.col("window.start").alias(ts_col), *by, alias)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *by,
+        alias,
     )

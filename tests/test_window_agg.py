@@ -206,3 +206,35 @@ def test_create_empty_rejects_slide_and_calendar(spark):
         aggregate_window(df, "1h", "mean", slide="30m", create_empty=True)
     with pytest.raises(ValueError, match="whole-second"):
         aggregate_window(df, "500ms", "mean", create_empty=True)
+
+
+def test_integral_window_trapezoid(spark):
+    from datetime import datetime
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 0, 0), 1.0),
+            ("a", datetime(2024, 1, 1, 0, 10, 0), 3.0),   # (1+3)/2*600 = 1200
+            ("a", datetime(2024, 1, 1, 0, 20, 0), 3.0),   # (3+3)/2*600 = 1800
+            ("a", datetime(2024, 1, 1, 1, 30, 0), 5.0),   # lone point → 0
+            ("b", datetime(2024, 1, 1, 0, 5, 0), 2.0),    # lone point → 0
+        ],
+        "measurement string, ts timestamp, value double",
+    )
+    out = aggregate_window(df, "1h", "integral", by=["measurement"])
+    rows = {(r.measurement, r.ts.hour): r.value for r in out.collect()}
+    assert rows == {("a", 1): 3000.0, ("a", 2): 0.0, ("b", 1): 0.0}
+
+
+def test_integral_rejects_slide_and_create_empty(spark):
+    import pytest
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    df = spark.createDataFrame([], "ts timestamp, value double")
+    with pytest.raises(ValueError, match="integral"):
+        aggregate_window(df, "1h", "integral", slide="30m")
+    with pytest.raises(ValueError, match="integral"):
+        aggregate_window(df, "1h", "integral", create_empty=True)
