@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_increase_events": sca.ts_increase_events,
             "text_bpe_token_count": sca.text_bpe_token_count,
             "value_histogram": sca.value_histogram,
+            "dedup_cluster_assignments": sca.dedup_cluster_assignments,
         }
     )
     return out
@@ -561,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_increase_events": sca.TS_INCREASE_SQL,
             "text_bpe_token_count": sca.BPE_TOKEN_SQL,
             "value_histogram": sca.VALUE_HISTOGRAM_SQL,
+            "dedup_cluster_assignments": sca.CLUSTER_SQL,
         }
     )
     return out

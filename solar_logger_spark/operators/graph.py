@@ -1,0 +1,142 @@
+"""Connected components over candidate-pair edges — the clustering step
+of a dedup pipeline (pairs → components → one representative per
+component).
+
+The reference has no graph surface (SURVEY §2.3: no joins at all); this
+is a beyond-reference scale operator: near-dup *pairs* (MinHash/Jaccard
+output) only become deduplication once transitively grouped, and at
+100 TB the grouping must be distributed and iterative.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public):
+
+* large-star: every node connects its *larger* neighbors to its current
+  minimum neighbor (incl. itself);
+* small-star: every node connects its smaller-or-equal neighbors to the
+  minimum.
+
+Each round is two self-contained groupBy/join passes over the edge set;
+edges monotonically point toward component minima and the edge count
+never grows. Convergence (no edge changed) is checked with one count
+per round — the classic O(log n)-round bound holds in expectation.
+``localCheckpoint`` cuts plan lineage each round so the driver never
+re-optimizes an ever-growing tree (the iterative-algorithm equivalent
+of the wide-aggregate lesson in NOTES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → canonical (src < dst) pairs, deduped,
+    self-loops dropped."""
+    e = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round. ``edges`` holds (src < dst)
+    pairs; returns the same invariant."""
+    # neighborhoods as (node, nbr) in both directions
+    nbrs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).toDF("node", "nbr")
+    mins = nbrs.groupBy("node").agg(
+        F.least(F.min("nbr"), F.first("node")).alias("mn")
+    )
+    # large-star: link strictly-larger neighbors to the min
+    large = (
+        nbrs.join(mins, "node")
+        .filter(F.col("nbr") > F.col("node"))
+        .select(F.col("mn").alias("src"), F.col("nbr").alias("dst"))
+    )
+    e2 = _canonical(large)
+
+    nbrs2 = e2.union(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).toDF("node", "nbr")
+    mins2 = nbrs2.groupBy("node").agg(
+        F.least(F.min("nbr"), F.first("node")).alias("mn")
+    )
+    # small-star: link smaller-or-equal neighbors (and self) to the min
+    small = (
+        nbrs2.join(mins2, "node")
+        .filter(F.col("nbr") <= F.col("node"))
+        .select(F.col("mn").alias("src"), F.col("nbr").alias("dst"))
+        .union(
+            nbrs2.join(mins2, "node").select(
+                F.col("mn").alias("src"), F.col("node").alias("dst")
+            )
+        )
+    )
+    return _canonical(small)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label each node of the undirected graph with its component's
+    minimum node id. Returns ``(node, component)``.
+
+    Driver-coordinated loop: each round materializes a localCheckpoint
+    (cut lineage, keep partitions) and stops when the edge set reaches a
+    fixpoint — at that point every surviving edge is (component_min,
+    member).
+    """
+    cur = _canonical(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    for _ in range(max_iterations):
+        # lazy checkpoint: the fixpoint-check job below materializes it,
+        # so each round costs one job instead of two
+        nxt = _star_round(cur).localCheckpoint(eager=False)
+        # one fixpoint-check job: symmetric difference empty ⟺ equal sets
+        # (both sides are distinct canonical edge lists)
+        if nxt.exceptAll(cur).union(cur.exceptAll(nxt)).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    membership = cur.select(
+        F.col("dst").alias("node"), F.col("src").alias("component")
+    )
+    # singletons (no surviving edge) are their own component
+    return nodes.join(membership, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+def dedup_representatives(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Full dedup decision from near-dup pairs: transitively group, keep
+    the minimum id of each component as the representative. Returns
+    ``(doc_id, component, keep)`` for every document (non-duplicated
+    docs are their own singleton component, keep = true)."""
+    comps = connected_components(pairs, src=a_col, dst=b_col)
+    return (
+        all_ids.select(F.col(id_col))
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            (
+                F.coalesce("component", F.col(id_col)) == F.col(id_col)
+            ).alias("keep"),
+        )
+    )

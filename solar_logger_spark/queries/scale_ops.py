@@ -459,3 +459,52 @@ VALUE_HISTOGRAM_SQL = """
     WHERE value IS NOT NULL
     GROUP BY event_type, floor(value / 10.0) * 10.0
 """
+
+
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision: near-dup pairs (exact n-gram Jaccard ≥ 0.5)
+    → connected components (alternating star rounds) → keep the minimum
+    doc per component. Every document gets (component, keep)."""
+    from solar_logger_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return graph.dedup_representatives(pairs, docs)
+
+
+CLUSTER_SQL = """
+    WITH RECURSIVE
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))]) AS s
+        FROM words
+    ),
+    sd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+    ic AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ninter
+        FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a_id, b_id FROM ic
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE CAST(ninter AS DOUBLE) / CAST(sa.n + sb.n - ninter AS DOUBLE)
+              >= 0.5
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT node AS doc_id, min(label) AS component,
+           min(label) = node AS keep
+    FROM reach GROUP BY node
+"""

@@ -1,0 +1,94 @@
+"""Connected components (alternating star rounds) — correctness against
+a reference union-find on random graphs, plus dedup representative
+selection semantics."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row
+
+from solar_logger_spark.operators.graph import (
+    connected_components,
+    dedup_representatives,
+)
+
+
+def _uf_components(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node id per component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min.setdefault(r, n if r == n else None)
+    mins = {}
+    for n in sorted(nodes):
+        mins.setdefault(find(n), n)
+    return {n: mins[find(n)] for n in nodes}
+
+
+def test_two_components_and_singleton(spark):
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=5, dst=6)]
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_long_chain_converges(spark):
+    # a 40-node path exercises the O(log n) round bound
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(40)]
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + trial * 20)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+        got = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        touched = {a for a, _ in edges} | {b for _, b in edges}
+        want = _uf_components(sorted(touched), edges)
+        assert got == want, f"trial {trial}"
+
+
+def test_dedup_representatives_covers_all_docs(spark):
+    pairs = spark.createDataFrame(
+        [Row(a_id=10, b_id=11, jaccard=0.9), Row(a_id=11, b_id=12, jaccard=0.8)]
+    )
+    all_ids = spark.createDataFrame([Row(doc_id=i) for i in [10, 11, 12, 13]])
+    got = {
+        r.doc_id: (r.component, r.keep)
+        for r in dedup_representatives(pairs, all_ids).collect()
+    }
+    assert got == {
+        10: (10, True),
+        11: (10, False),
+        12: (10, False),
+        13: (13, True),  # untouched doc is its own kept singleton
+    }
