@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q15_top_supplier": rel.tpch_q15_shape,
             "tpch_q16_supplier_counts": rel.tpch_q16_shape,
             "tpch_q22_dormant_customers": rel.tpch_q22_shape,
+            "interval_click_attribution": rel.interval_click_attribution,
         }
     )
     out.update(
@@ -533,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q15_top_supplier": rel.TPCH_Q15_SQL,
             "tpch_q16_supplier_counts": rel.TPCH_Q16_SQL,
             "tpch_q22_dormant_customers": rel.TPCH_Q22_SQL,
+            "interval_click_attribution": rel.INTERVAL_ATTRIBUTION_SQL,
         }
     )
     out.update(

@@ -1132,3 +1132,44 @@ TPCH_Q22_SQL = """
     GROUP BY n_name
     ORDER BY n_name
 """
+
+
+def interval_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks-before-purchase attribution via the binned interval join:
+    for every purchase event, how many clicks the same user made in the
+    preceding 10 minutes. Zero-click purchases are kept (left_outer)."""
+    from solar_logger_spark.operators.interval_join import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event"),
+    )
+    joined = interval_join(
+        purchases.withColumnRenamed("user_id", "p_user"),
+        clicks.withColumnRenamed("c_user", "p_user"),
+        keys=["p_user"],
+        lower="-10m",
+        upper="0s",
+        left_ts="ts",
+        right_ts="c_ts",
+        how="left_outer",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("c_event").cast("long").alias("n_clicks"))
+        .select("event_id", "n_clicks")
+    )
+
+
+INTERVAL_ATTRIBUTION_SQL = """
+    SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1
+"""
