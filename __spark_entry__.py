@@ -248,6 +248,44 @@ INTEGRAL_SQL = """
 """
 
 
+def q_flux_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query arriving as Flux TEXT — in the reference's own broken
+    output dialect (unclosed aggregateWindow paren, ' Or ' joiner,
+    SURVEY §2.11.1) — parsed by query/flux_parser.py and executed with
+    corrected semantics. This is the switch-over path for a reference
+    user holding query strings."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "click" Or '
+        'r["_measurement"] == "view")'
+        "\n\t|> aggregateWindow(every: 6h, fn: max"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_SQL = """
+    SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
+           event_type, max(value) AS value
+    FROM events
+    WHERE {range} AND (event_type = 'click' OR event_type = 'view')
+    GROUP BY 1, 2
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -342,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_regex_filter": q_flux_regex_filter,
         "flux_agg_create_empty": q_flux_agg_create_empty,
         "flux_agg_integral": q_flux_agg_integral,
+        "flux_text_pipeline": q_flux_text_pipeline,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev", "spread"):
@@ -523,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
             "flux_agg_sliding": SLIDING_AGG_SQL.format(range=_RANGE),
             "flux_agg_create_empty": CREATE_EMPTY_SQL.format(range=_RANGE),
             "flux_agg_integral": INTEGRAL_SQL.format(range=_RANGE),
+            "flux_text_pipeline": FLUX_TEXT_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,
             "tpch_q19_discounted_revenue": rel.TPCH_Q19_SQL,

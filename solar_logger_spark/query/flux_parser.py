@@ -1,0 +1,175 @@
+"""Parse Flux pipeline text into an executable QueryBuilder.
+
+The reference's only query IR is the Flux *string* its ``QueryBuilder``
+accumulates (``src/classes/query_classes.py:73-84``) — so a user of the
+reference holds query strings, and switching engines means those strings
+must keep working. This parser accepts the reference's fixed grammar
+
+    from(bucket: "B") |> range(start[, stop]) |> filter(...)*
+        |> aggregateWindow(every, fn) |> sort(columns, desc) |> limit(n)
+
+in BOTH forms:
+
+* well-formed Flux (what our ``QueryBuilder.to_flux`` renders), and
+* the reference's actual broken output, golden-asserted by its own
+  tests (SURVEY §2.11.1): unclosed ``aggregateWindow(`` / ``sort(``
+  parens (``query_classes.py:134-148``), dangling trailing joiners
+  (``== "v" Or ``, ``:123-125``), and Python-cased booleans
+  (``desc: True``).
+
+Parsing yields a :class:`FluxPipeline`; ``to_builder`` binds it to a
+DataFrame (with optional field-name mapping, e.g. ``_measurement`` →
+``measurement``) as a normal QueryBuilder, so parsed text gets the same
+corrected execution semantics as natively-built pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+
+from solar_logger_spark.query.builder import QueryBuilder
+
+_PRED = re.compile(
+    r"r\[\"(?P<field>[^\"]+)\"\]\s*"
+    r"(?P<op>==|!=|=~|<=|>=|<|>)\s*"
+    r"(?P<value>\"[^\"]*\"|'[^']*'|[^\s)]+)"
+)
+_JOINER = re.compile(r"^\s*(and|or)\s*", re.IGNORECASE)
+
+
+@dataclass
+class FluxPipeline:
+    bucket: str | None = None
+    start: str | None = None
+    stop: str | None = None
+    bands: list[list[tuple[str, str, object, str]]] = dc_field(
+        default_factory=list
+    )  # [(field, op, value, joiner-to-previous)]
+    agg: tuple[str, str, bool] | None = None  # (every, fn, create_empty)
+    sorts: list[tuple[str, bool]] = dc_field(default_factory=list)
+    limit: int | None = None
+
+    def to_builder(
+        self,
+        df: DataFrame,
+        field_map: dict[str, str] | None = None,
+        **builder_kwargs,
+    ) -> QueryBuilder:
+        """Bind to a DataFrame as a QueryBuilder (corrected semantics)."""
+        fmap = field_map or {}
+        qb = QueryBuilder(df, **builder_kwargs)
+        if self.start is not None or self.stop is not None:
+            qb = qb.range(self.start, self.stop)
+        for band in self.bands:
+            for i, (fld, op, value, joiner) in enumerate(band):
+                qb = qb.filter(
+                    fmap.get(fld, fld),
+                    value,
+                    op=op,
+                    joiner=joiner if i else None,
+                    new_band=(i == 0),
+                )
+        if self.agg is not None:
+            every, fn, create_empty = self.agg
+            qb = qb.aggregate_window(every, fn, create_empty=create_empty)
+        for fld, desc in self.sorts:
+            qb = qb.sort(fmap.get(fld, fld), desc=desc)
+        if self.limit is not None:
+            qb = qb.limit(self.limit)
+        return qb
+
+
+def _unquote(tok: str):
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "\"'":
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return tok
+
+
+def _parse_args(body: str) -> dict[str, str]:
+    """``key: value`` pairs from a stage body; tolerant of a missing
+    closing paren and of list values (``columns: ["a", "b"]``)."""
+    out: dict[str, str] = {}
+    for m in re.finditer(
+        r"(\w+)\s*:\s*(\[[^\]]*\]|\"[^\"]*\"|'[^']*'|[^,)]+)", body
+    ):
+        out[m.group(1)] = m.group(2).strip()
+    return out
+
+
+def parse_flux(text: str) -> FluxPipeline:
+    """Parse pipeline text (well-formed or reference-broken) into a
+    :class:`FluxPipeline`. Raises ``ValueError`` on stages outside the
+    reference grammar."""
+    pipe = FluxPipeline()
+    stages = [s.strip() for s in text.split("|>")]
+    for stage in stages:
+        if not stage:
+            continue
+        head = re.match(r"(\w+)\s*\(", stage)
+        if not head:
+            raise ValueError(f"unparseable stage: {stage!r}")
+        name = head.group(1)
+        body = stage[head.end():]
+        if name == "from":
+            args = _parse_args(body)
+            if "bucket" in args:
+                pipe.bucket = str(_unquote(args["bucket"]))
+        elif name == "range":
+            args = _parse_args(body)
+            if "start" in args:
+                pipe.start = str(_unquote(args["start"]))
+            if "stop" in args:
+                pipe.stop = str(_unquote(args["stop"]))
+        elif name == "filter":
+            band: list[tuple[str, str, object, str]] = []
+            pos, joiner = 0, "and"
+            while True:
+                m = _PRED.search(body, pos)
+                if not m:
+                    break
+                value = _unquote(m.group("value").rstrip(")"))
+                band.append((m.group("field"), m.group("op"), value, joiner))
+                pos = m.end()
+                j = _JOINER.match(body[pos:])
+                joiner = j.group(1).lower() if j else "and"
+                # a dangling trailing joiner (reference bug) simply has
+                # no following predicate — the loop ends and it is
+                # dropped, which is the documented intent
+            if not band:
+                raise ValueError(f"filter stage without predicates: {stage!r}")
+            pipe.bands.append(band)
+        elif name == "aggregateWindow":
+            args = _parse_args(body)
+            if "every" not in args or "fn" not in args:
+                raise ValueError(f"aggregateWindow needs every+fn: {stage!r}")
+            create_empty = str(
+                args.get("createEmpty", "false")
+            ).strip().lower() in ("true", "1")
+            pipe.agg = (
+                str(_unquote(args["every"])),
+                str(_unquote(args["fn"])).rstrip(")"),
+                create_empty,
+            )
+        elif name == "sort":
+            args = _parse_args(body)
+            cols = re.findall(r"[\"']([^\"']+)[\"']", args.get("columns", ""))
+            desc = str(args.get("desc", "false")).rstrip(")").strip().lower() == "true"
+            for c in cols:
+                pipe.sorts.append((c, desc))
+        elif name == "limit":
+            args = _parse_args(body)
+            pipe.limit = int(str(_unquote(args.get("n", "0"))).rstrip(")"))
+        else:
+            raise ValueError(f"unsupported stage {name!r}")
+    return pipe

@@ -1,0 +1,140 @@
+"""Flux text → executable pipeline: the reference's golden strings
+(including its broken forms, SURVEY §2.11.1) and round-trips through our
+corrected renderer."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from solar_logger_spark.query.flux_parser import parse_flux
+
+
+def test_parse_reference_basic_golden():
+    # reference tests/classes/test_query_classes.py:32-41
+    p = parse_flux('from(bucket: "Bucket")\n\t|> range(start: -5m)')
+    assert p.bucket == "Bucket"
+    assert p.start == "-5m" and p.stop is None
+    assert p.bands == [] and p.agg is None and p.sorts == []
+
+
+def test_parse_reference_end_range_golden():
+    p = parse_flux(
+        'from(bucket: "B")\n\t|> range(start: 2021-06-01, stop: 2021-07-15)'
+    )
+    assert p.start == "2021-06-01" and p.stop == "2021-07-15"
+
+
+def test_parse_reference_filter_with_broken_joiner():
+    # reference flow: append_filter(joiner="Or") then append_filter →
+    # '... == "fx-1" Or r["_measurement"] == "mx-1")'
+    p = parse_flux(
+        'from(bucket: "B")\n\t|> range(start: -5m)'
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "fx-1" Or '
+        'r["_measurement"] == "mx-1")'
+    )
+    assert p.bands == [
+        [
+            ("_measurement", "==", "fx-1", "and"),
+            ("_measurement", "==", "mx-1", "or"),
+        ]
+    ]
+
+
+def test_parse_dangling_trailing_joiner_dropped():
+    # reference bug: a trailing ' Or ' with no following predicate
+    p = parse_flux(
+        'from(bucket: "B")\n\t|> range(start: -5m)'
+        '\n\t|> filter(fn: (r) => r["_field"] == "bat_voltage" Or '
+    )
+    assert p.bands == [[("_field", "==", "bat_voltage", "and")]]
+
+
+def test_parse_reference_unclosed_aggregate_and_sort():
+    # reference emits both stages without closing parens and with a
+    # Python-cased boolean (query_classes.py:134-148)
+    p = parse_flux(
+        'from(bucket: "B")\n\t|> range(start: -20m)'
+        "\n\t|> aggregateWindow(every: 1h, fn: mean"
+        '\n\t|> sort(columns: ["_time"], desc: True'
+    )
+    assert p.agg == ("1h", "mean", False)
+    assert p.sorts == [("_time", True)]
+
+
+def test_parse_filter_bands_are_separate_stages():
+    p = parse_flux(
+        'from(bucket: "B")\n\t|> range(start: -5m)'
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "fx-1")'
+        '\n\t|> filter(fn: (r) => r["_field"] == "battery_voltage")'
+    )
+    assert len(p.bands) == 2
+
+
+def test_roundtrip_through_corrected_renderer(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    events = load_table(spark, sf_dir, "events")
+    qb = (
+        QueryBuilder(
+            events, ts_col="ts", value_col="value",
+            series_cols=("event_type",),
+        )
+        .range(datetime(2024, 1, 5), datetime(2024, 1, 25))
+        .filter("event_type", "click")
+        .filter("event_type", "view", joiner="or")
+        .aggregate_window("1d", "mean")
+        .sort("ts")
+    )
+    reparsed = parse_flux(qb.to_flux()).to_builder(
+        events, ts_col="ts", value_col="value", series_cols=("event_type",)
+    )
+    want = [tuple(r) for r in qb.to_df().collect()]
+    got = [tuple(r) for r in reparsed.to_df().collect()]
+    assert got == want and len(got) > 0
+
+
+def test_execute_reference_style_text_with_field_map(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "click" Or '
+        'r["_measurement"] == "view")'
+        "\n\t|> aggregateWindow(every: 6h, fn: max"
+    )
+    df = (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts", value_col="value", series_cols=("event_type",),
+        )
+        .to_df()
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"ts", "event_type", "value"}
+    # equivalent direct plan
+    want = (
+        events.filter(
+            (F.col("ts") >= datetime(2024, 1, 5))
+            & (F.col("ts") < datetime(2024, 1, 25))
+            & F.col("event_type").isin("click", "view")
+        )
+        .groupBy(F.window("ts", "21600 seconds"), "event_type")
+        .agg(F.max("value").alias("value"))
+        .select(F.col("window.end").alias("ts"), "event_type", "value")
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))
+
+
+def test_unsupported_stage_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported stage"):
+        parse_flux('from(bucket: "B") |> pivot(rowKey: ["_time"])')
