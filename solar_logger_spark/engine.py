@@ -56,6 +56,47 @@ class SolarEngine:
         """Result modes csv / flux / stream (reference S6)."""
         return _results.execute(df, query_mode)
 
+    def query_flux(
+        self,
+        text: str,
+        table: str,
+        sf_dir: str,
+        field_map: dict[str, str] | None = None,
+        ts_col: str = "ts",
+        value_col: str = "value",
+        series_cols: tuple = (),
+    ) -> QueryBuilder:
+        """Execute a Flux query STRING — the artifact a reference user
+        actually holds (its builder's only IR is the accumulated string,
+        ``query_classes.py:73-84``). Accepts the reference's broken
+        emitted dialect as well as well-formed text; see
+        ``query/flux_parser.py``."""
+        from solar_logger_spark.query.flux_parser import parse_flux
+
+        return parse_flux(text).to_builder(
+            load_table(self.spark, sf_dir, table),
+            field_map=field_map,
+            ts_col=ts_col,
+            value_col=value_col,
+            series_cols=series_cols,
+        )
+
+    def query_points_flux(
+        self, text: str, field_map: dict[str, str] | None = None
+    ) -> QueryBuilder:
+        """Flux text against the engine's own point store — the full
+        reference loop for string-holding callers."""
+        from solar_logger_spark.query.flux_parser import parse_flux
+
+        return parse_flux(text).to_builder(
+            self.points(),
+            field_map=field_map
+            or {"_measurement": "measurement", "_field": "field"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("measurement", "field"),
+        )
+
     def register(self, sf_dir: str) -> list[str]:
         """Expose every table to ``spark.sql``."""
         return register_views(self.spark, sf_dir)

@@ -142,3 +142,21 @@ def test_ingest_then_query_full_loop(spark, tmp_path):
     )
     # events at 00:00, 00:30 (window →01:00, mean 15) and 01:00 (→02:00)
     assert [(r["ts"].hour, r["value"]) for r in out] == [(1, 15.0), (2, 30.0)]
+
+
+def test_engine_query_flux_text(spark, sf_dir):
+    from solar_logger_spark.engine import SolarEngine
+
+    eng = SolarEngine(spark)
+    df = eng.query_flux(
+        'from(bucket: "B")\n\t|> range(start: 2024-01-01, stop: 2024-02-01)'
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "error")'
+        "\n\t|> aggregateWindow(every: 1d, fn: count",
+        table="events",
+        sf_dir=sf_dir,
+        field_map={"_measurement": "event_type"},
+        series_cols=("event_type",),
+    ).to_df()
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.event_type == "error" for r in rows)
