@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_bpe_token_count": sca.text_bpe_token_count,
             "value_histogram": sca.value_histogram,
             "dedup_cluster_assignments": sca.dedup_cluster_assignments,
+            "sample_hash_fraction": sca.sample_hash_fraction,
+            "sample_split_counts": sca.sample_split_counts,
+            "sample_stratified_docs": sca.sample_stratified_docs,
         }
     )
     return out
@@ -605,6 +608,9 @@ def oracle_sql() -> dict[str, str]:
             "text_bpe_token_count": sca.BPE_TOKEN_SQL,
             "value_histogram": sca.VALUE_HISTOGRAM_SQL,
             "dedup_cluster_assignments": sca.CLUSTER_SQL,
+            "sample_hash_fraction": sca.SAMPLE_FRACTION_SQL,
+            "sample_split_counts": sca.SPLIT_COUNTS_SQL,
+            "sample_stratified_docs": sca.SAMPLE_STRATIFIED_SQL,
         }
     )
     return out

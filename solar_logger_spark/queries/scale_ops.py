@@ -508,3 +508,80 @@ CLUSTER_SQL = """
            min(label) = node AS keep
     FROM reach GROUP BY node
 """
+
+
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of events by event_id hash — identical
+    membership in any engine at any partitioning."""
+    from solar_logger_spark.operators import sampling
+
+    events = load_table(spark, sf_dir, "events")
+    return sampling.sample_fraction(
+        events, 0.10, key_cols=["event_id"], seed=42
+    ).select("event_id", "event_type", "value")
+
+
+SAMPLE_FRACTION_SQL = """
+    SELECT event_id, event_type, value FROM events
+    WHERE CAST(('0x' || substring(
+              md5(CAST(event_id AS VARCHAR) || chr(31) || '42'), 1, 15))
+          AS BIGINT) % 1000000 < 100000
+"""
+
+
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by user_id hash —
+    leakage-free (a user never straddles splits); output is the count
+    per (split, event_type)."""
+    from solar_logger_spark.operators import sampling
+
+    events = load_table(spark, sf_dir, "events")
+    assigned = sampling.split_assign(
+        events, {"train": 0.8, "valid": 0.1, "test": 0.1},
+        key_cols=["user_id"], seed=7,
+    )
+    return (
+        assigned.groupBy("split", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "event_type")
+    )
+
+
+SPLIT_COUNTS_SQL = """
+    WITH b AS (
+        SELECT event_type,
+               CAST(('0x' || substring(
+                   md5(CAST(user_id AS VARCHAR) || chr(31) || '7'), 1, 15))
+               AS BIGINT) % 1000000 AS bucket
+        FROM events
+    )
+    SELECT CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'valid'
+                ELSE 'test' END AS split,
+           event_type, count(*) AS n
+    FROM b GROUP BY 1, 2 ORDER BY split, event_type
+"""
+
+
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 documents per language, selected by smallest doc-id
+    hash (deterministic per-stratum quota sampling)."""
+    from solar_logger_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_topn(
+        docs, stratum_cols=["lang"], n=5, key_cols=["doc_id"], seed=1
+    ).select("lang", "doc_id")
+
+
+SAMPLE_STRATIFIED_SQL = """
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR) || chr(31) || '1'), 1, 15))
+                     AS BIGINT) % 1000000 ASC, doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+"""
