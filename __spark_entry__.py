@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_hash_fraction": sca.sample_hash_fraction,
             "sample_split_counts": sca.sample_split_counts,
             "sample_stratified_docs": sca.sample_stratified_docs,
+            "text_chunk_docs": sca.text_chunk_docs,
         }
     )
     return out
@@ -611,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
             "sample_hash_fraction": sca.SAMPLE_FRACTION_SQL,
             "sample_split_counts": sca.SPLIT_COUNTS_SQL,
             "sample_stratified_docs": sca.SAMPLE_STRATIFIED_SQL,
+            "text_chunk_docs": sca.CHUNK_SQL,
         }
     )
     return out

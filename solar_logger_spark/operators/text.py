@@ -212,3 +212,45 @@ def bpe_ish_token_count(text_col: str = "text") -> Column:
     count separately)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard context-window prep for LLM training/retrieval corpora.
+
+    One row per chunk: ``(id, chunk_index, n_tokens, chunk_text)``,
+    windows of ``chunk_tokens`` whitespace tokens advancing by
+    ``chunk_tokens - overlap``; the final chunk may be short. All JVM:
+    one ``split`` + a ``sequence``/``posexplode`` fan-out + ``slice`` —
+    no Python, no shuffle (chunking is embarrassingly row-parallel, and
+    stays that way at any corpus size)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(toks) - 1, F.lit(0)),
+                F.lit(step),
+            )
+        ).alias("chunk_index", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_index",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

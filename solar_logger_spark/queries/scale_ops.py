@@ -585,3 +585,24 @@ SAMPLE_STRATIFIED_SQL = """
         FROM documents
     ) WHERE rn <= 5
 """
+
+
+def text_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-token chunks with 32-token overlap over every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=128, overlap=32)
+
+
+CHUNK_SQL = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    starts AS (
+        SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - 1, 0) + 1, 96)) AS s
+        FROM words
+    )
+    SELECT doc_id,
+           CAST(s / 96 AS INTEGER) AS chunk_index,
+           CAST(len(list_slice(ws, s + 1, s + 128)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(ws, s + 1, s + 128), ' ') AS chunk_text
+    FROM starts
+"""

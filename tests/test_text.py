@@ -51,3 +51,39 @@ def test_fingerprint_stable_and_distinct(docs):
     upper = docs.withColumn("text", F.upper("text"))
     fp_u = {r.doc_id: r.fp_md5 for r in text.fingerprint(upper).collect()}
     assert fp_u[0] == fp[0][0]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).orderBy("chunk_index")
+    rows = out.collect()
+    # step 2: starts 0,2,4,6,8 → last chunks shorten
+    assert [r.chunk_index for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t2 t3 t4 t5"   # 2-token overlap
+    assert rows[4].chunk_text == "t8 t9"          # short tail kept
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 4, 2]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([Row(doc_id=1, text="only three tokens")])
+    rows = chunk_documents(df, chunk_tokens=128, overlap=32).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 3
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from solar_logger_spark.operators.text import chunk_documents
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(None, chunk_tokens=32, overlap=32)
