@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_split_counts": sca.sample_split_counts,
             "sample_stratified_docs": sca.sample_stratified_docs,
             "text_chunk_docs": sca.text_chunk_docs,
+            "ts_elapsed_events": sca.ts_elapsed_events,
         }
     )
     return out
@@ -613,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
             "sample_split_counts": sca.SPLIT_COUNTS_SQL,
             "sample_stratified_docs": sca.SAMPLE_STRATIFIED_SQL,
             "text_chunk_docs": sca.CHUNK_SQL,
+            "ts_elapsed_events": sca.ELAPSED_SQL,
         }
     )
     return out

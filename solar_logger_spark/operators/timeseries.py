@@ -114,3 +114,34 @@ def increase(
         "_pos_diff", F.when(diff > 0, diff).otherwise(F.lit(0.0))
     )
     return staged.withColumn(alias, F.sum("_pos_diff").over(cum)).drop("_pos_diff")
+
+
+def elapsed(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak: Sequence[str] = (),
+    alias: str = "elapsed",
+    unit_seconds: float = 1.0,
+) -> DataFrame:
+    """Seconds (or ``unit_seconds`` multiples) since the previous row of
+    the same series — Flux ``elapsed()``. First row per series is null."""
+    w = _series_window(series, ts_col, tiebreak)
+    delta = F.col(ts_col).cast("double") - F.lag(
+        F.col(ts_col).cast("double")
+    ).over(w)
+    return df.withColumn(alias, delta / F.lit(float(unit_seconds)))
+
+
+def time_shift(
+    df: DataFrame,
+    duration: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Shift event time by a Flux duration literal — Flux
+    ``timeShift(duration:)``. Pure column arithmetic, no shuffle."""
+    from solar_logger_spark.durations import duration_to_interval
+
+    return df.withColumn(
+        ts_col, F.col(ts_col) + F.expr(duration_to_interval(duration))
+    )

@@ -606,3 +606,23 @@ CHUNK_SQL = """
            array_to_string(list_slice(ws, s + 1, s + 128), ' ') AS chunk_text
     FROM starts
 """
+
+
+def ts_elapsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux elapsed(): per-user seconds between consecutive events,
+    time-shifted forward 1h (timeShift composition)."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.elapsed(
+        events, series=["user_id"], ts_col="ts", tiebreak=["event_id"]
+    )
+    return T.time_shift(out, "1h").select("event_id", "ts", "user_id", "elapsed")
+
+
+ELAPSED_SQL = """
+    SELECT event_id, ts + INTERVAL '3600' SECOND AS ts, user_id,
+           epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS elapsed
+    FROM events
+"""

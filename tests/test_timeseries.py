@@ -65,3 +65,25 @@ def test_increase_skips_resets(series):
     got = _col(T.increase(series, ["series"], tiebreak=["id"]), "increase")
     # +4, reset (-3 → 0), +9 → total 13
     assert got[4] == pytest.approx(13.0)
+
+
+def test_elapsed_and_time_shift(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import timeseries as T
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 0), i=1),
+            Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 30), i=2),
+            Row(k="a", ts=datetime(2024, 1, 1, 0, 2, 0), i=3),
+            Row(k="b", ts=datetime(2024, 1, 1, 0, 5, 0), i=4),
+        ]
+    )
+    out = T.elapsed(df, series=["k"], tiebreak=["i"]).orderBy("i").collect()
+    assert [r.elapsed for r in out] == [None, 30.0, 90.0, None]
+
+    shifted = T.time_shift(df, "-5m").filter("i = 1").collect()[0]
+    assert shifted.ts == datetime(2023, 12, 31, 23, 55, 0)
