@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_stratified_docs": sca.sample_stratified_docs,
             "text_chunk_docs": sca.text_chunk_docs,
             "ts_elapsed_events": sca.ts_elapsed_events,
+            "ts_moving_average_events": sca.ts_moving_average_events,
+            "ts_ema_events": sca.ts_ema_events,
         }
     )
     return out
@@ -615,6 +617,8 @@ def oracle_sql() -> dict[str, str]:
             "sample_stratified_docs": sca.SAMPLE_STRATIFIED_SQL,
             "text_chunk_docs": sca.CHUNK_SQL,
             "ts_elapsed_events": sca.ELAPSED_SQL,
+            "ts_moving_average_events": sca.MOVING_AVERAGE_SQL,
+            "ts_ema_events": sca.EMA_SQL,
         }
     )
     return out

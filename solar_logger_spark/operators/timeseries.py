@@ -145,3 +145,68 @@ def time_shift(
     return df.withColumn(
         ts_col, F.col(ts_col) + F.expr(duration_to_interval(duration))
     )
+
+
+def moving_average(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "mavg",
+) -> DataFrame:
+    """Mean of the last ``n`` rows per series — Flux ``movingAverage``.
+    Flux emits nothing until n points exist; here earlier rows get the
+    partial-window mean and callers can filter ``row_number >= n`` for
+    strict parity. One analytic window, rows-frame."""
+    w = (
+        _series_window(series, ts_col, tiebreak)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    return df.withColumn(alias, F.avg(value_col).over(w))
+
+
+def exponential_moving_average(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "ema",
+) -> DataFrame:
+    """Flux ``exponentialMovingAverage(n:)``: α = 2/(n+1),
+    y_0 = x_0, y_t = α·x_t + (1−α)·y_{t−1} per series.
+
+    The recursion is inherently sequential per series, so this is the
+    one transform that runs as ``applyInPandas`` (grouped Arrow batches;
+    each series' rows land on one executor — the same distribution
+    contract every per-series window has). The accumulation is written
+    operand-for-operand as ``α·x + (1−α)·acc`` so results are
+    bit-identical to any engine folding the same expression
+    (the DuckDB oracle uses ``list_reduce`` with that lambda).
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    alpha = 2.0 / (n + 1)
+    sort_cols = [ts_col, *tiebreak]
+    # copy, don't .add(): StructType.add mutates the DataFrame's cached
+    # schema object in place, corrupting df.columns
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(alias, DoubleType())]
+    )
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        acc = None
+        vals = []
+        for x in pdf[value_col]:
+            x = float(x)
+            acc = x if acc is None else alpha * x + (1.0 - alpha) * acc
+            vals.append(acc)
+        pdf[alias] = vals
+        return pdf
+
+    return df.groupBy(*series).applyInPandas(_ema, out_schema)

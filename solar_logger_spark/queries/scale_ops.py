@@ -626,3 +626,50 @@ ELAPSED_SQL = """
                PARTITION BY user_id ORDER BY ts, event_id) AS elapsed
     FROM events
 """
+
+
+def ts_moving_average_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux movingAverage(n: 5) per user over event values."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    return T.moving_average(
+        events, n=5, series=["user_id"], tiebreak=["event_id"]
+    ).select("event_id", "user_id", "mavg")
+
+
+MOVING_AVERAGE_SQL = """
+    SELECT event_id, user_id,
+           avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mavg
+    FROM events
+"""
+
+
+def ts_ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux exponentialMovingAverage(n: 9) per user (α = 0.2)."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    return T.exponential_moving_average(
+        events, n=9, series=["user_id"], tiebreak=["event_id"]
+    ).select("event_id", "user_id", "ema")
+
+
+EMA_SQL = """
+    WITH s AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM events GROUP BY user_id
+    ),
+    e AS (
+        SELECT user_id, unnest(ids) AS event_id,
+               generate_subscripts(vals, 1) AS rn, vals
+        FROM s
+    )
+    SELECT event_id, user_id,
+           list_reduce(vals[1:rn], (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
+    FROM e
+"""

@@ -87,3 +87,45 @@ def test_elapsed_and_time_shift(spark):
 
     shifted = T.time_shift(df, "-5m").filter("i = 1").collect()[0]
     assert shifted.ts == datetime(2023, 12, 31, 23, 55, 0)
+
+
+def test_moving_average_row_frame(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import timeseries as T
+
+    rows = [Row(k="a", ts=datetime(2024, 1, 1, 0, i), i=i, value=float(v))
+            for i, v in enumerate([2, 4, 6, 8])]
+    out = (
+        T.moving_average(
+            spark.createDataFrame(rows), n=2, series=["k"],
+            value_col="value", tiebreak=["i"],
+        )
+        .orderBy("i").collect()
+    )
+    assert [r.mavg for r in out] == [2.0, 3.0, 5.0, 7.0]
+
+
+def test_ema_recursion_exact(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import timeseries as T
+
+    rows = [Row(k="a", ts=datetime(2024, 1, 1, 0, i), i=i, value=float(v))
+            for i, v in enumerate([10, 20, 30])]
+    out = (
+        T.exponential_moving_average(
+            spark.createDataFrame(rows), n=9, series=["k"],
+            value_col="value", tiebreak=["i"],
+        )
+        .orderBy("i").collect()
+    )
+    # alpha = 0.2: y = [10, 0.2*20+0.8*10, 0.2*30+0.8*prev]
+    y1 = 10.0
+    y2 = 0.2 * 20.0 + 0.8 * y1
+    y3 = 0.2 * 30.0 + 0.8 * y2
+    assert [r.ema for r in out] == [y1, y2, y3]
