@@ -248,6 +248,30 @@ INTEGRAL_SQL = """
 """
 
 
+def q_flux_agg_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateWindow(offset:) — bucket alignment shifted by 2h
+    (Spark window startTime ↔ DuckDB time_bucket offset)."""
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return aggregate_window(
+        events.filter((F.col("ts") >= T0) & (F.col("ts") < T1)),
+        every="6h",
+        fn="mean",
+        by=["event_type"],
+        offset="2h",
+    )
+
+
+OFFSET_AGG_SQL = """
+    SELECT time_bucket(INTERVAL '6 hours', ts, INTERVAL '2 hours')
+           + INTERVAL '6 hours' AS ts,
+           event_type, avg(value) AS value
+    FROM events WHERE {range}
+    GROUP BY 1, 2
+"""
+
+
 def q_flux_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A query arriving as Flux TEXT — in the reference's own broken
     output dialect (unclosed aggregateWindow paren, ' Or ' joiner,
@@ -381,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_agg_create_empty": q_flux_agg_create_empty,
         "flux_agg_integral": q_flux_agg_integral,
         "flux_text_pipeline": q_flux_text_pipeline,
+        "flux_agg_offset": q_flux_agg_offset,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev", "spread"):
@@ -570,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
             "flux_agg_create_empty": CREATE_EMPTY_SQL.format(range=_RANGE),
             "flux_agg_integral": INTEGRAL_SQL.format(range=_RANGE),
             "flux_text_pipeline": FLUX_TEXT_SQL.format(range=_RANGE),
+            "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,
             "tpch_q19_discounted_revenue": rel.TPCH_Q19_SQL,

@@ -64,6 +64,7 @@ def aggregate_window(
     slide: str | None = None,
     create_empty: bool = False,
     bounds: tuple[datetime, datetime] | None = None,
+    offset: str | None = None,
 ) -> DataFrame:
     """Tumbling (or hopping) window aggregate.
 
@@ -106,10 +107,26 @@ def aggregate_window(
             f"{sorted(AGG_FNS) + ['integral']}"
         )
     width = duration_to_spark_window(every)
+    start = None
+    if offset:
+        # offsets may be negative ("-2h" pulls alignment back), so not
+        # duration_to_spark_window (which requires positive widths)
+        odur = parse_duration(offset)
+        if odur.months or odur.seconds != int(odur.seconds):
+            raise ValueError(f"offset must be a whole-second duration: {offset!r}")
+        start = f"{int(odur.seconds)} seconds"
     if slide is not None:
         if create_empty:
             raise ValueError("create_empty is not supported with slide")
-        win = F.window(F.col(ts_col), width, duration_to_spark_window(slide))
+        win = F.window(
+            F.col(ts_col), width, duration_to_spark_window(slide), start
+        )
+    elif start is not None:
+        # Flux aggregateWindow(offset:): shift bucket alignment — Spark
+        # window()'s startTime is exactly that offset
+        if create_empty:
+            raise ValueError("create_empty is not supported with offset")
+        win = F.window(F.col(ts_col), width, width, start)
     else:
         win = F.window(F.col(ts_col), width)
     grouped = df.groupBy(win.alias("window"), *[F.col(c) for c in by])

@@ -238,3 +238,22 @@ def test_integral_rejects_slide_and_create_empty(spark):
         aggregate_window(df, "1h", "integral", slide="30m")
     with pytest.raises(ValueError, match="integral"):
         aggregate_window(df, "1h", "integral", create_empty=True)
+
+
+def test_offset_shifts_alignment(spark):
+    from datetime import datetime
+
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    # 02:30 event: plain 1h buckets → stop 03:00; offset 15m → [02:15,
+    # 03:15) → stop 03:15
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 2, 30), 1.0)],
+        "measurement string, ts timestamp, value double",
+    )
+    plain = aggregate_window(df, "1h", "count").collect()[0]
+    assert plain.ts == datetime(2024, 1, 1, 3, 0)
+    shifted = aggregate_window(df, "1h", "count", offset="15m").collect()[0]
+    assert shifted.ts == datetime(2024, 1, 1, 3, 15)
+    negative = aggregate_window(df, "1h", "count", offset="-15m").collect()[0]
+    assert negative.ts == datetime(2024, 1, 1, 2, 45)
