@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_chunk_docs": sca.text_chunk_docs,
             "ts_elapsed_events": sca.ts_elapsed_events,
             "ts_moving_average_events": sca.ts_moving_average_events,
+            "sketch_distinct_users_daily": sca.sketch_distinct_users_daily,
             "ts_ema_events": sca.ts_ema_events,
         }
     )

@@ -1,0 +1,81 @@
+"""Mergeable sketches — approximate distinct counts and quantiles that
+scale by composition.
+
+At 100 TB you do not recount distinct users per ad-hoc time range; you
+maintain per-partition (per-day, per-measurement) **sketch columns** and
+merge them at query time. Spark 4 ships Apache DataSketches HLL as
+first-class expressions (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``), which makes the pattern declarative:
+
+* build: one pass, per-group binary sketch columns (map-side combinable
+  aggregation, shuffle bounded by group count);
+* store: sketches are just BINARY columns in parquet next to the rollup;
+* query: union the sketches of any group subset — never rescan rows.
+
+HLL register-merge is idempotent and order-independent (per-register
+max), so a union of per-day sketches is byte-equivalent to sketching the
+whole range directly — pinned by test. Estimates carry the usual HLL
+error (~1.6% at lgConfigK=12 default).
+
+``percentile_approx`` (KLL-style quantiles) rounds out the family for
+numeric distributions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def distinct_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch (BINARY) per group over ``value_col`` — the
+    buildable/storable unit. Columns: ``(*group_cols, sketch)``."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_config_k)).alias("sketch")
+    )
+
+
+def estimate(sketch_col: Column | str = "sketch") -> Column:
+    """Distinct-count estimate of a sketch column."""
+    col = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.hll_sketch_estimate(col)
+
+
+def union_estimate(
+    sketches: DataFrame,
+    group_cols: Sequence[str] = (),
+    sketch_col: str = "sketch",
+    alias: str = "approx_distinct",
+) -> DataFrame:
+    """Merge sketches (optionally re-grouped coarser) and estimate:
+    the query-time half of the pattern — no raw-data rescan."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias("_merged")
+    )
+    return merged.select(
+        *group_cols,
+        F.hll_sketch_estimate(F.col("_merged")).cast("long").alias(alias),
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Grouped approximate quantiles (``percentile_approx``): one
+    single-pass mergeable aggregation, output one array column."""
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    return df.groupBy(*group_cols).agg(
+        F.percentile_approx(F.col(value_col), probs, F.lit(accuracy)).alias(
+            "quantiles"
+        )
+    )

@@ -673,3 +673,19 @@ EMA_SQL = """
            list_reduce(vals[1:rn], (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
     FROM e
 """
+
+
+def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL sketches of user_id, merged to a per-event-type
+    distinct estimate — the store-sketches-not-rows pattern (rows-only:
+    estimates are engine-specific; invariants pinned in
+    tests/test_sketches.py)."""
+    from solar_logger_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    daily = sketches.distinct_sketches(
+        events.withColumn("day", F.to_date("ts")),
+        group_cols=["event_type", "day"],
+        value_col="user_id",
+    )
+    return sketches.union_estimate(daily, group_cols=["event_type"])
