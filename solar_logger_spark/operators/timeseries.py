@@ -179,34 +179,55 @@ def exponential_moving_average(
     """Flux ``exponentialMovingAverage(n:)``: α = 2/(n+1),
     y_0 = x_0, y_t = α·x_t + (1−α)·y_{t−1} per series.
 
-    The recursion is inherently sequential per series, so this is the
-    one transform that runs as ``applyInPandas`` (grouped Arrow batches;
-    each series' rows land on one executor — the same distribution
-    contract every per-series window has). The accumulation is written
-    operand-for-operand as ``α·x + (1−α)·acc`` so results are
-    bit-identical to any engine folding the same expression
-    (the DuckDB oracle uses ``list_reduce`` with that lambda).
+    The recursion is inherently sequential per series. Rather than one
+    ``applyInPandas`` call per group (Python dispatch per series —
+    ruinous with many small series), this hash-partitions on the series
+    key, sorts within partitions, and runs ``mapInPandas``: one Python
+    call per Arrow batch, vectorized C ``ewm`` per group inside, with a
+    per-series carry dict so groups spanning batch boundaries continue
+    their recursion (the carry is seeded by prepending the accumulator,
+    which reproduces ``y_t = α·x_t + (1−α)·y_{t−1}`` exactly). pandas'
+    ``ewm(adjust=False)`` evaluates the same expression per step, so
+    results stay bit-identical to the DuckDB ``list_reduce`` oracle
+    folding ``α·x + (1−α)·acc`` (IEEE addition is commutative).
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     alpha = 2.0 / (n + 1)
-    sort_cols = [ts_col, *tiebreak]
+    series = list(series)
+    sort_cols = series + [ts_col, *tiebreak]
     # copy, don't .add(): StructType.add mutates the DataFrame's cached
     # schema object in place, corrupting df.columns
     out_schema = StructType(
         list(df.schema.fields) + [StructField(alias, DoubleType())]
     )
 
-    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        acc = None
-        vals = []
-        for x in pdf[value_col]:
-            x = float(x)
-            acc = x if acc is None else alpha * x + (1.0 - alpha) * acc
-            vals.append(acc)
-        pdf[alias] = vals
-        return pdf
+    def _ema_batches(batches):
+        carry: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pd.Series(0.0, index=pdf.index)
+            grouped = pdf.groupby(series, sort=False)
+            for key, idx in grouped.indices.items():
+                vals = pdf[value_col].iloc[idx].astype(float)
+                seed = carry.get(key)
+                if seed is not None:
+                    seq = pd.concat(
+                        [pd.Series([seed]), vals], ignore_index=True
+                    )
+                    y = seq.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+                    y.index = vals.index
+                else:
+                    y = vals.ewm(alpha=alpha, adjust=False).mean()
+                out.iloc[idx] = y
+                carry[key] = float(y.iloc[-1])
+            pdf = pdf.copy()
+            pdf[alias] = out
+            yield pdf
 
-    return df.groupBy(*series).applyInPandas(_ema, out_schema)
+    parted = df.repartition(*[F.col(c) for c in series]).sortWithinPartitions(
+        *sort_cols
+    )
+    return parted.mapInPandas(_ema_batches, out_schema)
