@@ -65,8 +65,11 @@ def quality_score(
     n_chars = F.length(F.col(text_col))
     punct = n_chars - F.length(F.translate(F.col(text_col), PUNCT, ""))
     stop_hits = _marker_hits(text_col, STOPWORDS)
-    stop_ratio = stop_hits.cast("double") / n_tokens.cast("double")
-    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    # try_divide: empty docs (0 chars) yield null ratios rather than an
+    # ANSI divide-by-zero error — matching DuckDB's x/0 → NULL, so the
+    # oracle comparison holds even on degenerate corpora
+    stop_ratio = F.try_divide(stop_hits.cast("double"), n_tokens.cast("double"))
+    punct_ratio = F.try_divide(punct.cast("double"), n_chars.cast("double"))
     length_ok = F.when((n_tokens >= 10) & (n_tokens <= 1000), 1.0).otherwise(0.0)
     score = length_ok * 0.4 + stop_ratio * 0.4 + (F.lit(1.0) - punct_ratio) * 0.2
     return df.select(

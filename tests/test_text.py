@@ -87,3 +87,29 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(None, chunk_tokens=32, overlap=32)
+
+
+def test_text_ops_tolerate_degenerate_docs(spark):
+    """Reference T8 spirit: nulls / empty / whitespace-only text must
+    not kill any text or dedup operator."""
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import dedup
+    from solar_logger_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a normal little document with several tokens"),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text="   "),
+        ]
+    )
+    assert len(T.token_stats(df).collect()) == 4
+    q = {r.doc_id: r.quality_score for r in T.quality_score(df).collect()}
+    assert q[1] is not None and q[2] is None  # empty doc → null, not error
+    assert len(T.lang_id(df).collect()) == 4
+    assert len(T.chunk_documents(df).collect()) >= 3
+    assert len(dedup.simhash(df).collect()) >= 1
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.1).collect() == []
+    assert dedup.minhash_lsh_pairs(df).collect() == []
