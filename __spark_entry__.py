@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_elapsed_events": sca.ts_elapsed_events,
             "ts_moving_average_events": sca.ts_moving_average_events,
             "sketch_distinct_users_daily": sca.sketch_distinct_users_daily,
+            "text_bm25_topk_docs": sca.text_bm25_topk_docs,
             "ts_ema_events": sca.ts_ema_events,
         }
     )
@@ -645,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
             "text_chunk_docs": sca.CHUNK_SQL,
             "ts_elapsed_events": sca.ELAPSED_SQL,
             "ts_moving_average_events": sca.MOVING_AVERAGE_SQL,
+            "text_bm25_topk_docs": sca.BM25_SQL,
             "ts_ema_events": sca.EMA_SQL,
         }
     )

@@ -10,6 +10,8 @@ bit-reproducible.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 PUNCT = ".,!?;:"
@@ -256,4 +258,96 @@ def chunk_documents(
         "chunk_index",
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25 ranking.
+
+    Uses the log-free idf variant ``(N − df + 0.5) / (df + 0.5)`` —
+    rank-equivalent to the classic ln() form for any fixed corpus, and
+    built purely from IEEE +,*,/ so scores are bit-identical across
+    engines (``ln`` implementations differ in the last ulp; the oracle
+    could not hash-match otherwise).
+
+    Plan: one token explode feeds both the per-(doc, term) tf counts and
+    the per-term document frequencies; corpus scalars (N, avg doc
+    length) are one tiny aggregate; the final score is a per-doc sum of
+    ≤|query| terms then a distributed top-k. No Python, and every
+    aggregation is map-side combinable — at corpus scale the cost is
+    one scan + shuffles bounded by (docs × query-terms).
+    """
+    terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    doclen = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("double").alias(
+            "total_len"
+        ),
+    ).first()
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["total_len"]) / float(
+        stats["n_docs"]
+    )
+
+    qtoks = toks.filter(F.col("term").isin(terms))
+    dfreq = (
+        qtoks.select(id_col, "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    tf = qtoks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    idf = (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    scored = (
+        tf.join(F.broadcast(dfreq.select("term", idf.alias("idf"))), "term")
+        .join(doclen, id_col)
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("_s"),
+        )
+    )
+    # fixed-order fold: one conditional sum per query term (zeros are
+    # exact no-ops), added left-to-right in query order — the per-doc
+    # score is then independent of aggregation order, so it reproduces
+    # bit-for-bit in any engine folding the same term order
+    per_term = [
+        F.sum(
+            F.when(F.col("term") == t, F.col("_s")).otherwise(F.lit(0.0))
+        ).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = scored.groupBy(id_col).agg(*per_term)
+    score = F.col("_s0")
+    for i in range(1, len(terms)):
+        score = score + F.col(f"_s{i}")
+    return (
+        agg.select(id_col, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
     )

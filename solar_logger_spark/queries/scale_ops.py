@@ -689,3 +689,46 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="user_id",
     )
     return sketches.union_estimate(daily, group_cols=["event_type"])
+
+
+def text_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 3-term query (log-free idf
+    variant — bit-reproducible ranking, see operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, ["join", "vector", "spark"], k=20)
+
+
+BM25_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           FROM documents),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM documents),
+    qt AS (SELECT * FROM toks WHERE term IN ('join', 'vector', 'spark')),
+    dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM qt GROUP BY term),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM qt GROUP BY doc_id, term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+        FROM tf
+        JOIN dfreq ON tf.term = dfreq.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           sum(CASE WHEN term = 'join' THEN s ELSE 0.0 END)
+           + sum(CASE WHEN term = 'vector' THEN s ELSE 0.0 END)
+           + sum(CASE WHEN term = 'spark' THEN s ELSE 0.0 END) AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+"""

@@ -113,3 +113,26 @@ def test_text_ops_tolerate_degenerate_docs(spark):
     assert len(dedup.simhash(df).collect()) >= 1
     assert dedup.ngram_jaccard_pairs(df, threshold=0.1).collect() == []
     assert dedup.minhash_lsh_pairs(df).collect() == []
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark spark engine"),
+            Row(doc_id=2, text="spark engine"),
+            Row(doc_id=3, text="totally unrelated words here"),
+            Row(doc_id=4, text="another unrelated document"),
+        ]
+    )
+    rows = bm25_topk(df, ["spark"], k=10).collect()
+    assert [r.doc_id for r in rows] == [1, 2]  # non-matching docs absent
+    assert rows[0].score > rows[1].score       # higher tf ranks first
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [])
