@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_moving_average_events": sca.ts_moving_average_events,
             "sketch_distinct_users_daily": sca.sketch_distinct_users_daily,
             "text_bm25_topk_docs": sca.text_bm25_topk_docs,
+            "similarity_ann_pq": sca.similarity_ann_pq,
             "ts_ema_events": sca.ts_ema_events,
         }
     )

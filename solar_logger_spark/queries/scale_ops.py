@@ -732,3 +732,17 @@ BM25_SQL = """
     ORDER BY score DESC, doc_id ASC
     LIMIT 20
 """
+
+
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval: ADC shortlist over 8-byte codes + exact
+    re-rank of candidates (rows-only: recall vs brute force pinned in
+    tests/test_pq.py)."""
+    from solar_logger_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.train_codebooks(emb, m=8, ks=16)
+    encoded = pq.encode(emb, books)
+    return pq.topk_adc(
+        encoded, emb.limit(10), books, k=5, rerank=100, raw=emb
+    )
