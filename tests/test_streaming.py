@@ -776,3 +776,44 @@ def test_tws_gate_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 1
     assert rows[0].arrival_ts == datetime(2024, 1, 1, 0, 1)
+
+
+def test_windowed_rollup_streaming_approx_distinct(spark, tmp_path):
+    """Distinct-ish aggregation on the live stream: exact COUNT DISTINCT
+    is not streamable in append mode, approx_count_distinct (HLL) is —
+    the rollup accepts it like any other F-named aggregate."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = 1704067200
+    rows = []
+    # window 1: three packets, two distinct values per field
+    for minute, bv in [(0, 10.0), (10, 20.0), (20, 10.0), (600, 1.0)]:
+        values = {f: bv for f in D.MX_FIELDS}
+        pkt = D.encode_packet("mx-1", base + minute * 60, values)
+        rows.append(("mate/mx-1/mx-status", pkt, datetime(2024, 1, 1)))
+    _raw_df(spark, rows).write.parquet(input_dir)
+
+    q = I.windowed_rollup_query(
+        spark, input_dir, out_dir, ckpt,
+        every="1 hour", agg="approx_count_distinct", available_now=False,
+    )
+    import time as _time
+
+    got = {}
+    deadline = _time.time() + 120
+    while _time.time() < deadline and not got:
+        _time.sleep(2)
+        try:
+            got = {
+                r.ts: r.approx_count_distinct_value
+                for r in spark.read.parquet(out_dir)
+                .filter(F.col("field") == "bat_voltage")
+                .collect()
+            }
+        except Exception:
+            got = {}
+    q.stop()
+    # HLL is exact at cardinality 2
+    assert got[datetime(2024, 1, 1, 1, 0)] == 2
