@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sketch_distinct_users_daily": sca.sketch_distinct_users_daily,
             "text_bm25_topk_docs": sca.text_bm25_topk_docs,
             "similarity_ann_pq": sca.similarity_ann_pq,
+            "similarity_ann_ivfpq": sca.similarity_ann_ivfpq,
             "ts_ema_events": sca.ts_ema_events,
         }
     )

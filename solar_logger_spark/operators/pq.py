@@ -24,7 +24,7 @@ ranking (1 − cos = ‖a−b‖²/2 on the unit sphere).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _normalize(mat: "np.ndarray") -> "np.ndarray":
@@ -255,3 +255,323 @@ def topk_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# composed IVF + PQ index (IVFADC): cells + residual codes in one layout
+# ---------------------------------------------------------------------------
+
+def build_ivfpq(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    refine_iters: int = 1,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
+    """Build the composed billion-scale index layout (IVFADC, Jégou 2011
+    §V): each vector is (a) coarse-quantized to its nearest IVF cell and
+    (b) PQ-encoded as the *residual* against that cell's centroid.
+    Residual encoding is what makes the composition work — residuals
+    concentrate near the origin, so the same ks codes per subspace carve
+    a much finer grid than they would over the raw sphere.
+
+    Returns ``(encoded, centroids, codebooks)`` where ``encoded`` is the
+    one-layout index DataFrame ``(id, cell, codes)``. At cluster scale
+    the encoded frame is written ``partitionBy("cell")`` (see
+    ``save_ivfpq``) so a probe touches only its cells' files.
+
+    Deterministic end to end: seeded centroids + hash-sampled PQ
+    training, so the same corpus always yields the same index.
+    """
+    import pandas as pd
+    from solar_logger_spark.operators.similarity import (
+        ivf_assign, kmeans_refine, seeded_centroids,
+    )
+
+    cents = seeded_centroids(corpus, n_cells, id_col, vec_col)
+    if refine_iters > 0:
+        cents = kmeans_refine(corpus, cents, refine_iters, id_col, vec_col)
+    cents = np.asarray(cents, dtype=np.float64)
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    cents_unit = cents / cnorm[:, None]
+
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    # PQ codebooks are trained on residuals of the deterministic sample
+    sample_rows = (
+        assigned.withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    smat = _normalize(
+        np.array(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
+        )
+    )
+    scell = np.array([r["cell"] for r in sample_rows])
+    resid = smat - cents_unit[scell]
+    d = resid.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, ks, dsub))
+    for j in range(m):
+        got = _lloyd(resid[:, j * dsub : (j + 1) * dsub], ks, 5)
+        books[j, : len(got)] = got
+        if len(got) < ks:
+            books[j, len(got):] = got[-1]
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((cents_unit, books))
+
+    def _enc(batches):
+        cu, bks = bc.value
+        mm, _, ds = bks.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = _normalize(
+                np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+            )
+            r = a - cu[pdf["cell"].to_numpy()]
+            codes = np.empty((len(a), mm), dtype=np.int32)
+            for j in range(mm):
+                sub = r[:, j * ds : (j + 1) * ds]
+                d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = assigned.mapInPandas(
+        _enc, f"{id_col} long, cell int, codes array<int>"
+    )
+    return encoded, cents, books
+
+
+def topk_ivfpq(
+    encoded: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+    raw: DataFrame | None = None,
+) -> DataFrame:
+    """Search the composed IVF-PQ index: each query probes its
+    ``n_probe`` nearest cells and ADC-scores only those cells' codes
+    against a per-(query, cell) residual lookup table. Per-query cost is
+    O(N·n_probe/n_cells) table gathers — the IVF pruning and the PQ
+    compression compound, which is the whole point of the layout.
+
+    The probed-cell filter is pushed into the scan: the kernel sees only
+    rows whose ``cell`` is probed by ≥1 query (``isin`` on a literal
+    list → parquet row-group / partition pruning on a cell-partitioned
+    index from ``save_ivfpq``). Output and ``rerank`` semantics match
+    ``topk_adc``."""
+    import pandas as pd
+
+    spark = encoded.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    cents_unit = cents / cnorm[:, None]
+    books = np.asarray(codebooks)
+    m, ks, dsub = books.shape
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows])
+    qmat = _normalize(
+        np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    )
+    sims = qmat @ cents_unit.T
+    probe = np.argsort(-sims, axis=1)[:, :n_probe]  # (n_q, n_probe)
+
+    # per-(query, probed cell) ADC tables over the query's residual in
+    # that cell: tables[q][p] is (m, ks)
+    tables = np.empty((len(qids), n_probe, m, ks))
+    for p in range(n_probe):
+        r = qmat - cents_unit[probe[:, p]]
+        for j in range(m):
+            rsub = r[:, j * dsub : (j + 1) * dsub]
+            tables[:, p, j, :] = (
+                (rsub[:, None, :] - books[j][None, :, :]) ** 2
+            ).sum(axis=2)
+
+    # cell → [(query position, table index)] routing map
+    routing: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(len(qids)):
+        for p in range(n_probe):
+            routing.setdefault(int(probe[qi, p]), []).append((qi, p))
+    bc = spark.sparkContext.broadcast((qids, tables, routing))
+
+    def _score(batches):
+        ids_, tabs, route = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for cell, grp in pdf.groupby("cell"):
+                hits = route.get(int(cell))
+                if not hits:
+                    continue
+                codes = np.array(list(grp["codes"]), dtype=np.int64)
+                nids = grp[id_col].to_numpy()
+                for qi, p in hits:
+                    t = tabs[qi, p]  # (m, ks)
+                    dist = np.zeros(len(codes))
+                    for j in range(m):
+                        dist += t[j][codes[:, j]]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": ids_[qi],
+                                "neighbor_id": nids,
+                                "approx_dist": dist,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    probed_cells = sorted(routing)
+    scored = (
+        encoded.filter(F.col("cell").isin(probed_cells))
+        .mapInPandas(
+            _score, "query_id long, neighbor_id long, approx_dist double"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    cut = rerank if rerank > 0 else k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cut)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+    if rerank <= 0:
+        return shortlist
+    if raw is None:
+        raise ValueError("rerank > 0 requires the raw vector DataFrame")
+
+    cand = shortlist.join(
+        raw.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "neighbor_id",
+    )
+    bcq = spark.sparkContext.broadcast((qids, qmat))
+
+    def _exact(batches):
+        ids_, qm = bcq.value
+        pos = {int(i): p for p, i in enumerate(ids_)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            )
+            qv = qm[[pos[int(q)] for q in pdf["query_id"]]]
+            d = ((a - qv) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "approx_dist": d,
+                }
+            )
+
+    exact = cand.select("query_id", "neighbor_id", "_v").mapInPandas(
+        _exact, "query_id long, neighbor_id long, approx_dist double"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# index persistence: codes partitioned by cell + model arrays as parquet
+# ---------------------------------------------------------------------------
+
+def save_ivfpq(
+    encoded: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the composed index: ``path/codes`` parquet
+    ``partitionBy("cell")`` (so a search's probed-cell ``isin`` filter
+    becomes directory-level partition pruning — only n_probe/n_cells of
+    the bytes are read), ``path/centroids`` and ``path/codebooks`` as
+    tiny parquet model tables. Everything round-trips bit-exactly:
+    float64 arrays stored as array<double> rows keyed for deterministic
+    reassembly."""
+    spark = encoded.sparkSession
+    encoded.select(id_col, "cell", "codes").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+    cents = np.asarray(centroids, dtype=np.float64)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cell int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, _ = books.shape
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(ks)
+        ],
+        "subspace int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_ivfpq(
+    spark: SparkSession, path: str, id_col: str = "vec_id"
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
+    """Load a persisted IVF-PQ index → ``(encoded, centroids,
+    codebooks)`` ready for ``topk_ivfpq``. The codes scan stays lazy and
+    cell-partitioned; only the small model tables are collected."""
+    encoded = spark.read.parquet(f"{path}/codes").select(
+        id_col, F.col("cell").cast("int"), "codes"
+    )
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.array(
+        [
+            np.asarray(r["vec"], dtype=np.float64)
+            for r in sorted(crows, key=lambda r: r["cell"])
+        ]
+    )
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    ks = 1 + max(r["code"] for r in brows)
+    dsub = len(brows[0]["vec"])
+    books = np.zeros((m, ks, dsub))
+    for r in brows:
+        books[r["subspace"], r["code"]] = np.asarray(
+            r["vec"], dtype=np.float64
+        )
+    return encoded, cents, books

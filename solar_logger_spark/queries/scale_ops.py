@@ -746,3 +746,18 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.topk_adc(
         encoded, emb.limit(10), books, k=5, rerank=100, raw=emb
     )
+
+
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ (IVFADC): residual-encoded codes partitioned by
+    coarse cell, per-(query, cell) ADC tables, exact shortlist re-rank
+    (rows-only: recall + persistence round-trip pinned in
+    tests/test_pq.py)."""
+    from solar_logger_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    encoded, cents, books = pq.build_ivfpq(emb, n_cells=16, m=8, ks=16)
+    return pq.topk_ivfpq(
+        encoded, emb.limit(10), cents, books,
+        k=5, n_probe=4, rerank=100, raw=emb,
+    )

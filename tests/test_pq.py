@@ -58,3 +58,87 @@ def test_adc_recall_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert len(reranked & exact) / len(exact) >= 0.7
+
+
+def test_ivfpq_recall_and_pruned_scan(spark, sf_dir):
+    from solar_logger_spark.operators.similarity import topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, queries, k=5).collect()
+    }
+    encoded, cents, books = pq.build_ivfpq(emb, n_cells=8, m=8, ks=16)
+    out = pq.topk_ivfpq(
+        encoded, queries, cents, books, k=5, n_probe=4, rerank=100, raw=emb
+    ).collect()
+    # every query answered with exactly k ranked rows
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    # probing half the cells + exact re-rank: recall well above chance;
+    # near-uniform sphere vectors are the worst case, so the bar is the
+    # same as two-stage flat PQ
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_ivfpq_residual_beats_or_matches_flat_adc(spark, sf_dir):
+    """Shortlist-only (no re-rank) recall of residual-encoded IVF-PQ
+    probing ALL cells should at least match flat PQ at equal code
+    budget — residuals concentrate, codes get finer."""
+    from solar_logger_spark.operators.similarity import topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, queries, k=5).collect()
+    }
+    books_flat = pq.train_codebooks(emb, m=8, ks=16)
+    flat = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.topk_adc(
+            pq.encode(emb, books_flat), queries, books_flat, k=5
+        ).collect()
+    }
+    encoded, cents, books = pq.build_ivfpq(emb, n_cells=8, m=8, ks=16)
+    comp = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.topk_ivfpq(
+            encoded, queries, cents, books, k=5, n_probe=8
+        ).collect()
+    }
+    assert len(comp & exact) >= len(flat & exact)
+
+
+def test_ivfpq_persistence_roundtrip(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(5)
+    encoded, cents, books = pq.build_ivfpq(emb, n_cells=8, m=8, ks=16)
+    before = {
+        (r.query_id, r.neighbor_id, round(r.approx_dist, 12))
+        for r in pq.topk_ivfpq(
+            encoded, queries, cents, books, k=5, n_probe=3
+        ).collect()
+    }
+    path = str(tmp_path / "ivfpq")
+    pq.save_ivfpq(encoded, cents, books, path)
+    enc2, cents2, books2 = pq.load_ivfpq(spark, path)
+    assert np.allclose(cents, cents2) and np.allclose(books, books2)
+    after = {
+        (r.query_id, r.neighbor_id, round(r.approx_dist, 12))
+        for r in pq.topk_ivfpq(
+            enc2, queries, cents2, books2, k=5, n_probe=3
+        ).collect()
+    }
+    assert before == after
+    # the persisted layout is cell-partitioned: probing must prune
+    plan = pq.topk_ivfpq(
+        enc2, queries, cents2, books2, k=5, n_probe=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "cell" in plan
