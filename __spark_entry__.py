@@ -483,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "similarity_ann_pq": sca.similarity_ann_pq,
             "similarity_ann_ivfpq": sca.similarity_ann_ivfpq,
             "ts_ema_events": sca.ts_ema_events,
+            "ts_state_count_events": sca.ts_state_count_events,
+            "ts_state_duration_events": sca.ts_state_duration_events,
         }
     )
     return out
@@ -650,6 +652,8 @@ def oracle_sql() -> dict[str, str]:
             "ts_moving_average_events": sca.MOVING_AVERAGE_SQL,
             "text_bm25_topk_docs": sca.BM25_SQL,
             "ts_ema_events": sca.EMA_SQL,
+            "ts_state_count_events": sca.STATE_COUNT_SQL,
+            "ts_state_duration_events": sca.STATE_DURATION_SQL,
         }
     )
     return out

@@ -147,6 +147,83 @@ def time_shift(
     )
 
 
+def state_count(
+    df: DataFrame,
+    predicate: Column,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak: Sequence[str] = (),
+    alias: str = "state_count",
+) -> DataFrame:
+    """Length-so-far of the current run of rows satisfying ``predicate``
+    per series; ``-1`` off-state — Flux ``stateCount(fn:)``.
+
+    Gaps-and-islands with stacked windows on ONE partitioning: row
+    number, then the cumulative max row-number of off-state rows; the
+    run length is their difference. All windows share (series, ts)
+    partitioning+ordering, so Catalyst plans a single exchange+sort."""
+    w = _series_window(series, ts_col, tiebreak)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        df.withColumn("_flag", predicate)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_last_off",
+            F.max(F.when(~F.col("_flag"), F.col("_rn"))).over(cum),
+        )
+    )
+    return staged.withColumn(
+        alias,
+        F.when(
+            F.col("_flag"),
+            F.col("_rn") - F.coalesce(F.col("_last_off"), F.lit(0)),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long"),
+    ).drop("_flag", "_rn", "_last_off")
+
+
+def state_duration(
+    df: DataFrame,
+    predicate: Column,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak: Sequence[str] = (),
+    alias: str = "state_duration",
+    unit_seconds: float = 1.0,
+) -> DataFrame:
+    """Seconds (in ``unit_seconds`` multiples) since the current
+    predicate-run began per series; first row of a run is 0, off-state
+    rows are ``-1`` — Flux ``stateDuration(fn:)``. Run start = the
+    cumulative-max timestamp of run-opening rows (predicate true,
+    previous row false/absent); same single-exchange window stack as
+    ``state_count``."""
+    w = _series_window(series, ts_col, tiebreak)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        df.withColumn("_flag", predicate)
+        .withColumn(
+            "_start",
+            F.col("_flag")
+            & ~F.coalesce(F.lag("_flag").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "_run_t0",
+            F.max(
+                F.when(F.col("_start"), F.col(ts_col).cast("double"))
+            ).over(cum),
+        )
+    )
+    return staged.withColumn(
+        alias,
+        F.when(
+            F.col("_flag"),
+            (F.col(ts_col).cast("double") - F.col("_run_t0"))
+            / F.lit(float(unit_seconds)),
+        ).otherwise(F.lit(-1.0)),
+    ).drop("_flag", "_start", "_run_t0")
+
+
 def moving_average(
     df: DataFrame,
     n: int,

@@ -675,6 +675,74 @@ EMA_SQL = """
 """
 
 
+def ts_state_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``stateCount``: length-so-far of the current value>50 run
+    per event_type series, -1 off-state (gaps-and-islands, one
+    exchange)."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.state_count(
+        events, F.col("value") > 50.0, ["event_type"], tiebreak=["event_id"]
+    )
+    return out.select("event_id", "event_type", "ts", "value", "state_count")
+
+
+STATE_COUNT_SQL = """
+    WITH flagged AS (
+        SELECT event_id, event_type, ts, value, (value > 50.0) AS flag,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), marked AS (
+        SELECT *, max(CASE WHEN NOT flag THEN rn END)
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS last_off
+        FROM flagged
+    )
+    SELECT event_id, event_type, ts, value,
+           CAST(CASE WHEN flag THEN rn - coalesce(last_off, 0)
+                     ELSE -1 END AS BIGINT) AS state_count
+    FROM marked
+"""
+
+
+def ts_state_duration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``stateDuration``: seconds since the current value>50 run
+    began per event_type series (0 at run start, -1 off-state)."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.state_duration(
+        events, F.col("value") > 50.0, ["event_type"], tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id", "event_type", "ts", "value", "state_duration"
+    )
+
+
+STATE_DURATION_SQL = """
+    WITH flagged AS (
+        SELECT event_id, event_type, ts, value, (value > 50.0) AS flag,
+               lag(value > 50.0) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS prev_flag
+        FROM events
+    ), marked AS (
+        SELECT *, max(CASE WHEN flag AND NOT coalesce(prev_flag, FALSE)
+                           THEN CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                      END)
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_t0
+        FROM flagged
+    )
+    SELECT event_id, event_type, ts, value,
+           CASE WHEN flag
+                THEN CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 - run_t0
+                ELSE -1.0 END AS state_duration
+    FROM marked
+"""
+
+
 def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day HLL sketches of user_id, merged to a per-event-type
     distinct estimate — the store-sketches-not-rows pattern (rows-only:

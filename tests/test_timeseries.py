@@ -129,3 +129,44 @@ def test_ema_recursion_exact(spark):
     y2 = 0.2 * 20.0 + 0.8 * y1
     y3 = 0.2 * 30.0 + 0.8 * y2
     assert [r.ema for r in out] == [y1, y2, y3]
+
+
+def test_state_count_runs(spark):
+    from pyspark.sql import functions as F
+    from solar_logger_spark.operators import timeseries as T
+
+    df = spark.createDataFrame(
+        [  # series a: on on off on ; series b: off off
+            ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, -1.0), ("a", 4, 5.0),
+            ("b", 1, -2.0), ("b", 2, -3.0),
+        ],
+        "s string, t int, v double",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = {
+        (r.s, r.t): r.state_count
+        for r in T.state_count(
+            df, F.col("v") > 0, ["s"], ts_col="ts", tiebreak=["t"]
+        ).collect()
+    }
+    assert out == {
+        ("a", 1): 1, ("a", 2): 2, ("a", 3): -1, ("a", 4): 1,
+        ("b", 1): -1, ("b", 2): -1,
+    }
+
+
+def test_state_duration_runs(spark):
+    from pyspark.sql import functions as F
+    from solar_logger_spark.operators import timeseries as T
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 30, 1.0), ("a", 90, -1.0), ("a", 120, 1.0)],
+        "s string, t int, v double",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = {
+        r.t: r.state_duration
+        for r in T.state_duration(
+            df, F.col("v") > 0, ["s"], ts_col="ts", tiebreak=["t"]
+        ).collect()
+    }
+    # run restarts at t=120 after the off-state row at t=90
+    assert out == {0: 0.0, 30: 30.0, 90: -1.0, 120: 0.0}
