@@ -159,3 +159,180 @@ def test_builder_matches_duckdb(spark, duck, p):
                 assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
             else:
                 assert gv == wv
+
+
+# ---------------------------------------------------------------------------
+# createEmpty differential: aggregate pipelines that must also emit the
+# empty windows on the range-pinned spine (keys × window grid)
+# ---------------------------------------------------------------------------
+
+empty_pipelines = st.fixed_dictionaries(
+    {
+        "t0_day": st.integers(1, 25),
+        "span_days": st.integers(1, 6),
+        "filters": st.lists(
+            st.tuples(predicate, st.sampled_from(["and", "or"]),
+                      st.booleans()),
+            max_size=2,
+        ),
+        "fn": st.sampled_from(sorted(AGG_SQL)),
+        "every": st.sampled_from(sorted(EVERY_SECONDS)),
+    }
+)
+
+
+def _oracle_sql_create_empty(
+    t0: datetime, t1: datetime, bands: list[list], fn: str, every: str
+) -> str:
+    sec = EVERY_SECONDS[every]
+    where = [f"ts >= TIMESTAMP '{t0}' AND ts < TIMESTAMP '{t1}'"]
+    for band in bands:
+        terms = []
+        for i, (field, op, value, joiner) in enumerate(band):
+            prefix = f" {joiner.upper()} " if i else ""
+            terms.append(prefix + _sql_pred(field, op, value))
+        where.append("(" + "".join(terms) + ")")
+    cond = " AND ".join(where)
+    agg = f"{AGG_SQL[fn]}(value)"
+    fill = "coalesce(a.value, 0)" if fn == "count" else "a.value"
+    # the fuzz draws midnight-aligned bounds, so the first window start
+    # is t0 itself and the last is t1 - every (same floor the engine
+    # takes on arbitrary bounds)
+    return f"""
+        WITH base AS (SELECT * FROM events WHERE {cond}),
+        keys AS (SELECT DISTINCT event_type FROM base),
+        spine AS (
+            SELECT unnest(generate_series(
+                TIMESTAMP '{t0}',
+                TIMESTAMP '{t1}' - INTERVAL '{sec} seconds',
+                INTERVAL '{sec} seconds')) AS wstart
+        ),
+        agg AS (
+            SELECT time_bucket(INTERVAL '{sec} seconds', ts) AS wstart,
+                   event_type, {agg} AS value
+            FROM base GROUP BY 1, 2
+        )
+        SELECT s.wstart + INTERVAL '{sec} seconds' AS ts, k.event_type,
+               {fill} AS value
+        FROM spine s CROSS JOIN keys k
+        LEFT JOIN agg a
+          ON a.wstart = s.wstart AND a.event_type = k.event_type
+    """
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(p=empty_pipelines)
+def test_create_empty_matches_duckdb(spark, duck, p):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    t0 = datetime(2024, 1, p["t0_day"])
+    t1 = t0 + timedelta(days=p["span_days"])
+    qb = QueryBuilder(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        ts_col="ts",
+        value_col="value",
+        series_cols=("event_type",),
+    ).range(t0, t1)
+    bands: list[list] = []
+    for (field, op, value), joiner, new_band in p["filters"]:
+        qb = qb.filter(field, value, op=op, joiner=joiner, new_band=new_band)
+        if new_band or not bands:
+            bands.append([(field, op, value, "and")])
+        else:
+            bands[-1].append((field, op, value, joiner))
+    qb = qb.aggregate_window(p["every"], p["fn"], create_empty=True)
+
+    got = _norm([tuple(r) for r in qb.to_df().collect()], ("x",))
+    want = _norm(
+        duck.execute(
+            _oracle_sql_create_empty(t0, t1, bands, p["fn"], p["every"])
+        ).fetchall(),
+        ("x",),
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and isinstance(wv, float):
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
+            else:
+                assert gv == wv
+
+
+# ---------------------------------------------------------------------------
+# sort + limit differential: the top-k tail of the pipeline (TakeOrdered)
+# ---------------------------------------------------------------------------
+
+limit_pipelines = st.fixed_dictionaries(
+    {
+        "t0_day": st.integers(1, 25),
+        "span_days": st.integers(1, 8),
+        "filters": st.lists(
+            st.tuples(predicate, st.sampled_from(["and", "or"]),
+                      st.booleans()),
+            max_size=1,
+        ),
+        "desc": st.booleans(),
+        "n": st.integers(1, 40),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(p=limit_pipelines)
+def test_sort_limit_matches_duckdb(spark, duck, p):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    t0 = datetime(2024, 1, p["t0_day"])
+    t1 = t0 + timedelta(days=p["span_days"])
+    qb = QueryBuilder(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        ts_col="ts",
+        value_col="value",
+        series_cols=("event_type",),
+    ).range(t0, t1)
+    bands: list[list] = []
+    for (field, op, value), joiner, new_band in p["filters"]:
+        qb = qb.filter(field, value, op=op, joiner=joiner, new_band=new_band)
+        if new_band or not bands:
+            bands.append([(field, op, value, "and")])
+        else:
+            bands[-1].append((field, op, value, joiner))
+    qb = (
+        qb.select("event_id", "ts", "event_type", "value")
+        .sort("event_id", desc=p["desc"])
+        .limit(p["n"])
+    )
+    # event_id is unique, so the ordered prefix is fully deterministic
+    got = [tuple(r) for r in qb.to_df().collect()]
+    where = [f"ts >= TIMESTAMP '{t0}' AND ts < TIMESTAMP '{t1}'"]
+    for band in bands:
+        terms = []
+        for i, (field, op, value, joiner) in enumerate(band):
+            prefix = f" {joiner.upper()} " if i else ""
+            terms.append(prefix + _sql_pred(field, op, value))
+        where.append("(" + "".join(terms) + ")")
+    order = "DESC" if p["desc"] else "ASC"
+    want = duck.execute(
+        f"SELECT event_id, ts, event_type, value FROM events "
+        f"WHERE {' AND '.join(where)} ORDER BY event_id {order} "
+        f"LIMIT {p['n']}"
+    ).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            gv = gv.replace(tzinfo=None) if isinstance(gv, datetime) else gv
+            wv = wv.replace(tzinfo=None) if isinstance(wv, datetime) else wv
+            if isinstance(gv, float) and isinstance(wv, float):
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
+            else:
+                assert gv == wv
