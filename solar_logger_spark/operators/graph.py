@@ -38,6 +38,21 @@ def _canonical(edges: DataFrame) -> DataFrame:
     return e.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _fingerprint(edges: DataFrame) -> tuple:
+    """Order-independent fingerprint of a distinct edge set: row count
+    plus two independent 64-bit hash sums. Equality of fingerprints
+    implies set equality up to astronomically unlikely collision."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sums can't overflow ANSI long arithmetic
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h1"),
+        F.sum(
+            F.xxhash64("dst", F.lit(17), "src").cast("decimal(38,0)")
+        ).alias("h2"),
+    ).collect()[0]
+    return (row["n"], row["h1"], row["h2"])
+
+
 def _star_round(edges: DataFrame) -> DataFrame:
     """One large-star + small-star round. ``edges`` holds (src < dst)
     pairs; returns the same invariant."""
@@ -62,13 +77,15 @@ def _star_round(edges: DataFrame) -> DataFrame:
     mins2 = nbrs2.groupBy("node").agg(
         F.least(F.min("nbr"), F.first("node")).alias("mn")
     )
-    # small-star: link smaller-or-equal neighbors (and self) to the min
+    # small-star: link smaller-or-equal neighbors to the min, plus the
+    # (min, node) self-link — which is exactly the mins table itself, so
+    # it needs no second join
     small = (
         nbrs2.join(mins2, "node")
         .filter(F.col("nbr") <= F.col("node"))
         .select(F.col("mn").alias("src"), F.col("nbr").alias("dst"))
         .union(
-            nbrs2.join(mins2, "node").select(
+            mins2.select(
                 F.col("mn").alias("src"), F.col("node").alias("dst")
             )
         )
@@ -98,16 +115,21 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+    prev_fp = _fingerprint(cur)
     for _ in range(max_iterations):
-        # lazy checkpoint: the fixpoint-check job below materializes it,
+        # lazy checkpoint: the fingerprint job below materializes it,
         # so each round costs one job instead of two
         nxt = _star_round(cur).localCheckpoint(eager=False)
-        # one fixpoint-check job: symmetric difference empty ⟺ equal sets
-        # (both sides are distinct canonical edge lists)
-        if nxt.exceptAll(cur).union(cur.exceptAll(nxt)).isEmpty():
-            cur = nxt
-            break
+        # fixpoint check by set fingerprint: both sides are DISTINCT
+        # canonical edge lists, so equal (count, two independent hash
+        # sums) ⟺ equal sets up to a ~2⁻¹²⁸ collision — one two-stage
+        # aggregation job instead of the exceptAll symmetric difference
+        # (which cost two extra shuffle joins per round)
+        fp = _fingerprint(nxt)
         cur = nxt
+        if fp == prev_fp:
+            break
+        prev_fp = fp
     membership = cur.select(
         F.col("dst").alias("node"), F.col("src").alias("component")
     )
