@@ -310,6 +310,75 @@ FLUX_TEXT_SQL = """
 """
 
 
+def q_flux_text_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT with post-aggregate stdlib transform stages
+    (``difference`` then ``cumulativeSum`` then ``stateCount``) — the
+    pipeline shapes a Flux user grows into past the reference's emitted
+    grammar, executed natively (query/builder.py transform stages over
+    operators/timeseries.py)."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "click" Or '
+        'r["_measurement"] == "view")'
+        "\n\t|> aggregateWindow(every: 6h, fn: mean)"
+        "\n\t|> difference()"
+        "\n\t|> cumulativeSum()"
+        "\n\t|> stateCount(fn: (r) => r._value > 0)"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_TRANSFORMS_SQL = """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
+               event_type, avg(value) AS value
+        FROM events
+        WHERE {range} AND (event_type = 'click' OR event_type = 'view')
+        GROUP BY 1, 2
+    ), diff AS (
+        SELECT ts, event_type,
+               value - lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts) AS value
+        FROM agg
+    ), kept AS (
+        SELECT * FROM diff WHERE value IS NOT NULL
+    ), cum AS (
+        SELECT ts, event_type,
+               sum(value) OVER (PARTITION BY event_type ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS value
+        FROM kept
+    ), flagged AS (
+        SELECT ts, event_type, value, (value > 0) AS flag,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts) AS rn
+        FROM cum
+    ), marked AS (
+        SELECT *, max(CASE WHEN NOT flag THEN rn END)
+                  OVER (PARTITION BY event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS last_off
+        FROM flagged
+    )
+    SELECT ts, event_type, value,
+           CAST(CASE WHEN flag THEN rn - coalesce(last_off, 0)
+                     ELSE -1 END AS BIGINT) AS state_count
+    FROM marked
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -405,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_agg_create_empty": q_flux_agg_create_empty,
         "flux_agg_integral": q_flux_agg_integral,
         "flux_text_pipeline": q_flux_text_pipeline,
+        "flux_text_transforms": q_flux_text_transforms,
         "flux_agg_offset": q_flux_agg_offset,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
@@ -601,6 +671,9 @@ def oracle_sql() -> dict[str, str]:
             "flux_agg_create_empty": CREATE_EMPTY_SQL.format(range=_RANGE),
             "flux_agg_integral": INTEGRAL_SQL.format(range=_RANGE),
             "flux_text_pipeline": FLUX_TEXT_SQL.format(range=_RANGE),
+            "flux_text_transforms": FLUX_TEXT_TRANSFORMS_SQL.format(
+                range=_RANGE
+            ),
             "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,

@@ -125,6 +125,7 @@ class QueryBuilder:
         self._end = end_range
         self._bands: list[_Band] = []
         self._agg: tuple[str, str, bool] | None = None
+        self._transforms: list[tuple[str, dict]] = []
         self._sorts: list[tuple[str, bool]] = []
         self._projection: list[str] | None = None
         self._limit: int | None = None
@@ -175,6 +176,99 @@ class QueryBuilder:
         data extent."""
         self._agg = (every, fn, create_empty)
         return self
+
+    # -- post-aggregate transforms -----------------------------------
+    TRANSFORMS = (
+        "difference", "derivative", "cumulativeSum", "increase",
+        "movingAverage", "exponentialMovingAverage", "elapsed",
+        "timeShift", "fill", "stateCount", "stateDuration",
+    )
+
+    def transform(self, name: str, **params):
+        """Append a Flux stdlib transform stage (``difference()``,
+        ``derivative()``, ``movingAverage(n:)``, ``stateCount(fn:)``, …)
+        applied in sequence after the aggregate. These are
+        beyond-reference stages — the reference's builder stops at
+        ``aggregateWindow`` — but they are exactly what a Flux user
+        writes next, so pipeline strings carrying them keep working
+        (operators: ``operators/timeseries.py``)."""
+        if name not in self.TRANSFORMS:
+            raise ValueError(
+                f"unknown transform {name!r}; one of {self.TRANSFORMS}"
+            )
+        self._transforms.append((name, params))
+        return self
+
+    def _apply_transform(self, df: DataFrame, name: str, params: dict):
+        """One Flux transform stage over the running record shape.
+
+        Value-rewriting stages (difference/derivative/…) follow Flux in
+        REPLACING ``value`` and dropping the leading undefined row(s) per
+        series; column-adding stages (elapsed/stateCount/stateDuration)
+        follow Flux in keeping ``value`` and appending their column."""
+        from solar_logger_spark.operators import timeseries as T
+
+        series = [c for c in self.series_cols if c in df.columns]
+        ts, val = self.ts_col, self.value_col
+        tiebreak = params.get("tiebreak", ())
+        if name == "timeShift":
+            return T.time_shift(df, params["duration"], ts_col=ts)
+        if name == "fill":
+            out = T.forward_fill(
+                df, series, ts_col=ts, value_col=val,
+                tiebreak=tiebreak, alias="_t",
+            )
+            return out.withColumn(val, F.col("_t")).drop("_t")
+        if name == "elapsed":
+            return T.elapsed(
+                df, series, ts_col=ts, tiebreak=tiebreak, alias="elapsed",
+                unit_seconds=params.get("unit_seconds", 1.0),
+            )
+        if name == "stateCount":
+            return T.state_count(
+                df, params["predicate"], series, ts_col=ts,
+                tiebreak=tiebreak, alias="state_count",
+            )
+        if name == "stateDuration":
+            return T.state_duration(
+                df, params["predicate"], series, ts_col=ts,
+                tiebreak=tiebreak, alias="state_duration",
+                unit_seconds=params.get("unit_seconds", 1.0),
+            )
+        fn = {
+            "difference": lambda d: T.difference(
+                d, series, ts_col=ts, value_col=val,
+                tiebreak=tiebreak, alias="_t",
+            ),
+            "derivative": lambda d: T.derivative(
+                d, series, ts_col=ts, value_col=val,
+                tiebreak=tiebreak, alias="_t",
+            ),
+            "cumulativeSum": lambda d: T.cumulative_sum(
+                d, series, ts_col=ts, value_col=val,
+                tiebreak=tiebreak, alias="_t",
+            ),
+            "increase": lambda d: T.increase(
+                d, series, ts_col=ts, value_col=val,
+                tiebreak=tiebreak, alias="_t",
+            ),
+            "movingAverage": lambda d: T.moving_average(
+                d, int(params.get("n", 5)), series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+            "exponentialMovingAverage": lambda d: T.exponential_moving_average(
+                d, n=int(params.get("n", 5)), series=series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+        }[name]
+        out = fn(df).withColumn(val, F.col("_t")).drop("_t")
+        # Flux drops rows where the stage is undefined (first row per
+        # series for difference/derivative; movingAverage's first n-1
+        # rows keep the partial mean — Flux emits those when
+        # ``shift``-less, our documented default)
+        if name in ("difference", "derivative"):
+            out = out.filter(F.col(val).isNotNull())
+        return out
 
     # -- sort --------------------------------------------------------
     def sort(self, field: str, desc: bool = False):
@@ -242,6 +336,8 @@ class QueryBuilder:
                 create_empty=create_empty,
                 bounds=self._resolved_bounds() if create_empty else None,
             )
+        for name, params in self._transforms:
+            df = self._apply_transform(df, name, params)
         for fld, desc in self._sorts:
             df = df.orderBy(F.col(fld).desc() if desc else F.col(fld).asc())
         if self._projection:

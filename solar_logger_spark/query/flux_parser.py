@@ -38,6 +38,12 @@ _PRED = re.compile(
     r"(?P<value>\"[^\"]*\"|'[^']*'|[^\s)]+)"
 )
 _JOINER = re.compile(r"^\s*(and|or)\s*", re.IGNORECASE)
+# dotted record access (r._value > 50) — common in hand-written Flux
+_DOT_PRED = re.compile(
+    r"r\.(?P<field>\w+)\s*"
+    r"(?P<op>==|!=|<=|>=|<|>)\s*"
+    r"(?P<value>\"[^\"]*\"|'[^']*'|[^\s)]+)"
+)
 
 
 @dataclass
@@ -49,6 +55,7 @@ class FluxPipeline:
         default_factory=list
     )  # [(field, op, value, joiner-to-previous)]
     agg: tuple[str, str, bool] | None = None  # (every, fn, create_empty)
+    transforms: list[tuple[str, dict]] = dc_field(default_factory=list)
     sorts: list[tuple[str, bool]] = dc_field(default_factory=list)
     limit: int | None = None
 
@@ -58,9 +65,12 @@ class FluxPipeline:
         field_map: dict[str, str] | None = None,
         **builder_kwargs,
     ) -> QueryBuilder:
-        """Bind to a DataFrame as a QueryBuilder (corrected semantics)."""
-        fmap = field_map or {}
+        """Bind to a DataFrame as a QueryBuilder (corrected semantics).
+        Flux's canonical record fields ``_value``/``_time`` map to the
+        builder's value/ts columns unless ``field_map`` overrides."""
         qb = QueryBuilder(df, **builder_kwargs)
+        fmap = {"_value": qb.value_col, "_time": qb.ts_col}
+        fmap.update(field_map or {})
         if self.start is not None or self.stop is not None:
             qb = qb.range(self.start, self.stop)
         for band in self.bands:
@@ -75,6 +85,22 @@ class FluxPipeline:
         if self.agg is not None:
             every, fn, create_empty = self.agg
             qb = qb.aggregate_window(every, fn, create_empty=create_empty)
+        for name, params in self.transforms:
+            params = dict(params)
+            if "predicate_src" in params:
+                from pyspark.sql import functions as F
+
+                fld, op, value = params.pop("predicate_src")
+                col = F.col(fmap.get(fld, fld))
+                params["predicate"] = {
+                    "==": col == value,
+                    "!=": col != value,
+                    ">": col > value,
+                    ">=": col >= value,
+                    "<": col < value,
+                    "<=": col <= value,
+                }[op]
+            qb = qb.transform(name, **params)
         for fld, desc in self.sorts:
             qb = qb.sort(fmap.get(fld, fld), desc=desc)
         if self.limit is not None:
@@ -170,6 +196,57 @@ def parse_flux(text: str) -> FluxPipeline:
         elif name == "limit":
             args = _parse_args(body)
             pipe.limit = int(str(_unquote(args.get("n", "0"))).rstrip(")"))
+        elif name in _TRANSFORM_STAGES:
+            pipe.transforms.append(_parse_transform(name, body))
         else:
             raise ValueError(f"unsupported stage {name!r}")
     return pipe
+
+
+_TRANSFORM_STAGES = {
+    "difference", "derivative", "cumulativeSum", "increase",
+    "movingAverage", "exponentialMovingAverage", "elapsed",
+    "timeShift", "fill", "stateCount", "stateDuration",
+}
+
+
+def _unit_seconds(tok: str) -> float:
+    from solar_logger_spark.durations import parse_duration
+
+    dur = parse_duration(str(tok))
+    if dur.months:
+        raise ValueError(f"calendar units not valid here: {tok!r}")
+    return float(dur.seconds)
+
+
+def _parse_transform(name: str, body: str) -> tuple[str, dict]:
+    """Flux stdlib transform stage → (name, builder params). These are
+    beyond the reference's emitted grammar but are the stages its Flux
+    backend documents next to ``aggregateWindow`` — accepted so user
+    pipeline strings that grew past the reference keep working."""
+    args = _parse_args(body)
+    params: dict = {}
+    if name in ("movingAverage", "exponentialMovingAverage"):
+        params["n"] = int(str(_unquote(args.get("n", "5"))).rstrip(")"))
+    elif name == "timeShift":
+        if "duration" not in args:
+            raise ValueError(f"timeShift needs duration: {body!r}")
+        params["duration"] = str(_unquote(args["duration"])).rstrip(")")
+    elif name in ("elapsed", "stateDuration") and "unit" in args:
+        params["unit_seconds"] = _unit_seconds(
+            str(_unquote(args["unit"])).rstrip(")")
+        )
+    if name == "fill":
+        use_prev = str(args.get("usePrevious", "true")).rstrip(")").strip()
+        if use_prev.lower() not in ("true", "1"):
+            raise ValueError("only fill(usePrevious: true) is supported")
+    if name in ("stateCount", "stateDuration"):
+        m = _PRED.search(body) or _DOT_PRED.search(body)
+        if not m:
+            raise ValueError(f"{name} needs fn: (r) => r.<field> <op> <v>")
+        params["predicate_src"] = (
+            m.group("field"),
+            m.group("op"),
+            _unquote(m.group("value").rstrip("),")),
+        )
+    return (name, params)

@@ -138,3 +138,86 @@ def test_unsupported_stage_rejected():
 
     with pytest.raises(ValueError, match="unsupported stage"):
         parse_flux('from(bucket: "B") |> pivot(rowKey: ["_time"])')
+
+
+def test_parse_transform_stages():
+    p = parse_flux(
+        'from(bucket: "B") |> range(start: -5m)'
+        ' |> aggregateWindow(every: 1h, fn: mean)'
+        ' |> derivative(unit: 1s)'
+        ' |> movingAverage(n: 7)'
+        ' |> timeShift(duration: 2h)'
+        ' |> stateCount(fn: (r) => r._value > 50)'
+        ' |> stateDuration(fn: (r) => r["_value"] <= 0, unit: 10s)'
+        ' |> sort(columns: ["_time"], desc: false)'
+    )
+    assert [t[0] for t in p.transforms] == [
+        "derivative", "movingAverage", "timeShift",
+        "stateCount", "stateDuration",
+    ]
+    assert p.transforms[1][1]["n"] == 7
+    assert p.transforms[2][1]["duration"] == "2h"
+    assert p.transforms[3][1]["predicate_src"] == ("_value", ">", 50)
+    assert p.transforms[4][1]["predicate_src"] == ("_value", "<=", 0)
+    assert p.transforms[4][1]["unit_seconds"] == 10.0
+
+
+def test_execute_text_with_transforms(spark, sf_dir):
+    """A pipeline string with post-agg transforms executes and matches
+    the hand-built equivalent."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import timeseries as T
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    events = load_table(spark, sf_dir, "events")
+    text = (
+        "from(bucket: \"events\")"
+        " |> range(start: 2024-01-01, stop: 2024-02-01)"
+        " |> aggregateWindow(every: 1d, fn: mean)"
+        " |> difference()"
+        " |> cumulativeSum()"
+    )
+    got = (
+        parse_flux(text)
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+        .select("ts", "event_type", "value")
+    )
+    base = aggregate_window(
+        events.filter(
+            (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-02-01")
+        ),
+        "1d", "mean", by=["event_type"],
+    )
+    want = T.difference(base, ["event_type"], alias="_d")
+    want = want.withColumn("value", F.col("_d")).drop("_d")
+    want = want.filter(F.col("value").isNotNull())
+    want = T.cumulative_sum(want, ["event_type"], alias="_c")
+    want = want.withColumn("value", F.col("_c")).drop("_c").select(
+        "ts", "event_type", "value"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_execute_text_state_count(spark, sf_dir):
+    """stateCount over raw (un-aggregated) records through text."""
+    from solar_logger_spark.io.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    text = (
+        "from(bucket: \"events\") |> range(start: 2024-01-01)"
+        " |> stateCount(fn: (r) => r._value > 50)"
+    )
+    out = (
+        parse_flux(text)
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    rows = out.select("state_count").collect()
+    assert len(rows) > 0
+    assert {type(r.state_count) for r in rows} == {int}
+    assert all(r.state_count >= -1 for r in rows)
