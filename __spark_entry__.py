@@ -379,6 +379,45 @@ FLUX_TEXT_TRANSFORMS_SQL = """
 """
 
 
+def q_flux_text_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``top(n:)`` via text: the 3 highest daily-mean values per
+    series — one ranked window per series group, no global sort."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> aggregateWindow(every: 1d, fn: mean)"
+        "\n\t|> top(n: 3)"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_TOP_SQL = """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+               event_type, avg(value) AS value
+        FROM events WHERE {range}
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, ts ASC) AS rk
+        FROM agg
+    )
+    SELECT ts, event_type, value FROM ranked WHERE rk <= 3
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -475,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_agg_integral": q_flux_agg_integral,
         "flux_text_pipeline": q_flux_text_pipeline,
         "flux_text_transforms": q_flux_text_transforms,
+        "flux_text_top": q_flux_text_top,
         "flux_agg_offset": q_flux_agg_offset,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
@@ -674,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_transforms": FLUX_TEXT_TRANSFORMS_SQL.format(
                 range=_RANGE
             ),
+            "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),
             "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,

@@ -182,6 +182,7 @@ class QueryBuilder:
         "difference", "derivative", "cumulativeSum", "increase",
         "movingAverage", "exponentialMovingAverage", "elapsed",
         "timeShift", "fill", "stateCount", "stateDuration",
+        "top", "bottom",
     )
 
     def transform(self, name: str, **params):
@@ -213,6 +214,22 @@ class QueryBuilder:
         tiebreak = params.get("tiebreak", ())
         if name == "timeShift":
             return T.time_shift(df, params["duration"], ts_col=ts)
+        if name in ("top", "bottom"):
+            # Flux top/bottom(n:): n extreme records by value per series
+            # group; ties broken by (ts, tiebreak) so the cut is
+            # deterministic. Plans as one ranked window, no global sort.
+            from pyspark.sql import Window
+
+            n = int(params.get("n", 5))
+            vcol = F.col(val).desc() if name == "top" else F.col(val).asc()
+            w = Window.partitionBy(*series).orderBy(
+                vcol, F.col(ts).asc(), *[F.col(c) for c in tiebreak]
+            )
+            return (
+                df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= n)
+                .drop("_rk")
+            )
         if name == "fill":
             out = T.forward_fill(
                 df, series, ts_col=ts, value_col=val,
@@ -381,6 +398,19 @@ class QueryBuilder:
             every, fn, create_empty = self._agg
             ce = f", createEmpty: {str(create_empty).lower()}" if create_empty else ""
             parts.append(f"aggregateWindow(every: {every}, fn: {fn}{ce})")
+        for name, params in self._transforms:
+            args = []
+            if "n" in params:
+                args.append(f"n: {params['n']}")
+            if "duration" in params:
+                args.append(f"duration: {params['duration']}")
+            if "unit_seconds" in params:
+                args.append(f"unit: {int(params['unit_seconds'])}s")
+            if "predicate" in params:
+                # Column predicates don't round-trip to Flux source; a
+                # placeholder keeps the rendering total (debug aid only)
+                args.append("fn: (r) => <predicate>")
+            parts.append(f"{name}({', '.join(args)})")
         for fld, desc in self._sorts:
             parts.append(f'sort(columns: ["{fld}"], desc: {str(desc).lower()})')
         if self._limit is not None:

@@ -207,6 +207,7 @@ _TRANSFORM_STAGES = {
     "difference", "derivative", "cumulativeSum", "increase",
     "movingAverage", "exponentialMovingAverage", "elapsed",
     "timeShift", "fill", "stateCount", "stateDuration",
+    "top", "bottom",
 }
 
 
@@ -226,7 +227,7 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
     pipeline strings that grew past the reference keep working."""
     args = _parse_args(body)
     params: dict = {}
-    if name in ("movingAverage", "exponentialMovingAverage"):
+    if name in ("movingAverage", "exponentialMovingAverage", "top", "bottom"):
         params["n"] = int(str(_unquote(args.get("n", "5"))).rstrip(")"))
     elif name == "timeShift":
         if "duration" not in args:

@@ -221,3 +221,35 @@ def test_execute_text_state_count(spark, sf_dir):
     assert len(rows) > 0
     assert {type(r.state_count) for r in rows} == {int}
     assert all(r.state_count >= -1 for r in rows)
+
+
+def test_execute_text_top_bottom(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    top = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> aggregateWindow(every: 1d, fn: mean) |> top(n: 2)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+        .collect()
+    )
+    by_series = {}
+    for r in top:
+        by_series.setdefault(r.event_type, []).append(r.value)
+    assert all(len(v) <= 2 for v in by_series.values())
+    bottom = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> aggregateWindow(every: 1d, fn: mean) |> bottom(n: 2)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+        .collect()
+    )
+    for r in bottom:
+        assert r.value <= min(by_series[r.event_type]) or len(
+            by_series[r.event_type]
+        ) < 2 or r.value <= max(by_series[r.event_type])
