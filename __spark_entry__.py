@@ -418,6 +418,59 @@ FLUX_TEXT_TOP_SQL = """
 """
 
 
+def q_flux_text_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``fill(value:)`` + ``unique()`` via text: empty windows
+    filled with a sentinel, then the first occurrence (by event time) of
+    each distinct value per series."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> aggregateWindow(every: 6h, fn: count, createEmpty: true)"
+        "\n\t|> fill(value: 0)"
+        "\n\t|> unique()"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_UNIQUE_SQL = """
+    WITH keys AS (
+        SELECT DISTINCT event_type FROM events WHERE {range}
+    ), spine AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25' - INTERVAL '6 hours',
+            INTERVAL '6 hours')) AS wstart
+    ), agg AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type,
+               count(value) AS value
+        FROM events WHERE {range}
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.wstart + INTERVAL '6 hours' AS ts, k.event_type,
+               coalesce(a.value, 0) AS value
+        FROM spine s CROSS JOIN keys k
+        LEFT JOIN agg a ON a.wstart = s.wstart AND a.event_type = k.event_type
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type, value
+                                     ORDER BY ts ASC) AS rk
+        FROM grid
+    )
+    SELECT ts, event_type, CAST(value AS BIGINT) AS value
+    FROM ranked WHERE rk = 1
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -515,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_pipeline": q_flux_text_pipeline,
         "flux_text_transforms": q_flux_text_transforms,
         "flux_text_top": q_flux_text_top,
+        "flux_text_unique": q_flux_text_unique,
         "flux_agg_offset": q_flux_agg_offset,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
@@ -715,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
                 range=_RANGE
             ),
             "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),
+            "flux_text_unique": FLUX_TEXT_UNIQUE_SQL.format(range=_RANGE),
             "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,

@@ -182,7 +182,7 @@ class QueryBuilder:
         "difference", "derivative", "cumulativeSum", "increase",
         "movingAverage", "exponentialMovingAverage", "elapsed",
         "timeShift", "fill", "stateCount", "stateDuration",
-        "top", "bottom",
+        "top", "bottom", "distinct", "unique",
     )
 
     def transform(self, name: str, **params):
@@ -231,11 +231,34 @@ class QueryBuilder:
                 .drop("_rk")
             )
         if name == "fill":
+            if "value" in params:
+                # Flux fill(value:) — nulls become the constant
+                return df.withColumn(
+                    val, F.coalesce(F.col(val), F.lit(params["value"]))
+                )
             out = T.forward_fill(
                 df, series, ts_col=ts, value_col=val,
                 tiebreak=tiebreak, alias="_t",
             )
             return out.withColumn(val, F.col("_t")).drop("_t")
+        if name == "distinct":
+            # Flux distinct(): the distinct values of the column per
+            # series group; non-group columns are dropped (Flux keeps
+            # only _value + group key)
+            return df.select(*series, val).distinct()
+        if name == "unique":
+            # Flux unique(): full rows, first occurrence (by event time)
+            # of each distinct value per series
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*series, val).orderBy(
+                F.col(ts).asc(), *[F.col(c) for c in tiebreak]
+            )
+            return (
+                df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .drop("_rk")
+            )
         if name == "elapsed":
             return T.elapsed(
                 df, series, ts_col=ts, tiebreak=tiebreak, alias="elapsed",

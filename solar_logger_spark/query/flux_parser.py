@@ -207,7 +207,7 @@ _TRANSFORM_STAGES = {
     "difference", "derivative", "cumulativeSum", "increase",
     "movingAverage", "exponentialMovingAverage", "elapsed",
     "timeShift", "fill", "stateCount", "stateDuration",
-    "top", "bottom",
+    "top", "bottom", "distinct", "unique",
 }
 
 
@@ -238,9 +238,14 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
             str(_unquote(args["unit"])).rstrip(")")
         )
     if name == "fill":
-        use_prev = str(args.get("usePrevious", "true")).rstrip(")").strip()
-        if use_prev.lower() not in ("true", "1"):
-            raise ValueError("only fill(usePrevious: true) is supported")
+        if "value" in args:
+            params["value"] = _unquote(str(args["value"]).rstrip("),"))
+        else:
+            use_prev = str(args.get("usePrevious", "true")).rstrip(")").strip()
+            if use_prev.lower() not in ("true", "1"):
+                raise ValueError(
+                    "fill needs value: or usePrevious: true"
+                )
     if name in ("stateCount", "stateDuration"):
         m = _PRED.search(body) or _DOT_PRED.search(body)
         if not m:

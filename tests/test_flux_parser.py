@@ -253,3 +253,30 @@ def test_execute_text_top_bottom(spark, sf_dir):
         assert r.value <= min(by_series[r.event_type]) or len(
             by_series[r.event_type]
         ) < 2 or r.value <= max(by_series[r.event_type])
+
+
+def test_parse_fill_value_distinct_unique():
+    p = parse_flux(
+        'from(bucket: "B") |> range(start: -5m)'
+        " |> fill(value: 0) |> distinct() |> unique()"
+    )
+    assert p.transforms == [
+        ("fill", {"value": 0}), ("distinct", {}), ("unique", {}),
+    ]
+
+
+def test_execute_distinct_drops_nonseries_columns(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> aggregateWindow(every: 1d, fn: count) |> distinct()"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    assert sorted(out.columns) == ["event_type", "value"]
+    rows = [(r.event_type, r.value) for r in out.collect()]
+    assert len(rows) == len(set(rows))
