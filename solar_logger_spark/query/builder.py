@@ -427,6 +427,8 @@ class QueryBuilder:
                 args.append(f"n: {params['n']}")
             if "duration" in params:
                 args.append(f"duration: {params['duration']}")
+            if "value" in params:
+                args.append(f"value: {params['value']}")
             if "unit_seconds" in params:
                 args.append(f"unit: {int(params['unit_seconds'])}s")
             if "predicate" in params:
