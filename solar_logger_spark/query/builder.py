@@ -183,6 +183,7 @@ class QueryBuilder:
         "movingAverage", "exponentialMovingAverage", "elapsed",
         "timeShift", "fill", "stateCount", "stateDuration",
         "top", "bottom", "distinct", "unique",
+        "keep", "drop", "rename",
     )
 
     def transform(self, name: str, **params):
@@ -241,6 +242,16 @@ class QueryBuilder:
                 tiebreak=tiebreak, alias="_t",
             )
             return out.withColumn(val, F.col("_t")).drop("_t")
+        if name == "keep":
+            # Flux keep(columns:) — project to the listed columns
+            cols = [c for c in params["columns"] if c in df.columns]
+            return df.select(*cols)
+        if name == "drop":
+            return df.drop(*params["columns"])
+        if name == "rename":
+            for old, new in params["columns"].items():
+                df = df.withColumnRenamed(old, new)
+            return df
         if name == "distinct":
             # Flux distinct(): the distinct values of the column per
             # series group; non-group columns are dropped (Flux keeps

@@ -87,6 +87,14 @@ class FluxPipeline:
             qb = qb.aggregate_window(every, fn, create_empty=create_empty)
         for name, params in self.transforms:
             params = dict(params)
+            if "columns" in params:
+                c = params["columns"]
+                if isinstance(c, dict):
+                    params["columns"] = {
+                        fmap.get(k, k): v for k, v in c.items()
+                    }
+                else:
+                    params["columns"] = [fmap.get(x, x) for x in c]
             if "predicate_src" in params:
                 from pyspark.sql import functions as F
 
@@ -208,6 +216,7 @@ _TRANSFORM_STAGES = {
     "movingAverage", "exponentialMovingAverage", "elapsed",
     "timeShift", "fill", "stateCount", "stateDuration",
     "top", "bottom", "distinct", "unique",
+    "keep", "drop", "rename",
 }
 
 
@@ -246,6 +255,19 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
                 raise ValueError(
                     "fill needs value: or usePrevious: true"
                 )
+    if name in ("keep", "drop"):
+        cols = re.findall(r"[\"']([^\"']+)[\"']", args.get("columns", ""))
+        if not cols:
+            raise ValueError(f"{name} needs columns: [..]: {body!r}")
+        params["columns"] = cols
+    if name == "rename":
+        # rename(columns: {old: "new", ...})
+        mapping = dict(
+            re.findall(r"(\w+)\s*:\s*[\"']([^\"']+)[\"']", body)
+        )
+        if not mapping:
+            raise ValueError(f"rename needs columns: {{old: \"new\"}}")
+        params["columns"] = mapping
     if name in ("stateCount", "stateDuration"):
         m = _PRED.search(body) or _DOT_PRED.search(body)
         if not m:

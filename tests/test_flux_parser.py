@@ -280,3 +280,38 @@ def test_execute_distinct_drops_nonseries_columns(spark, sf_dir):
     assert sorted(out.columns) == ["event_type", "value"]
     rows = [(r.event_type, r.value) for r in out.collect()]
     assert len(rows) == len(set(rows))
+
+
+def test_parse_and_execute_keep_drop_rename(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+
+    p = parse_flux(
+        'from(bucket: "B") |> range(start: -5m)'
+        ' |> keep(columns: ["_time", "_value", "event_type"])'
+        ' |> rename(columns: {_value: "reading"})'
+    )
+    assert p.transforms[0] == (
+        "keep", {"columns": ["_time", "_value", "event_type"]}
+    )
+    assert p.transforms[1] == ("rename", {"columns": {"_value": "reading"}})
+
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            ' |> keep(columns: ["_time", "_value", "event_type"])'
+            ' |> rename(columns: {_value: "reading"})'
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    assert sorted(out.columns) == ["event_type", "reading", "ts"]
+    dropped = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            ' |> drop(columns: ["props", "user_id"])'
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    assert "props" not in dropped.columns and "user_id" not in dropped.columns
