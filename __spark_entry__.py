@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_elapsed_events": sca.ts_elapsed_events,
             "ts_moving_average_events": sca.ts_moving_average_events,
             "sketch_distinct_users_daily": sca.sketch_distinct_users_daily,
+            "sketch_heavy_hitters": sca.sketch_heavy_hitters,
             "text_bm25_topk_docs": sca.text_bm25_topk_docs,
             "similarity_ann_pq": sca.similarity_ann_pq,
             "similarity_ann_ivfpq": sca.similarity_ann_ivfpq,
@@ -822,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
             "text_bm25_topk_docs": sca.BM25_SQL,
             "ts_ema_events": sca.EMA_SQL,
             "ts_state_count_events": sca.STATE_COUNT_SQL,
+            "sketch_heavy_hitters": sca.HEAVY_HITTERS_SQL,
             "ts_state_duration_events": sca.STATE_DURATION_SQL,
         }
     )

@@ -79,3 +79,84 @@ def approx_quantiles(
             "quantiles"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch as rows: mergeable frequency tables + point estimates
+# ---------------------------------------------------------------------------
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Count-min sketch per group, materialized as ROWS
+    ``(*group_cols, row, bucket, cnt)`` — ``depth`` hash rows of
+    ``width`` buckets (Cormode & Muthukrishnan 2005 — public).
+
+    Row form beats a binary blob on Spark: building is one
+    ``explode(depth)`` + hash aggregate (map-side combinable, shuffle
+    bounded by groups × depth × min(width, distinct keys), never input
+    rows); MERGING sketches — across days, partitions, or tables — is a
+    plain ``groupBy(row, bucket).sum(cnt)``, and both halves stay in
+    whole-stage codegen. Point estimates are a join + min (below).
+
+    Hashes are ``xxhash64(value, row_seed) mod width`` — deterministic,
+    so sketches built anywhere merge consistently."""
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    exploded = df.select(
+        *group_cols,
+        F.explode(rows).alias("row"),
+        F.col(value_col).alias("_v"),
+    ).select(
+        *group_cols,
+        "row",
+        F.pmod(F.xxhash64(F.col("_v"), F.col("row")), F.lit(width)).alias(
+            "bucket"
+        ),
+    )
+    return exploded.groupBy(*group_cols, "row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(
+    sketches: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge CMS tables (e.g. re-group per-day sketches to global):
+    bucket-wise sums — the mergeability that makes the sketch a
+    store-don't-rescan artifact."""
+    return sketches.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 8192,
+    alias: str = "est_count",
+) -> DataFrame:
+    """Point-estimate the frequency of each key in ``keys``: look up the
+    key's bucket in each of the ``depth`` rows and take the minimum
+    (over-count only — CMS never under-counts; error ≤ e/width · N with
+    prob 1−e^−depth). The keys side is exploded ``depth`` ways and the
+    lookup is an equi-join the small side of which broadcasts."""
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    probes = keys.select(
+        *group_cols,
+        F.col(key_col),
+        F.explode(rows).alias("row"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col(key_col), F.col("row")), F.lit(width)),
+    )
+    joined = probes.join(sketch, [*group_cols, "row", "bucket"], "left")
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(alias)
+    )

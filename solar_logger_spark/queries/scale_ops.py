@@ -816,6 +816,35 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via mergeable count-min sketch: per-day CMS tables
+    over event_type, bucket-summed to a global sketch, point-estimated
+    per key, thresholded. With 5 keys against width 8192 the estimate
+    is collision-free, so the DuckDB exact-count oracle matches
+    exactly; the never-undercount bound at real cardinality is pinned
+    in tests/test_sketches.py."""
+    from solar_logger_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    daily = sketches.cms_table(
+        events.withColumn("day", F.to_date("ts")),
+        "event_type",
+        group_cols=["day"],
+    )
+    merged = sketches.cms_merge(daily)
+    keys = events.select("event_type").distinct()
+    est = sketches.cms_estimate(merged, keys, "event_type")
+    return est.filter(F.col("est_count") >= 50).select(
+        "event_type", "est_count"
+    )
+
+
+HEAVY_HITTERS_SQL = """
+    SELECT event_type, count(*) AS est_count
+    FROM events GROUP BY event_type HAVING count(*) >= 50
+"""
+
+
 def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ (IVFADC): residual-encoded codes partitioned by
     coarse cell, per-(query, cell) ADC tables, exact shortlist re-rank

@@ -60,3 +60,60 @@ def test_approx_quantiles_bracket_exact_median(spark, sf_dir):
     }
     for k, m in exact.items():
         assert abs(q[k][0] - m) <= max(1.0, 0.05 * abs(m))
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_dir):
+    """CMS point estimates are >= exact counts (one-sided error), the
+    per-day merge is identical to sketching the whole table directly,
+    and small-cardinality keys are collision-free (estimate == exact)."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.user_id: r.cnt
+        for r in events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    direct = sketches.cms_table(events, "user_id", width=256)
+    keys = events.select("user_id").distinct()
+    est = {
+        r.user_id: r.est_count
+        for r in sketches.cms_estimate(
+            direct, keys, "user_id", width=256
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+    daily = sketches.cms_table(
+        events.withColumn("day", F.to_date("ts")),
+        "user_id", group_cols=["day"], width=256,
+    )
+    merged = sketches.cms_merge(daily)
+    rows_direct = {
+        (r.row, r.bucket): r.cnt for r in direct.collect()
+    }
+    rows_merged = {
+        (r.row, r.bucket): r.cnt for r in merged.collect()
+    }
+    assert rows_direct == rows_merged
+
+    # 5 event_type keys in width 8192: collision-free, estimate exact
+    et_exact = {
+        r.event_type: r.cnt
+        for r in events.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    et_sketch = sketches.cms_table(events, "event_type")
+    et_est = {
+        r.event_type: r.est_count
+        for r in sketches.cms_estimate(
+            et_sketch, events.select("event_type").distinct(), "event_type"
+        ).collect()
+    }
+    assert et_est == et_exact
