@@ -471,6 +471,139 @@ FLUX_TEXT_UNIQUE_SQL = """
 """
 
 
+def _flux_text_events(spark, sf_dir, text, **kw):
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    kw.setdefault("ts_col", "ts")
+    kw.setdefault("value_col", "value")
+    kw.setdefault("series_cols", ("event_type",))
+    return parse_flux(text).to_builder(events, **kw).to_df()
+
+
+def q_flux_text_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``pivot(rowKey:, columnKey:, valueColumn:)`` via text: the
+    long point stream reshaped wide — one row per day, one column per
+    series (SURVEY §1.3's long↔wide duality as a pipeline stage)."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> aggregateWindow(every: 1d, fn: mean)"
+        '\n\t|> pivot(rowKey: ["_time"], columnKey: ["event_type"], '
+        'valueColumn: "_value")',
+    )
+
+
+FLUX_TEXT_PIVOT_SQL = """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+               event_type, avg(value) AS value
+        FROM events WHERE {range}
+        GROUP BY 1, 2
+    )
+    SELECT ts,
+           max(value) FILTER (WHERE event_type = 'click') AS click,
+           max(value) FILTER (WHERE event_type = 'error') AS error,
+           max(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+           max(value) FILTER (WHERE event_type = 'signup') AS signup,
+           max(value) FILTER (WHERE event_type = 'view') AS view
+    FROM agg GROUP BY ts
+"""
+
+
+def q_flux_text_bare_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux bare aggregate ``|> last()`` via text: collapse each series
+    to its final windowed value (time-ordered last = ``max_by``, a
+    single hash aggregate — no sort)."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> aggregateWindow(every: 6h, fn: mean)"
+        "\n\t|> last()",
+    )
+
+
+FLUX_TEXT_BARE_AGG_SQL = """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
+               event_type, avg(value) AS value
+        FROM events WHERE {range}
+        GROUP BY 1, 2
+    )
+    SELECT event_type, arg_max(value, ts) AS value FROM agg GROUP BY 1
+"""
+
+
+def q_flux_text_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``group()`` (ungroup) + bare ``max()`` via text: drop the
+    series key after the window aggregate, then take the global max —
+    the Flux re-keying idiom."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> aggregateWindow(every: 6h, fn: mean)"
+        "\n\t|> group()"
+        "\n\t|> max()",
+    )
+
+
+FLUX_TEXT_GROUP_MAX_SQL = """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS ts,
+               event_type, avg(value) AS value
+        FROM events WHERE {range}
+        GROUP BY 1, 2
+    )
+    SELECT max(value) AS value FROM agg
+"""
+
+
+def q_flux_text_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``group(columns:)`` BEFORE the aggregate via text: re-key
+    the windowed aggregate by a different column (user_id) than the
+    builder's default series — position-sensitive parsing."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> group(columns: ["user_id"])'
+        "\n\t|> aggregateWindow(every: 1d, fn: count)",
+    )
+
+
+FLUX_TEXT_GROUP_KEYS_SQL = """
+    SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+           user_id, count(value) AS value
+    FROM events WHERE {range}
+    GROUP BY 1, 2
+"""
+
+
+def q_flux_text_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``map(fn: (r) => ({ r with _value: ... }))`` via text: the
+    record-rewrite idiom with a restricted arithmetic expression,
+    compiled to a JVM column expression (no Python in the hot path)."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> aggregateWindow(every: 1d, fn: mean)"
+        "\n\t|> map(fn: (r) => ({ r with _value: "
+        "(r._value * 2.0 + 1.0) / 2 }))",
+    )
+
+
+FLUX_TEXT_MAP_SQL = """
+    SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+           event_type, (avg(value) * 2.0 + 1.0) / 2 AS value
+    FROM events WHERE {range}
+    GROUP BY 1, 2
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -570,6 +703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_top": q_flux_text_top,
         "flux_text_unique": q_flux_text_unique,
         "flux_agg_offset": q_flux_agg_offset,
+        "flux_text_pivot": q_flux_text_pivot,
+        "flux_text_bare_agg": q_flux_text_bare_agg,
+        "flux_text_group_max": q_flux_text_group_max,
+        "flux_text_group_keys": q_flux_text_group_keys,
+        "flux_text_map": q_flux_text_map,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev", "spread"):
@@ -771,6 +909,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),
             "flux_text_unique": FLUX_TEXT_UNIQUE_SQL.format(range=_RANGE),
+            "flux_text_pivot": FLUX_TEXT_PIVOT_SQL.format(range=_RANGE),
+            "flux_text_bare_agg": FLUX_TEXT_BARE_AGG_SQL.format(range=_RANGE),
+            "flux_text_group_max": FLUX_TEXT_GROUP_MAX_SQL.format(range=_RANGE),
+            "flux_text_group_keys": FLUX_TEXT_GROUP_KEYS_SQL.format(range=_RANGE),
+            "flux_text_map": FLUX_TEXT_MAP_SQL.format(range=_RANGE),
             "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,

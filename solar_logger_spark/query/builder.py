@@ -29,7 +29,7 @@ from datetime import datetime
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from solar_logger_spark.durations import parse_duration
-from solar_logger_spark.operators.window_agg import aggregate_window
+from solar_logger_spark.operators.window_agg import AGG_FNS, agg_expr, aggregate_window
 
 _OPS = {
     "==": lambda c, v: c == v,
@@ -184,6 +184,9 @@ class QueryBuilder:
         "timeShift", "fill", "stateCount", "stateDuration",
         "top", "bottom", "distinct", "unique",
         "keep", "drop", "rename",
+        "group", "pivot", "map",
+        # bare Flux aggregates: collapse each series table to one row
+        *sorted(AGG_FNS),
     )
 
     def transform(self, name: str, **params):
@@ -201,7 +204,20 @@ class QueryBuilder:
         self._transforms.append((name, params))
         return self
 
-    def _apply_transform(self, df: DataFrame, name: str, params: dict):
+    def group(self, columns: Sequence[str] = ()):
+        """Flux ``group(columns:)`` BEFORE the aggregate: re-key the
+        series grouping used by ``aggregate_window`` and every later
+        per-series transform. ``group()`` with no columns ungroups (one
+        global table). Placed after the aggregate in a pipeline, use
+        ``transform("group", columns=[...])`` — it re-keys only the
+        stages that follow it."""
+        self.series_cols = list(columns)
+        return self
+
+    def _apply_transform(
+        self, df: DataFrame, name: str, params: dict,
+        series_cols: Sequence[str] | None = None,
+    ):
         """One Flux transform stage over the running record shape.
 
         Value-rewriting stages (difference/derivative/…) follow Flux in
@@ -210,7 +226,9 @@ class QueryBuilder:
         follow Flux in keeping ``value`` and appending their column."""
         from solar_logger_spark.operators import timeseries as T
 
-        series = [c for c in self.series_cols if c in df.columns]
+        if series_cols is None:
+            series_cols = self.series_cols
+        series = [c for c in series_cols if c in df.columns]
         ts, val = self.ts_col, self.value_col
         tiebreak = params.get("tiebreak", ())
         if name == "timeShift":
@@ -242,6 +260,39 @@ class QueryBuilder:
                 tiebreak=tiebreak, alias="_t",
             )
             return out.withColumn(val, F.col("_t")).drop("_t")
+        if name in AGG_FNS:
+            # Bare Flux aggregate (``|> mean()``, ``|> last()``, …):
+            # collapse each series table to one row; Flux drops the time
+            # column on the way. Single hash aggregate with map-side
+            # partial combine — shuffle volume is |series|, not rows.
+            return df.groupBy(*series).agg(agg_expr(name, val, ts).alias(val))
+        if name == "pivot":
+            # Flux pivot(rowKey:, columnKey:, valueColumn:) — wide view.
+            # (rowKey, columnKey) pairs are unique in Flux output tables
+            # (last-wins on collision); max() is deterministic either way
+            # and keeps the plan a single hash aggregation. Passing
+            # values= pins the output schema and skips Spark's
+            # distinct-values pre-job — pass it whenever known.
+            row_key = list(params.get("row_key") or [ts])
+            col_key = list(params.get("column_key") or [])
+            if not col_key:
+                raise ValueError("pivot needs column_key=[...]")
+            vcol = params.get("value_column", val)
+            values = params.get("values")
+            if len(col_key) == 1:
+                key = col_key[0]
+            else:
+                # Flux joins multi-column keys with "_"
+                df = df.withColumn("_ck", F.concat_ws("_", *col_key))
+                key = "_ck"
+            gb = df.groupBy(*row_key)
+            pv = gb.pivot(key, list(values)) if values else gb.pivot(key)
+            return pv.agg(F.max(vcol))
+        if name == "map":
+            # Flux map(fn: (r) => ({ r with <target>: <expr> })) — the
+            # record-rewrite idiom, restricted to arithmetic over record
+            # fields (parsed by flux_parser) or a caller-supplied Column.
+            return df.withColumn(params["target"], params["column"])
         if name == "keep":
             # Flux keep(columns:) — project to the listed columns
             cols = [c for c in params["columns"] if c in df.columns]
@@ -387,8 +438,15 @@ class QueryBuilder:
                 create_empty=create_empty,
                 bounds=self._resolved_bounds() if create_empty else None,
             )
+        run_series = list(self.series_cols)
         for name, params in self._transforms:
-            df = self._apply_transform(df, name, params)
+            if name == "group":
+                # post-aggregate group(): re-key (or ungroup) the series
+                # grouping for every stage that follows — pure plan
+                # metadata, no job of its own
+                run_series = list(params.get("columns") or [])
+                continue
+            df = self._apply_transform(df, name, params, run_series)
         for fld, desc in self._sorts:
             df = df.orderBy(F.col(fld).desc() if desc else F.col(fld).asc())
         if self._projection:
@@ -446,6 +504,17 @@ class QueryBuilder:
                 # Column predicates don't round-trip to Flux source; a
                 # placeholder keeps the rendering total (debug aid only)
                 args.append("fn: (r) => <predicate>")
+            if name == "group" and params.get("columns"):
+                cols = ", ".join(f'"{c}"' for c in params["columns"])
+                args.append(f"columns: [{cols}]")
+            if name == "pivot":
+                rk = ", ".join(f'"{c}"' for c in (params.get("row_key") or []))
+                ck = ", ".join(f'"{c}"' for c in (params.get("column_key") or []))
+                args.append(f"rowKey: [{rk}], columnKey: [{ck}], "
+                            f"valueColumn: \"{params.get('value_column', '_value')}\"")
+            if name == "map":
+                src = params.get("source", "<expr>")
+                args.append(f"fn: (r) => ({{ r with {params.get('target', '_value')}: {src} }})")
             parts.append(f"{name}({', '.join(args)})")
         for fld, desc in self._sorts:
             parts.append(f'sort(columns: ["{fld}"], desc: {str(desc).lower()})')

@@ -55,6 +55,7 @@ class FluxPipeline:
         default_factory=list
     )  # [(field, op, value, joiner-to-previous)]
     agg: tuple[str, str, bool] | None = None  # (every, fn, create_empty)
+    group_cols: list[str] | None = None  # group() BEFORE the aggregate
     transforms: list[tuple[str, dict]] = dc_field(default_factory=list)
     sorts: list[tuple[str, bool]] = dc_field(default_factory=list)
     limit: int | None = None
@@ -71,6 +72,8 @@ class FluxPipeline:
         qb = QueryBuilder(df, **builder_kwargs)
         fmap = {"_value": qb.value_col, "_time": qb.ts_col}
         fmap.update(field_map or {})
+        if self.group_cols is not None:
+            qb = qb.group([fmap.get(c, c) for c in self.group_cols])
         if self.start is not None or self.stop is not None:
             qb = qb.range(self.start, self.stop)
         for band in self.bands:
@@ -108,6 +111,17 @@ class FluxPipeline:
                     "<": col < value,
                     "<=": col <= value,
                 }[op]
+            for key in ("row_key", "column_key"):
+                if key in params:
+                    params[key] = [fmap.get(c, c) for c in params[key]]
+            if "value_column" in params:
+                params["value_column"] = fmap.get(
+                    params["value_column"], params["value_column"]
+                )
+            if "expr_ast" in params:
+                ast = params.pop("expr_ast")
+                params["target"] = fmap.get(params["target"], params["target"])
+                params["column"] = _ast_to_column(ast, fmap)
             qb = qb.transform(name, **params)
         for fld, desc in self.sorts:
             qb = qb.sort(fmap.get(fld, fld), desc=desc)
@@ -204,6 +218,17 @@ def parse_flux(text: str) -> FluxPipeline:
         elif name == "limit":
             args = _parse_args(body)
             pipe.limit = int(str(_unquote(args.get("n", "0"))).rstrip(")"))
+        elif name == "group":
+            # group() placed before aggregateWindow re-keys the aggregate
+            # itself; after it, it re-keys only later stages. Position in
+            # the stage list decides which.
+            cols = re.findall(
+                r"[\"']([^\"']+)[\"']", _parse_args(body).get("columns", "")
+            )
+            if pipe.agg is None and not pipe.transforms:
+                pipe.group_cols = cols
+            else:
+                pipe.transforms.append(("group", {"columns": cols}))
         elif name in _TRANSFORM_STAGES:
             pipe.transforms.append(_parse_transform(name, body))
         else:
@@ -211,13 +236,19 @@ def parse_flux(text: str) -> FluxPipeline:
     return pipe
 
 
+_BARE_AGGS = {
+    "mean", "median", "min", "max", "sum", "count", "stddev",
+    "first", "last", "spread",
+}
+
 _TRANSFORM_STAGES = {
     "difference", "derivative", "cumulativeSum", "increase",
     "movingAverage", "exponentialMovingAverage", "elapsed",
     "timeShift", "fill", "stateCount", "stateDuration",
     "top", "bottom", "distinct", "unique",
     "keep", "drop", "rename",
-}
+    "pivot", "map",
+} | _BARE_AGGS
 
 
 def _unit_seconds(tok: str) -> float:
@@ -277,4 +308,134 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
             m.group("op"),
             _unquote(m.group("value").rstrip("),")),
         )
+    if name == "pivot":
+        # pivot(rowKey: ["_time"], columnKey: ["_field"], valueColumn: "_value")
+        def _cols(key: str) -> list[str]:
+            return re.findall(r"[\"']([^\"']+)[\"']", args.get(key, ""))
+
+        row_key, col_key = _cols("rowKey"), _cols("columnKey")
+        if not col_key:
+            raise ValueError(f"pivot needs columnKey: [..]: {body!r}")
+        params["column_key"] = col_key
+        if row_key:
+            params["row_key"] = row_key
+        if "valueColumn" in args:
+            params["value_column"] = str(_unquote(args["valueColumn"]))
+    if name == "map":
+        # map(fn: (r) => ({ r with <target>: <arith expr> })) — the Flux
+        # record-rewrite idiom, restricted to arithmetic over r.<field> /
+        # r["field"] and numeric literals
+        m = re.search(r"r\s+with\s+([\w.\"\[\]]+)\s*:\s*([^}]*)", body)
+        if not m:
+            raise ValueError(
+                "map supports fn: (r) => ({ r with <field>: <expr> })"
+            )
+        target = m.group(1).strip()
+        tm = re.match(r"r\[\"([^\"]+)\"\]|r\.(\w+)|(\w+)", target)
+        params["target"] = next(g for g in tm.groups() if g) if tm else target
+        params["source"] = m.group(2).strip()
+        params["expr_ast"] = _parse_arith(params["source"])
     return (name, params)
+
+
+# -- restricted arithmetic for map() -----------------------------------
+_TOKEN = re.compile(
+    r"\s*(?:(?P<field>r\[\"[^\"]+\"\]|r\.\w+)"
+    r"|(?P<num>\d+\.\d*|\.\d+|\d+)"
+    r"|(?P<op>[-+*/%()]))"
+)
+
+
+def _parse_arith(src: str):
+    """Parse ``r._value * 2.0 + 1.0`` into a pure-data AST:
+    ``("num", x) | ("field", name) | ("neg", ast) | ("bin", op, l, r)``.
+    Standard precedence (* / % over + -), parens, unary minus."""
+    tokens: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m:
+            if src[pos:].strip():
+                raise ValueError(f"map: unparseable expression at {src[pos:]!r}")
+            break
+        if m.group("field"):
+            f = m.group("field")
+            name = f[3:-2] if f.startswith('r["') else f[2:]
+            tokens.append(("field", name))
+        elif m.group("num"):
+            tokens.append(("num", float(m.group("num"))))
+        else:
+            tokens.append(("op", m.group("op")))
+        pos = m.end()
+    if not tokens:
+        raise ValueError(f"map: empty expression {src!r}")
+
+    idx = 0
+
+    def peek():
+        return tokens[idx] if idx < len(tokens) else (None, None)
+
+    def take():
+        nonlocal idx
+        tok = tokens[idx]
+        idx += 1
+        return tok
+
+    def factor():
+        kind, val = peek()
+        if kind == "op" and val == "-":
+            take()
+            return ("neg", factor())
+        if kind == "op" and val == "(":
+            take()
+            node = expr()
+            if peek() != ("op", ")"):
+                raise ValueError("map: unbalanced parens")
+            take()
+            return node
+        if kind in ("num", "field"):
+            return take()
+        raise ValueError(f"map: unexpected token {val!r}")
+
+    def term():
+        node = factor()
+        while peek() == ("op", "*") or peek() == ("op", "/") or peek() == ("op", "%"):
+            _, op = take()
+            node = ("bin", op, node, factor())
+        return node
+
+    def expr():
+        node = term()
+        while peek() == ("op", "+") or peek() == ("op", "-"):
+            _, op = take()
+            node = ("bin", op, node, term())
+        return node
+
+    node = expr()
+    if idx != len(tokens):
+        raise ValueError(f"map: trailing tokens in {src!r}")
+    return node
+
+
+def _ast_to_column(ast, fmap: dict[str, str]):
+    """Bind a map() AST to Spark Columns (field names via ``fmap``)."""
+    from pyspark.sql import functions as F
+
+    kind = ast[0]
+    if kind == "num":
+        return F.lit(ast[1])
+    if kind == "field":
+        return F.col(fmap.get(ast[1], ast[1]))
+    if kind == "neg":
+        return -_ast_to_column(ast[1], fmap)
+    _, op, left, right = ast
+    lc, rc = _ast_to_column(left, fmap), _ast_to_column(right, fmap)
+    if op == "+":
+        return lc + rc
+    if op == "-":
+        return lc - rc
+    if op == "*":
+        return lc * rc
+    if op == "/":
+        return lc / rc
+    return lc % rc

@@ -137,7 +137,7 @@ def test_unsupported_stage_rejected():
     import pytest
 
     with pytest.raises(ValueError, match="unsupported stage"):
-        parse_flux('from(bucket: "B") |> pivot(rowKey: ["_time"])')
+        parse_flux('from(bucket: "B") |> histogram(bins: [0.0])')
 
 
 def test_parse_transform_stages():
@@ -315,3 +315,117 @@ def test_parse_and_execute_keep_drop_rename(spark, sf_dir):
         .to_df()
     )
     assert "props" not in dropped.columns and "user_id" not in dropped.columns
+
+
+def test_parse_pivot_group_map_bare_agg():
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    p = parse_flux(
+        'from(bucket: "B") |> range(start: -5m)'
+        ' |> group(columns: ["user_id"])'
+        " |> aggregateWindow(every: 1h, fn: mean)"
+        ' |> pivot(rowKey: ["_time"], columnKey: ["_field"],'
+        ' valueColumn: "_value")'
+        " |> map(fn: (r) => ({ r with _value: r._value * 2.0 + 1 }))"
+        " |> group() |> max()"
+    )
+    # group before the aggregate re-keys the aggregate itself
+    assert p.group_cols == ["user_id"]
+    assert p.transforms[0] == (
+        "pivot",
+        {"row_key": ["_time"], "column_key": ["_field"],
+         "value_column": "_value"},
+    )
+    name, params = p.transforms[1]
+    assert name == "map" and params["target"] == "_value"
+    assert params["expr_ast"] == (
+        "bin", "+",
+        ("bin", "*", ("field", "_value"), ("num", 2.0)),
+        ("num", 1.0),
+    )
+    # group() after the aggregate is an ungroup transform stage
+    assert p.transforms[2] == ("group", {"columns": []})
+    assert p.transforms[3] == ("max", {})
+
+
+def test_map_arith_parser_precedence_and_errors(spark):
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.query.flux_parser import (
+        _ast_to_column, _parse_arith,
+    )
+
+    ast = _parse_arith('(r["a"] + 2) * -3.5')
+    assert ast == (
+        "bin", "*",
+        ("bin", "+", ("field", "a"), ("num", 2.0)),
+        ("neg", ("num", 3.5)),
+    )
+    # binds through the field map to a Spark Column
+    col = _ast_to_column(ast, {"a": "value"})
+    assert "value" in repr(col)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_arith("r.a ** 2")  # unsupported operator
+    with pytest.raises(ValueError):
+        _parse_arith("(r.a + 1")  # unbalanced parens
+
+
+def test_execute_pivot_and_bare_agg(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> aggregateWindow(every: 1d, fn: mean)"
+            ' |> pivot(rowKey: ["_time"], columnKey: ["event_type"],'
+            ' valueColumn: "_value")'
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    assert "ts" in wide.columns and "click" in wide.columns
+    # one row per day — the row key is unique after the pivot
+    days = [r.ts for r in wide.select("ts").collect()]
+    assert len(days) == len(set(days))
+
+    # bare last() per series vs. ungrouped global max()
+    last = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> aggregateWindow(every: 1d, fn: mean) |> last()"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    assert sorted(last.columns) == ["event_type", "value"]
+    gmax = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> aggregateWindow(every: 1d, fn: mean) |> group() |> max()"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+        .collect()
+    )
+    assert len(gmax) == 1 and list(gmax[0].asDict()) == ["value"]
+
+
+def test_execute_pre_aggregate_group_rekeys(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            ' |> group(columns: ["user_id"])'
+            " |> aggregateWindow(every: 7d, fn: count)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    assert sorted(out.columns) == ["ts", "user_id", "value"]
