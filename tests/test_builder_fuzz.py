@@ -336,3 +336,114 @@ def test_sort_limit_matches_duckdb(spark, duck, p):
                 assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
             else:
                 assert gv == wv
+
+
+# ---------------------------------------------------------------------------
+# transform-stage differential: aggregateWindow + one stdlib transform
+# (difference / cumulativeSum / movingAverage / top) vs a window-SQL oracle
+# ---------------------------------------------------------------------------
+
+transform_pipelines = st.fixed_dictionaries(
+    {
+        "t0_day": st.integers(1, 22),
+        "span_days": st.integers(2, 8),
+        "every": st.sampled_from(sorted(EVERY_SECONDS)),
+        "stage": st.one_of(
+            st.just(("difference", None)),
+            st.just(("cumulativeSum", None)),
+            st.tuples(st.just("movingAverage"), st.integers(2, 5)),
+            # top uses fn=count so values are exact ints — ranking ties
+            # resolve identically on both engines (broken by ts)
+            st.tuples(st.just("top"), st.integers(1, 5)),
+        ),
+    }
+)
+
+
+def _transform_oracle_sql(t0, t1, every: str, stage: tuple) -> str:
+    sec = EVERY_SECONDS[every]
+    name, n = stage
+    fn = "count" if name == "top" else "avg"
+    cast = "CAST(count(value) AS BIGINT)" if name == "top" else "avg(value)"
+    agg = f"""
+        SELECT time_bucket(INTERVAL '{sec} seconds', ts)
+               + INTERVAL '{sec} seconds' AS ts,
+               event_type, {cast} AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '{t0}' AND ts < TIMESTAMP '{t1}'
+        GROUP BY 1, 2
+    """
+    if name == "difference":
+        return f"""
+            WITH agg AS ({agg}), d AS (
+                SELECT ts, event_type,
+                       value - lag(value) OVER (PARTITION BY event_type
+                                                ORDER BY ts) AS value
+                FROM agg
+            ) SELECT * FROM d WHERE value IS NOT NULL
+        """
+    if name == "cumulativeSum":
+        return f"""
+            WITH agg AS ({agg})
+            SELECT ts, event_type,
+                   sum(value) OVER (PARTITION BY event_type ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS value
+            FROM agg
+        """
+    if name == "movingAverage":
+        return f"""
+            WITH agg AS ({agg})
+            SELECT ts, event_type,
+                   avg(value) OVER (PARTITION BY event_type ORDER BY ts
+                                    ROWS BETWEEN {n - 1} PRECEDING
+                                    AND CURRENT ROW) AS value
+            FROM agg
+        """
+    return f"""
+        WITH agg AS ({agg}), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value DESC, ts ASC) AS rk
+            FROM agg
+        ) SELECT ts, event_type, value FROM ranked WHERE rk <= {n}
+    """
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(p=transform_pipelines)
+def test_transform_stage_matches_duckdb(spark, duck, p):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    t0 = datetime(2024, 1, p["t0_day"])
+    t1 = t0 + timedelta(days=p["span_days"])
+    name, n = p["stage"]
+    fn = "count" if name == "top" else "mean"
+    qb = (
+        QueryBuilder(
+            load_table(spark, "/root/testdata/sf0.001", "events"),
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .range(t0, t1)
+        .aggregate_window(p["every"], fn)
+        .transform(name, **({"n": n} if n is not None else {}))
+    )
+    got = _norm([tuple(r) for r in qb.to_df().collect()], ("x",))
+    want = _norm(
+        duck.execute(
+            _transform_oracle_sql(t0, t1, p["every"], p["stage"])
+        ).fetchall(),
+        ("x",),
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and isinstance(wv, float):
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
+            else:
+                assert gv == wv
