@@ -184,7 +184,7 @@ class QueryBuilder:
         "timeShift", "fill", "stateCount", "stateDuration",
         "top", "bottom", "distinct", "unique",
         "keep", "drop", "rename",
-        "group", "pivot", "map",
+        "group", "pivot", "map", "truncateTimeColumn",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -293,6 +293,16 @@ class QueryBuilder:
             # record-rewrite idiom, restricted to arithmetic over record
             # fields (parsed by flux_parser) or a caller-supplied Column.
             return df.withColumn(params["target"], params["column"])
+        if name == "truncateTimeColumn":
+            # Flux truncateTimeColumn(unit:) — floor the time column to
+            # the unit boundary; pure column arithmetic, no shuffle
+            sec = int(params["unit_seconds"])
+            return df.withColumn(
+                ts,
+                F.timestamp_seconds(
+                    F.floor(F.unix_timestamp(F.col(ts)) / sec) * sec
+                ),
+            )
         if name == "keep":
             # Flux keep(columns:) — project to the listed columns
             cols = [c for c in params["columns"] if c in df.columns]

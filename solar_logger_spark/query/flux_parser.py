@@ -229,6 +229,11 @@ def parse_flux(text: str) -> FluxPipeline:
                 pipe.group_cols = cols
             else:
                 pipe.transforms.append(("group", {"columns": cols}))
+        elif name == "yield":
+            # yield(name:) names a result stream; with one result per
+            # pipeline it is a no-op — accepted so real user strings
+            # (which almost always end in yield) parse unchanged
+            continue
         elif name in _TRANSFORM_STAGES:
             pipe.transforms.append(_parse_transform(name, body))
         else:
@@ -247,7 +252,7 @@ _TRANSFORM_STAGES = {
     "timeShift", "fill", "stateCount", "stateDuration",
     "top", "bottom", "distinct", "unique",
     "keep", "drop", "rename",
-    "pivot", "map",
+    "pivot", "map", "truncateTimeColumn",
 } | _BARE_AGGS
 
 
@@ -274,6 +279,12 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
             raise ValueError(f"timeShift needs duration: {body!r}")
         params["duration"] = str(_unquote(args["duration"])).rstrip(")")
     elif name in ("elapsed", "stateDuration") and "unit" in args:
+        params["unit_seconds"] = _unit_seconds(
+            str(_unquote(args["unit"])).rstrip(")")
+        )
+    elif name == "truncateTimeColumn":
+        if "unit" not in args:
+            raise ValueError(f"truncateTimeColumn needs unit: {body!r}")
         params["unit_seconds"] = _unit_seconds(
             str(_unquote(args["unit"])).rstrip(")")
         )

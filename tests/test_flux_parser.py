@@ -429,3 +429,24 @@ def test_execute_pre_aggregate_group_rekeys(spark, sf_dir):
         .to_df()
     )
     assert sorted(out.columns) == ["ts", "user_id", "value"]
+
+
+def test_yield_is_noop_and_truncate_time(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    events = load_table(spark, sf_dir, "events")
+    # yield(name:) parses away; truncateTimeColumn floors the time column
+    out = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            ' |> truncateTimeColumn(unit: 1h)'
+            ' |> yield(name: "res")'
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    rows = out.select("ts").limit(50).collect()
+    assert rows and all(
+        r.ts.minute == 0 and r.ts.second == 0 for r in rows
+    )
