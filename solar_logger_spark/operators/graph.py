@@ -63,13 +63,17 @@ def _star_round(edges: DataFrame) -> DataFrame:
     mins = nbrs.groupBy("node").agg(
         F.least(F.min("nbr"), F.first("node")).alias("mn")
     )
-    # large-star: link strictly-larger neighbors to the min
-    large = (
+    # large-star: link strictly-larger neighbors to the min. The output
+    # is already canonical by construction — mn ≤ node < nbr gives
+    # src < dst and no self-loops — and duplicate edges are TOLERATED
+    # through the small-star half (its groupBy min and join are
+    # duplicate-insensitive; the round-final distinct collapses them),
+    # which saves a full mid-round dedup shuffle.
+    e2 = (
         nbrs.join(mins, "node")
         .filter(F.col("nbr") > F.col("node"))
         .select(F.col("mn").alias("src"), F.col("nbr").alias("dst"))
     )
-    e2 = _canonical(large)
 
     nbrs2 = e2.union(
         e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -79,7 +83,8 @@ def _star_round(edges: DataFrame) -> DataFrame:
     )
     # small-star: link smaller-or-equal neighbors to the min, plus the
     # (min, node) self-link — which is exactly the mins table itself, so
-    # it needs no second join
+    # it needs no second join. mn ≤ nbr ≤ node keeps src ≤ dst; equality
+    # is a self-loop, dropped below.
     small = (
         nbrs2.join(mins2, "node")
         .filter(F.col("nbr") <= F.col("node"))
@@ -90,7 +95,7 @@ def _star_round(edges: DataFrame) -> DataFrame:
             )
         )
     )
-    return _canonical(small)
+    return small.filter(F.col("src") != F.col("dst")).distinct()
 
 
 def connected_components(
@@ -110,9 +115,12 @@ def connected_components(
     cur = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=False)
+    # derive the node set from the CHECKPOINTED edge list (same nodes as
+    # the input), so the — possibly expensive — upstream edge plan is
+    # computed exactly once, not re-run for the final membership join
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        cur.select(F.col("src").alias("node"))
+        .union(cur.select(F.col("dst").alias("node")))
         .distinct()
     )
     prev_fp = _fingerprint(cur)
