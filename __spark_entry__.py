@@ -788,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_ema_events": sca.ts_ema_events,
             "ts_state_count_events": sca.ts_state_count_events,
             "ts_state_duration_events": sca.ts_state_duration_events,
+            "dedup_ngram_span_coverage": sca.dedup_ngram_span_coverage,
+            "text_unigram_rarity_docs": sca.text_unigram_rarity_docs,
         }
     )
     return out
@@ -968,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
             "ts_state_count_events": sca.STATE_COUNT_SQL,
             "sketch_heavy_hitters": sca.HEAVY_HITTERS_SQL,
             "ts_state_duration_events": sca.STATE_DURATION_SQL,
+            "dedup_ngram_span_coverage": sca.NGRAM_SPAN_SQL,
+            "text_unigram_rarity_docs": sca.UNIGRAM_RARITY_SQL,
         }
     )
     return out

@@ -311,3 +311,59 @@ def simhash_oracle_sql(
         )
         SELECT {id_col}, {fp} AS simhash FROM votes
     """
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact duplicate-substring signal: for each document, how much of
+    it is made of token ``n``-grams that occur more than once in the
+    WHOLE corpus (the substring-dedup criterion of training-data
+    pipelines — long repeated spans mark boilerplate/template text).
+
+    Returns one row per input document: ``n_ngrams`` (gram start
+    positions), ``n_dup`` (positions whose gram is globally non-unique),
+    ``dup_frac`` (their ratio; null when the doc is shorter than ``n``
+    tokens), and ``keep`` (dup_frac below ``keep_threshold``).
+
+    Plan shape (scales linearly in corpus size): positional gram
+    explode → ONE global count aggregation keyed on the 64-bit gram
+    hash (map-side combinable; hashing keeps shuffle rows at 8 bytes
+    instead of full gram strings) → join grams back to counts (AQE
+    broadcasts when the distinct-gram table is small; shuffles on the
+    hash otherwise — never a driver collect) → per-doc aggregation.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingle_array(text_col, n)).alias("gram"),
+    ).select(F.col(id_col), F.xxhash64("gram").alias("gh"))
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        grams.join(counts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("c") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    all_docs = df.select(F.col(id_col))
+    out = all_docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+    )
+    dup_frac = F.when(
+        F.col("n_ngrams") > 0,
+        F.col("n_dup").cast("double") / F.col("n_ngrams").cast("double"),
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "n_dup",
+        dup_frac.alias("dup_frac"),
+        F.coalesce(dup_frac < keep_threshold, F.lit(True)).alias("keep"),
+    )

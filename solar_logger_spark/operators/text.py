@@ -351,3 +351,46 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def unigram_rarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_below: int = 5,
+) -> DataFrame:
+    """Corpus-frequency quality signal: score each document by how
+    common its tokens are in the WHOLE corpus — the unigram-LM quality
+    filter of training-data pipelines, kept log-free so every value is
+    bit-reproducible in plain SQL (same reason bm25_topk uses a raw idf
+    ratio: ln() is the one piece two engines may disagree on).
+
+    Returns per doc: ``n_tokens``, ``avg_token_count`` (mean corpus
+    frequency of the doc's tokens — exact integer sum / count),
+    ``rare_frac`` (share of tokens occurring fewer than ``rare_below``
+    times corpus-wide; high = gibberish/noise candidate).
+
+    Plan: token explode → ONE vocabulary count aggregation → broadcast
+    join of the vocabulary onto the token stream (a natural-language
+    vocabulary is tiny next to the corpus — explicitly hinted) →
+    per-doc aggregation. Two shuffles total at any corpus size.
+    """
+    toks = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_c"),
+            F.sum((F.col("c") < rare_below).cast("long")).alias("n_rare"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (F.col("sum_c").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("avg_token_count"),
+        (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("rare_frac"),
+    )

@@ -858,3 +858,62 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         encoded, emb.limit(10), cents, books,
         k=5, n_probe=4, rerank=100, raw=emb,
     )
+
+
+def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring dedup signal: per-document share of
+    5-token grams that occur more than once corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_spans(docs, n=5, keep_threshold=0.5)
+
+
+NGRAM_SPAN_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        WHERE len(ws) >= 5
+    ), counts AS (
+        SELECT gram, count(*) AS c FROM grams GROUP BY gram
+    ), per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_dup
+        FROM grams JOIN counts USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_ngrams, 0) AS n_ngrams,
+           coalesce(p.n_dup, 0) AS n_dup,
+           CASE WHEN coalesce(p.n_ngrams, 0) > 0
+                THEN CAST(p.n_dup AS DOUBLE) / CAST(p.n_ngrams AS DOUBLE)
+           END AS dup_frac,
+           coalesce(CAST(p.n_dup AS DOUBLE) / CAST(p.n_ngrams AS DOUBLE)
+                    < 0.5, TRUE) AS keep
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def text_unigram_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality filter (log-free): corpus token frequencies
+    broadcast back onto each document's token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_rarity(docs, rare_below=5)
+
+
+UNIGRAM_RARITY_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_token_count,
+           CAST(count(*) FILTER (WHERE c < 5) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS rare_frac
+    FROM toks JOIN vocab USING (tok)
+    GROUP BY doc_id
+"""

@@ -80,3 +80,49 @@ def test_stop_shingle_filter(docs):
     # with max_shingle_df=1 every shared shingle is dropped → no pairs
     assert dedup.ngram_jaccard_pairs(docs, threshold=0.1,
                                      max_shingle_df=1).count() == 0
+
+
+def test_duplicate_ngram_spans_hand_computed(spark):
+    from solar_logger_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0 and 1 share their full 5-token text → every gram dup
+            (0, "a b c d e"),
+            (1, "a b c d e"),
+            # doc 2: 6 tokens → 2 grams, none repeated anywhere
+            (2, "f g h i j k"),
+            # doc 3: too short for a 5-gram
+            (3, "x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in duplicate_ngram_spans(docs, n=5, keep_threshold=0.5).collect()
+    }
+    assert len(rows) == 4
+    assert rows[0].n_ngrams == 1 and rows[0].n_dup == 1
+    assert rows[0].dup_frac == 1.0 and rows[0].keep is False
+    assert rows[1].dup_frac == 1.0 and rows[1].keep is False
+    assert rows[2].n_ngrams == 2 and rows[2].n_dup == 0
+    assert rows[2].dup_frac == 0.0 and rows[2].keep is True
+    # short doc: no grams, null fraction, kept
+    assert rows[3].n_ngrams == 0 and rows[3].dup_frac is None
+    assert rows[3].keep is True
+
+
+def test_duplicate_ngram_spans_within_doc_repeat(spark):
+    from solar_logger_spark.operators.dedup import duplicate_ngram_spans
+
+    # the same 3-gram twice INSIDE one doc counts as duplicated too
+    docs = spark.createDataFrame(
+        [(0, "p q r p q r"), (1, "s t u v w")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r for r in duplicate_ngram_spans(docs, n=3).collect()
+    }
+    # grams of doc 0: "p q r", "q r p", "r p q", "p q r" → 4 positions,
+    # 2 of them the repeated "p q r"
+    assert rows[0].n_ngrams == 4 and rows[0].n_dup == 2
+    assert rows[0].dup_frac == 0.5

@@ -136,3 +136,27 @@ def test_bm25_ranks_matching_docs_first(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(df, [])
+
+
+def test_unigram_rarity_hand_computed(spark):
+    from solar_logger_spark.operators.text import unigram_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the cat"),  # "the" ×3 corpus-wide... plus below
+            (1, "the dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    # corpus counts: the=4, cat=1, dog=1
+    rows = {
+        r.doc_id: r for r in unigram_rarity(docs, rare_below=2).collect()
+    }
+    assert rows[0].n_tokens == 4
+    # avg count for doc 0: (4+4+4+1)/4
+    assert rows[0].avg_token_count == 13 / 4
+    # rare (<2): only "cat" → 1/4
+    assert rows[0].rare_frac == 0.25
+    assert rows[1].n_tokens == 2
+    assert rows[1].avg_token_count == (4 + 1) / 2
+    assert rows[1].rare_frac == 0.5
