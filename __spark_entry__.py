@@ -604,6 +604,47 @@ FLUX_TEXT_MAP_SQL = """
 """
 
 
+def q_flux_text_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``histogram(bins:)`` via text: per-series cumulative counts
+    at each upper bound — one conditional hash aggregate, the bin
+    fan-out happens in-executor after the shuffle."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> histogram(bins: [25.0, 50.0, 100.0, 250.0])",
+    )
+
+
+FLUX_TEXT_HISTOGRAM_SQL = """
+    SELECT event_type, b.le,
+           CAST(count(*) FILTER (WHERE value <= b.le) AS DOUBLE) AS value
+    FROM events, (VALUES (25.0), (50.0), (100.0), (250.0)) b(le)
+    WHERE {range}
+    GROUP BY 1, 2
+"""
+
+
+def q_flux_text_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``quantile(q:)`` via text as the exact linearly-interpolated
+    per-series quantile (documented divergence from Flux's t-digest
+    default — exact is reproducible; sketches cover the estimating
+    path)."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> quantile(q: 0.9)",
+    )
+
+
+FLUX_TEXT_QUANTILE_SQL = """
+    SELECT event_type, quantile_cont(value, 0.9) AS value
+    FROM events WHERE {range}
+    GROUP BY 1
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -708,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_group_max": q_flux_text_group_max,
         "flux_text_group_keys": q_flux_text_group_keys,
         "flux_text_map": q_flux_text_map,
+        "flux_text_histogram": q_flux_text_histogram,
+        "flux_text_quantile": q_flux_text_quantile,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev", "spread"):
@@ -916,6 +959,8 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_group_max": FLUX_TEXT_GROUP_MAX_SQL.format(range=_RANGE),
             "flux_text_group_keys": FLUX_TEXT_GROUP_KEYS_SQL.format(range=_RANGE),
             "flux_text_map": FLUX_TEXT_MAP_SQL.format(range=_RANGE),
+            "flux_text_histogram": FLUX_TEXT_HISTOGRAM_SQL.format(range=_RANGE),
+            "flux_text_quantile": FLUX_TEXT_QUANTILE_SQL.format(range=_RANGE),
             "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,

@@ -185,6 +185,7 @@ class QueryBuilder:
         "top", "bottom", "distinct", "unique",
         "keep", "drop", "rename",
         "group", "pivot", "map", "truncateTimeColumn",
+        "histogram", "quantile",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -266,6 +267,40 @@ class QueryBuilder:
             # column on the way. Single hash aggregate with map-side
             # partial combine — shuffle volume is |series|, not rows.
             return df.groupBy(*series).agg(agg_expr(name, val, ts).alias(val))
+        if name == "quantile":
+            # Flux quantile(q:) as a bare aggregate. Flux's default
+            # method is a t-digest estimate; ours is the EXACT linearly-
+            # interpolated quantile (documented divergence — exact is
+            # reproducible and oracle-checkable; use the HLL/quantile
+            # sketches in operators/sketches.py for the estimating path)
+            q = float(params.get("q", 0.5))
+            return df.groupBy(*series).agg(
+                F.expr(f"percentile({val}, {q!r})").alias(val)
+            )
+        if name == "histogram":
+            # Flux histogram(bins:): per series, CUMULATIVE count of
+            # values <= each bin upper bound, one row per bound in an
+            # ``le`` column. One conditional hash aggregate (map-side
+            # combinable) then a |bins|-wide in-executor fan-out — no
+            # per-bin scan, no extra shuffle.
+            bins = sorted(float(b) for b in params["bins"])
+            if not bins:
+                raise ValueError("histogram needs bins=[...]")
+            aggs = [
+                F.sum((F.col(val) <= b).cast("long")).alias(f"_b{i}")
+                for i, b in enumerate(bins)
+            ]
+            agg = df.groupBy(*series).agg(*aggs)
+            pairs = F.array(*[
+                F.struct(
+                    F.lit(b).alias("le"),
+                    F.col(f"_b{i}").cast("double").alias("v"),
+                )
+                for i, b in enumerate(bins)
+            ])
+            return agg.select(*series, F.explode(pairs).alias("_p")).select(
+                *series, F.col("_p.le").alias("le"), F.col("_p.v").alias(val)
+            )
         if name == "pivot":
             # Flux pivot(rowKey:, columnKey:, valueColumn:) — wide view.
             # (rowKey, columnKey) pairs are unique in Flux output tables

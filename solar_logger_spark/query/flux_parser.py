@@ -253,6 +253,7 @@ _TRANSFORM_STAGES = {
     "top", "bottom", "distinct", "unique",
     "keep", "drop", "rename",
     "pivot", "map", "truncateTimeColumn",
+    "histogram", "quantile",
 } | _BARE_AGGS
 
 
@@ -319,6 +320,14 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
             m.group("op"),
             _unquote(m.group("value").rstrip("),")),
         )
+    if name == "histogram":
+        # histogram(bins: [0.0, 10.0, 20.0])
+        nums = re.findall(r"-?\d+\.?\d*(?:[eE]-?\d+)?", args.get("bins", ""))
+        if not nums:
+            raise ValueError(f"histogram needs bins: [..]: {body!r}")
+        params["bins"] = [float(x) for x in nums]
+    if name == "quantile":
+        params["q"] = float(_unquote(str(args.get("q", "0.5")).rstrip(")")))
     if name == "pivot":
         # pivot(rowKey: ["_time"], columnKey: ["_field"], valueColumn: "_value")
         def _cols(key: str) -> list[str]:

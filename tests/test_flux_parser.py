@@ -137,7 +137,7 @@ def test_unsupported_stage_rejected():
     import pytest
 
     with pytest.raises(ValueError, match="unsupported stage"):
-        parse_flux('from(bucket: "B") |> histogram(bins: [0.0])')
+        parse_flux('from(bucket: "B") |> covariance(columns: ["x", "y"])')
 
 
 def test_parse_transform_stages():
@@ -450,3 +450,38 @@ def test_yield_is_noop_and_truncate_time(spark, sf_dir):
     assert rows and all(
         r.ts.minute == 0 and r.ts.second == 0 for r in rows
     )
+
+
+def test_histogram_and_quantile_stages(spark, sf_dir):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    events = load_table(spark, sf_dir, "events")
+    hist = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> histogram(bins: [0.0, 50.0, 1000.0])"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+        .collect()
+    )
+    by_series = {}
+    for r in hist:
+        by_series.setdefault(r.event_type, []).append((r.le, r.value))
+    for series, pairs in by_series.items():
+        pairs.sort()
+        counts = [v for _, v in pairs]
+        # cumulative: monotone nondecreasing across bounds
+        assert counts == sorted(counts)
+        assert len(pairs) == 3
+    q = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> quantile(q: 0.5)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+        .collect()
+    )
+    assert all(r.value is not None for r in q) and len(q) > 0
