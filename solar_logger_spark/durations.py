@@ -119,6 +119,30 @@ def duration_to_interval(text: str) -> str:
     return " + ".join(parts)
 
 
+def epoch_us(col):
+    """Microseconds-since-epoch for a timestamp column, portable across
+    TIMESTAMP and TIMESTAMP_NTZ.
+
+    Parquet written with naive timestamps loads as ``TIMESTAMP_NTZ`` on
+    Spark 4.1+, which rejects both ``unix_micros(ntz)`` and
+    ``CAST(ntz AS DOUBLE)``. Casting to the session-zone TIMESTAMP first
+    resolves on both types; with the engine's pinned UTC session zone
+    (session.py) the cast is lossless, and every caller uses the result
+    for differences or ordering, which are offset-invariant regardless.
+    """
+    from pyspark.sql import Column, functions as F
+
+    if not isinstance(col, Column):
+        col = F.col(col)
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def epoch_seconds(col):
+    """Seconds-since-epoch as DOUBLE — the portable replacement for the
+    pre-Spark-4.1 idiom ``CAST(ts AS DOUBLE)``."""
+    return epoch_us(col).cast("double") / 1_000_000.0
+
+
 def duration_to_spark_window(text: str) -> str:
     """Render a Flux duration as a ``window()``/``session_window()`` width
     string, e.g. ``"1h"`` → ``"3600 seconds"``. Calendar units rejected —

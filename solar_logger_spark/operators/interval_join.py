@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from solar_logger_spark.durations import parse_duration
+from solar_logger_spark.durations import epoch_us, parse_duration
 
 
 def interval_join(
@@ -62,8 +62,8 @@ def interval_join(
     r_ts = renamed[right_ts]
     r_keys = [renamed[k] for k in keys]
 
-    lb = F.unix_micros(F.col(left_ts))
-    rb = F.unix_micros(F.col(r_ts))
+    lb = epoch_us(left_ts)
+    rb = epoch_us(r_ts)
     lhs = left.withColumn(
         "_bucket",
         F.explode(

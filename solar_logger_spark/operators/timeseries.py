@@ -19,6 +19,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 
+from solar_logger_spark.durations import epoch_seconds, epoch_us
+
 
 def _series_window(
     series: Sequence[str], ts_col: str, tiebreak: Sequence[str] = ()
@@ -51,7 +53,7 @@ def derivative(
     Zero time gaps (duplicate timestamps) yield null, not ±inf."""
     w = _series_window(series, ts_col, tiebreak)
     dv = F.col(value_col) - F.lag(value_col).over(w)
-    dt_us = (F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w))
+    dt_us = epoch_us(ts_col) - F.lag(epoch_us(ts_col)).over(w)
     return df.withColumn(
         alias,
         F.when(dt_us > 0, dv / (dt_us.cast("double") / 1_000_000.0)),
@@ -127,9 +129,7 @@ def elapsed(
     """Seconds (or ``unit_seconds`` multiples) since the previous row of
     the same series — Flux ``elapsed()``. First row per series is null."""
     w = _series_window(series, ts_col, tiebreak)
-    delta = F.col(ts_col).cast("double") - F.lag(
-        F.col(ts_col).cast("double")
-    ).over(w)
+    delta = epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
     return df.withColumn(alias, delta / F.lit(float(unit_seconds)))
 
 
@@ -210,7 +210,7 @@ def state_duration(
         .withColumn(
             "_run_t0",
             F.max(
-                F.when(F.col("_start"), F.col(ts_col).cast("double"))
+                F.when(F.col("_start"), epoch_seconds(ts_col))
             ).over(cum),
         )
     )
@@ -218,7 +218,7 @@ def state_duration(
         alias,
         F.when(
             F.col("_flag"),
-            (F.col(ts_col).cast("double") - F.col("_run_t0"))
+            (epoch_seconds(ts_col) - F.col("_run_t0"))
             / F.lit(float(unit_seconds)),
         ).otherwise(F.lit(-1.0)),
     ).drop("_flag", "_start", "_run_t0")

@@ -21,7 +21,11 @@ from datetime import datetime
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from solar_logger_spark.durations import duration_to_spark_window, parse_duration
+from solar_logger_spark.durations import (
+    duration_to_spark_window,
+    epoch_seconds,
+    parse_duration,
+)
 
 # Flux's standard aggregate set (README of the reference names min/max;
 # `fn` is free-form, reference src/classes/query_classes.py:134-137).
@@ -268,8 +272,8 @@ def integral_window(
         (
             (F.col("_v") + F.lag("_v").over(spec)) / 2.0
             * (
-                F.col(ts_col).cast("double")
-                - F.lag(F.col(ts_col).cast("double")).over(spec)
+                epoch_seconds(ts_col)
+                - F.lag(epoch_seconds(ts_col)).over(spec)
             )
             / F.lit(float(unit_seconds))
         ).alias("_area"),

@@ -17,6 +17,7 @@ from datetime import datetime
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from solar_logger_spark.durations import epoch_us
 from solar_logger_spark.io.tables import load_table
 
 
@@ -621,7 +622,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))  # µs so frame edges match the
+        .orderBy(epoch_us("ts"))  # µs so frame edges match the
         .rangeBetween(-3 * 86400 * 1_000_000, 0)  # oracle's INTERVAL exactly
     )
     return events.select(
