@@ -835,7 +835,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_unigram_rarity_docs": sca.text_unigram_rarity_docs,
         }
     )
-    return out
+    # The driver's correctness harness walks this registry in order with a
+    # ~50-entry budget. Rounds 1-2 only ever checked the first 50 entries
+    # (flux basics + TPC-H head), so the scale ops never received a driver
+    # row. Lead with the never-checked queries — oracle-backed ones first
+    # so they all land inside the budget, rows-only (approximate) ones
+    # next — and put the 50 long-proven basics last.
+    rows_only = {
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "similarity_ann_pq",
+        "similarity_ann_ivfpq",
+        "sketch_distinct_users_daily",
+        "multimodal_decode_features",
+        "multimodal_frame_sample",
+    }
+    never_checked_head = [
+        "window_running_totals",
+        "window_moving_avg",
+        "flux_agg_sliding",
+        "tpch_q7_bination_volume",
+        "tpch_q9_product_profit",
+        "tpch_q19_discounted_revenue",
+        "cube_returnflag_status",
+        "tpch_q8_market_share",
+        "tpch_q12_late_priority",
+        "tpch_q13_order_distribution",
+        "tpch_q14_promo_share",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_counts",
+        "tpch_q22_dormant_customers",
+        "interval_click_attribution",
+    ]
+    scale_ops = [k for k, v in out.items() if v.__module__ == sca.__name__]
+    head = never_checked_head + [k for k in scale_ops if k not in rows_only]
+    head += [k for k in scale_ops if k in rows_only]
+    ordered = {k: out[k] for k in head}
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    return ordered
 
 
 _AGG_ORACLE = {
