@@ -82,23 +82,41 @@ def neardup_pairs(
     vec_col: str = "embedding",
     prefilter_buckets: bool = False,
     dim: int = 64,
+    method: str = "blocked",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold.
 
-    Exact path (default): broadcast block-matrix — the corpus matrix
-    (N×dim doubles; ~0.5 GB at N=1M, dim=64) is broadcast once, and each
-    executor scores its corpus slice against it with a vectorized numpy
-    kernel, emitting only above-threshold pairs. No shuffle, no
-    materialized N² pair table — the N² work happens inside C loops and
-    only survivors surface. Dimensions are accumulated in index order so
-    the result is bit-identical to the ``aggregate``/``zip_with``
-    formulation (and stable across partitionings).
+    ``method="blocked"`` (default) — exact and fully distributed: rows
+    hash into ``n_blocks`` balanced blocks, each row is replicated to
+    the block-pairs it participates in (B+1 copies), and every block
+    pair (i ≤ j) is scored independently by a chunked numpy kernel
+    inside ``applyInPandas``. Nothing is collected to the driver and
+    nothing is broadcast; shuffle volume is (B+1)·N·dim and the N²
+    similarity work happens inside C loops that only surface survivors.
+    Pick B so a block (N/B vectors) fits executor memory — the group
+    count B(B+1)/2 then spreads across the cluster. Exact all-pairs is
+    inherently O(N²) flops at any scale; this shape distributes them
+    evenly with one shuffle.
 
-    Beyond broadcastable N, ``prefilter_buckets`` restricts pairing to
-    sign-LSH bucket collisions first — fully distributed, approximate
-    (high-cosine pairs collide with high probability): the 100 TB path.
+    ``method="lsh"`` (or ``prefilter_buckets=True``) — approximate:
+    restrict pairing to sign-LSH bucket collisions first. Cheapest at
+    very high thresholds where collision probability is near 1; recall
+    degrades as the threshold drops (at 0.45 an 8-plane prefilter keeps
+    only ~3% of true pairs), so it is an explicit opt-in, not the
+    default.
+
+    ``method="broadcast"`` — the small-N exact path: collect the corpus
+    matrix to the driver and broadcast it (N×dim doubles), each executor
+    scoring its slice against the whole. Only valid when the matrix is
+    comfortably broadcastable; kept for benchmarking the blocked path.
+
+    All paths accumulate dimensions in index order so results are
+    bit-identical to the ``aggregate``/``zip_with`` HOF formulation.
     """
     if prefilter_buckets:
+        method = "lsh"
+    if method == "lsh":
         a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
         b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
         buckets = hyperplane_buckets(embeddings, id_col=id_col, vec_col=vec_col,
@@ -113,6 +131,13 @@ def neardup_pairs(
             )
             .filter(F.col("cos_sim") >= threshold)
         )
+
+    if method == "blocked":
+        return _blocked_neardup_pairs(
+            embeddings, threshold, id_col, vec_col, n_blocks
+        )
+    if method != "broadcast":
+        raise ValueError(f"unknown neardup method: {method!r}")
 
     import pandas as pd
 
@@ -152,6 +177,93 @@ def neardup_pairs(
     n_parts = spark.sparkContext.defaultParallelism
     return embeddings.select(id_col, vec_col).repartition(n_parts).mapInPandas(
         _score, out_schema
+    )
+
+
+def _blocked_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int | None,
+) -> DataFrame:
+    """Exact distributed all-pairs cosine ≥ threshold via block joins.
+
+    Row with block k is shipped once per block-pair it belongs to: as
+    the "a" side of pairs (k, j≥k) and the "b" side of pairs (i≤k, k) —
+    B+1 copies total. Each (bi, bj) group then holds exactly the rows
+    needed to enumerate its cross pairs; the diagonal group holds its
+    block twice (once per role) and dedupes with a strict id order.
+    Hash blocks are balanced, so groups are uniform — no skew handling
+    needed. The kernel chunks the "a" side so the similarity block never
+    exceeds chunk × |block| doubles.
+    """
+    import pandas as pd
+
+    if n_blocks is None:
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(4, int(np.ceil(np.sqrt(2 * par))))
+    B = int(n_blocks)
+
+    rows = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int"))
+    a_rep = rows.select(
+        "_id",
+        "_vec",
+        F.col("_blk").alias("bi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(B - 1))).alias("bj"),
+        F.lit(0).alias("_role"),
+    )
+    b_rep = rows.select(
+        "_id",
+        "_vec",
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("bi"),
+        F.col("_blk").alias("bj"),
+        F.lit(1).alias("_role"),
+    )
+    both = a_rep.unionByName(b_rep)
+
+    def _score_block(key, pdf: "pd.DataFrame"):
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        if len(pdf) == 0:
+            return empty
+        a_pdf = pdf[pdf["_role"] == 0]
+        b_pdf = pdf[pdf["_role"] == 1]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        diagonal = key[0] == key[1]
+        a_ids = a_pdf["_id"].to_numpy()
+        b_ids = b_pdf["_id"].to_numpy()
+        a_mat = np.array([np.asarray(v, dtype=np.float64) for v in a_pdf["_vec"]])
+        b_mat = np.array([np.asarray(v, dtype=np.float64) for v in b_pdf["_vec"]])
+        a_norms = _ltr_norms(a_mat)
+        b_norms = _ltr_norms(b_mat)
+        outs = []
+        for lo in range(0, len(a_ids), 1024):  # bound the sim block
+            hi = min(lo + 1024, len(a_ids))
+            acc = np.zeros((hi - lo, len(b_ids)))
+            for d in range(a_mat.shape[1]):  # index order = HOF order
+                acc += a_mat[lo:hi, d, None] * b_mat[None, :, d]
+            sim = acc / (a_norms[lo:hi, None] * b_norms[None, :])
+            mask = sim >= threshold
+            if diagonal:
+                # block appears in both roles: strict id order keeps each
+                # unordered pair once and drops self-pairs
+                mask &= a_ids[lo:hi, None] < b_ids[None, :]
+            ai, bj = np.nonzero(mask)
+            lhs, rhs = a_ids[lo + ai], b_ids[bj]
+            if not diagonal:
+                # cross-block pair direction is block-order, not id-order;
+                # canonicalize so a_id < b_id like the diagonal/oracle
+                lhs, rhs = np.minimum(lhs, rhs), np.maximum(lhs, rhs)
+            outs.append(
+                pd.DataFrame({"a_id": lhs, "b_id": rhs, "cos_sim": sim[ai, bj]})
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        _score_block, "a_id long, b_id long, cos_sim double"
     )
 
 

@@ -148,3 +148,39 @@ def test_ivf_refined_recall_not_worse_than_chance(spark, sf_dir):
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(ap & ex) / len(ex) >= 0.5
+
+
+def test_neardup_blocked_matches_broadcast(spark):
+    # larger seeded corpus so pairs cross hash-block boundaries in both
+    # id orders — the blocked path must reproduce the broadcast exact
+    # path bit-for-bit
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 8)
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+        vid += 1
+        # a jittered near-duplicate of every 4th vector
+        if vid % 4 == 0:
+            dup = v + rng.randn(8) * 0.05
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in dup]))
+            vid += 1
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in similarity.neardup_pairs(
+            df, threshold=0.5, method="broadcast"
+        ).collect()
+    }
+    blocked = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in similarity.neardup_pairs(
+            df, threshold=0.5, method="blocked", n_blocks=5
+        ).collect()
+    }
+    assert blocked == exact
+    assert len(exact) > 0
