@@ -330,25 +330,33 @@ def duplicate_ngram_spans(
     ``dup_frac`` (their ratio; null when the doc is shorter than ``n``
     tokens), and ``keep`` (dup_frac below ``keep_threshold``).
 
-    Plan shape (scales linearly in corpus size): positional gram
-    explode → ONE global count aggregation keyed on the 64-bit gram
-    hash (map-side combinable; hashing keeps shuffle rows at 8 bytes
-    instead of full gram strings) → join grams back to counts (AQE
-    broadcasts when the distinct-gram table is small; shuffles on the
-    hash otherwise — never a driver collect) → per-doc aggregation.
+    Plan shape (scales linearly in corpus size): ONE positional gram
+    explode feeding ONE aggregation to per-(gram-hash, doc) occurrence
+    counts (map-side combinable; 64-bit hashes keep shuffle rows at 8
+    bytes instead of full gram strings). The corpus-wide gram count is
+    then a window sum partitioned by the gram hash over that already
+    -aggregated table — no join back to the exploded grams, no second
+    explode, no cache — followed by the per-doc rollup. Three shuffles
+    total, each over the compact aggregated table, and the raw
+    exploded grams are consumed exactly once.
     """
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(id_col),
         F.explode(shingle_array(text_col, n)).alias("gram"),
     ).select(F.col(id_col), F.xxhash64("gram").alias("gh"))
-    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = (
-        grams.join(counts, "gh")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum((F.col("c") > 1).cast("long")).alias("n_dup"),
-        )
+    per_gram_doc = grams.groupBy("gh", id_col).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    flagged = per_gram_doc.withColumn(
+        "c", F.sum("k").over(Window.partitionBy("gh"))
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sum("k").alias("n_ngrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("k")).otherwise(F.lit(0))).alias(
+            "n_dup"
+        ),
     )
     all_docs = df.select(F.col(id_col))
     out = all_docs.join(per_doc, id_col, "left").select(
