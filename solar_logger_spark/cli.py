@@ -1,0 +1,165 @@
+"""Command-line entry points — twins of the reference's runnable files.
+
+The reference ships two top-level scripts: ``start_query.py`` (→
+``src/app/influx_query.py:115-126``, interactive query runner with an
+example Flux pipeline) and ``start_logger.py`` (→
+``src/app/solar_main.py``, the MQTT→store ingest service). This module
+provides the same two operations, plus the startup health check the
+reference performs before a session, as ``python -m solar_logger_spark``
+subcommands::
+
+    python -m solar_logger_spark query --sf-dir /root/testdata/sf0.001
+    python -m solar_logger_spark query --sf-dir DIR \
+        --flux 'from(bucket: "b") |> range(start: -5m)' --mode csv
+    python -m solar_logger_spark sql --sf-dir DIR "SELECT count(*) FROM events"
+    python -m solar_logger_spark logger --input DIR --store DIR --timeout 30
+    python -m solar_logger_spark health
+
+``query`` with no ``--flux`` runs the reference's example pipeline shape
+(``influx_query.py:88-100``: range + measurement filter bands) against
+the events table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+# The reference's run_example() query, re-expressed for the events table
+# (its _measurement filter bands become event_type bands).
+EXAMPLE_FLUX = (
+    'from(bucket: "events") |> range(start: 2024-01-05T00:00:00Z) '
+    '|> filter(fn: (r) => r["event_type"] == "click" or '
+    'r["event_type"] == "view")'
+)
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="solar_logger_spark",
+        description="PySpark-native solar-logger engine entry points",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("query", help="run a Flux query (start_query.py twin)")
+    q.add_argument("--sf-dir", required=True, help="parquet table directory")
+    q.add_argument("--table", default="events", help="source table name")
+    q.add_argument("--flux", default=None, help="Flux query text (default: example)")
+    q.add_argument(
+        "--mode",
+        default="flux",
+        choices=("csv", "flux", "stream"),
+        help="result mode (reference S6)",
+    )
+    q.add_argument("--out", default=None, help="write result CSV to this path")
+    q.add_argument("--limit", type=int, default=20, help="max rows to print")
+
+    s = sub.add_parser("sql", help="run ANSI SQL over the registered tables")
+    s.add_argument("--sf-dir", required=True)
+    s.add_argument("statement", help="SQL text")
+    s.add_argument("--limit", type=int, default=20)
+
+    lg = sub.add_parser(
+        "logger", help="run the streaming ingest ETL (start_logger.py twin)"
+    )
+    lg.add_argument("--input", required=True, help="raw message directory")
+    lg.add_argument("--store", required=True, help="point-store output directory")
+    lg.add_argument("--checkpoint", default=None)
+    lg.add_argument(
+        "--no-gate",
+        action="store_true",
+        help="skip the online-status gate (reference P7)",
+    )
+    lg.add_argument(
+        "--timeout",
+        type=float,
+        default=None,
+        help="stop the stream after N seconds (default: run until signal)",
+    )
+
+    sub.add_parser("health", help="engine health check (reference S7)")
+    return p
+
+
+def _get_spark():
+    from solar_logger_spark.session import get_spark
+
+    return get_spark(app_name="solar-logger-cli")
+
+
+def _cmd_query(args) -> int:
+    from solar_logger_spark.engine import SolarEngine
+    from solar_logger_spark.io.results import write_results_to_csv
+
+    engine = SolarEngine(_get_spark())
+    flux = args.flux or EXAMPLE_FLUX
+    builder = engine.query_flux(flux, args.table, args.sf_dir)
+    df = builder.to_df()
+    if args.out:
+        write_results_to_csv(df, args.out)
+        print(f"wrote {args.out}")
+        return 0
+    result = engine.execute(df.limit(args.limit), args.mode)
+    if args.mode == "csv":
+        for line in result:
+            print(line)
+    else:  # flux (list of dicts) or stream (lazy iterator)
+        for rec in result:
+            print(rec)
+    return 0
+
+
+def _cmd_sql(args) -> int:
+    from solar_logger_spark.engine import SolarEngine
+
+    engine = SolarEngine(_get_spark())
+    engine.register(args.sf_dir)
+    engine.sql(args.statement).show(args.limit, truncate=False)
+    return 0
+
+
+def _cmd_logger(args) -> int:
+    from solar_logger_spark.engine import SolarEngine
+
+    engine = SolarEngine(_get_spark(), store_dir=args.store)
+    query = engine.ingest(
+        args.input,
+        checkpoint_dir=args.checkpoint,
+        gate_online=not args.no_gate,
+    )
+    print(f"ingest stream started: {query.name or query.id}")
+    try:
+        if args.timeout is not None:
+            query.awaitTermination(args.timeout)
+            query.stop()
+        else:
+            query.awaitTermination()
+    except KeyboardInterrupt:
+        # the reference's SIGINT handler drains and stops its threads
+        # (solar_main.py sigint_handler); stop() checkpoints and exits
+        print("received interrupt, stopping ingest", file=sys.stderr)
+        query.stop()
+    return 0
+
+
+def _cmd_health(args) -> int:
+    from solar_logger_spark.io.results import health_check
+
+    ok = health_check(_get_spark())
+    print("healthy" if ok else "unhealthy")
+    return 0 if ok else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    return {
+        "query": _cmd_query,
+        "sql": _cmd_sql,
+        "logger": _cmd_logger,
+        "health": _cmd_health,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

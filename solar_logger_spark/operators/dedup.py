@@ -196,10 +196,24 @@ def minhash_lsh_pairs(
     Jaccard verification of candidates only (output has no false
     positives; recall is the LSH collision curve).
 
-    One shingle explode and ONE per-doc aggregation feed both stages:
-    each (doc, 8-byte shingle hash) row contributes to the signature
-    mins (re-hashed per seed from the 64-bit hash, not the string) and
-    to the verification set in the same shuffle.
+    One shingle explode feeds both stages: each (doc, 8-byte shingle
+    hash) row contributes to the signature mins (re-hashed per seed
+    from the 64-bit hash, not the string) and to the verification
+    counts.
+
+    The signature is built row-wise — seed dimension exploded inside
+    the same codegen stage, min-aggregated per (doc, seed), collected
+    into ONE array column — instead of ``num_hashes`` named ``min()``
+    aggregates: a 64-aggregate plan costs seconds of Catalyst/codegen
+    compile time per run (same lesson as ``simhash``), while the
+    row-wise shape still map-side-combines to the identical shuffle
+    volume (docs × seeds per partition).
+
+    Verification counts intersections from the inverted index
+    restricted to LSH candidates — three fixed-width equi-joins and a
+    count, never shipping per-doc shingle-set arrays through a
+    ``collect_set``. Candidates with an empty intersection drop out of
+    the count join, which is correct: their Jaccard is 0 < threshold.
 
     The input is spread across cores before shingling: document tables
     are small on disk (one file → one scan partition) but the per-row
@@ -207,33 +221,69 @@ def minhash_lsh_pairs(
     serialize the whole pipeline's hottest stage. The repartition moves
     only raw documents — far cheaper than the exploded shingles."""
     spread = df.sparkSession.sparkContext.defaultParallelism
+    rows = num_hashes // bands
     sh = (
         doc_shingles(df.repartition(spread), id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
         .cache()
     )
-    sigs = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-
-    sets = sh.groupBy(id_col).agg(F.collect_set("h").alias("sh_set"))
-    a = sets.select(F.col(id_col).alias("a_id"), F.col("sh_set").alias("a_set"))
-    b = sets.select(F.col(id_col).alias("b_id"), F.col("sh_set").alias("b_set"))
-    verified = (
-        cands.join(a, "a_id")
-        .join(b, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (
-                F.size(F.array_intersect("a_set", "b_set")).cast("double")
-                / F.size(F.array_union("a_set", "b_set")).cast("double")
-            ).alias("jaccard"),
+    sig = (
+        sh.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias(
+                "seed"
+            ),
+            "h",
         )
+        .groupBy(id_col, "seed")
+        .agg(F.min(F.xxhash64(F.col("h"), F.col("seed"))).alias("mh"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda s: s["mh"],
+            ).alias("sig")
+        )
+    )
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[F.col("sig")[band * rows + r] for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = sh.select(F.col(id_col).alias("a_id"), "h")
+    b_sh = sh.select(F.col(id_col).alias("b_id"), "h")
+    inter = (
+        cands.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("sz").alias("nb"))
+    verified = inter.join(sa, "a_id").join(sb, "b_id").select(
+        "a_id",
+        "b_id",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -342,7 +392,12 @@ def duplicate_ngram_spans(
     """
     from pyspark.sql import Window
 
-    grams = df.select(
+    # spread the documents across cores before the CPU-heavy explode:
+    # small doc tables arrive as one scan partition (one file), which
+    # would serialize the gram/hash stage (same rationale as
+    # minhash_lsh_pairs)
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(spread).select(
         F.col(id_col),
         F.explode(shingle_array(text_col, n)).alias("gram"),
     ).select(F.col(id_col), F.xxhash64("gram").alias("gh"))

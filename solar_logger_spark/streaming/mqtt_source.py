@@ -51,41 +51,19 @@ class MqttStreamReader(SimpleDataSourceStreamReader):
     replays the cached batch for retry semantics.
     """
 
-    def __init__(self, options: dict) -> None:
-        try:
-            import paho.mqtt.client as mqtt
-        except ImportError as exc:  # the one hard external dependency
-            raise ImportError(
-                "MQTT source requires the optional 'paho-mqtt' package; "
-                "replay a file stream with RAW_SCHEMA for offline use"
-            ) from exc
-
+    def __init__(self, options: dict, client_factory=None) -> None:
         self._buffer: list[tuple] = []
         self._batches: dict[int, list[tuple]] = {}
         self._n = 0
+        factory = client_factory or _paho_client
+        # the transport delivers messages by calling push(topic, payload[, us])
+        self._client = factory(options, self.push)
 
-        client = mqtt.Client()
-        user, token = options.get("user"), options.get("token")
-        if user and token:
-            client.username_pw_set(user, token)
-        if options.get("tls", "true").lower() == "true":
-            client.tls_set()
-
-        topic = options.get("topic", "#")
-
-        def _on_connect(c, _u, _f, _rc, *a):  # subscribe on (re)connect
-            c.subscribe(topic, qos=int(options.get("qos", "1")))
-
-        def _on_message(_c, _u, msg):
-            self._buffer.append(
-                (msg.topic, bytes(msg.payload), time.time_ns() // 1000)
-            )
-
-        client.on_connect = _on_connect
-        client.on_message = _on_message
-        client.connect(options.get("host", "localhost"), int(options.get("port", "1883")))
-        client.loop_start()
-        self._client = client
+    def push(self, topic: str, payload: bytes, us: int | None = None) -> None:
+        """Transport callback: enqueue one received message."""
+        self._buffer.append(
+            (topic, bytes(payload), time.time_ns() // 1000 if us is None else us)
+        )
 
     def initialOffset(self) -> dict:
         return {"n": 0}
@@ -109,9 +87,46 @@ class MqttStreamReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass
 
-    def stop(self) -> None:  # pragma: no cover - needs live broker
-        self._client.loop_stop()
-        self._client.disconnect()
+    def stop(self) -> None:
+        for meth in ("loop_stop", "disconnect"):  # transport-optional
+            fn = getattr(self._client, meth, None)
+            if fn is not None:
+                fn()
+
+
+def _paho_client(options: dict, push):
+    """Default transport: paho-mqtt client wired to ``push``
+    (reference S2 — TLS + user/token auth, one topic filter)."""
+    try:
+        import paho.mqtt.client as mqtt
+    except ImportError as exc:  # the one hard external dependency
+        raise ImportError(
+            "MQTT source requires the optional 'paho-mqtt' package; "
+            "replay a file stream with RAW_SCHEMA for offline use"
+        ) from exc
+
+    client = mqtt.Client()
+    user, token = options.get("user"), options.get("token")
+    if user and token:
+        client.username_pw_set(user, token)
+    if options.get("tls", "true").lower() == "true":
+        client.tls_set()
+
+    topic = options.get("topic", "#")
+
+    def _on_connect(c, _u, _f, _rc, *a):  # subscribe on (re)connect
+        c.subscribe(topic, qos=int(options.get("qos", "1")))
+
+    def _on_message(_c, _u, msg):
+        push(msg.topic, msg.payload)
+
+    client.on_connect = _on_connect
+    client.on_message = _on_message
+    client.connect(
+        options.get("host", "localhost"), int(options.get("port", "1883"))
+    )
+    client.loop_start()
+    return client
 
 
 def _us_to_ts(us: int):
