@@ -645,6 +645,49 @@ FLUX_TEXT_QUANTILE_SQL = """
 """
 
 
+def q_flux_text_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``window(every:) |> mean()`` via text — the regroup-then-
+    bare-aggregate idiom (window assigns bounds, the aggregate collapses
+    per (series, window)). Plans identically to ``aggregateWindow``:
+    one hash aggregation, map-side combinable."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> window(every: 1d)"
+        "\n\t|> mean()",
+    )
+
+
+FLUX_TEXT_WINDOW_AGG_SQL = """
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS window_start,
+           avg(value) AS value
+    FROM events WHERE {range}
+    GROUP BY 1, 2
+"""
+
+
+def q_flux_text_dup_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``duplicate(column:, as:)`` + ``limit(n:, offset:)`` via
+    text: column copy is a pure projection; offset+limit over the sorted
+    stream plans as a distributed top-(offset+n) then a front skip."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> duplicate(column: "_value", as: "raw")'
+        '\n\t|> sort(columns: ["event_id"])'
+        "\n\t|> limit(n: 50, offset: 10)",
+    )
+
+
+FLUX_TEXT_DUP_LIMIT_SQL = """
+    SELECT event_id, ts, user_id, event_type, props, value, value AS raw
+    FROM events WHERE {range}
+    ORDER BY event_id LIMIT 50 OFFSET 10
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -751,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_map": q_flux_text_map,
         "flux_text_histogram": q_flux_text_histogram,
         "flux_text_quantile": q_flux_text_quantile,
+        "flux_text_window_agg": q_flux_text_window_agg,
+        "flux_text_dup_limit": q_flux_text_dup_limit,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev", "spread"):
@@ -833,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_state_duration_events": sca.ts_state_duration_events,
             "dedup_ngram_span_coverage": sca.dedup_ngram_span_coverage,
             "text_unigram_rarity_docs": sca.text_unigram_rarity_docs,
+            "ts_derivative_nonneg_events": sca.ts_derivative_nonneg_events,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -851,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample",
     }
     never_checked_head = [
+        "flux_text_window_agg",
+        "flux_text_dup_limit",
         "window_running_totals",
         "window_moving_avg",
         "flux_agg_sliding",
@@ -998,6 +1046,8 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_map": FLUX_TEXT_MAP_SQL.format(range=_RANGE),
             "flux_text_histogram": FLUX_TEXT_HISTOGRAM_SQL.format(range=_RANGE),
             "flux_text_quantile": FLUX_TEXT_QUANTILE_SQL.format(range=_RANGE),
+            "flux_text_window_agg": FLUX_TEXT_WINDOW_AGG_SQL.format(range=_RANGE),
+            "flux_text_dup_limit": FLUX_TEXT_DUP_LIMIT_SQL.format(range=_RANGE),
             "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,
@@ -1054,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_state_duration_events": sca.STATE_DURATION_SQL,
             "dedup_ngram_span_coverage": sca.NGRAM_SPAN_SQL,
             "text_unigram_rarity_docs": sca.UNIGRAM_RARITY_SQL,
+            "ts_derivative_nonneg_events": sca.TS_DERIVATIVE_NONNEG_SQL,
         }
     )
     return out

@@ -128,6 +128,11 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     narrow single-file inputs."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < max(target // 2, 1):
+    # estimate input width WITHOUT df.rdd (which forces a full
+    # DataFrame→RDD conversion and disables AQE on the branch):
+    # file-backed frames expose their file list cheaply; anything else
+    # (in-memory, post-shuffle) is assumed already spread
+    files = df.inputFiles()
+    if files and len(files) < max(target // 2, 1):
         return df.repartition(target)
     return df

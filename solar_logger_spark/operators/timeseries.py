@@ -48,16 +48,19 @@ def derivative(
     value_col: str = "value",
     tiebreak: Sequence[str] = (),
     alias: str = "rate",
+    non_negative: bool = False,
 ) -> DataFrame:
     """Δvalue / Δseconds per series — Flux ``derivative(unit: 1s)``.
-    Zero time gaps (duplicate timestamps) yield null, not ±inf."""
+    Zero time gaps (duplicate timestamps) yield null, not ±inf.
+    ``non_negative`` follows Flux ``derivative(nonNegative: true)``:
+    negative rates (counter resets) become null instead."""
     w = _series_window(series, ts_col, tiebreak)
     dv = F.col(value_col) - F.lag(value_col).over(w)
     dt_us = epoch_us(ts_col) - F.lag(epoch_us(ts_col)).over(w)
-    return df.withColumn(
-        alias,
-        F.when(dt_us > 0, dv / (dt_us.cast("double") / 1_000_000.0)),
-    )
+    rate = F.when(dt_us > 0, dv / (dt_us.cast("double") / 1_000_000.0))
+    if non_negative:
+        rate = F.when(rate >= 0, rate)
+    return df.withColumn(alias, rate)
 
 
 def cumulative_sum(

@@ -340,6 +340,38 @@ TS_DERIVATIVE_SQL = """
 """
 
 
+def ts_derivative_nonneg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``derivative(nonNegative: true)``: counter-reset-tolerant
+    rate — negative rates become null (same plan as ``derivative``,
+    one extra null-guard expression in the projection)."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.derivative(
+        events, ["event_type"], tiebreak=["event_id"], non_negative=True
+    )
+    return out.select("event_id", "event_type", "ts", "value", "rate")
+
+
+TS_DERIVATIVE_NONNEG_SQL = """
+    WITH rated AS (
+        SELECT event_id, event_type, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY event_type ORDER BY ts, event_id) > 0
+                    THEN (value - lag(value)
+                          OVER (PARTITION BY event_type ORDER BY ts, event_id))
+                         / (CAST(epoch_us(ts) - lag(epoch_us(ts))
+                                 OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                            AS DOUBLE) / 1000000.0)
+               END AS rate
+        FROM events
+    )
+    SELECT event_id, event_type, ts, value,
+           CASE WHEN rate >= 0 THEN rate END AS rate
+    FROM rated
+"""
+
+
 def ts_cumulative_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solar_logger_spark.operators import timeseries as T
 

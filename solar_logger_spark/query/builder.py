@@ -185,7 +185,7 @@ class QueryBuilder:
         "top", "bottom", "distinct", "unique",
         "keep", "drop", "rename",
         "group", "pivot", "map", "truncateTimeColumn",
-        "histogram", "quantile",
+        "histogram", "quantile", "duplicate", "window",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -338,6 +338,32 @@ class QueryBuilder:
                     F.floor(F.unix_timestamp(F.col(ts)) / sec) * sec
                 ),
             )
+        if name == "duplicate":
+            # Flux duplicate(column:, as:) — copy a column under a new
+            # name; pure projection, no shuffle
+            return df.withColumn(params["as"], F.col(params["column"]))
+        if name == "window":
+            # Flux window(every:[, offset:]) — assign each record to its
+            # tumbling window by adding _start/_stop bound columns
+            # (window_start/window_stop here). Re-keying of later stages
+            # happens in to_df, which appends window_start to the running
+            # series — so a following bare aggregate collapses per
+            # (series, window), exactly Flux's window|>agg idiom. Pure
+            # column arithmetic — the grouping shuffle belongs to
+            # whatever stage consumes it.
+            from solar_logger_spark.durations import duration_to_spark_window
+
+            width = duration_to_spark_window(params["every"])
+            start_time = None
+            if params.get("offset"):
+                start_time = duration_to_spark_window(params["offset"])
+            win = F.window(F.col(ts), width, width, start_time)
+            return (
+                df.withColumn("_w", win)
+                .withColumn("window_start", F.col("_w.start"))
+                .withColumn("window_stop", F.col("_w.end"))
+                .drop("_w")
+            )
         if name == "keep":
             # Flux keep(columns:) — project to the listed columns
             cols = [c for c in params["columns"] if c in df.columns]
@@ -390,6 +416,7 @@ class QueryBuilder:
             "derivative": lambda d: T.derivative(
                 d, series, ts_col=ts, value_col=val,
                 tiebreak=tiebreak, alias="_t",
+                non_negative=bool(params.get("non_negative", False)),
             ),
             "cumulativeSum": lambda d: T.cumulative_sum(
                 d, series, ts_col=ts, value_col=val,
@@ -430,12 +457,14 @@ class QueryBuilder:
         self._projection = list(cols)
         return self
 
-    def limit(self, n: int):
-        """Flux ``limit(n:)`` — not exposed by the reference's builder
-        (SURVEY §2.6, beyond-reference built-in). With a preceding
-        ``sort`` this plans as a distributed top-k (TakeOrdered), not a
-        full sort."""
+    def limit(self, n: int, offset: int = 0):
+        """Flux ``limit(n:[, offset:])`` — not exposed by the reference's
+        builder (SURVEY §2.6, beyond-reference built-in). With a
+        preceding ``sort`` this plans as a distributed top-(offset+n)
+        (TakeOrdered), not a full sort; ``offset`` rows are then skipped
+        from the front of the ordered result."""
         self._limit = n
+        self._offset = offset
         return self
 
     def _resolved_bounds(self) -> tuple[datetime, datetime] | None:
@@ -492,11 +521,17 @@ class QueryBuilder:
                 run_series = list(params.get("columns") or [])
                 continue
             df = self._apply_transform(df, name, params, run_series)
+            if name == "window":
+                # window() re-keys every later stage per (series, window)
+                run_series = run_series + ["window_start"]
         for fld, desc in self._sorts:
             df = df.orderBy(F.col(fld).desc() if desc else F.col(fld).asc())
         if self._projection:
             df = df.select(*self._projection)
         if getattr(self, "_limit", None) is not None:
+            offset = getattr(self, "_offset", 0)
+            if offset:
+                df = df.offset(offset)
             df = df.limit(self._limit)
         return df
 

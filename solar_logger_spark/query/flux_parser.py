@@ -59,6 +59,7 @@ class FluxPipeline:
     transforms: list[tuple[str, dict]] = dc_field(default_factory=list)
     sorts: list[tuple[str, bool]] = dc_field(default_factory=list)
     limit: int | None = None
+    offset: int = 0
 
     def to_builder(
         self,
@@ -118,6 +119,8 @@ class FluxPipeline:
                 params["value_column"] = fmap.get(
                     params["value_column"], params["value_column"]
                 )
+            if "column" in params:  # duplicate(column:)
+                params["column"] = fmap.get(params["column"], params["column"])
             if "expr_ast" in params:
                 ast = params.pop("expr_ast")
                 params["target"] = fmap.get(params["target"], params["target"])
@@ -126,7 +129,7 @@ class FluxPipeline:
         for fld, desc in self.sorts:
             qb = qb.sort(fmap.get(fld, fld), desc=desc)
         if self.limit is not None:
-            qb = qb.limit(self.limit)
+            qb = qb.limit(self.limit, offset=self.offset)
         return qb
 
 
@@ -218,6 +221,8 @@ def parse_flux(text: str) -> FluxPipeline:
         elif name == "limit":
             args = _parse_args(body)
             pipe.limit = int(str(_unquote(args.get("n", "0"))).rstrip(")"))
+            if "offset" in args:
+                pipe.offset = int(str(_unquote(args["offset"])).rstrip(")"))
         elif name == "group":
             # group() placed before aggregateWindow re-keys the aggregate
             # itself; after it, it re-keys only later stages. Position in
@@ -253,7 +258,7 @@ _TRANSFORM_STAGES = {
     "top", "bottom", "distinct", "unique",
     "keep", "drop", "rename",
     "pivot", "map", "truncateTimeColumn",
-    "histogram", "quantile",
+    "histogram", "quantile", "duplicate", "window",
 } | _BARE_AGGS
 
 
@@ -328,6 +333,23 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
         params["bins"] = [float(x) for x in nums]
     if name == "quantile":
         params["q"] = float(_unquote(str(args.get("q", "0.5")).rstrip(")")))
+    if name == "duplicate":
+        # duplicate(column: "x", as: "y")
+        if "column" not in args or "as" not in args:
+            raise ValueError(f"duplicate needs column: + as:: {body!r}")
+        params["column"] = str(_unquote(str(args["column"]).rstrip(")")))
+        params["as"] = str(_unquote(str(args["as"]).rstrip(")")))
+    if name == "window":
+        # window(every: 1h[, offset: 10m]) — regroup into tumbling windows
+        if "every" not in args:
+            raise ValueError(f"window needs every:: {body!r}")
+        params["every"] = str(_unquote(str(args["every"]).rstrip(")")))
+        if "offset" in args:
+            params["offset"] = str(_unquote(str(args["offset"]).rstrip(")")))
+    if name == "derivative":
+        nn = str(args.get("nonNegative", "false")).rstrip(")").strip().lower()
+        if nn in ("true", "1"):
+            params["non_negative"] = True
     if name == "pivot":
         # pivot(rowKey: ["_time"], columnKey: ["_field"], valueColumn: "_value")
         def _cols(key: str) -> list[str]:

@@ -485,3 +485,26 @@ def test_histogram_and_quantile_stages(spark, sf_dir):
         .collect()
     )
     assert all(r.value is not None for r in q) and len(q) > 0
+
+
+def test_parse_limit_with_offset():
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    p = parse_flux('from(bucket: "b") |> limit(n: 10, offset: 3)')
+    assert p.limit == 10 and p.offset == 3
+
+
+def test_parse_duplicate_and_window_and_nonneg():
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    p = parse_flux(
+        'from(bucket: "b") |> window(every: 1h, offset: 10m) '
+        '|> duplicate(column: "_value", as: "raw") '
+        "|> derivative(nonNegative: true)"
+    )
+    names = [n for n, _ in p.transforms]
+    assert names == ["window", "duplicate", "derivative"]
+    params = dict(p.transforms)
+    assert params["window"] == {"every": "1h", "offset": "10m"}
+    assert params["duplicate"] == {"column": "_value", "as": "raw"}
+    assert params["derivative"] == {"non_negative": True}

@@ -156,3 +156,85 @@ def test_to_flux_renders_corrected_syntax(spark, sf_dir):
     )
     assert flux.count("(") == flux.count(")")  # §2.11.1 corrected
     assert not flux.rstrip().endswith("or")
+
+
+def test_duplicate_stage_copies_column(spark, sf_dir):
+    from solar_logger_spark.engine import SolarEngine
+
+    eng = SolarEngine(spark)
+    df = eng.query_flux(
+        'from(bucket: "b") |> range(start: 2024-01-05) '
+        '|> duplicate(column: "_value", as: "raw") |> limit(n: 5)',
+        "events",
+        sf_dir,
+    ).to_df()
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.raw == r.value for r in rows)
+
+
+def test_limit_offset_skips_sorted_prefix(spark, sf_dir):
+    from solar_logger_spark.engine import SolarEngine
+
+    eng = SolarEngine(spark)
+    text = (
+        'from(bucket: "b") |> sort(columns: ["event_id"]) '
+        "|> limit(n: 4, offset: 2)"
+    )
+    got = [r.event_id for r in eng.query_flux(text, "events", sf_dir).to_df().collect()]
+    all_ids = sorted(
+        r.event_id
+        for r in eng.query("events", sf_dir).to_df().select("event_id").collect()
+    )
+    assert got == all_ids[2:6]
+
+
+def test_window_stage_rekeys_bare_aggregate(spark, sf_dir):
+    from solar_logger_spark.engine import SolarEngine
+
+    eng = SolarEngine(spark)
+    windowed = eng.query_flux(
+        'from(bucket: "b") |> range(start: 2024-01-05, stop: 2024-01-25) '
+        "|> window(every: 1d) |> mean()",
+        "events",
+        sf_dir,
+        series_cols=("event_type",),
+    ).to_df()
+    agg = eng.query_flux(
+        'from(bucket: "b") |> range(start: 2024-01-05, stop: 2024-01-25) '
+        "|> aggregateWindow(every: 1d, fn: mean)",
+        "events",
+        sf_dir,
+        series_cols=("event_type",),
+    ).to_df()
+    w = {(r.event_type, r.window_start): r.value for r in windowed.collect()}
+    # aggregateWindow labels by window END; window()+mean keeps the start
+    from datetime import timedelta
+
+    a = {
+        (r.event_type, r.ts - timedelta(days=1)): r.value
+        for r in agg.collect()
+    }
+    assert w == a
+
+
+def test_derivative_nonneg_nulls_resets(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+    from solar_logger_spark.operators.timeseries import derivative
+
+    df = spark.createDataFrame(
+        [
+            Row(s="a", ts=datetime(2024, 1, 1, 0, 0, 0), value=1.0),
+            Row(s="a", ts=datetime(2024, 1, 1, 0, 0, 10), value=5.0),
+            Row(s="a", ts=datetime(2024, 1, 1, 0, 0, 20), value=2.0),  # reset
+            Row(s="a", ts=datetime(2024, 1, 1, 0, 0, 30), value=3.0),
+        ]
+    )
+    out = derivative(df, ["s"], value_col="value", non_negative=True)
+    rates = [r.rate for r in out.orderBy("ts").collect()]
+    assert rates[0] is None
+    assert rates[1] == pytest.approx(0.4)
+    assert rates[2] is None  # negative clamped to null
+    assert rates[3] == pytest.approx(0.1)
