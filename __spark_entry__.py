@@ -688,6 +688,89 @@ FLUX_TEXT_DUP_LIMIT_SQL = """
 """
 
 
+def _flux_script_events(spark, sf_dir, text, **kw):
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    kw.setdefault("ts_col", "ts")
+    kw.setdefault("value_col", "value")
+    kw.setdefault("series_cols", ("event_type",))
+    return parse_flux_script(text).to_df(
+        lambda bucket: load_table(
+            spark, sf_dir, bucket, ns_range={"ts": (T0, T1)}
+        ),
+        **kw,
+    )
+
+
+def q_flux_script_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``join(tables:, on:)`` script: two named pipelines (daily
+    click mean, daily purchase mean) equi-joined on window time.
+    Colliding non-key columns take the Flux ``_<table>`` suffix. Both
+    sides aggregate before joining, so the join input is |days|×|types|
+    rows — the shuffle is output-bounded."""
+    return _flux_script_events(
+        spark, sf_dir,
+        'clicks = from(bucket: "events")'
+        " |> range(start: 2024-01-05, stop: 2024-01-25)"
+        ' |> filter(fn: (r) => r["event_type"] == "click")'
+        " |> aggregateWindow(every: 1d, fn: mean)\n"
+        'purch = from(bucket: "events")'
+        " |> range(start: 2024-01-05, stop: 2024-01-25)"
+        ' |> filter(fn: (r) => r["event_type"] == "purchase")'
+        " |> aggregateWindow(every: 1d, fn: mean)\n"
+        'join(tables: {clicks: clicks, purch: purch}, on: ["_time"])',
+    )
+
+
+FLUX_SCRIPT_JOIN_SQL = """
+    WITH clicks AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+               event_type, avg(value) AS value
+        FROM events WHERE {range} AND event_type = 'click'
+        GROUP BY 1, 2
+    ), purch AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+               event_type, avg(value) AS value
+        FROM events WHERE {range} AND event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT c.ts,
+           c.event_type AS event_type_clicks, c.value AS value_clicks,
+           p.event_type AS event_type_purch, p.value AS value_purch
+    FROM clicks c JOIN purch p ON c.ts = p.ts
+"""
+
+
+def q_flux_script_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``union(tables:)`` script: the same two named pipelines
+    concatenated (UNION ALL semantics, schema aligned by name)."""
+    return _flux_script_events(
+        spark, sf_dir,
+        'clicks = from(bucket: "events")'
+        " |> range(start: 2024-01-05, stop: 2024-01-25)"
+        ' |> filter(fn: (r) => r["event_type"] == "click")'
+        " |> aggregateWindow(every: 1d, fn: mean)\n"
+        'purch = from(bucket: "events")'
+        " |> range(start: 2024-01-05, stop: 2024-01-25)"
+        ' |> filter(fn: (r) => r["event_type"] == "purchase")'
+        " |> aggregateWindow(every: 1d, fn: mean)\n"
+        "union(tables: [clicks, purch])",
+    )
+
+
+FLUX_SCRIPT_UNION_SQL = """
+    SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+           event_type, avg(value) AS value
+    FROM events WHERE {range} AND event_type = 'click'
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+           event_type, avg(value) AS value
+    FROM events WHERE {range} AND event_type = 'purchase'
+    GROUP BY 1, 2
+"""
+
+
 def q_flux_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 extended ops: regex (=~), inequality (!=, <=) predicates in
     one pipeline — the remaining filter operators of the builder."""
@@ -796,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_quantile": q_flux_text_quantile,
         "flux_text_window_agg": q_flux_text_window_agg,
         "flux_text_dup_limit": q_flux_text_dup_limit,
+        "flux_script_join": q_flux_script_join,
+        "flux_script_union": q_flux_script_union,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev", "spread"):
@@ -899,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked_head = [
         "flux_text_window_agg",
         "flux_text_dup_limit",
+        "flux_script_join",
+        "flux_script_union",
         "window_running_totals",
         "window_moving_avg",
         "flux_agg_sliding",
@@ -1048,6 +1135,8 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_quantile": FLUX_TEXT_QUANTILE_SQL.format(range=_RANGE),
             "flux_text_window_agg": FLUX_TEXT_WINDOW_AGG_SQL.format(range=_RANGE),
             "flux_text_dup_limit": FLUX_TEXT_DUP_LIMIT_SQL.format(range=_RANGE),
+            "flux_script_join": FLUX_SCRIPT_JOIN_SQL.format(range=_RANGE),
+            "flux_script_union": FLUX_SCRIPT_UNION_SQL.format(range=_RANGE),
             "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,

@@ -97,6 +97,27 @@ class SolarEngine:
             series_cols=("measurement", "field"),
         )
 
+    def query_flux_script(
+        self,
+        text: str,
+        sf_dir: str,
+        field_map: dict[str, str] | None = None,
+        **builder_kwargs,
+    ) -> DataFrame:
+        """Execute a multi-statement Flux script — named pipeline
+        assignments combined by ``join(tables:, on:)`` or
+        ``union(tables:)`` (Flux stdlib stages beyond the reference's
+        single-pipeline grammar). Each ``from(bucket:)`` resolves to the
+        table of that name in ``sf_dir``."""
+        from solar_logger_spark.query.flux_parser import parse_flux_script
+
+        script = parse_flux_script(text)
+        return script.to_df(
+            lambda bucket: load_table(self.spark, sf_dir, bucket),
+            field_map=field_map,
+            **builder_kwargs,
+        )
+
     def register(self, sf_dir: str) -> list[str]:
         """Expose every table to ``spark.sql``."""
         return register_views(self.spark, sf_dir)

@@ -481,3 +481,132 @@ def _ast_to_column(ast, fmap: dict[str, str]):
     if op == "/":
         return lc / rc
     return lc % rc
+
+
+# -- multi-pipeline scripts: assignments + join()/union() ----------------
+
+@dataclass
+class FluxScript:
+    """A parsed multi-statement Flux script::
+
+        a = from(bucket: "x") |> range(...) |> ...
+        b = from(bucket: "y") |> ...
+        join(tables: {a: a, b: b}, on: ["_time"]) |> ...
+
+    ``pipelines`` holds each named assignment; ``combine`` is
+    ``("join", keys)`` or ``("union", None)``; ``tables`` lists the
+    referenced names in order; ``post`` are trailing stages applied to
+    the combined stream (re-using the single-pipeline transform set).
+    """
+
+    pipelines: dict[str, FluxPipeline] = dc_field(default_factory=dict)
+    combine: tuple[str, object] | None = None
+    tables: list[str] = dc_field(default_factory=list)
+    post: FluxPipeline | None = None
+
+    def to_df(
+        self,
+        resolve,
+        field_map: dict[str, str] | None = None,
+        **builder_kwargs,
+    ) -> DataFrame:
+        """Bind and execute. ``resolve(bucket_name) -> DataFrame`` maps
+        each ``from(bucket:)`` to its source table.
+
+        Join semantics follow Flux ``join()``: inner equi-join on the
+        ``on`` columns; non-key columns present on both sides get a
+        ``_<table>`` suffix. The join keys shuffle both sides once —
+        with a small side, Spark's planner broadcasts it (AQE) — and
+        trailing stages run on the combined stream.
+        """
+        from pyspark.sql import functions as F
+
+        if self.combine is None:
+            raise ValueError("script has no join()/union() result statement")
+        qb_kwargs = dict(builder_kwargs)
+        fmap = {"_value": qb_kwargs.get("value_col", "value"),
+                "_time": qb_kwargs.get("ts_col", "ts")}
+        fmap.update(field_map or {})
+        bound: dict[str, DataFrame] = {}
+        for name in self.tables:
+            pipe = self.pipelines[name]
+            df = resolve(pipe.bucket)
+            bound[name] = pipe.to_builder(
+                df, field_map=field_map, **builder_kwargs
+            ).to_df()
+        kind, arg = self.combine
+        names = list(self.tables)
+        if kind == "union":
+            out = bound[names[0]]
+            for name in names[1:]:
+                out = out.unionByName(bound[name], allowMissingColumns=True)
+        else:
+            keys = [fmap.get(k, k) for k in arg]
+            left_name, right_name = names[0], names[1]
+            left, right = bound[left_name], bound[right_name]
+            # Flux suffixes colliding non-key columns with _<table>
+            shared = (set(left.columns) & set(right.columns)) - set(keys)
+            for c in sorted(shared):
+                left = left.withColumnRenamed(c, f"{c}_{left_name}")
+                right = right.withColumnRenamed(c, f"{c}_{right_name}")
+            out = left.join(right, keys, "inner")
+        if self.post is not None:
+            qb = self.post.to_builder(out, field_map=field_map, **qb_kwargs)
+            return qb.to_df()
+        return out
+
+
+def parse_flux_script(text: str) -> FluxScript:
+    """Parse a multi-statement script: ``name =`` pipeline assignments
+    followed by one ``join(tables: {...}, on: [...])`` or
+    ``union(tables: [...])`` result pipeline (optionally continued with
+    ``|>`` stages). Single-pipeline text still parses via
+    :func:`parse_flux`."""
+    script = FluxScript()
+    # statements are separated by newlines that START a new assignment or
+    # the result; continuation lines belong to the current statement
+    statements: list[str] = []
+    for rawline in text.splitlines():
+        line = rawline.strip()
+        if not line or line.startswith("//"):
+            continue
+        starts_new = re.match(r"^(\w+\s*=|join\s*\(|union\s*\()", line)
+        if starts_new or not statements:
+            statements.append(line)
+        else:
+            statements[-1] += " " + line
+    for stmt in statements:
+        m = re.match(r"^(\w+)\s*=\s*(.+)$", stmt)
+        if m:
+            script.pipelines[m.group(1)] = parse_flux(m.group(2))
+            continue
+        head = re.match(r"^(join|union)\s*\((?P<body>.*?)\)(?P<rest>.*)$", stmt)
+        if not head:
+            raise ValueError(f"unparseable script statement: {stmt!r}")
+        kind, body, rest = head.group(1), head.group("body"), head.group("rest")
+        if kind == "join":
+            refs = re.findall(r"(\w+)\s*:\s*(\w+)", body)
+            tables = [v for k, v in refs if k not in ("tables", "on")]
+            on = re.findall(r"[\"']([^\"']+)[\"']", body)
+            if len(tables) != 2:
+                raise ValueError(f"join needs tables: {{a: a, b: b}}: {stmt!r}")
+            if not on:
+                raise ValueError(f"join needs on: [..]: {stmt!r}")
+            script.combine = ("join", on)
+            script.tables = tables
+        else:
+            tables = re.findall(r"\b(\w+)\b", re.sub(r"tables\s*:", "", body))
+            tables = [t for t in tables if t in script.pipelines]
+            if len(tables) < 2:
+                raise ValueError(f"union needs >= 2 known tables: {stmt!r}")
+            script.combine = ("union", None)
+            script.tables = tables
+        rest = rest.strip()
+        if rest.startswith("|>"):
+            script.post = parse_flux("from(bucket: \"_\") " + rest)
+        for t in script.tables:
+            if t not in script.pipelines:
+                raise ValueError(f"unknown table {t!r} in {kind}()")
+    if script.combine is None:
+        raise ValueError("script must end in join() or union()")
+    return script

@@ -508,3 +508,65 @@ def test_parse_duplicate_and_window_and_nonneg():
     assert params["window"] == {"every": "1h", "offset": "10m"}
     assert params["duplicate"] == {"column": "_value", "as": "raw"}
     assert params["derivative"] == {"non_negative": True}
+
+
+def test_parse_flux_script_join():
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    s = parse_flux_script(
+        'a = from(bucket: "events") |> range(start: -5m)\n'
+        'b = from(bucket: "events") |> range(start: -1h)\n'
+        'join(tables: {a: a, b: b}, on: ["_time", "event_type"])'
+    )
+    assert set(s.pipelines) == {"a", "b"}
+    assert s.combine == ("join", ["_time", "event_type"])
+    assert s.tables == ["a", "b"]
+    assert s.post is None
+
+
+def test_parse_flux_script_union_with_post_stages():
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    s = parse_flux_script(
+        'a = from(bucket: "events")\n'
+        'b = from(bucket: "events")\n'
+        'union(tables: [a, b]) |> sort(columns: ["value"], desc: true) '
+        "|> limit(n: 3)"
+    )
+    assert s.combine == ("union", None)
+    assert s.post is not None
+    assert s.post.limit == 3
+    assert s.post.sorts == [("value", True)]
+
+
+def test_parse_flux_script_continuation_lines():
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    s = parse_flux_script(
+        'a = from(bucket: "events")\n'
+        "    |> range(start: -5m)\n"
+        'b = from(bucket: "events")\n'
+        'join(tables: {a: a, b: b}, on: ["_time"])'
+    )
+    assert s.pipelines["a"].start == "-5m"
+
+
+def test_parse_flux_script_requires_combine():
+    import pytest as _pytest
+
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    with _pytest.raises(ValueError):
+        parse_flux_script('a = from(bucket: "events")')
+
+
+def test_parse_flux_script_unknown_table():
+    import pytest as _pytest
+
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    with _pytest.raises(ValueError):
+        parse_flux_script(
+            'a = from(bucket: "events")\n'
+            'join(tables: {a: a, b: missing}, on: ["_time"])'
+        )
