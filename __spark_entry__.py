@@ -964,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_span_coverage": sca.dedup_ngram_span_coverage,
             "text_unigram_rarity_docs": sca.text_unigram_rarity_docs,
             "ts_derivative_nonneg_events": sca.ts_derivative_nonneg_events,
+            "text_repetition_signals_docs": sca.text_repetition_signals_docs,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1194,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_ngram_span_coverage": sca.NGRAM_SPAN_SQL,
             "text_unigram_rarity_docs": sca.UNIGRAM_RARITY_SQL,
             "ts_derivative_nonneg_events": sca.TS_DERIVATIVE_NONNEG_SQL,
+            "text_repetition_signals_docs": sca.REPETITION_SIGNALS_SQL,
         }
     )
     return out

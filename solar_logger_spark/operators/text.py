@@ -394,3 +394,80 @@ def unigram_rarity(
         (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"))
         .alias("rare_frac"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher /
+    MassiveText repetition rules, re-expressed for single-line word
+    documents): per document,
+
+    * ``top_gram_char_frac`` — characters covered by the single most
+      frequent ``top_n``-gram (count × gram length / text length);
+      boilerplate-heavy docs score high,
+    * ``dup_gram_frac`` — fraction of ``dup_n``-gram positions whose
+      gram repeats WITHIN the document (the in-doc counterpart of the
+      corpus-wide ``duplicate_ngram_spans``),
+    * ``unique_word_frac`` — distinct words / words.
+
+    All JVM expressions: two (doc, gram) hash aggregations (map-side
+    combinable, key cardinality ≤ token count) and per-row array ops —
+    no UDF, shuffles linear in corpus size. Ties for the top gram break
+    deterministically by (count, gram) struct max, mirrored in the SQL
+    oracle by ORDER BY c DESC, g DESC.
+    """
+    from solar_logger_spark.operators.dedup import shingle_array, tokens
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_chars"),
+        F.size(toks).alias("_ntok"),
+        F.size(F.array_distinct(toks)).alias("_nuniq"),
+    )
+    g_top = df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, top_n)).alias("g")
+    )
+    top = (
+        g_top.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct("c", "g")).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.col("_t.c").alias("_top_c"),
+            F.col("_t.g").alias("_top_g"),
+        )
+    )
+    dup = (
+        df.select(
+            F.col(id_col), F.explode(shingle_array(text_col, dup_n)).alias("g")
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("_pos"),
+            F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(F.lit(0))).alias(
+                "_dup_pos"
+            ),
+        )
+    )
+    out = base.join(top, id_col, "left").join(dup, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        (F.col("_top_c") * F.length("_top_g") / F.col("_chars")).alias(
+            "top_gram_char_frac"
+        ),
+        (F.col("_dup_pos").cast("double") / F.col("_pos")).alias(
+            "dup_gram_frac"
+        ),
+        (F.col("_nuniq").cast("double") / F.col("_ntok")).alias(
+            "unique_word_frac"
+        ),
+    )

@@ -949,3 +949,52 @@ UNIGRAM_RARITY_SQL = """
     FROM toks JOIN vocab USING (tok)
     GROUP BY doc_id
 """
+
+
+def text_repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solar_logger_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TXT.repetition_signals(docs, top_n=2, dup_n=5)
+
+
+REPETITION_SIGNALS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t, length(text) AS chars
+        FROM documents
+    ), base AS (
+        SELECT doc_id, chars, len(t) AS ntok, len(list_distinct(t)) AS nuniq
+        FROM toks
+    ), g2 AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS g
+        FROM toks
+    ), c2 AS (
+        SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+    ), top AS (
+        SELECT doc_id, c AS top_c, g AS top_g FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    ), g5 AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4]
+                       FOR i IN range(1, len(t) - 3)]) AS g
+        FROM toks
+    ), c5 AS (
+        SELECT doc_id, g, count(*) AS k FROM g5 GROUP BY 1, 2
+    ), d5 AS (
+        SELECT doc_id, sum(k) AS pos,
+               sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS dup_pos
+        FROM c5 GROUP BY 1
+    )
+    SELECT b.doc_id,
+           top_c * length(top_g) / chars AS top_gram_char_frac,
+           CAST(dup_pos AS DOUBLE) / pos AS dup_gram_frac,
+           CAST(nuniq AS DOUBLE) / ntok AS unique_word_frac
+    FROM base b
+    LEFT JOIN top USING (doc_id)
+    LEFT JOIN d5 USING (doc_id)
+"""

@@ -160,3 +160,30 @@ def test_unigram_rarity_hand_computed(spark):
     assert rows[1].n_tokens == 2
     assert rows[1].avg_token_count == (4 + 1) / 2
     assert rows[1].rare_frac == 0.5
+
+
+def test_repetition_signals_known_doc(spark):
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "ab cd" 2-gram appears 3x; the 5-gram "ab cd ab cd ab"
+            # repeats at positions 1 and 3 (of 4 positions)
+            Row(doc_id=0, text="ab cd ab cd ab cd ab cd"),
+            Row(doc_id=1, text="w x y z"),  # no repetition, no 5-grams? no: 4<5
+            Row(doc_id=2, text="solo"),
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    d0 = out[0]
+    # text len 23; top 2-gram "ab cd" count 4, len 5 → 20/23
+    assert d0.top_gram_char_frac == pytest.approx(4 * 5 / 23)
+    # 5-gram positions: 4 grams, "ab cd ab cd ab" ×2 and "cd ab cd ab cd" ×2
+    assert d0.dup_gram_frac == pytest.approx(1.0)
+    assert d0.unique_word_frac == pytest.approx(2 / 8)
+    d1 = out[1]
+    assert d1.unique_word_frac == pytest.approx(1.0)
+    assert d1.dup_gram_frac is None  # shorter than the 5-gram window
+    assert out[2].top_gram_char_frac is None  # no 2-grams in a 1-word doc
