@@ -965,6 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_unigram_rarity_docs": sca.text_unigram_rarity_docs,
             "ts_derivative_nonneg_events": sca.ts_derivative_nonneg_events,
             "text_repetition_signals_docs": sca.text_repetition_signals_docs,
+            "embedding_label_centroids": sca.embedding_label_centroids,
+            "embedding_semantic_dedup": sca.embedding_semantic_dedup,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1196,6 +1198,10 @@ def oracle_sql() -> dict[str, str]:
             "text_unigram_rarity_docs": sca.UNIGRAM_RARITY_SQL,
             "ts_derivative_nonneg_events": sca.TS_DERIVATIVE_NONNEG_SQL,
             "text_repetition_signals_docs": sca.REPETITION_SIGNALS_SQL,
+            "embedding_label_centroids": sca.LABEL_CENTROIDS_SQL,
+            "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
+                neardup=sca.NEARDUP_PAIRS_SQL
+            ),
         }
     )
     return out

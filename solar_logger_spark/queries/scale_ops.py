@@ -998,3 +998,61 @@ REPETITION_SIGNALS_SQL = """
     LEFT JOIN top USING (doc_id)
     LEFT JOIN d5 USING (doc_id)
 """
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long format (label, dim,
+    centroid) — the class-prototype computation behind classifier-based
+    corpus filtering and k-means seeding. One posexplode (in-executor
+    fan-out, no pre-shuffle) then a (label, dim) hash aggregation with
+    map-side partial means; output is |labels|×dim rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "_x")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.avg(F.col("_x").cast("double")).alias("centroid")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+    SELECT label, dim, avg(x) AS centroid
+    FROM (
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               unnest([CAST(v AS DOUBLE) FOR v IN embedding]) AS x
+        FROM embeddings
+    )
+    GROUP BY 1, 2
+"""
+
+
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup decision: exact blocked all-pairs cosine >= 0.45
+    -> connected components (alternating star rounds) -> keep the
+    minimum vec_id per component. The embedding-space counterpart of
+    dedup_cluster_assignments; every vector gets (component, keep)."""
+    from solar_logger_spark.operators import graph, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.neardup_pairs(emb, threshold=0.45)
+    return graph.dedup_representatives(pairs, emb, id_col="vec_id")
+
+
+SEMANTIC_DEDUP_SQL = """
+    WITH RECURSIVE
+    pairs AS ({neardup}),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT vec_id AS node, vec_id AS label FROM embeddings
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT node AS vec_id, min(label) AS component,
+           min(label) = node AS keep
+    FROM reach GROUP BY node
+"""
