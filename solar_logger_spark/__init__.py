@@ -21,9 +21,21 @@ joins for small dims, partition discipline (measurement + date), AQE on.
 """
 
 from solar_logger_spark.session import get_spark
-from solar_logger_spark.durations import parse_duration, duration_to_interval
+from solar_logger_spark.durations import (
+    duration_to_interval,
+    epoch_seconds,
+    epoch_us,
+    parse_duration,
+)
 from solar_logger_spark.query.builder import QueryBuilder
 
-__all__ = ["get_spark", "parse_duration", "duration_to_interval", "QueryBuilder"]
+__all__ = [
+    "get_spark",
+    "parse_duration",
+    "duration_to_interval",
+    "epoch_us",
+    "epoch_seconds",
+    "QueryBuilder",
+]
 
 __version__ = "0.1.0"
