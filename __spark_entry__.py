@@ -741,6 +741,74 @@ FLUX_SCRIPT_JOIN_SQL = """
 """
 
 
+def q_flux_text_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``tail(n:)`` then ``sample(n:, pos:)`` via text: last 20
+    records per series (ranked window on a descending event-time sort),
+    then every 2nd of those — both one analytic window over the same
+    series partitioning, no global sort."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> tail(n: 20)"
+        "\n\t|> sample(n: 2, pos: 0)",
+    )
+
+
+FLUX_TEXT_TAIL_SAMPLE_SQL = """
+    WITH tailed AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY ts DESC) AS rk
+        FROM events WHERE {range}
+    ), kept AS (
+        SELECT event_id, ts, user_id, event_type, props, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts ASC) AS rk2
+        FROM tailed WHERE rk <= 20
+    )
+    SELECT event_id, ts, user_id, event_type, props, value
+    FROM kept WHERE (rk2 - 1) % 2 = 0
+"""
+
+
+def q_flux_script_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``join(method: "left")``: daily click means left-joined to
+    daily error means — days without errors survive with null right
+    columns."""
+    return _flux_script_events(
+        spark, sf_dir,
+        'clicks = from(bucket: "events")'
+        " |> range(start: 2024-01-05, stop: 2024-01-25)"
+        ' |> filter(fn: (r) => r["event_type"] == "click")'
+        " |> aggregateWindow(every: 1d, fn: mean)\n"
+        'errs = from(bucket: "events")'
+        " |> range(start: 2024-01-05, stop: 2024-01-25)"
+        ' |> filter(fn: (r) => r["event_type"] == "error")'
+        " |> aggregateWindow(every: 1d, fn: mean)\n"
+        'join(tables: {clicks: clicks, errs: errs}, on: ["_time"], '
+        'method: "left")',
+    )
+
+
+FLUX_SCRIPT_JOIN_LEFT_SQL = """
+    WITH clicks AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+               event_type, avg(value) AS value
+        FROM events WHERE {range} AND event_type = 'click'
+        GROUP BY 1, 2
+    ), errs AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+               event_type, avg(value) AS value
+        FROM events WHERE {range} AND event_type = 'error'
+        GROUP BY 1, 2
+    )
+    SELECT c.ts,
+           c.event_type AS event_type_clicks, c.value AS value_clicks,
+           e.event_type AS event_type_errs, e.value AS value_errs
+    FROM clicks c LEFT JOIN errs e ON c.ts = e.ts
+"""
+
+
 def q_flux_script_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux ``union(tables:)`` script: the same two named pipelines
     concatenated (UNION ALL semantics, schema aligned by name)."""
@@ -881,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_dup_limit": q_flux_text_dup_limit,
         "flux_script_join": q_flux_script_join,
         "flux_script_union": q_flux_script_union,
+        "flux_text_tail_sample": q_flux_text_tail_sample,
+        "flux_script_join_left": q_flux_script_join_left,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
                "median", "stddev", "spread"):
@@ -989,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_dup_limit",
         "flux_script_join",
         "flux_script_union",
+        "flux_text_tail_sample",
+        "flux_script_join_left",
         "window_running_totals",
         "window_moving_avg",
         "flux_agg_sliding",
@@ -1140,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_dup_limit": FLUX_TEXT_DUP_LIMIT_SQL.format(range=_RANGE),
             "flux_script_join": FLUX_SCRIPT_JOIN_SQL.format(range=_RANGE),
             "flux_script_union": FLUX_SCRIPT_UNION_SQL.format(range=_RANGE),
+            "flux_text_tail_sample": FLUX_TEXT_TAIL_SAMPLE_SQL.format(range=_RANGE),
+            "flux_script_join_left": FLUX_SCRIPT_JOIN_LEFT_SQL.format(range=_RANGE),
             "flux_agg_offset": OFFSET_AGG_SQL.format(range=_RANGE),
             "tpch_q7_bination_volume": rel.TPCH_Q7_SQL,
             "tpch_q9_product_profit": rel.TPCH_Q9_SQL,

@@ -186,6 +186,7 @@ class QueryBuilder:
         "keep", "drop", "rename",
         "group", "pivot", "map", "truncateTimeColumn",
         "histogram", "quantile", "duplicate", "window",
+        "tail", "sample",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -337,6 +338,37 @@ class QueryBuilder:
                 F.timestamp_seconds(
                     F.floor(F.unix_timestamp(F.col(ts)) / sec) * sec
                 ),
+            )
+        if name == "tail":
+            # Flux tail(n:): the LAST n records per series by event time
+            # — one ranked window on a descending sort, no global sort
+            from pyspark.sql import Window
+
+            n = int(params.get("n", 5))
+            w = Window.partitionBy(*series).orderBy(
+                F.col(ts).desc(), *[F.col(c).desc() for c in tiebreak]
+            )
+            return (
+                df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= n)
+                .drop("_rk")
+            )
+        if name == "sample":
+            # Flux sample(n:, pos:): every n-th record per series in
+            # event-time order, starting at offset pos. Flux's default
+            # pos is random; ours is 0 (documented divergence —
+            # deterministic and reproducible, like the sampling ops).
+            from pyspark.sql import Window
+
+            n = int(params["n"])
+            pos = int(params.get("pos", 0)) % n
+            w = Window.partitionBy(*series).orderBy(
+                F.col(ts).asc(), *[F.col(c).asc() for c in tiebreak]
+            )
+            return (
+                df.withColumn("_rk", F.row_number().over(w))
+                .filter((F.col("_rk") - 1) % n == pos)
+                .drop("_rk")
             )
         if name == "duplicate":
             # Flux duplicate(column:, as:) — copy a column under a new

@@ -259,6 +259,7 @@ _TRANSFORM_STAGES = {
     "keep", "drop", "rename",
     "pivot", "map", "truncateTimeColumn",
     "histogram", "quantile", "duplicate", "window",
+    "tail", "sample",
 } | _BARE_AGGS
 
 
@@ -278,8 +279,15 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
     pipeline strings that grew past the reference keep working."""
     args = _parse_args(body)
     params: dict = {}
-    if name in ("movingAverage", "exponentialMovingAverage", "top", "bottom"):
+    if name in ("movingAverage", "exponentialMovingAverage", "top", "bottom",
+                "tail"):
         params["n"] = int(str(_unquote(args.get("n", "5"))).rstrip(")"))
+    elif name == "sample":
+        if "n" not in args:
+            raise ValueError(f"sample needs n:: {body!r}")
+        params["n"] = int(str(_unquote(args["n"])).rstrip(")"))
+        if "pos" in args:
+            params["pos"] = int(str(_unquote(args["pos"])).rstrip(")"))
     elif name == "timeShift":
         if "duration" not in args:
             raise ValueError(f"timeShift needs duration: {body!r}")
@@ -541,7 +549,15 @@ class FluxScript:
             for name in names[1:]:
                 out = out.unionByName(bound[name], allowMissingColumns=True)
         else:
-            keys = [fmap.get(k, k) for k in arg]
+            keys = [fmap.get(k, k) for k in arg["on"]]
+            how = {
+                "inner": "inner",
+                "left": "left_outer",
+                "right": "right_outer",
+                "full": "full_outer",
+            }.get(arg.get("method", "inner"))
+            if how is None:
+                raise ValueError(f"unsupported join method {arg['method']!r}")
             left_name, right_name = names[0], names[1]
             left, right = bound[left_name], bound[right_name]
             # Flux suffixes colliding non-key columns with _<table>
@@ -549,7 +565,7 @@ class FluxScript:
             for c in sorted(shared):
                 left = left.withColumnRenamed(c, f"{c}_{left_name}")
                 right = right.withColumnRenamed(c, f"{c}_{right_name}")
-            out = left.join(right, keys, "inner")
+            out = left.join(right, keys, how)
         if self.post is not None:
             qb = self.post.to_builder(out, field_map=field_map, **qb_kwargs)
             return qb.to_df()
@@ -585,14 +601,19 @@ def parse_flux_script(text: str) -> FluxScript:
             raise ValueError(f"unparseable script statement: {stmt!r}")
         kind, body, rest = head.group(1), head.group("body"), head.group("rest")
         if kind == "join":
-            refs = re.findall(r"(\w+)\s*:\s*(\w+)", body)
+            method = "inner"
+            mm = re.search(r"method\s*:\s*[\"'](\w+)[\"']", body)
+            if mm:
+                method = mm.group(1)
+            body_wo_method = re.sub(r"method\s*:\s*[\"']\w+[\"']", "", body)
+            refs = re.findall(r"(\w+)\s*:\s*(\w+)", body_wo_method)
             tables = [v for k, v in refs if k not in ("tables", "on")]
-            on = re.findall(r"[\"']([^\"']+)[\"']", body)
+            on = re.findall(r"[\"']([^\"']+)[\"']", body_wo_method)
             if len(tables) != 2:
                 raise ValueError(f"join needs tables: {{a: a, b: b}}: {stmt!r}")
             if not on:
                 raise ValueError(f"join needs on: [..]: {stmt!r}")
-            script.combine = ("join", on)
+            script.combine = ("join", {"on": on, "method": method})
             script.tables = tables
         else:
             tables = re.findall(r"\b(\w+)\b", re.sub(r"tables\s*:", "", body))

@@ -519,7 +519,10 @@ def test_parse_flux_script_join():
         'join(tables: {a: a, b: b}, on: ["_time", "event_type"])'
     )
     assert set(s.pipelines) == {"a", "b"}
-    assert s.combine == ("join", ["_time", "event_type"])
+    assert s.combine == (
+        "join",
+        {"on": ["_time", "event_type"], "method": "inner"},
+    )
     assert s.tables == ["a", "b"]
     assert s.post is None
 
@@ -570,3 +573,22 @@ def test_parse_flux_script_unknown_table():
             'a = from(bucket: "events")\n'
             'join(tables: {a: a, b: missing}, on: ["_time"])'
         )
+
+
+def test_parse_tail_sample_and_join_method():
+    from solar_logger_spark.query.flux_parser import (
+        parse_flux,
+        parse_flux_script,
+    )
+
+    p = parse_flux(
+        'from(bucket: "b") |> tail(n: 7) |> sample(n: 3, pos: 1)'
+    )
+    assert dict(p.transforms)["tail"] == {"n": 7}
+    assert dict(p.transforms)["sample"] == {"n": 3, "pos": 1}
+    s = parse_flux_script(
+        'a = from(bucket: "events")\n'
+        'b = from(bucket: "events")\n'
+        'join(tables: {a: a, b: b}, on: ["_time"], method: "left")'
+    )
+    assert s.combine == ("join", {"on": ["_time"], "method": "left"})
