@@ -91,9 +91,12 @@ def ngram_jaccard_pairs(
     # 64-bit-hash the shingles before the self-join: the inverted index
     # shuffles and compares fixed 8-byte keys instead of n-word strings
     # (collision odds across ~2^20 distinct shingles are ~1e-8 — far
-    # below any float tolerance downstream)
+    # below any float tolerance downstream). Spread the docs across
+    # cores first — a single-file doc table would serialize the
+    # CPU-heavy shingle/hash stage.
+    spread = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        doc_shingles(df, id_col, text_col, n)
+        doc_shingles(df.repartition(spread), id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .cache()
     )
@@ -315,7 +318,8 @@ def simhash(
     run, which dwarfs its (identical) execution work. Shuffle volume is
     docs × bits either way; per-token CPU is the same ``bits``
     shift-mask ops."""
-    tok = df.select(
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(spread).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", token_hash(F.col("tok")))
     votes = tok.select(

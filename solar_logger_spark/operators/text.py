@@ -423,6 +423,11 @@ def repetition_signals(
     """
     from solar_logger_spark.operators.dedup import shingle_array, tokens
 
+    # spread documents across cores first: the tokenize/gram work is
+    # CPU-heavy per row and a small doc table arrives as ONE scan
+    # partition (single file), which would serialize all three branches
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(spread)
     toks = tokens(text_col)
     base = df.select(
         F.col(id_col),
