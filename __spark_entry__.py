@@ -1037,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_repetition_signals_docs": sca.text_repetition_signals_docs,
             "embedding_label_centroids": sca.embedding_label_centroids,
             "embedding_semantic_dedup": sca.embedding_semantic_dedup,
+            "dedup_benchmark_contamination": sca.dedup_benchmark_contamination,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1273,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_derivative_nonneg_events": sca.TS_DERIVATIVE_NONNEG_SQL,
             "text_repetition_signals_docs": sca.REPETITION_SIGNALS_SQL,
             "embedding_label_centroids": sca.LABEL_CENTROIDS_SQL,
+            "dedup_benchmark_contamination": sca.BENCHMARK_CONTAMINATION_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -434,3 +434,57 @@ def duplicate_ngram_spans(
         dup_frac.alias("dup_frac"),
         F.coalesce(dup_frac < keep_threshold, F.lit(True)).alias("keep"),
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination signal: for each corpus document, how
+    many of its distinct token ``n``-grams also appear anywhere in the
+    benchmark set — the GPT-3/PaLM training-data rule (drop or flag
+    documents sharing long n-grams with an eval benchmark).
+
+    Returns one row per corpus document: ``n_grams`` (distinct grams),
+    ``n_contaminated`` (grams present in the benchmark),
+    ``contaminated`` (any hit). Docs shorter than ``n`` tokens have
+    zero grams and are clean by definition.
+
+    Plan: both sides explode to distinct 8-byte gram hashes; the
+    benchmark side is typically tiny relative to the corpus, so AQE
+    broadcasts it and the corpus never shuffles for the probe — at
+    worst it is one hash-keyed equi-join. Linear in corpus size.
+    """
+    spread = corpus.sparkSession.sparkContext.defaultParallelism
+    bench_grams = (
+        benchmark.repartition(spread)
+        .select(F.explode(shingle_array(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    doc_grams = (
+        corpus.repartition(spread)
+        .select(F.col(id_col), F.explode(shingle_array(text_col, n)).alias("g"))
+        .select(F.col(id_col), F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    sizes = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(bench_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    out = (
+        corpus.select(F.col(id_col))
+        .join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+    )

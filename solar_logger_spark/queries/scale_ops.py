@@ -1056,3 +1056,49 @@ SEMANTIC_DEDUP_SQL = """
            min(label) = node AS keep
     FROM reach GROUP BY node
 """
+
+
+def dedup_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-token gram with a (deterministically hash-sampled) benchmark
+    set — the GPT-3/PaLM training-data rule."""
+    from solar_logger_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = sampling.sample_fraction(docs, 0.1, ["doc_id"], seed=7)
+    return dedup.benchmark_contamination(docs, bench, n=8)
+
+
+BENCHMARK_CONTAMINATION_SQL = """
+    WITH docs_t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bench AS (
+        SELECT doc_id FROM documents
+        WHERE CAST(('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'), 1, 15))
+              AS BIGINT) % 1000000 < 100000
+    ), dgrams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(t[i:i+7], ' ')
+                           FOR i IN range(1, len(t) - 6)]) AS g
+            FROM docs_t
+        )
+    ), bgrams AS (
+        SELECT DISTINCT g FROM dgrams
+        WHERE doc_id IN (SELECT doc_id FROM bench)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_grams FROM dgrams GROUP BY 1
+    ), hits AS (
+        SELECT d.doc_id, count(*) AS n_contaminated
+        FROM dgrams d JOIN bgrams USING (g)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           COALESCE(n_contaminated, 0) > 0 AS contaminated
+    FROM documents d
+    LEFT JOIN sizes USING (doc_id)
+    LEFT JOIN hits USING (doc_id)
+"""

@@ -126,3 +126,26 @@ def test_duplicate_ngram_spans_within_doc_repeat(spark):
     # 2 of them the repeated "p q r"
     assert rows[0].n_ngrams == 4 and rows[0].n_dup == 2
     assert rows[0].dup_frac == 0.5
+
+
+def test_benchmark_contamination_flags_shared_ngrams(spark):
+    from pyspark.sql import Row
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e f"),      # contains bench 4-gram
+            Row(doc_id=1, text="x y z w v u"),      # clean
+            Row(doc_id=2, text="c d e f g h"),      # shares c d e f
+            Row(doc_id=3, text="short"),            # < n tokens
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=9, text="q q c d e f q")])
+    out = {
+        r.doc_id: r
+        for r in dedup.benchmark_contamination(corpus, bench, n=4).collect()
+    }
+    assert out[0].contaminated and out[0].n_contaminated == 1
+    assert out[2].contaminated  # "c d e f" shared
+    assert not out[1].contaminated and out[1].n_grams == 3
+    assert out[3].n_grams == 0 and not out[3].contaminated
+    assert len(out) == 4
