@@ -1055,13 +1055,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_features",
         "multimodal_frame_sample",
     }
-    never_checked_head = [
+    # round-3 additions: oracle-backed but lower priority than the
+    # never-checked originals — placed after the scale ops so the
+    # driver's ~50-row budget lands on VERDICT's requested set first
+    new_this_round = [
         "flux_text_window_agg",
         "flux_text_dup_limit",
         "flux_script_join",
         "flux_script_union",
         "flux_text_tail_sample",
         "flux_script_join_left",
+    ]
+    never_checked_head = [
         "window_running_totals",
         "window_moving_avg",
         "flux_agg_sliding",
@@ -1080,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     scale_ops = [k for k, v in out.items() if v.__module__ == sca.__name__]
     head = never_checked_head + [k for k in scale_ops if k not in rows_only]
+    head += new_this_round
     head += [k for k in scale_ops if k in rows_only]
     ordered = {k: out[k] for k in head}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
