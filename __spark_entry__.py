@@ -1038,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_label_centroids": sca.embedding_label_centroids,
             "embedding_semantic_dedup": sca.embedding_semantic_dedup,
             "dedup_benchmark_contamination": sca.dedup_benchmark_contamination,
+            "corpus_stats_by_source": sca.corpus_stats_by_source,
+            "text_word_freq_spectrum": sca.text_word_freq_spectrum,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1281,6 +1283,8 @@ def oracle_sql() -> dict[str, str]:
             "text_repetition_signals_docs": sca.REPETITION_SIGNALS_SQL,
             "embedding_label_centroids": sca.LABEL_CENTROIDS_SQL,
             "dedup_benchmark_contamination": sca.BENCHMARK_CONTAMINATION_SQL,
+            "corpus_stats_by_source": sca.CORPUS_STATS_SQL,
+            "text_word_freq_spectrum": sca.WORD_FREQ_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -1102,3 +1102,69 @@ BENCHMARK_CONTAMINATION_SQL = """
     LEFT JOIN sizes USING (doc_id)
     LEFT JOIN hits USING (doc_id)
 """
+
+
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per (source, lang) document/token/char
+    totals and mean document length — the composition summary every
+    training-data pipeline publishes. One hash aggregation, map-side
+    combinable; output bounded by |sources|x|langs|."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(dedup.tokens("text")).cast("long")
+    n_docs = F.count(F.lit(1))
+    n_tokens = F.sum(toks)
+    return docs.groupBy("source", "lang").agg(
+        n_docs.alias("n_docs"),
+        n_tokens.alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        (n_tokens.cast("double") / n_docs.cast("double")).alias("avg_tokens"),
+    )
+
+
+CORPUS_STATS_SQL = """
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+               / count(*) AS avg_tokens
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+
+def text_word_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency spectrum: the top-100 words with rank and
+    count (the Zipf-curve input; also the stop-word list builder). The
+    global rank window runs over the aggregated vocabulary — bounded by
+    |vocab|, not corpus size — so the single-partition sort it implies
+    is safe at any corpus scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(dedup.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "word", "n")
+    )
+
+
+WORD_FREQ_SQL = """
+    SELECT rank, word, n FROM (
+        SELECT word, n,
+               row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+        FROM (
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ) GROUP BY word
+        )
+    ) WHERE rank <= 100
+"""
