@@ -1040,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_benchmark_contamination": sca.dedup_benchmark_contamination,
             "corpus_stats_by_source": sca.corpus_stats_by_source,
             "text_word_freq_spectrum": sca.text_word_freq_spectrum,
+            "text_pack_sequences_docs": sca.text_pack_sequences_docs,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1285,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_benchmark_contamination": sca.BENCHMARK_CONTAMINATION_SQL,
             "corpus_stats_by_source": sca.CORPUS_STATS_SQL,
             "text_word_freq_spectrum": sca.WORD_FREQ_SQL,
+            "text_pack_sequences_docs": sca.PACK_SEQUENCES_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

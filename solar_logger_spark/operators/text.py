@@ -476,3 +476,42 @@ def repetition_signals(
             "unique_word_frac"
         ),
     )
+
+
+def pack_training_sequences(
+    chunks: DataFrame,
+    max_tokens: int,
+    part_col: str,
+    order_cols: Sequence[str] = ("doc_id", "chunk_index"),
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing for pretraining batches: concatenate the chunks
+    of each ``part_col`` shard (in ``order_cols`` order) into one token
+    stream and split it every ``max_tokens`` — each chunk gets the
+    ``seq_id`` its first token lands in and its ``seq_offset`` within
+    that sequence. Chunks may straddle sequence boundaries, exactly
+    like GPT-style packed pretraining data (documents are cut at
+    context-window edges).
+
+    Packing is per shard, so the analytic window partitions on
+    ``part_col`` and the plan is one exchange + in-partition running
+    sum — shards pack independently and in parallel at any corpus
+    size (a single global stream would serialize; shard-local packing
+    is what distributed pipelines do anyway, one output file per
+    shard).
+    """
+    from pyspark.sql import Window
+
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive: {max_tokens}")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return chunks.select(
+        "*",
+        F.floor(start / F.lit(max_tokens)).cast("long").alias("seq_id"),
+        (start % F.lit(max_tokens)).cast("long").alias("seq_offset"),
+    )

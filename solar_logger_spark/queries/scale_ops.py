@@ -1168,3 +1168,46 @@ WORD_FREQ_SQL = """
         )
     ) WHERE rank <= 100
 """
+
+
+def text_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack non-overlapping 128-token chunks into 512-token training
+    sequences per source shard (GPT-style concatenate-and-split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, chunk_tokens=128, overlap=0)
+    chunks = chunks.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "chunk_index", "source", "n_tokens"
+    )
+    packed = text.pack_training_sequences(
+        chunks, max_tokens=512, part_col="source"
+    )
+    return packed.select(
+        "doc_id", "chunk_index", "source", "n_tokens", "seq_id", "seq_offset"
+    )
+
+
+PACK_SEQUENCES_SQL = """
+    WITH words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ), starts AS (
+        SELECT doc_id, source, ws,
+               unnest(range(0, greatest(len(ws) - 1, 0) + 1, 128)) AS s
+        FROM words
+    ), chunks AS (
+        SELECT doc_id, source,
+               CAST(s / 128 AS INTEGER) AS chunk_index,
+               CAST(len(list_slice(ws, s + 1, s + 128)) AS BIGINT) AS n_tokens
+        FROM starts
+    ), packed AS (
+        SELECT *,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id, chunk_index
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start
+        FROM chunks
+    )
+    SELECT doc_id, chunk_index, source, n_tokens,
+           CAST(start // 512 AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS seq_offset
+    FROM packed
+"""

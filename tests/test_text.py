@@ -187,3 +187,34 @@ def test_repetition_signals_known_doc(spark):
     assert d1.unique_word_frac == pytest.approx(1.0)
     assert d1.dup_gram_frac is None  # shorter than the 5-gram window
     assert out[2].top_gram_char_frac is None  # no 2-grams in a 1-word doc
+
+
+def test_pack_training_sequences_concat_and_split(spark):
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators.text import pack_training_sequences
+
+    chunks = spark.createDataFrame(
+        [
+            # shard A: token stream 60 + 60 + 60 = 180, max 128:
+            # chunk0 starts at 0 (seq 0), chunk1 at 60 (seq 0),
+            # chunk2 at 120 (seq 0, straddles into seq 1)
+            Row(doc_id=0, chunk_index=0, source="A", n_tokens=60),
+            Row(doc_id=0, chunk_index=1, source="A", n_tokens=60),
+            Row(doc_id=1, chunk_index=0, source="A", n_tokens=60),
+            # shard B packs independently from offset 0
+            Row(doc_id=2, chunk_index=0, source="B", n_tokens=100),
+            Row(doc_id=3, chunk_index=0, source="B", n_tokens=100),
+        ]
+    )
+    out = {
+        (r.doc_id, r.chunk_index): (r.seq_id, r.seq_offset)
+        for r in pack_training_sequences(
+            chunks, max_tokens=128, part_col="source"
+        ).collect()
+    }
+    assert out[(0, 0)] == (0, 0)
+    assert out[(0, 1)] == (0, 60)
+    assert out[(1, 0)] == (0, 120)  # starts in seq 0, straddles the cut
+    assert out[(2, 0)] == (0, 0)    # shard B restarts at 0
+    assert out[(3, 0)] == (0, 100)
