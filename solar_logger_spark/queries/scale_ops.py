@@ -1135,12 +1135,16 @@ CORPUS_STATS_SQL = """
 
 def text_word_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus word-frequency spectrum: the top-100 words with rank and
-    count (the Zipf-curve input; also the stop-word list builder). The
-    global rank window runs over the aggregated vocabulary — bounded by
-    |vocab|, not corpus size — so the single-partition sort it implies
-    is safe at any corpus scale."""
-    from pyspark.sql import Window
+    count (the Zipf-curve input; also the stop-word list builder).
 
+    The top-100 cut is ``orderBy(...).limit(100)``, which Spark compiles
+    to TakeOrderedAndProject — each partition keeps its local top 100 and
+    only those merge — so the full vocabulary (10^8-10^9 terms on web
+    text) is never sorted on one executor. The 100 survivors are then
+    ranked without any window: a global aggregate folds them into one
+    sorted array (struct field order = the sort key, so ``array_sort``
+    reproduces n DESC, word ASC) and ``posexplode`` yields the rank.
+    All JVM-side; no single-partition WindowExec anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.repartition(spark.sparkContext.defaultParallelism)
@@ -1148,11 +1152,19 @@ def text_word_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(100)
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "word", "n"))
+        ).alias("arr")
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 100)
-        .select("rank", "word", "n")
+        arr.select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("s.word").alias("word"),
+            F.col("s.n").alias("n"),
+        )
     )
 
 
