@@ -77,6 +77,9 @@ def main() -> int:
             per_query[name] = round(dt if prev is None else min(prev, dt), 3)
 
     total = sum(v for v in per_query.values() if v >= 0)
+    # Ascending by time: the driver keeps only a 2000-char tail of this
+    # line, so the slowest (most informative) queries must print last.
+    per_query = dict(sorted(per_query.items(), key=lambda kv: kv[1]))
     result = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),

@@ -93,12 +93,17 @@ def ngram_jaccard_pairs(
     # (collision odds across ~2^20 distinct shingles are ~1e-8 — far
     # below any float tolerance downstream). Spread the docs across
     # cores first — a single-file doc table would serialize the
-    # CPU-heavy shingle/hash stage.
+    # CPU-heavy shingle/hash stage. The trailing repartition on the
+    # hashed shingle materializes that stage ONCE into shuffle files
+    # that every downstream branch (sizes, a, b) re-reads via
+    # ReuseExchange — unlike ``.cache()``, nothing pins executor
+    # storage after the query finishes, which matters when the exploded
+    # shingle table is several × the corpus size.
     spread = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         doc_shingles(df.repartition(spread), id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
+        .repartition(spread, "shingle")
     )
     if max_shingle_df is not None:
         rare = (
@@ -153,29 +158,33 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 32,
+def _banded_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: Column,
+    num_hashes: int,
+    bands: int,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-
-    Each band of r = num_hashes/bands signature slots hashes to one
-    bucket key; a pair with Jaccard j collides with prob 1-(1-j^r)^b —
-    with (64, 32, r=2) the curve passes 99.97% at j=0.5.
-    """
-    rows = num_hashes // bands
-    band_cols = []
-    for band in range(bands):
-        slots = [F.col(f"mh_{band * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(band).alias("band"), F.xxhash64(*slots).alias("bucket"))
+    """Shared LSH banding: hash each band of r = num_hashes/bands
+    signature slots (taken from the array expression ``sig_col``) to a
+    bucket; docs sharing any (band, bucket) become candidate pairs."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[sig_col[band * rows + r] for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
     return (
@@ -183,6 +192,25 @@ def minhash_lsh_candidates(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """LSH banding over ``minhash_signatures`` output (named ``mh_i``
+    columns): docs sharing any band bucket become candidate pairs.
+
+    Each band of r = num_hashes/bands signature slots hashes to one
+    bucket key; a pair with Jaccard j collides with prob 1-(1-j^r)^b —
+    with (64, 32, r=2) the curve passes 99.97% at j=0.5.
+    """
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    return _banded_candidate_pairs(
+        signatures, id_col, sig_arr, num_hashes, bands
     )
 
 
@@ -222,13 +250,23 @@ def minhash_lsh_pairs(
     are small on disk (one file → one scan partition) but the per-row
     shingle/hash work is CPU-heavy, so inheriting the file layout would
     serialize the whole pipeline's hottest stage. The repartition moves
-    only raw documents — far cheaper than the exploded shingles."""
+    only raw documents — far cheaper than the exploded shingles.
+
+    The hashed-shingle table is materialized once as a repartition
+    exchange rather than ``.cache()``: the four consumers (signature
+    build, sizes, a/b verification sides) all re-read the same shuffle
+    files via ReuseExchange, and no executor storage stays pinned after
+    the query — at web-corpus scale the exploded shingle table does not
+    fit in cluster memory."""
+    if num_hashes % bands != 0:  # fail before building any plan
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     spread = df.sparkSession.sparkContext.defaultParallelism
-    rows = num_hashes // bands
     sh = (
         doc_shingles(df.repartition(spread), id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
-        .cache()
+        .repartition(spread, "h")
     )
     sig = (
         sh.select(
@@ -248,25 +286,8 @@ def minhash_lsh_pairs(
             ).alias("sig")
         )
     )
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(
-                *[F.col("sig")[band * rows + r] for r in range(rows)]
-            ).alias("bucket"),
-        )
-        for band in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
-    a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    cands = _banded_candidate_pairs(
+        sig, id_col, F.col("sig"), num_hashes, bands
     )
 
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
