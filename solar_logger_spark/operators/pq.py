@@ -155,29 +155,44 @@ def topk_adc(
     Output matches the other ANN operators: (query_id, neighbor_id,
     approx_dist, rank) — smaller distance is nearer (with re-ranking,
     ``approx_dist`` is the exact unit-sphere squared L2). The per-batch
-    ADC cost is a numpy table gather, m adds per corpus code."""
+    ADC cost is a numpy table gather, m adds per corpus code.
+
+    Scale shape: only the raw query batch (n_q × d doubles) is
+    broadcast; the ADC lookup tables are derived from it once per task,
+    executor-side. The kernel keeps a ``cut``-deep running top-k per
+    query across its partition's batches, so the |queries| × |corpus|
+    score matrix is never materialized — per partition, at most
+    n_q × cut rows survive to the final exact top-k shuffle
+    (partitions × n_q × cut rows total, vs n_q × |corpus| for the naive
+    global-window shape). For very large query batches, chunk the
+    ``queries`` frame caller-side; each chunk is an independent scan."""
     import pandas as pd
 
     spark = encoded.sparkSession
     books = np.asarray(codebooks)
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.select(id_col, vec_col).collect()  # bounded query batch
     qids = np.array([r[id_col] for r in qrows])
     qmat = _normalize(
         np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
     )
     m, ks, dsub = books.shape
-    # per-query distance tables: (n_q, m, ks) exact subspace distances
-    tables = np.empty((len(qids), m, ks))
-    for j in range(m):
-        qsub = qmat[:, j * dsub : (j + 1) * dsub]
-        tables[:, j, :] = (
-            (qsub[:, None, :] - books[j][None, :, :]) ** 2
-        ).sum(axis=2)
-    bc = spark.sparkContext.broadcast((qids, tables))
+    cut = rerank if rerank > 0 else k
+    bc = spark.sparkContext.broadcast((qids, qmat, books))
 
     def _score(batches):
-        ids, tabs = bc.value
+        ids, qm, bks = bc.value
         n_q = len(ids)
+        if n_q == 0:
+            return
+        # per-query distance tables: (n_q, m, ks) exact subspace
+        # distances, computed from the broadcast raw queries
+        tabs = np.empty((n_q, m, ks))
+        for j in range(m):
+            qsub = qm[:, j * dsub : (j + 1) * dsub]
+            tabs[:, j, :] = (
+                (qsub[:, None, :] - bks[j][None, :, :]) ** 2
+            ).sum(axis=2)
+        best_d = best_i = None  # running (n_q, <=cut) top-k
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -187,22 +202,37 @@ def topk_adc(
             dist = np.zeros((n_q, n))
             for j in range(m):
                 dist += tabs[:, j, :][:, codes[:, j]]
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(ids, n),
-                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), n_q),
-                    "approx_dist": dist.ravel(),
-                }
-            )
-            yield out
+            nids = np.broadcast_to(
+                pdf[id_col].to_numpy(), (n_q, n)
+            ).copy()
+            dist[nids == ids[:, None]] = np.inf  # self-pairs drop out
+            if best_d is not None:
+                dist = np.concatenate([best_d, dist], axis=1)
+                nids = np.concatenate([best_i, nids], axis=1)
+            # row-wise selection in the final window's total order:
+            # (approx_dist asc, neighbor_id asc)
+            order = np.lexsort((nids, dist), axis=-1)[:, :cut]
+            best_d = np.take_along_axis(dist, order, axis=1)
+            best_i = np.take_along_axis(nids, order, axis=1)
+        if best_d is None:
+            return
+        flat_d = best_d.ravel()
+        flat_i = best_i.ravel()
+        keep = np.isfinite(flat_d)
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, best_d.shape[1])[keep],
+                "neighbor_id": flat_i[keep],
+                "approx_dist": flat_d[keep],
+            }
+        )
 
     scored = encoded.mapInPandas(
         _score, "query_id long, neighbor_id long, approx_dist double"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
-    cut = rerank if rerank > 0 else k
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cut)
@@ -417,14 +447,18 @@ def topk_ivfpq(
     for qi in range(len(qids)):
         for p in range(n_probe):
             routing.setdefault(int(probe[qi, p]), []).append((qi, p))
+    cut = rerank if rerank > 0 else k
     bc = spark.sparkContext.broadcast((qids, tables, routing))
 
     def _score(batches):
         ids_, tabs, route = bc.value
+        # per-query running top-cut across this partition's batches —
+        # the probed-cell score stream never materializes beyond
+        # n_q × cut survivors per partition
+        best: dict[int, tuple["np.ndarray", "np.ndarray"]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            outs = []
             for cell, grp in pdf.groupby("cell"):
                 hits = route.get(int(cell))
                 if not hits:
@@ -436,30 +470,39 @@ def topk_ivfpq(
                     dist = np.zeros(len(codes))
                     for j in range(m):
                         dist += t[j][codes[:, j]]
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": ids_[qi],
-                                "neighbor_id": nids,
-                                "approx_dist": dist,
-                            }
-                        )
-                    )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    mask = nids != ids_[qi]  # drop self-pair
+                    d, i = dist[mask], nids[mask]
+                    prev = best.get(qi)
+                    if prev is not None:
+                        d = np.concatenate([prev[0], d])
+                        i = np.concatenate([prev[1], i])
+                    if len(d) > 4096:  # amortize the sort-and-cut
+                        # final window's total order: dist asc, id asc
+                        order = np.lexsort((i, d))[:cut]
+                        d, i = d[order], i[order]
+                    best[qi] = (d, i)
+        if best:
+            outs_d, outs_i, counts = [], [], []
+            for qi, (d, i) in best.items():
+                order = np.lexsort((i, d))[:cut]
+                outs_d.append(d[order])
+                outs_i.append(i[order])
+                counts.append(len(order))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids_[list(best)], counts),
+                    "neighbor_id": np.concatenate(outs_i),
+                    "approx_dist": np.concatenate(outs_d),
+                }
+            )
 
     probed_cells = sorted(routing)
-    scored = (
-        encoded.filter(F.col("cell").isin(probed_cells))
-        .mapInPandas(
-            _score, "query_id long, neighbor_id long, approx_dist double"
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = encoded.filter(F.col("cell").isin(probed_cells)).mapInPandas(
+        _score, "query_id long, neighbor_id long, approx_dist double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
-    cut = rerank if rerank > 0 else k
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cut)

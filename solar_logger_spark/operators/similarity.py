@@ -49,7 +49,19 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (cosine), deterministic
     tiebreak on neighbor id. Queries are broadcast; the corpus never
-    shuffles — the only wide stage is the per-query top-k."""
+    shuffles.
+
+    The similarity math stays JVM-side (``cosine`` HOF inside codegen,
+    bit-reproducible against the SQL oracle). What never leaves the map
+    task is the |corpus| × |queries| score stream: an Arrow kernel keeps
+    a k-deep running top-k per query per partition — selection only, no
+    float arithmetic, so results are bit-identical to the naive window —
+    and only partitions × |queries| × k rows reach the final exact
+    top-k shuffle. The naive shape (global ``row_number`` directly over
+    the scored cross product) would shuffle |corpus| × |queries| rows —
+    a trillion-row exchange at 100 TB with a real query batch."""
+    import pandas as pd
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -65,11 +77,51 @@ def topk_bruteforce(
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    part_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+    )
+
+    def _partial_topk(batches):
+        best: dict = {}  # query_id -> (sims desc, neighbor ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                s = grp["cos_sim"].to_numpy()
+                n = grp["neighbor_id"].to_numpy()
+                prev = best.get(qid)
+                if prev is not None:
+                    s = np.concatenate([prev[0], s])
+                    n = np.concatenate([prev[1], n])
+                # same total order as the final window: sim desc, id asc.
+                # Spark sorts NaN as the largest value (first under desc);
+                # numpy lexsort would put it last — pin it first explicitly.
+                key = -s
+                key[np.isnan(key)] = -np.inf
+                order = np.lexsort((n, key))[:k]
+                best[qid] = (s[order], n[order])
+        if best:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        np.array(list(best)),
+                        [len(v[0]) for v in best.values()],
+                    ),
+                    "neighbor_id": np.concatenate(
+                        [v[1] for v in best.values()]
+                    ),
+                    "cos_sim": np.concatenate([v[0] for v in best.values()]),
+                }
+            )
+
+    part = scored.mapInPandas(_partial_topk, part_schema)
     win = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(win))
+        part.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -148,7 +200,8 @@ def neardup_pairs(
     norms_all = _ltr_norms(mat)
     bc = spark.sparkContext.broadcast((ids_all, mat, norms_all))
 
-    out_schema = "a_id long, b_id long, cos_sim double"
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"a_id {id_type}, b_id {id_type}, cos_sim double"
 
     def _score(batches):
         b_ids, b_mat, b_norms = bc.value
@@ -262,8 +315,9 @@ def _blocked_neardup_pairs(
             )
         return pd.concat(outs, ignore_index=True)
 
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     return both.groupBy("bi", "bj").applyInPandas(
-        _score_block, "a_id long, b_id long, cos_sim double"
+        _score_block, f"a_id {id_type}, b_id {id_type}, cos_sim double"
     )
 
 
