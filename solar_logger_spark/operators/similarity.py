@@ -355,6 +355,64 @@ def hyperplane_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def _table_buckets(
+    df: DataFrame,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, tbl, bucket) rows for ``n_tables`` independent sign-LSH
+    tables, computed in ONE scan: a single Arrow-batched matmul against
+    all tables' planes at once ((n, dim) @ (dim, T·b) — the HOF
+    expression route costs T·b interpreted array folds per row, which
+    at 8 tables × 8 planes is ~100× slower than the fused kernel).
+    Plane literals are the same seeded values as
+    ``hyperplane_buckets``; table t uses seed + 7919·t."""
+    import pandas as pd
+
+    all_planes = np.concatenate(
+        [
+            np.asarray(
+                _plane_literals(n_planes, dim, seed + 7919 * t),
+                dtype=np.float64,
+            )
+            for t in range(n_tables)
+        ]
+    )  # (T·b, dim)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+    bc = df.sparkSession.sparkContext.broadcast(all_planes)
+
+    def _bucketize(batches):
+        planes = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (a @ planes.T) >= 0  # (n, T·b)
+            bits = bits.reshape(len(a), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # (n, T)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy().repeat(n_tables),
+                    "tbl": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(a)
+                    ),
+                    "bucket": buckets.ravel().astype(np.int64),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        _bucketize, f"{out_id} {id_type}, tbl int, bucket long"
+    )
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -363,20 +421,63 @@ def topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
+    multiprobe: int = 0,
+    seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. Same output shape as ``topk_bruteforce``."""
-    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim).join(
-        corpus, id_col
-    ).select(F.col(id_col).alias("neighbor_id"), "bucket",
-             F.col(vec_col).alias("c_vec"))
-    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dim).join(
-        queries, id_col
-    ).select(F.col(id_col).alias("query_id"), "bucket",
-             F.col(vec_col).alias("q_vec"))
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
+    """Approximate top-k: score only corpus vectors that collide with
+    the query in at least one LSH table. Same output shape as
+    ``topk_bruteforce``.
+
+    Recall amplification is the standard two-axis design (FALCONN-style,
+    public): ``n_tables`` independent plane sets OR-combine collision
+    probability (1-(1-p^b)^L), and ``multiprobe`` additionally probes
+    every bucket within that Hamming radius of the query's own bucket in
+    each table — near-miss sign flips are where most lost neighbors
+    hide, so probing them buys recall without more tables. Candidate
+    fraction stays ~L·Σ_r C(b,r)/2^b of the corpus; with one table and
+    radius 0 this is the classic single-bucket probe. Corpus buckets for
+    all tables are computed in one scan; candidates dedupe before the
+    exact-cosine re-score, so the output is exact ranking over the
+    candidate set."""
+    cb = _table_buckets(
+        corpus, "neighbor_id", id_col, vec_col, n_planes, dim, n_tables, seed
+    )
+    qb = _table_buckets(
+        queries, "query_id", id_col, vec_col, n_planes, dim, n_tables, seed
+    )
+    if multiprobe > 0:
+        masks = [
+            m for m in range(1 << n_planes)
+            if bin(m).count("1") <= multiprobe
+        ]
+        qb = qb.select(
+            "query_id",
+            "tbl",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask"),
+            "bucket",
+        ).select(
+            "query_id",
+            "tbl",
+            F.col("bucket")
+            .bitwiseXOR(F.col("_mask").cast("bigint"))
+            .alias("bucket"),
+        )
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id",
                 cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
     )

@@ -197,12 +197,40 @@ NEARDUP_PAIRS_SQL = """
 """
 
 
+def _attach_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Join a per-query ``recall_at_k`` vs the exact brute-force top-k
+    into an ANN result. The ANN queries have no SQL oracle (bucketing /
+    codebooks live in Spark-side seeded literals), so this deterministic
+    self-check column gives the driver's rows-only record a quality
+    signal beyond "it ran"; pytest pins the mean ≥ 0.8. The exact side
+    is one extra corpus scan per run — bounded, and only on these
+    self-checking declared queries, not on the operators themselves."""
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_k"))
+    )
+    return ann.join(F.broadcast(hits), "query_id", "left").na.fill(
+        {"recall_at_k": 0.0}
+    )
+
+
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via hyperplane LSH buckets (rows-only check:
-    bucketing depends on Spark-side plane literals)."""
+    """Approximate top-k via multi-table multiprobe sign-LSH (rows-only
+    check: bucketing depends on Spark-side plane literals; the
+    ``recall_at_k`` column self-checks vs brute force)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.topk_lsh(emb, queries, k=5, n_planes=8)
+    ann = similarity.topk_lsh(
+        emb, queries, k=5, n_planes=8, n_tables=8, multiprobe=2
+    )
+    return _attach_recall(
+        ann, similarity.topk_bruteforce(emb, queries, k=5), k=5
+    )
 
 
 # -- multimodal ---------------------------------------------------------------
@@ -290,11 +318,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k with one k-means codebook sweep (rows-only:
-    centroid assignment + probe ordering live in the numpy kernels;
-    recall vs brute force is pinned in tests/test_similarity.py)."""
+    centroid assignment + probe ordering live in the numpy kernels; the
+    ``recall_at_k`` column self-checks vs brute force, and recall is
+    also pinned in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.topk_ivf(
-        emb, emb.limit(10), k=5, n_cells=16, n_probe=4, refine_iters=1
+    queries = emb.limit(10)
+    ann = similarity.topk_ivf(
+        emb, queries, k=5, n_cells=16, n_probe=8, refine_iters=1
+    )
+    return _attach_recall(
+        ann, similarity.topk_bruteforce(emb, queries, k=5), k=5
     )
 
 
@@ -841,10 +874,12 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solar_logger_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(10)
     books = pq.train_codebooks(emb, m=8, ks=16)
     encoded = pq.encode(emb, books)
-    return pq.topk_adc(
-        encoded, emb.limit(10), books, k=5, rerank=100, raw=emb
+    ann = pq.topk_adc(encoded, queries, books, k=5, rerank=400, raw=emb)
+    return _attach_recall(
+        ann, similarity.topk_bruteforce(emb, queries, k=5), k=5
     )
 
 
@@ -885,10 +920,14 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solar_logger_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(10)
     encoded, cents, books = pq.build_ivfpq(emb, n_cells=16, m=8, ks=16)
-    return pq.topk_ivfpq(
-        encoded, emb.limit(10), cents, books,
-        k=5, n_probe=4, rerank=100, raw=emb,
+    ann = pq.topk_ivfpq(
+        encoded, queries, cents, books,
+        k=5, n_probe=8, rerank=400, raw=emb,
+    )
+    return _attach_recall(
+        ann, similarity.topk_bruteforce(emb, queries, k=5), k=5
     )
 
 
