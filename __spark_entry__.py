@@ -758,12 +758,14 @@ def q_flux_text_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLUX_TEXT_TAIL_SAMPLE_SQL = """
     WITH tailed AS (
         SELECT *, row_number() OVER (
-            PARTITION BY event_type ORDER BY ts DESC) AS rk
+            PARTITION BY event_type
+            ORDER BY ts DESC, event_id DESC) AS rk
         FROM events WHERE {range}
     ), kept AS (
         SELECT event_id, ts, user_id, event_type, props, value,
                row_number() OVER (
-                   PARTITION BY event_type ORDER BY ts ASC) AS rk2
+                   PARTITION BY event_type
+                   ORDER BY ts ASC, event_id ASC) AS rk2
         FROM tailed WHERE rk <= 20
     )
     SELECT event_id, ts, user_id, event_type, props, value

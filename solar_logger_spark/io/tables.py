@@ -125,7 +125,17 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     Arrow worker overhead exceeds the parallelism win (the engine's hot
     paths therefore do NOT call it by default); it pays off for
     CPU-heavy per-row work (real media codecs, heavyweight UDFs) on
-    narrow single-file inputs."""
+    narrow single-file inputs.
+
+    Caller contract: the width probe is ``df.inputFiles()``, so only
+    FILE-BACKED frames are ever repartitioned — in-memory or
+    post-shuffle frames (``createDataFrame``, anything downstream of an
+    exchange) return unchanged even when narrow, and one huge splittable
+    file (many scan partitions, one file) can still trigger a redundant
+    repartition. Both are accepted: the probe stays free (no
+    ``df.rdd.getNumPartitions()``, which would force an RDD conversion
+    and disable AQE on the branch), and the cost of a wrong guess is one
+    bounded extra shuffle, not a wrong result."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     # estimate input width WITHOUT df.rdd (which forces a full

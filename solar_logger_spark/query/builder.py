@@ -104,6 +104,7 @@ class QueryBuilder:
         value_col: str = "value",
         series_cols: Sequence[str] = ("measurement", "field"),
         now: datetime | None = None,
+        tiebreak_cols: Sequence[str] = ("event_id",),
     ) -> None:
         if isinstance(source, str):
             spark = spark or SparkSession.getActiveSession()
@@ -120,6 +121,12 @@ class QueryBuilder:
         self.ts_col = ts_col
         self.value_col = value_col
         self.series_cols = list(series_cols)
+        # default window tiebreak: rows tied on (series, ts) at a
+        # rank/stride boundary (tail/sample/top/...) would otherwise be
+        # engine-order-dependent; any listed column present in the frame
+        # is appended to the ordering (the Flux text surface has no
+        # tiebreak: argument, so this is how parsed pipelines get one)
+        self.tiebreak_cols = list(tiebreak_cols)
         self._now = now  # pin "now" for reproducible relative ranges
         self._start = start_range
         self._end = end_range
@@ -232,7 +239,9 @@ class QueryBuilder:
             series_cols = self.series_cols
         series = [c for c in series_cols if c in df.columns]
         ts, val = self.ts_col, self.value_col
-        tiebreak = params.get("tiebreak", ())
+        tiebreak = params.get("tiebreak") or [
+            c for c in self.tiebreak_cols if c in df.columns
+        ]
         if name == "timeShift":
             return T.time_shift(df, params["duration"], ts_col=ts)
         if name in ("top", "bottom"):

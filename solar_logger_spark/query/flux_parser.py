@@ -586,7 +586,13 @@ def parse_flux_script(text: str) -> FluxScript:
         line = rawline.strip()
         if not line or line.startswith("//"):
             continue
-        starts_new = re.match(r"^(\w+\s*=|join\s*\(|union\s*\()", line)
+        # a new assignment is always `name = from(...)` in this surface;
+        # the `from(` anchor keeps continuation lines that happen to
+        # contain `word =` (e.g. inside a map() expression) glued to
+        # their statement instead of silently starting a bogus one
+        starts_new = re.match(
+            r"^(\w+\s*=\s*from\s*\(|join\s*\(|union\s*\()", line
+        )
         if starts_new or not statements:
             statements.append(line)
         else:
@@ -606,13 +612,24 @@ def parse_flux_script(text: str) -> FluxScript:
             if mm:
                 method = mm.group(1)
             body_wo_method = re.sub(r"method\s*:\s*[\"']\w+[\"']", "", body)
-            refs = re.findall(r"(\w+)\s*:\s*(\w+)", body_wo_method)
-            tables = [v for k, v in refs if k not in ("tables", "on")]
-            on = re.findall(r"[\"']([^\"']+)[\"']", body_wo_method)
-            if len(tables) != 2:
-                raise ValueError(f"join needs tables: {{a: a, b: b}}: {stmt!r}")
+            # join keys come ONLY from the bracketed on: [...] slice —
+            # quoted strings elsewhere in the body must not leak in
+            on_m = re.search(r"on\s*:\s*\[(?P<keys>[^\]]*)\]", body_wo_method)
+            if on_m is None:
+                raise ValueError(f"join needs on: [..]: {stmt!r}")
+            on = re.findall(r"[\"']([^\"']+)[\"']", on_m.group("keys"))
             if not on:
                 raise ValueError(f"join needs on: [..]: {stmt!r}")
+            leftover = re.sub(r"on\s*:\s*\[[^\]]*\]", "", body_wo_method)
+            stray = re.findall(r"[\"']([^\"']+)[\"']", leftover)
+            if stray:
+                raise ValueError(
+                    f"unrecognized quoted join() argument(s) {stray}: {stmt!r}"
+                )
+            refs = re.findall(r"(\w+)\s*:\s*(\w+)", leftover)
+            tables = [v for k, v in refs if k not in ("tables", "on")]
+            if len(tables) != 2:
+                raise ValueError(f"join needs tables: {{a: a, b: b}}: {stmt!r}")
             script.combine = ("join", {"on": on, "method": method})
             script.tables = tables
         else:

@@ -592,3 +592,30 @@ def test_parse_tail_sample_and_join_method():
         'join(tables: {a: a, b: b}, on: ["_time"], method: "left")'
     )
     assert s.combine == ("join", {"on": ["_time"], "method": "left"})
+
+
+def test_parse_flux_script_join_rejects_stray_quoted_args():
+    import pytest as _pytest
+
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    # a quoted argument join() doesn't understand must raise, not leak
+    # into the join keys
+    with _pytest.raises(ValueError, match="unrecognized quoted"):
+        parse_flux_script(
+            'a = from(bucket: "events")\n'
+            'b = from(bucket: "events")\n'
+            'join(tables: {a: a, b: b}, on: ["_time"], suffix: "_r")'
+        )
+
+
+def test_parse_flux_script_join_multi_key_anchored_to_brackets():
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    s = parse_flux_script(
+        'a = from(bucket: "events")\n'
+        'b = from(bucket: "events")\n'
+        'join(tables: {a: a, b: b}, on: ["_time", "event_type"], '
+        'method: "inner")'
+    )
+    assert s.combine[1]["on"] == ["_time", "event_type"]
