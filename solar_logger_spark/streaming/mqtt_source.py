@@ -15,9 +15,12 @@ so this implements one with the ``pyspark.sql.datasource`` API
 
 emitting the engine's RAW_SCHEMA ``(topic, payload binary, arrival_ts)``.
 
-paho-mqtt is optional (not installed in the test environment); the
-class gates the import at reader-construction time and the correctness
-path never depends on it (SURVEY §7 hard-part 3) — tests replay
+paho-mqtt is optional (not installed in the test environment); when it
+is absent the default transport falls back to the stdlib MQTT 3.1.1
+wire client (``mqtt_wire.socket_client``), so the live-socket path
+works with zero third-party packages — ``tests/test_mqtt_live.py``
+smoke-tests it against an in-process broker. The correctness path never
+depends on a broker (SURVEY §7 hard-part 3) — tests also replay
 parquet/file streams through the identical downstream plan.
 
 Delivery: the simple-stream-reader contract replays a prefetched record
@@ -55,7 +58,7 @@ class MqttStreamReader(SimpleDataSourceStreamReader):
         self._buffer: list[tuple] = []
         self._batches: dict[int, list[tuple]] = {}
         self._n = 0
-        factory = client_factory or _paho_client
+        factory = client_factory or _default_client
         # the transport delivers messages by calling push(topic, payload[, us])
         self._client = factory(options, self.push)
 
@@ -94,16 +97,23 @@ class MqttStreamReader(SimpleDataSourceStreamReader):
                 fn()
 
 
-def _paho_client(options: dict, push):
-    """Default transport: paho-mqtt client wired to ``push``
-    (reference S2 — TLS + user/token auth, one topic filter)."""
+def _default_client(options: dict, push):
+    """Default transport: paho-mqtt when installed, else the stdlib
+    MQTT 3.1.1 wire client (``mqtt_wire.socket_client``) — the live
+    broker path no longer requires any third-party package."""
     try:
-        import paho.mqtt.client as mqtt
-    except ImportError as exc:  # the one hard external dependency
-        raise ImportError(
-            "MQTT source requires the optional 'paho-mqtt' package; "
-            "replay a file stream with RAW_SCHEMA for offline use"
-        ) from exc
+        import paho.mqtt.client  # noqa: F401
+    except ImportError:
+        from .mqtt_wire import socket_client
+
+        return socket_client(options, push)
+    return _paho_client(options, push)
+
+
+def _paho_client(options: dict, push):
+    """paho-mqtt transport wired to ``push``
+    (reference S2 — TLS + user/token auth, one topic filter)."""
+    import paho.mqtt.client as mqtt
 
     client = mqtt.Client()
     user, token = options.get("user"), options.get("token")

@@ -1,0 +1,243 @@
+"""Minimal MQTT 3.1.1 wire client — stdlib-only live-broker transport.
+
+The reference's transport layer is paho-mqtt
+(``/root/reference/src/classes/mqtt_classes.py:298-324``: TLS + user/token
+auth, one topic-filter subscription, binary messages via callback). paho
+is an optional dependency that is absent in the test environment, which
+left the live-socket path of the ``"mqtt"`` data source untested. This
+module closes that gap: a from-scratch client for the (public, OASIS)
+MQTT 3.1.1 protocol covering exactly the subset the source needs —
+CONNECT with optional username/password, one SUBSCRIBE, QoS 0/1 PUBLISH
+receive (with PUBACK), PINGREQ keepalive, DISCONNECT — over a real TCP
+(optionally TLS) socket.
+
+``socket_client(options, push)`` matches the transport-factory contract
+of :class:`solar_logger_spark.streaming.mqtt_source.MqttStreamReader`,
+so the data source works against a live broker with no third-party
+packages; when paho IS installed it remains the default.
+
+Packet framing (MQTT 3.1.1 §2): 1 control byte (type<<4 | flags), a
+variable-length "remaining length" (7 bits/byte, MSB = continuation),
+then type-specific variable header + payload. Strings are big-endian
+u16-length-prefixed UTF-8.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+SUBSCRIBE, SUBACK = 8, 9
+PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
+
+
+def encode_string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def encode_remaining_length(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        digit = n % 128
+        n //= 128
+        out.append(digit | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def encode_packet(ptype: int, flags: int, body: bytes) -> bytes:
+    return bytes([(ptype << 4) | flags]) + encode_remaining_length(len(body)) + body
+
+
+def encode_connect(
+    client_id: str, user: str | None, password: str | None, keepalive: int = 60
+) -> bytes:
+    flags = 0x02  # clean session
+    payload = encode_string(client_id)
+    if user:
+        flags |= 0x80
+        payload += encode_string(user)
+        if password is not None:
+            flags |= 0x40
+            payload += encode_string(password)
+    body = (
+        encode_string("MQTT")
+        + bytes([4, flags])  # protocol level 4 = 3.1.1
+        + struct.pack(">H", keepalive)
+        + payload
+    )
+    return encode_packet(CONNECT, 0, body)
+
+
+def encode_subscribe(packet_id: int, topic_filter: str, qos: int) -> bytes:
+    body = struct.pack(">H", packet_id) + encode_string(topic_filter) + bytes([qos])
+    return encode_packet(SUBSCRIBE, 0x02, body)
+
+
+def encode_publish(
+    topic: str, payload: bytes, qos: int = 0, packet_id: int | None = None
+) -> bytes:
+    body = encode_string(topic)
+    if qos > 0:
+        body += struct.pack(">H", packet_id or 1)
+    return encode_packet(PUBLISH, qos << 1, body + payload)
+
+
+def encode_puback(packet_id: int) -> bytes:
+    return encode_packet(PUBACK, 0, struct.pack(">H", packet_id))
+
+
+def read_packet(sock: socket.socket) -> tuple[int, int, bytes] | None:
+    """Read one packet; returns (type, flags, body) or None on EOF."""
+    first = _read_exact(sock, 1)
+    if first is None:
+        return None
+    ctrl = first[0]
+    length, mult = 0, 1
+    for _ in range(4):
+        b = _read_exact(sock, 1)
+        if b is None:
+            return None
+        length += (b[0] & 0x7F) * mult
+        if not (b[0] & 0x80):
+            break
+        mult *= 128
+    else:
+        raise ValueError("malformed remaining length")
+    body = _read_exact(sock, length) if length else b""
+    if body is None:
+        return None
+    return ctrl >> 4, ctrl & 0x0F, body
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = bytearray()
+    while len(buf) < n:
+        try:
+            chunk = sock.recv(n - len(buf))
+        except TimeoutError:
+            if not buf:  # idle between packets → let caller ping
+                raise
+            continue  # timeout mid-packet: keep reading the frame
+        except OSError:
+            return None
+        if not chunk:
+            return None
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def decode_string(body: bytes, at: int) -> tuple[str, int]:
+    (ln,) = struct.unpack_from(">H", body, at)
+    return body[at + 2 : at + 2 + ln].decode("utf-8"), at + 2 + ln
+
+
+class MiniMqttClient:
+    """Subscribe-and-receive client: the subset the data source needs.
+
+    Delivers each received PUBLISH as ``on_message(topic, payload)`` from
+    a reader thread; QoS-1 deliveries are PUBACK'd (at-least-once — the
+    reader's offset replay upgrades that to effectively-once downstream,
+    SURVEY T6). API mirrors the paho calls MqttStreamReader.stop uses
+    (``loop_stop`` / ``disconnect``).
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        on_message,
+        user: str | None = None,
+        token: str | None = None,
+        qos: int = 1,
+        client_id: str = "solar-logger-spark",
+        tls: bool = False,
+        keepalive: int = 60,
+        timeout: float = 10.0,
+    ) -> None:
+        self._on_message = on_message
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        if tls:
+            import ssl
+
+            self._sock = ssl.create_default_context().wrap_socket(
+                self._sock, server_hostname=host
+            )
+        self._sock.sendall(encode_connect(client_id, user, token, keepalive))
+        pkt = read_packet(self._sock)
+        if pkt is None or pkt[0] != CONNACK or pkt[2][1] != 0:
+            raise ConnectionError(f"MQTT CONNECT refused: {pkt!r}")
+        self._sock.sendall(encode_subscribe(1, topic, qos))
+        pkt = read_packet(self._sock)
+        if pkt is None or pkt[0] != SUBACK or pkt[2][2] == 0x80:
+            raise ConnectionError(f"MQTT SUBSCRIBE refused: {pkt!r}")
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        self._sock.settimeout(1.0)
+        while not self._stop.is_set():
+            try:
+                pkt = read_packet(self._sock)
+            except TimeoutError:
+                try:
+                    self._sock.sendall(encode_packet(PINGREQ, 0, b""))
+                except OSError:
+                    return
+                continue
+            except OSError:
+                return
+            if pkt is None:
+                return
+            ptype, flags, body = pkt
+            if ptype == PUBLISH:
+                qos = (flags >> 1) & 0x03
+                topic, at = decode_string(body, 0)
+                if qos > 0:
+                    (pid,) = struct.unpack_from(">H", body, at)
+                    at += 2
+                    try:
+                        self._sock.sendall(encode_puback(pid))
+                    except OSError:
+                        return
+                self._on_message(topic, body[at:])
+            # PINGRESP / SUBACK dups need no action
+
+    def loop_stop(self) -> None:
+        self._stop.set()
+
+    def disconnect(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.sendall(encode_packet(DISCONNECT, 0, b""))
+        except OSError:
+            pass
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        self._thread.join(timeout=3.0)
+
+
+def socket_client(options: dict, push):
+    """Transport factory for MqttStreamReader using the stdlib client.
+
+    Same option surface as the paho factory (host/port/user/token/topic/
+    qos/tls); messages land via ``push(topic, payload)``.
+    """
+    return MiniMqttClient(
+        host=options.get("host", "localhost"),
+        port=int(options.get("port", "1883")),
+        topic=options.get("topic", "#"),
+        on_message=push,
+        user=options.get("user"),
+        token=options.get("token"),
+        qos=int(options.get("qos", "1")),
+        tls=options.get("tls", "true").lower() == "true",  # parity w/ paho factory
+        client_id=options.get("client_id", "solar-logger-spark"),
+    )

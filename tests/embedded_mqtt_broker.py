@@ -1,0 +1,198 @@
+"""Tiny in-process MQTT 3.1.1 broker for live-socket tests.
+
+Implements just enough of the (public, OASIS) 3.1.1 spec to smoke-test
+the repo's MQTT transport over a real TCP connection, hermetically —
+no mosquitto / docker / paho needed: CONNECT/CONNACK (with optional
+user/password check), SUBSCRIBE/SUBACK, PUBLISH fan-out to matching
+subscribers (topic filters with ``+`` and ``#``), QoS-1 PUBACK both
+directions, PINGREQ/PINGRESP, DISCONNECT.
+
+Usage::
+
+    with EmbeddedBroker() as broker:          # port picked by the OS
+        ... connect clients to ("127.0.0.1", broker.port) ...
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+from solar_logger_spark.streaming import mqtt_wire as w
+
+
+def topic_matches(filt: str, topic: str) -> bool:
+    """MQTT 3.1.1 §4.7 topic-filter matching (``+`` one level, ``#`` rest)."""
+    fparts, tparts = filt.split("/"), topic.split("/")
+    for i, fp in enumerate(fparts):
+        if fp == "#":
+            return True
+        if i >= len(tparts):
+            return False
+        if fp != "+" and fp != tparts[i]:
+            return False
+    return len(fparts) == len(tparts)
+
+
+class EmbeddedBroker:
+    def __init__(
+        self, user: str | None = None, password: str | None = None
+    ) -> None:
+        self._user, self._password = user, password
+        self._server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._server.bind(("127.0.0.1", 0))
+        self._server.listen(8)
+        self.port = self._server.getsockname()[1]
+        self._lock = threading.Lock()
+        self._subs: list[tuple[socket.socket, str, int]] = []
+        self._conns: list[socket.socket] = []
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self.messages: list[tuple[str, bytes]] = []  # every routed publish
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    # -- lifecycle ---------------------------------------------------
+    def __enter__(self) -> "EmbeddedBroker":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._server.close()
+        except OSError:
+            pass
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+        for t in self._threads:
+            t.join(timeout=3.0)
+
+    # -- server loops ------------------------------------------------
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._server.accept()
+            except OSError:
+                return
+            with self._lock:
+                self._conns.append(conn)
+            t = threading.Thread(
+                target=self._serve_client, args=(conn,), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def _serve_client(self, conn: socket.socket) -> None:
+        try:
+            pkt = w.read_packet(conn)
+            if pkt is None or pkt[0] != w.CONNECT:
+                return
+            rc = self._check_connect(pkt[2])
+            conn.sendall(w.encode_packet(w.CONNACK, 0, bytes([0, rc])))
+            if rc != 0:
+                return
+            while not self._stop.is_set():
+                pkt = w.read_packet(conn)
+                if pkt is None:
+                    return
+                ptype, flags, body = pkt
+                if ptype == w.SUBSCRIBE:
+                    (pid,) = struct.unpack_from(">H", body, 0)
+                    at, grants = 2, []
+                    while at < len(body):
+                        filt, at = w.decode_string(body, at)
+                        qos = body[at]
+                        at += 1
+                        grants.append(min(qos, 1))
+                        with self._lock:
+                            self._subs.append((conn, filt, min(qos, 1)))
+                    conn.sendall(
+                        w.encode_packet(
+                            w.SUBACK, 0, struct.pack(">H", pid) + bytes(grants)
+                        )
+                    )
+                elif ptype == w.PUBLISH:
+                    qos = (flags >> 1) & 0x03
+                    topic, at = w.decode_string(body, 0)
+                    if qos > 0:
+                        (pid,) = struct.unpack_from(">H", body, at)
+                        at += 2
+                        conn.sendall(w.encode_puback(pid))
+                    self._route(topic, body[at:])
+                elif ptype == w.PINGREQ:
+                    conn.sendall(w.encode_packet(w.PINGRESP, 0, b""))
+                elif ptype == w.PUBACK:
+                    pass  # QoS-1 delivery ack — nothing pending to retry
+                elif ptype == w.DISCONNECT:
+                    return
+        finally:
+            with self._lock:
+                self._subs = [s for s in self._subs if s[0] is not conn]
+                if conn in self._conns:
+                    self._conns.remove(conn)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _check_connect(self, body: bytes) -> int:
+        _proto, at = w.decode_string(body, 0)
+        flags = body[at + 1]
+        at += 4  # level + flags + keepalive(2)
+        _client_id, at = w.decode_string(body, at)
+        user = pw = None
+        if flags & 0x80:
+            user, at = w.decode_string(body, at)
+        if flags & 0x40:
+            pw, at = w.decode_string(body, at)
+        if self._user is not None and (user, pw) != (self._user, self._password):
+            return 4  # bad user name or password
+        return 0
+
+    def _route(self, topic: str, payload: bytes) -> None:
+        self.messages.append((topic, payload))
+        with self._lock:
+            subs = list(self._subs)
+        pid = (len(self.messages) % 65535) + 1
+        for conn, filt, qos in subs:
+            if topic_matches(filt, topic):
+                try:
+                    conn.sendall(
+                        w.encode_publish(topic, payload, qos, packet_id=pid)
+                    )
+                except OSError:
+                    pass
+
+
+def publish_once(
+    port: int,
+    topic: str,
+    payload: bytes,
+    user: str | None = None,
+    password: str | None = None,
+    qos: int = 1,
+) -> None:
+    """One-shot publisher: CONNECT, PUBLISH (await PUBACK), DISCONNECT."""
+    sock = socket.create_connection(("127.0.0.1", port), timeout=5.0)
+    try:
+        sock.sendall(w.encode_connect("pub-once", user, password))
+        pkt = w.read_packet(sock)
+        assert pkt is not None and pkt[0] == w.CONNACK and pkt[2][1] == 0, pkt
+        sock.sendall(w.encode_publish(topic, payload, qos=qos, packet_id=7))
+        if qos > 0:
+            pkt = w.read_packet(sock)
+            assert pkt is not None and pkt[0] == w.PUBACK, pkt
+        sock.sendall(w.encode_packet(w.DISCONNECT, 0, b""))
+    finally:
+        sock.close()

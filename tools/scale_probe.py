@@ -38,7 +38,18 @@ DEFAULT_QUERIES = [
 
 
 def main() -> int:
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    argv = list(sys.argv[1:])
+    dirs = list(SFS)
+    if "--with-sf1" in argv:
+        # synthetic sf1-scale documents/embeddings (tools/make_probe_sf.py)
+        # extends the growth table a decade for the dedup/ANN family
+        argv.remove("--with-sf1")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sf1 = os.path.join(repo, ".probe", "sf1")
+        if not os.path.exists(os.path.join(sf1, "documents.parquet")):
+            raise SystemExit("run tools/make_probe_sf.py first")
+        dirs.append(sf1)
+    names = argv or DEFAULT_QUERIES
 
     import __spark_entry__ as entry_mod
     from solar_logger_spark.session import get_spark
@@ -53,7 +64,7 @@ def main() -> int:
     for name in names:
         fn = qmap[name]
         results[name] = {}
-        for sf_dir in SFS:
+        for sf_dir in dirs:
             best = math.inf
             for _ in range(3):  # min-of-3: steady state, planning warm
                 t0 = time.time()
@@ -61,14 +72,14 @@ def main() -> int:
                 best = min(best, time.time() - t0)
             results[name][sf_dir] = best
 
-    print("| query | sf0.001 | sf0.01 | sf0.1 | 10x-data time ratio |")
-    print("|---|---|---|---|---|")
+    labels = [os.path.basename(d.rstrip("/")) for d in dirs]
+    print("| query | " + " | ".join(labels) + " | last 10x-data time ratio |")
+    print("|---|" + "---|" * (len(dirs) + 1))
     for name, times in results.items():
-        t1, t2, t3 = (times[sf] for sf in SFS)
-        ratio = t3 / t2 if t2 > 0 else float("nan")
-        print(
-            f"| {name} | {t1:.2f}s | {t2:.2f}s | {t3:.2f}s | {ratio:.2f}x |"
-        )
+        ts = [times[d] for d in dirs]
+        ratio = ts[-1] / ts[-2] if ts[-2] > 0 else float("nan")
+        cells = " | ".join(f"{t:.2f}s" for t in ts)
+        print(f"| {name} | {cells} | {ratio:.2f}x |")
     return 0
 
 
