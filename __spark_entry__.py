@@ -989,6 +989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q15_top_supplier": rel.tpch_q15_shape,
             "tpch_q16_supplier_counts": rel.tpch_q16_shape,
             "tpch_q22_dormant_customers": rel.tpch_q22_shape,
+            "tpch_q2_min_cost_supplier": rel.tpch_q2_shape,
+            "tpch_q11_important_stock": rel.tpch_q11_shape,
+            "tpch_q20_part_promotion": rel.tpch_q20_shape,
+            "tpch_q21_waiting_suppliers": rel.tpch_q21_shape,
             "interval_click_attribution": rel.interval_click_attribution,
         }
     )
@@ -1043,6 +1047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_stats_by_source": sca.corpus_stats_by_source,
             "text_word_freq_spectrum": sca.text_word_freq_spectrum,
             "text_pack_sequences_docs": sca.text_pack_sequences_docs,
+            "text_pii_scrub_docs": sca.text_pii_scrub_docs,
+            "corpus_mix_weights": sca.corpus_mix_weights,
+            "text_training_order": sca.text_training_order,
+            "corpus_length_quantiles": sca.corpus_length_quantiles,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1076,6 +1084,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_users_daily",
         "multimodal_decode_features",
         "multimodal_frame_sample",
+        # round-4 additions (oracle-backed, no driver row yet)
+        "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock",
+        "tpch_q20_part_promotion",
+        "tpch_q21_waiting_suppliers",
+        "text_pii_scrub_docs",
+        "corpus_mix_weights",
+        "text_training_order",
+        "corpus_length_quantiles",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1225,6 +1242,10 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q15_top_supplier": rel.TPCH_Q15_SQL,
             "tpch_q16_supplier_counts": rel.TPCH_Q16_SQL,
             "tpch_q22_dormant_customers": rel.TPCH_Q22_SQL,
+            "tpch_q2_min_cost_supplier": rel.TPCH_Q2_SQL,
+            "tpch_q11_important_stock": rel.TPCH_Q11_SQL,
+            "tpch_q20_part_promotion": rel.TPCH_Q20_SQL,
+            "tpch_q21_waiting_suppliers": rel.TPCH_Q21_SQL,
             "interval_click_attribution": rel.INTERVAL_ATTRIBUTION_SQL,
         }
     )
@@ -1276,6 +1297,10 @@ def oracle_sql() -> dict[str, str]:
             "corpus_stats_by_source": sca.CORPUS_STATS_SQL,
             "text_word_freq_spectrum": sca.WORD_FREQ_SQL,
             "text_pack_sequences_docs": sca.PACK_SEQUENCES_SQL,
+            "text_pii_scrub_docs": sca.PII_SCRUB_SQL,
+            "corpus_mix_weights": sca.MIX_WEIGHTS_SQL,
+            "text_training_order": sca.TRAINING_ORDER_SQL,
+            "corpus_length_quantiles": sca.LENGTH_QUANTILES_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

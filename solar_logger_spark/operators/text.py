@@ -515,3 +515,42 @@ def pack_training_sequences(
         F.floor(start / F.lit(max_tokens)).cast("long").alias("seq_id"),
         (start % F.lit(max_tokens)).cast("long").alias("seq_offset"),
     )
+
+
+# PII patterns chosen for cross-engine regex portability: plain classes,
+# bounded quantifiers, \b word boundaries — valid and identical under
+# both Java regex (Spark) and RE2 (DuckDB oracles). Category order is
+# the scrub order (emails first so their host dots never feed the ipv4
+# pattern's boundary).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d[\d ()-]{6,}\d",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """Detect-and-redact PII for training corpora: per-category match
+    counts (``n_<category>`` columns) plus the ``scrubbed`` text with
+    every match replaced by ``token``.
+
+    Entirely JVM-side regex expressions (``regexp_count`` /
+    ``regexp_replace`` inside whole-stage codegen) — no Python
+    crossing, no shuffle; scales as a pure map over any corpus size.
+    Patterns apply in dict order, which matters when one category's
+    replacement could destroy another's match."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    scrubbed: Column = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn("scrubbed", scrubbed)

@@ -1174,3 +1174,272 @@ INTERVAL_ATTRIBUTION_SQL = """
     WHERE p.event_type = 'purchase'
     GROUP BY 1
 """
+
+
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (Q2 shape): the correlated-min pattern —
+    for each qualifying part, keep only the supplier(s) offering the
+    minimum supply cost within a region.
+
+    The testdata has no partsupp table, so (as in Q16/Q20's shapes)
+    lineitem stands in as the part-supplier relation with
+    supplycost := min observed extendedprice per (part, supplier) —
+    exact DECIMAL so the correlated equality is bit-stable. The
+    correlated subquery becomes a window min PARTITIONED by p_partkey
+    (no global window; the per-part groups shuffle-hash) — the plan
+    Spark generates for the SQL form as well. Dimensions broadcast."""
+    line = load_table(spark, sf_dir, "lineitem")
+    ps = line.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("supplycost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "SMALL")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    sup_eu = (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup_eu), ps.l_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = offers.withColumn(
+        "_min_cost", F.min("supplycost").over(w)
+    ).filter(F.col("supplycost") == F.col("_min_cost"))
+    return (
+        best.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
+        FROM lineitem GROUP BY 1, 2
+    ), offers AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost,
+               min(supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM ps
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size <= 10 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM offers WHERE supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (Q11 shape): per-part inventory
+    value from one nation's suppliers, kept only where it exceeds a
+    fraction of the GLOBAL total — the HAVING-against-global-scalar
+    pattern.
+
+    Value := sum of exact DECIMAL extendedprice over the nation's
+    lineitems (partsupp stand-in, as Q2/Q16/Q20 shapes). The global
+    total reuses the same per-part aggregate (one shuffle) and attaches
+    as a broadcast 1-row cross join — the plan Spark builds for the SQL
+    scalar subquery; the threshold compare stays exact DECIMAL."""
+    line = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_9"
+    )
+    sup_n = sup.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        line.join(F.broadcast(sup_n), line.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    )
+    total = per_part.agg(
+        (F.sum("value") * F.lit(0.001).cast("decimal(4,3)")).alias("_thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thr"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+TPCH_Q11_SQL = """
+    WITH per_part AS (
+        SELECT l_partkey AS ps_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_9'
+        GROUP BY 1
+    )
+    SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+    FROM per_part
+    WHERE value > (SELECT sum(value) * CAST(0.001 AS DECIMAL(4,3))
+                   FROM per_part)
+    ORDER BY value DESC, ps_partkey
+"""
+
+
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (Q20 shape): nested semi-join chain —
+    suppliers qualify when their 1997 shipped quantity of name-matched
+    parts exceeds a sixth of their all-time shipped quantity of those
+    parts (the original's availqty > 0.5 * shipped, with the correlated
+    threshold computed from the same relation; shipdates span 7 years,
+    so 1/6 selects the ~30% of suppliers that over-indexed on 1997).
+
+    Both sides of the correlated compare come out of ONE aggregate over
+    the part-filtered lineitem (conditional sum), so the correlation
+    costs no extra shuffle; part broadcasts into the fact scan and the
+    supplier dimension broadcasts into the final semi-join. Quantities
+    are summed as exact DECIMAL."""
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    )
+    qty = (
+        line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+                    & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1))),
+                    _dec("l_quantity"),
+                ).otherwise(F.lit(0).cast("decimal(12,2)"))
+            ).alias("qty_1997"),
+            F.sum(_dec("l_quantity")).alias("qty_total"),
+        )
+    )
+    qualifying = qty.filter(
+        F.col("qty_1997") * F.lit(6).cast("decimal(2,0)") > F.col("qty_total")
+    ).select("l_suppkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(qualifying, sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_SQL = """
+    WITH qty AS (
+        SELECT l_suppkey,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_1997,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY 1
+    )
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM qty
+                        WHERE qty_1997 * 6 > qty_total)
+    ORDER BY s_name
+"""
+
+
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21 shape): in finished
+    multi-supplier orders, count per supplier the orders where that
+    supplier was the ONLY late one.
+
+    The testdata lacks commit/receipt dates, so "late" :=
+    shipped > 60 days after the order date. The classic formulation is
+    a quadruple self-join (EXISTS + NOT EXISTS over lineitem); here it
+    collapses into two hash aggregates — per (order, supplier)
+    lateness, then per order a supplier count / late count / sole late
+    supplier — which shuffles the fact rows once on l_orderkey instead
+    of three more self-join exchanges. The oracle states the same
+    aggregation in SQL; results are identical because EXISTS semantics
+    reduce to these counts."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    line = load_table(spark, sf_dir, "lineitem")
+    per_os = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("is_late")
+        )
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"),
+        F.sum("is_late").alias("nlate"),
+        F.max(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("late_supp"),
+    )
+    waiting = per_order.filter(
+        (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("late_supp") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q21_SQL = """
+    WITH per_os AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ), per_order AS (
+        SELECT l_orderkey, count(*) AS nsupp, sum(is_late) AS nlate,
+               max(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+        FROM per_os GROUP BY 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM per_order JOIN supplier ON late_supp = s_suppkey
+    WHERE nsupp > 1 AND nlate = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""

@@ -1262,3 +1262,200 @@ PACK_SEQUENCES_SQL = """
            CAST(start % 512 AS BIGINT) AS seq_offset
     FROM packed
 """
+
+
+def text_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-redact over the corpus (operators.text.pii_scrub).
+
+    The synthetic corpus contains no PII, so the query plants a
+    deterministic contact line per document IN the query (email + IPv4 +
+    phone derived from doc_id) before scrubbing — the oracle builds the
+    identical line, so the per-category counts and the md5 of the
+    scrubbed text verify the full regex semantics cross-engine, not a
+    vacuous zero. Pure map — no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com from 10."),
+            (d % 200).cast("string"),
+            F.lit(".0."),
+            (d % 250).cast("string"),
+            F.lit(" call +1 555 000 "),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = text.pii_scrub(aug)
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("scrubbed").alias("scrub_md5"),
+    )
+
+
+_PII_AUG = (
+    "text || ' contact user' || doc_id || '@example.com from 10.' "
+    "|| (doc_id % 200) || '.0.' || (doc_id % 250) || ' call +1 555 000 ' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PII_PHONE = "\\+\\d[\\d ()-]{6,}\\d"
+PII_SCRUB_SQL = f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               t, '{_PII_EMAIL}', '[PII]', 'g'),
+                  '{_PII_IPV4}', '[PII]', 'g'),
+                  '{_PII_PHONE}', '[PII]', 'g')) AS scrub_md5
+    FROM aug
+"""
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights (alpha = 0.5): the
+    sampling distribution training pipelines use to up-weight small
+    high-quality sources against bulk web text — w_s = sqrt(n_s) /
+    sum_s sqrt(n_s), plus each source's resulting over/under-sampling
+    ratio vs natural frequency.
+
+    alpha = 0.5 keeps the power IEEE-exact (sqrt is correctly rounded;
+    an arbitrary pow() can differ between engines in the last ulp and
+    break bit-comparison). One hash aggregate bounded by |sources|, the
+    scalar total attached as a broadcast 1-row cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        "source", "n_docs", F.sqrt(F.col("n_docs")).alias("_pw")
+    )
+    totals = per_src.agg(
+        F.sum("_pw").alias("_tot_pw"), F.sum("n_docs").alias("_tot_docs")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("_pw") / F.col("_tot_pw")).alias("weight"),
+            (
+                (F.col("_pw") / F.col("_tot_pw"))
+                / (
+                    F.col("n_docs").cast("double")
+                    / F.col("_tot_docs").cast("double")
+                )
+            ).alias("sampling_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_WEIGHTS_SQL = """
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs, sqrt(count(*)) AS pw
+        FROM documents GROUP BY 1
+    ), tot AS (SELECT sum(pw) AS tot_pw, sum(n_docs) AS tot_docs FROM per_src)
+    SELECT source, n_docs,
+           pw / tot_pw AS weight,
+           (pw / tot_pw) / (CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE))
+               AS sampling_ratio
+    FROM per_src, tot
+    ORDER BY source
+"""
+
+
+def text_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order assignment:
+    every document gets a shard and an in-shard position from a seeded
+    md5 key — the reproducible corpus shuffle that precedes sequence
+    packing (same order on every rerun, any partitioning, any engine —
+    md5 is bit-portable where engine hash functions are not).
+
+    Shard = one hex nibble of the key (16-way split); position =
+    row_number within the shard, a PARTITIONED window — no global sort,
+    no single-partition exchange; shards order independently in
+    parallel, which is exactly how shuffled corpora are written out
+    (one file per shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle-42:"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        (F.ascii(F.substring(key, 1, 1)) % 16).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+TRAINING_ORDER_SQL = """
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('shuffle-42:' || doc_id) AS shuffle_key,
+               CAST(ascii(substr(md5('shuffle-42:' || doc_id), 1, 1)) % 16
+                    AS INTEGER) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS pos
+    FROM keyed
+"""
+
+
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles (p25/p50/p90/p99): the
+    length-profile table used to pick truncation and chunking budgets
+    per source.
+
+    Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both the standard type-7 estimator) — a
+    per-group sort of each source's lengths, partitioned by the group
+    key, nothing global. For 10^9-row sources swap in
+    ``percentile_approx`` (t-digest, mergeable) — the exact form is the
+    oracle-comparable one."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.percentile(
+        F.col("n_chars"), F.array(*(F.lit(p) for p in (0.25, 0.5, 0.9, 0.99)))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pct.alias("_q"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p90"),
+            F.col("_q")[3].alias("p99"),
+        )
+        .orderBy("source")
+    )
+
+
+LENGTH_QUANTILES_SQL = """
+    SELECT source, count(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
