@@ -218,3 +218,37 @@ def test_pack_training_sequences_concat_and_split(spark):
     assert out[(1, 0)] == (0, 120)  # starts in seq 0, straddles the cut
     assert out[(2, 0)] == (0, 0)    # shard B restarts at 0
     assert out[(3, 0)] == (0, 100)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=0,
+                text=(
+                    "mail me at alice.smith+x@corp.example.org or "
+                    "bob@ex.io, server 192.168.0.1, call +1 555 010 2222"
+                ),
+            ),
+            Row(doc_id=1, text="no pii here, just 1.5 units and v2.0 tags"),
+        ]
+    )
+    out = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (2, 1, 1)
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (0, 0, 0)
+    s = out[0].scrubbed
+    assert "[PII]" in s
+    for leaked in ("alice", "@corp", "bob@", "192.168", "555"):
+        assert leaked not in s
+    assert out[1].scrubbed == out[1].text  # untouched when nothing matches
+
+
+def test_pii_scrub_custom_pattern_order(spark):
+    # category order is scrub order: a custom dict with only ipv4 leaves
+    # the email intact
+    df = spark.createDataFrame([Row(doc_id=0, text="a@b.co at 10.0.0.1")])
+    out = text.pii_scrub(
+        df, patterns={"ipv4": text.PII_PATTERNS["ipv4"]}, token="<X>"
+    ).collect()[0]
+    assert out.n_ipv4 == 1
+    assert out.scrubbed == "a@b.co at <X>"

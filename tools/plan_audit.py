@@ -6,11 +6,14 @@ Flags plan smells that matter at 100 TB:
   * BatchEvalPython — row-at-a-time Python in the plan (ArrowEvalPython /
     MapInPandas are the sanctioned Python paths)
 
-Three queries intentionally trip the join flag: similarity_cosine_topk
-(brute-force scorer: corpus × broadcast query set IS the algorithm),
-text_tfidf_top_terms and tpch_q22_dormant_customers (cross join against
-a broadcast 1-row scalar — the plan Spark itself produces for an
-uncorrelated scalar subquery).
+Queries that intentionally trip the join flag: similarity_cosine_topk
+(brute-force scorer: corpus × broadcast query set IS the algorithm);
+text_tfidf_top_terms, tpch_q22_dormant_customers,
+tpch_q11_important_stock and corpus_mix_weights (cross join against a
+broadcast 1-row scalar — the plan Spark itself produces for an
+uncorrelated scalar subquery); and the four similarity_ann_* queries
+(their recall@k self-check column attaches a broadcast 1-row recall
+summary the same way).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
