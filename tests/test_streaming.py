@@ -263,17 +263,31 @@ def test_mqtt_source_registers_or_degrades(spark):
     assert "payload binary" in M.MqttDataSource({}).schema()
 
 
-def test_mqtt_reader_requires_paho():
+def test_mqtt_reader_falls_back_to_stdlib_wire_client(monkeypatch):
+    """Without paho the default factory resolves to the stdlib MQTT
+    wire client (mqtt_wire.socket_client) instead of raising — the live
+    path needs no third-party package (tests/test_mqtt_live.py drives
+    it over a real socket)."""
     from solar_logger_spark.streaming import mqtt_source as M
+    from solar_logger_spark.streaming import mqtt_wire as W
 
     try:
         import paho  # noqa: F401
 
-        pytest.skip("paho installed; reader would try to connect")
+        pytest.skip("paho installed; default factory would prefer it")
     except ImportError:
         pass
-    with pytest.raises(ImportError, match="paho-mqtt"):
-        M.MqttStreamReader({})
+
+    seen = {}
+
+    def fake_socket_client(options, push):
+        seen["options"], seen["push"] = options, push
+        return object()
+
+    monkeypatch.setattr(W, "socket_client", fake_socket_client)
+    reader = M.MqttStreamReader({"host": "h", "port": "1"})
+    assert seen["options"] == {"host": "h", "port": "1"}
+    assert seen["push"] == reader.push
 
 
 # ---------------------------------------------------------------------------
