@@ -293,6 +293,14 @@ def minhash_lsh_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col(id_col).alias("a_id"), "h")
     b_sh = sh.select(F.col(id_col).alias("b_id"), "h")
+    # Considered and rejected: semi-join-pruning b_sh down to candidate
+    # docs before the (b_id, h) join. Measured at the sf1 probe
+    # (50k docs): 13.6s -> 19-21s, because the candidate table feeds
+    # two consumers and the signature+banding chain re-executes for the
+    # prune branch (AQE stage planning did not reuse the exchange even
+    # when materialized as a repartition). One full (b_id, h) exchange
+    # of the 8-byte-keyed shingle table is the cheaper, simpler plan —
+    # and it partitions evenly at any corpus size.
     inter = (
         cands.join(a_sh, "a_id")
         .join(b_sh, ["b_id", "h"])
