@@ -812,7 +812,13 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day HLL sketches of user_id, merged to a per-event-type
     distinct estimate — the store-sketches-not-rows pattern (rows-only:
     estimates are engine-specific; invariants pinned in
-    tests/test_sketches.py)."""
+    tests/test_sketches.py).
+
+    Like the ANN queries' recall@k, the output self-reports accuracy:
+    ``exact_distinct`` (one COUNT DISTINCT rescan — a check column, not
+    part of the sketch pattern) and ``rel_error``, pinned < 5% in
+    pytest, so the driver's rows+schema record certifies more than
+    "it ran"."""
     from solar_logger_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -821,7 +827,19 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type", "day"],
         value_col="user_id",
     )
-    return sketches.union_estimate(daily, group_cols=["event_type"])
+    approx = sketches.union_estimate(daily, group_cols=["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return approx.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "approx_distinct",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_error"),
+    )
 
 
 def text_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

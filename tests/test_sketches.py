@@ -117,3 +117,17 @@ def test_cms_never_undercounts_and_merges(spark, sf_dir):
         ).collect()
     }
     assert et_est == et_exact
+
+
+def test_distinct_users_daily_query_error_pinned(spark):
+    from solar_logger_spark.queries.scale_ops import (
+        sketch_distinct_users_daily,
+    )
+
+    rows = sketch_distinct_users_daily(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "query returned no groups"
+    for r in rows:
+        assert r.exact_distinct > 0
+        assert r.rel_error < 0.05, (r.event_type, r.rel_error)
