@@ -78,8 +78,15 @@ def main() -> int:
 
     total = sum(v for v in per_query.values() if v >= 0)
     # Ascending by time: the driver keeps only a 2000-char tail of this
-    # line, so the slowest (most informative) queries must print last.
-    per_query = dict(sorted(per_query.items(), key=lambda kv: kv[1]))
+    # line, so the slowest (most informative) queries must print last —
+    # and failures (-1.0) must sort to the very end, not the truncated
+    # head, or a failed query would vanish from the kept record.
+    per_query = dict(
+        sorted(
+            per_query.items(),
+            key=lambda kv: kv[1] if kv[1] >= 0 else float("inf"),
+        )
+    )
     result = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),

@@ -1413,11 +1413,13 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nsupp") > 1) & (F.col("nlate") == 1)
     )
     sup = load_table(spark, sf_dir, "supplier")
+    # final aggregate is BY NAME (after the join), exactly like the
+    # oracle's GROUP BY s_name — grouping by suppkey would diverge if
+    # two suppliers ever shared a name
     return (
-        waiting.groupBy("late_supp")
+        waiting.join(F.broadcast(sup), F.col("late_supp") == sup.s_suppkey)
+        .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(sup), F.col("late_supp") == sup.s_suppkey)
-        .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -1348,7 +1348,13 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     alpha = 0.5 keeps the power IEEE-exact (sqrt is correctly rounded;
     an arbitrary pow() can differ between engines in the last ulp and
-    break bit-comparison). One hash aggregate bounded by |sources|, the
+    break bit-comparison). The sqrt-weight total is NOT a plain double
+    ``sum()`` — distributed partial-agg addition order differs from the
+    oracle's scan order and double addition is association-sensitive
+    (NOTES.md oracle discipline). Instead both engines fold the
+    per-source weights in SORTED source order: collect_list →
+    array_sort → left fold, |sources| elements, deterministic
+    bit-identical total. One hash aggregate bounded by |sources|, the
     scalar total attached as a broadcast 1-row cross join."""
     docs = load_table(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(
@@ -1357,7 +1363,12 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", F.sqrt(F.col("n_docs")).alias("_pw")
     )
     totals = per_src.agg(
-        F.sum("_pw").alias("_tot_pw"), F.sum("n_docs").alias("_tot_docs")
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "_pw"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_pw"],
+        ).alias("_tot_pw"),
+        F.sum("n_docs").alias("_tot_docs"),
     )
     return (
         per_src.crossJoin(F.broadcast(totals))
@@ -1381,7 +1392,13 @@ MIX_WEIGHTS_SQL = """
     WITH per_src AS (
         SELECT source, count(*) AS n_docs, sqrt(count(*)) AS pw
         FROM documents GROUP BY 1
-    ), tot AS (SELECT sum(pw) AS tot_pw, sum(n_docs) AS tot_docs FROM per_src)
+    ), tot AS (
+        -- fold in sorted source order (not sum()): bit-identical to the
+        -- Spark side's array_sort + left fold of the same doubles
+        SELECT list_reduce(
+                   list(pw ORDER BY source), (a, b) -> a + b) AS tot_pw,
+               sum(n_docs) AS tot_docs
+        FROM per_src)
     SELECT source, n_docs,
            pw / tot_pw AS weight,
            (pw / tot_pw) / (CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE))

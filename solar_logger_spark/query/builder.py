@@ -239,9 +239,13 @@ class QueryBuilder:
             series_cols = self.series_cols
         series = [c for c in series_cols if c in df.columns]
         ts, val = self.ts_col, self.value_col
-        tiebreak = params.get("tiebreak") or [
-            c for c in self.tiebreak_cols if c in df.columns
-        ]
+        # explicit-empty tiebreak (params["tiebreak"] = ()) must stay
+        # empty — `or` would silently substitute the default columns
+        tiebreak = (
+            params["tiebreak"]
+            if "tiebreak" in params and params["tiebreak"] is not None
+            else [c for c in self.tiebreak_cols if c in df.columns]
+        )
         if name == "timeShift":
             return T.time_shift(df, params["duration"], ts_col=ts)
         if name in ("top", "bottom"):

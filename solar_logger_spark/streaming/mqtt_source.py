@@ -119,7 +119,10 @@ def _paho_client(options: dict, push):
     user, token = options.get("user"), options.get("token")
     if user and token:
         client.username_pw_set(user, token)
-    if options.get("tls", "true").lower() == "true":
+    # tls default follows the port (8883 = IANA MQTT-over-TLS), same
+    # contract as mqtt_wire.socket_client
+    tls_default = "true" if options.get("port", "1883") == "8883" else "false"
+    if options.get("tls", tls_default).lower() == "true":
         client.tls_set()
 
     topic = options.get("topic", "#")

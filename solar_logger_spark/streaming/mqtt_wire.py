@@ -91,8 +91,15 @@ def encode_puback(packet_id: int) -> bytes:
 
 
 def read_packet(sock: socket.socket) -> tuple[int, int, bytes] | None:
-    """Read one packet; returns (type, flags, body) or None on EOF."""
-    first = _read_exact(sock, 1)
+    """Read one packet; returns (type, flags, body) or None on EOF.
+
+    Only a timeout BEFORE the first byte (idle link) raises
+    TimeoutError — that's the caller's keepalive hook. Once the control
+    byte has been consumed the rest of the frame is read with
+    timeout-retrying reads: raising mid-frame would desync the parser
+    (the pending length byte would be reinterpreted as the next
+    packet's control byte)."""
+    first = _read_exact(sock, 1, at_packet_start=True)
     if first is None:
         return None
     ctrl = first[0]
@@ -113,20 +120,32 @@ def read_packet(sock: socket.socket) -> tuple[int, int, bytes] | None:
     return ctrl >> 4, ctrl & 0x0F, body
 
 
-def _read_exact(sock: socket.socket, n: int) -> bytes | None:
+# a peer that stalls mid-frame for this many consecutive recv timeouts
+# is treated as dead (frame reads never desync, but must not spin forever)
+_MID_FRAME_TIMEOUT_LIMIT = 30
+
+
+def _read_exact(
+    sock: socket.socket, n: int, at_packet_start: bool = False
+) -> bytes | None:
     buf = bytearray()
+    stalls = 0
     while len(buf) < n:
         try:
             chunk = sock.recv(n - len(buf))
         except TimeoutError:
-            if not buf:  # idle between packets → let caller ping
-                raise
-            continue  # timeout mid-packet: keep reading the frame
+            if at_packet_start and not buf:
+                raise  # idle between packets → let caller ping
+            stalls += 1
+            if stalls >= _MID_FRAME_TIMEOUT_LIMIT:
+                return None  # dead peer mid-frame
+            continue  # keep reading the frame — never desync
         except OSError:
             return None
         if not chunk:
             return None
         buf.extend(chunk)
+        stalls = 0
     return bytes(buf)
 
 
@@ -160,6 +179,7 @@ class MiniMqttClient:
         timeout: float = 10.0,
     ) -> None:
         self._on_message = on_message
+        self._keepalive = keepalive
         self._sock = socket.create_connection((host, port), timeout=timeout)
         if tls:
             import ssl
@@ -180,18 +200,27 @@ class MiniMqttClient:
         self._thread.start()
 
     def _loop(self) -> None:
+        import time
+
         self._sock.settimeout(1.0)
+        last_ping = time.monotonic()
         while not self._stop.is_set():
             try:
                 pkt = read_packet(self._sock)
             except TimeoutError:
-                try:
-                    self._sock.sendall(encode_packet(PINGREQ, 0, b""))
-                except OSError:
-                    return
+                # idle: ping at keepalive/2 cadence, not every timeout —
+                # a 1s PINGREQ drumbeat would be 30x the negotiated rate
+                now = time.monotonic()
+                if now - last_ping >= self._keepalive / 2:
+                    try:
+                        self._sock.sendall(encode_packet(PINGREQ, 0, b""))
+                    except OSError:
+                        return
+                    last_ping = now
                 continue
             except OSError:
                 return
+            last_ping = time.monotonic()  # any traffic proves liveness
             if pkt is None:
                 return
             ptype, flags, body = pkt
@@ -228,16 +257,21 @@ def socket_client(options: dict, push):
     """Transport factory for MqttStreamReader using the stdlib client.
 
     Same option surface as the paho factory (host/port/user/token/topic/
-    qos/tls); messages land via ``push(topic, payload)``.
+    qos/tls); messages land via ``push(topic, payload)``. When ``tls``
+    is not given it follows the port: 8883 (the IANA MQTT-over-TLS
+    port) → TLS on, anything else → plaintext — a TLS handshake
+    against a plaintext 1883 listener would just hang to timeout.
     """
+    port = int(options.get("port", "1883"))
+    tls_default = "true" if port == 8883 else "false"
     return MiniMqttClient(
         host=options.get("host", "localhost"),
-        port=int(options.get("port", "1883")),
+        port=port,
         topic=options.get("topic", "#"),
         on_message=push,
         user=options.get("user"),
         token=options.get("token"),
         qos=int(options.get("qos", "1")),
-        tls=options.get("tls", "true").lower() == "true",  # parity w/ paho factory
+        tls=options.get("tls", tls_default).lower() == "true",
         client_id=options.get("client_id", "solar-logger-spark"),
     )

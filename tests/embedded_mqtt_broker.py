@@ -125,11 +125,17 @@ class EmbeddedBroker:
                 elif ptype == w.PUBLISH:
                     qos = (flags >> 1) & 0x03
                     topic, at = w.decode_string(body, 0)
+                    pid = None
                     if qos > 0:
                         (pid,) = struct.unpack_from(">H", body, at)
                         at += 2
-                        conn.sendall(w.encode_puback(pid))
+                    # route BEFORE acking: publish_once waits on the
+                    # PUBACK, so ack-first would let a second publisher
+                    # overtake this fan-out and reorder deliveries the
+                    # live tests assert on
                     self._route(topic, body[at:])
+                    if pid is not None:
+                        conn.sendall(w.encode_puback(pid))
                 elif ptype == w.PINGREQ:
                     conn.sendall(w.encode_packet(w.PINGRESP, 0, b""))
                 elif ptype == w.PUBACK:
