@@ -118,3 +118,51 @@ def test_stream_reader_over_live_socket():
             ]
         finally:
             reader.stop()
+
+
+def test_read_packet_survives_mid_frame_stall():
+    """A TCP stall between bytes of one frame must not desync the
+    parser: read_packet retries mid-frame (only idle timeouts — before
+    any byte of a packet — raise to the keepalive hook)."""
+    import socket
+    import threading
+
+    from solar_logger_spark.streaming import mqtt_wire as w
+
+    a, b = socket.socketpair()
+    try:
+        pkt = w.encode_publish("t/x", b"payload-after-stall")
+
+        def dribble():
+            a.sendall(pkt[:1])          # control byte arrives...
+            time.sleep(0.35)            # ...then the link stalls
+            a.sendall(pkt[1:2])         # remaining-length byte
+            time.sleep(0.35)
+            a.sendall(pkt[2:])          # rest of the frame
+
+        b.settimeout(0.1)  # several timeouts fire inside the frame
+        t = threading.Thread(target=dribble)
+        t.start()
+        deadline = time.time() + 5
+        got = None
+        while time.time() < deadline:
+            try:
+                got = w.read_packet(b)
+                break
+            except TimeoutError:
+                continue  # idle before the first byte — keep waiting
+        t.join()
+        assert got is not None
+        ptype, _flags, body = got
+        assert ptype == w.PUBLISH
+        topic, at = w.decode_string(body, 0)
+        assert (topic, body[at:]) == ("t/x", b"payload-after-stall")
+        # and the stream is still in sync: a second packet parses clean
+        a.sendall(w.encode_publish("t/y", b"second"))
+        b.settimeout(1.0)
+        ptype2, _f2, body2 = w.read_packet(b)
+        topic2, at2 = w.decode_string(body2, 0)
+        assert (ptype2, topic2, body2[at2:]) == (w.PUBLISH, "t/y", b"second")
+    finally:
+        a.close()
+        b.close()
