@@ -993,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q11_important_stock": rel.tpch_q11_shape,
             "tpch_q20_part_promotion": rel.tpch_q20_shape,
             "tpch_q21_waiting_suppliers": rel.tpch_q21_shape,
+            "funnel_conversion_events": rel.funnel_conversion_events,
+            "retention_cohorts_events": rel.retention_cohorts_events,
             "interval_click_attribution": rel.interval_click_attribution,
         }
     )
@@ -1093,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_weights",
         "text_training_order",
         "corpus_length_quantiles",
+        "funnel_conversion_events",
+        "retention_cohorts_events",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1246,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q11_important_stock": rel.TPCH_Q11_SQL,
             "tpch_q20_part_promotion": rel.TPCH_Q20_SQL,
             "tpch_q21_waiting_suppliers": rel.TPCH_Q21_SQL,
+            "funnel_conversion_events": rel.FUNNEL_SQL,
+            "retention_cohorts_events": rel.RETENTION_SQL,
             "interval_click_attribution": rel.INTERVAL_ATTRIBUTION_SQL,
         }
     )

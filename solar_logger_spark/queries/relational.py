@@ -1445,3 +1445,133 @@ TPCH_Q21_SQL = """
     ORDER BY numwait DESC, s_name
     LIMIT 100
 """
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase within 7 days of
+    signup): users counted at each stage only if the stage event
+    happens strictly AFTER their previous stage's first event — the
+    classic product-analytics funnel.
+
+    Three user-keyed hash aggregations chained by broadcast-joining the
+    (one row per user) stage tables back into the filtered event scan —
+    each stage shuffles events once on user_id and the stage tables
+    stay tiny. No windows, no ordering, exact long counts."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_signup").alias("t_signup"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_signup") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = [
+        ("1_signup", s1),
+        ("2_click_after_signup", s2),
+        ("3_purchase_after_click", s3),
+    ]
+    counts = [
+        df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        for name, df in stages
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("stage")
+
+
+FUNNEL_SQL = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click, any_value(s1.t_signup) AS t_signup
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts > s1.t_signup AND e.ts <= s1.t_signup + INTERVAL 7 DAY
+        GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t_click AND e.ts <= s2.t_signup + INTERVAL 7 DAY
+        GROUP BY 1
+    )
+    SELECT stage, n_users FROM (
+        SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT '2_click_after_signup', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3
+    ) ORDER BY stage
+"""
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    FIRST event; for each cohort, distinct users active 0-3 weeks
+    later — the standard cohort-retention triangle.
+
+    Weeks are integer epoch-week numbers (floor(epoch_seconds / 7d)
+    from the Unix origin) on both engines — no date_trunc('week')
+    dependence on week-start conventions. Two user_id-keyed hash
+    aggregations and one broadcast join of the (one row per user)
+    first-event table; the distinct count shuffles on the bounded
+    (cohort_week, week_offset) keys."""
+    events = load_table(spark, sf_dir, "events")
+    wk = 7 * 86400 * 1_000_000  # µs per week
+    first = events.groupBy("user_id").agg(
+        F.floor(F.min(epoch_us("ts")) / wk).cast("long").alias("cohort_week")
+    )
+    joined = events.join(F.broadcast(first), "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.floor(epoch_us("ts") / wk).cast("long") - F.col("cohort_week")).alias(
+            "week_offset"
+        ),
+    )
+    return (
+        joined.filter(F.col("week_offset") <= 3)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = """
+    WITH first_ev AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(min(ts)) / 604800000000) AS BIGINT) AS cohort_week
+        FROM events GROUP BY 1
+    )
+    SELECT cohort_week,
+           CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT) - cohort_week
+               AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_ev USING (user_id)
+    WHERE CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT) - cohort_week <= 3
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
