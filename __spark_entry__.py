@@ -1053,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_mix_weights": sca.corpus_mix_weights,
             "text_training_order": sca.text_training_order,
             "corpus_length_quantiles": sca.corpus_length_quantiles,
+            "text_bpe_merge_candidates": sca.text_bpe_merge_candidates,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1097,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_quantiles",
         "funnel_conversion_events",
         "retention_cohorts_events",
+        "text_bpe_merge_candidates",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1307,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus_mix_weights": sca.MIX_WEIGHTS_SQL,
             "text_training_order": sca.TRAINING_ORDER_SQL,
             "corpus_length_quantiles": sca.LENGTH_QUANTILES_SQL,
+            "text_bpe_merge_candidates": sca.BPE_MERGE_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -1494,3 +1494,71 @@ LENGTH_QUANTILES_SQL = """
     GROUP BY source
     ORDER BY source
 """
+
+
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge candidates: the top-20 adjacent
+    character pairs by corpus frequency — the statistic a BPE tokenizer
+    trainer computes each merge round (Sennrich et al. 2016, public).
+
+    Pair counting runs over the DISTINCT word table weighted by word
+    frequency (|vocab| rows explode, not the corpus), all JVM
+    expressions; the top-20 cut is the distributed-TakeOrdered +
+    array-fold-rank shape from text_word_freq_spectrum — no
+    single-partition window anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    word_counts = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(dedup.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # single-char words have no pairs — and must be filtered BEFORE the
+    # sequence: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # returning empty like DuckDB's range(1, 1)
+    pairs = word_counts.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "pair", "n"))
+        ).alias("arr")
+    )
+    return arr.select(F.posexplode("arr").alias("pos", "s")).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("s.pair").alias("pair"),
+        F.col("s.n").alias("n"),
+    )
+
+
+BPE_MERGE_SQL = """
+    WITH word_counts AS (
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ), pairs AS (
+        SELECT unnest([substr(word, i, 2) FOR i IN range(1, len(word))])
+                   AS pair,
+               n
+        FROM word_counts
+    ), top AS (
+        SELECT pair, sum(n) AS n FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 20
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT)
+               AS rank,
+           pair, CAST(n AS BIGINT) AS n
+    FROM top
+"""

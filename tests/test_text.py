@@ -252,3 +252,76 @@ def test_pii_scrub_custom_pattern_order(spark):
     ).collect()[0]
     assert out.n_ipv4 == 1
     assert out.scrubbed == "a@b.co at <X>"
+
+
+def test_pii_scrub_differential_vs_duckdb(spark):
+    """Differential check of the PII regex semantics across engines
+    (Java regex in Spark vs RE2 in DuckDB): crafted near-matches +
+    seeded random strings must produce identical per-category counts
+    AND identical scrubbed text. This is what makes the portability
+    claim in PII_PATTERNS' docstring a tested property rather than an
+    assumption."""
+    import random
+
+    import duckdb
+
+    crafted = [
+        "plain text no pii",
+        "a@b.co",                       # minimal email
+        "a@b.c",                        # TLD too short — not an email
+        "x.y+z@sub.domain.org trailing",
+        "double dots a..b@c..d.com",    # still matches local/host classes
+        "@missing.local.part.com",
+        "ip 1.2.3.4 end",
+        "version 1.2.3.4.5 chain",      # 5 octet-ish groups
+        "octets 999.999.999.999",       # \d{1,3} matches regardless of value
+        "not-ip 1234.5.6.7",            # 4 digits break the \b boundary
+        "+1 555 123 4567 call",
+        "+491701234567",
+        "digits 123456789 no plus",     # phone requires leading +
+        "mixed a@b.co at 10.0.0.1 +44 20 7946 0958",
+        "edge +1-2",                    # too short for phone
+        "",
+        "unicode café résumé @ home",
+    ]
+    rng = random.Random(42)
+    alphabet = "ab @.+-0123456789xyz"
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(60)
+    ]
+    rows = [(i, s) for i, s in enumerate(crafted + fuzz)]
+
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.scrubbed)
+        for r in text.pii_scrub(sdf).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    email, ipv4, phone = (
+        text.PII_PATTERNS["email"],
+        text.PII_PATTERNS["ipv4"],
+        text.PII_PATTERNS["phone"],
+    )
+    oracle = con.execute(
+        f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{email}')),
+               len(regexp_extract_all(text, '{ipv4}')),
+               len(regexp_extract_all(text, '{phone}')),
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{email}', '[PII]', 'g'),
+                         '{ipv4}', '[PII]', 'g'),
+                         '{phone}', '[PII]', 'g')
+        FROM t ORDER BY doc_id
+        """
+    ).fetchall()
+    for doc_id, n_email, n_ipv4, n_phone, scrubbed in oracle:
+        assert got[doc_id] == (n_email, n_ipv4, n_phone, scrubbed), (
+            doc_id,
+            rows[doc_id][1],
+            got[doc_id],
+            (n_email, n_ipv4, n_phone, scrubbed),
+        )
