@@ -1054,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_training_order": sca.text_training_order,
             "corpus_length_quantiles": sca.corpus_length_quantiles,
             "text_bpe_merge_candidates": sca.text_bpe_merge_candidates,
+            "multimodal_decode_ppm": sca.multimodal_decode_ppm,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1099,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion_events",
         "retention_cohorts_events",
         "text_bpe_merge_candidates",
+        "multimodal_decode_ppm",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1310,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
             "text_training_order": sca.TRAINING_ORDER_SQL,
             "corpus_length_quantiles": sca.LENGTH_QUANTILES_SQL,
             "text_bpe_merge_candidates": sca.BPE_MERGE_SQL,
+            "multimodal_decode_ppm": sca.DECODE_PPM_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -224,3 +224,74 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, FRAME_SCHEMA
     )
+
+
+def decode_media(payload: bytes) -> tuple[str, int, int, str]:
+    """REAL (stdlib-only) decoding for the two formats that need no
+    codec library, upgrading the stub boundary for them:
+
+    * PPM (P6): ASCII header parse → ("ppm", width, height, "RGB")
+    * WAV (RIFF/WAVE): stdlib ``wave`` → ("wav", n_frames, n_channels,
+      "PCM<bits>") — frame count / channel count ride in the
+      width/height slots of FEATURE_SCHEMA (documented mapping)
+
+    Anything else raises ValueError — PIL/ffmpeg formats stay behind
+    the explicit stub (`decode_stub`). This is the "swap in a real
+    codec" one-function change the stub docstring promises, done for
+    the formats pure Python can own.
+    """
+    if payload[:2] == b"P6":
+        # header: "P6" ws width ws height ws maxval single-ws, then raster
+        import re
+
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            raise ValueError("malformed PPM header")
+        return "ppm", int(m.group(1)), int(m.group(2)), "RGB"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            return (
+                "wav",
+                w.getnframes(),
+                w.getnchannels(),
+                f"PCM{8 * w.getsampwidth()}",
+            )
+    raise ValueError(
+        f"unsupported media format (head={payload[:4]!r}); "
+        "PIL/ffmpeg formats remain stubbed (decode_stub)"
+    )
+
+
+def extract_real_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """`extract_features` with the REAL stdlib codec (`decode_media`)
+    instead of the stub: same Arrow-batched mapInPandas shape, same
+    FEATURE_SCHEMA, actual binary parsing. Raises on non-PPM/WAV
+    payloads — honest failure, not silent fake features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            dims = [decode_media(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "media_md5": payloads.map(
+                        lambda p: hashlib.md5(p).hexdigest()
+                    ),
+                    "width": [d[1] for d in dims],
+                    "height": [d[2] for d in dims],
+                    "mode": [d[3] for d in dims],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, FEATURE_SCHEMA
+    )

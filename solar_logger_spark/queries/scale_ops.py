@@ -1562,3 +1562,49 @@ BPE_MERGE_SQL = """
            pair, CAST(n AS BIGINT) AS n
     FROM top
 """
+
+
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL media decode with a SQL oracle: each document
+    gets a valid PPM (P6) image payload built JVM-side (dimensions
+    derived from doc_id), and `extract_real_features` parses the binary
+    header back in an Arrow batch — actual bytes through the actual
+    decode path, no stub. The oracle reproduces the expected features
+    arithmetically from doc_id, so a parsing bug (or a schema/batching
+    bug in the mapInPandas plumbing) breaks the hash match.
+
+    Pure map end to end: blob synthesis is JVM expressions, decode is
+    one Arrow crossing, no shuffle at any corpus size."""
+    from solar_logger_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    w = (F.lit(8) + d % 24).cast("int")
+    h = (F.lit(4) + d % 12).cast("int")
+    header = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "utf-8",
+    )
+    raster = F.encode(F.repeat(F.lit("x"), w * h * 3), "utf-8")
+    blobs = docs.select("doc_id", F.concat(header, raster).alias("payload"))
+    feats = mm.extract_real_features(blobs)
+    return feats.select("doc_id", "n_bytes", "width", "height", "mode")
+
+
+DECODE_PPM_SQL = """
+    SELECT doc_id,
+           CAST(3 + length(CAST(8 + doc_id % 24 AS VARCHAR)) + 1
+                  + length(CAST(4 + doc_id % 12 AS VARCHAR)) + 5
+                  + (8 + doc_id % 24) * (4 + doc_id % 12) * 3
+                AS BIGINT) AS n_bytes,
+           CAST(8 + doc_id % 24 AS INTEGER) AS width,
+           CAST(4 + doc_id % 12 AS INTEGER) AS height,
+           'RGB' AS mode
+    FROM documents
+"""

@@ -82,3 +82,40 @@ def test_sample_frames_fanout(spark, sf_dir):
         for r in rows:
             lo = r.frame_idx * 64
             assert bytes(r.frame) == src[doc_id][lo : lo + 64]
+
+
+def test_decode_media_real_formats(spark):
+    """Real stdlib decode: authentic WAV bytes (written by the wave
+    module) and PPM headers parse exactly; unknown formats raise."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<6h", 1, -2, 3, -4, 5, -6))  # 3 frames
+    wav = buf.getvalue()
+    ppm = b"P6\n12 7\n255\n" + b"\x00" * (12 * 7 * 3)
+
+    assert mm.decode_media(ppm) == ("ppm", 12, 7, "RGB")
+    assert mm.decode_media(wav) == ("wav", 3, 2, "PCM16")
+    with pytest.raises(ValueError, match="unsupported media format"):
+        mm.decode_media(b"GIF89a....")
+    with pytest.raises(ValueError, match="malformed PPM"):
+        mm.decode_media(b"P6garbage")
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(ppm)), Row(doc_id=2, payload=bytearray(wav))]
+    )
+    out = {r.doc_id: r for r in mm.extract_real_features(df).collect()}
+    assert (out[1].width, out[1].height, out[1].mode) == (12, 7, "RGB")
+    assert (out[2].width, out[2].height, out[2].mode) == (3, 2, "PCM16")
+    assert out[1].n_bytes == len(ppm)
