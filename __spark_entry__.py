@@ -1055,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_length_quantiles": sca.corpus_length_quantiles,
             "text_bpe_merge_candidates": sca.text_bpe_merge_candidates,
             "multimodal_decode_ppm": sca.multimodal_decode_ppm,
+            "embedding_pca_project": sca.embedding_pca_project,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1101,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts_events",
         "text_bpe_merge_candidates",
         "multimodal_decode_ppm",
+        "embedding_pca_project",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"

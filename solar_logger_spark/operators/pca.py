@@ -1,0 +1,152 @@
+"""Distributed PCA / whitening for embedding columns.
+
+The standard pre-ANN transform (center, rotate to principal axes,
+optionally scale by 1/sqrt(eigenvalue)): shrinks dimensionality before
+IVF/PQ and equalizes axis variances so Euclidean/cosine structure is
+better conditioned. Public algorithm (Pearson 1901; same topology as
+Spark ML's PCA).
+
+Fit is ONE map-only scan: each partition emits its partial
+``(n, Σx, ΣxxT)`` moments from an Arrow-batched numpy kernel; the
+driver reduces the (partitions × dim × dim) partials — tiny for
+embedding dims — in partition-id order (deterministic float
+association, same discipline as ``similarity.kmeans_refine``), forms
+the covariance, and eigendecomposes with numpy. No vector ever
+shuffles. Projection is a second map-only pass with the (k × dim)
+component matrix broadcast.
+
+Rows-only on the oracle side (eigendecomposition is not SQL);
+correctness is pinned in tests/test_pca.py against single-node numpy
+PCA on the same data (exact subspace match) plus invariants
+(orthonormality, descending explained variance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA; returns ``(mean [dim], components [k, dim],
+    explained_ratio [k])``. Components are sign-fixed (largest-|entry|
+    positive) so results are deterministic across runs and libraries."""
+    import pandas as pd
+
+    data = df.select(vec_col)
+
+    def _partials(batches):
+        from pyspark import TaskContext
+
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            a = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(a) == 0:
+                continue
+            if s is None:
+                dim = a.shape[1]
+                s = np.zeros(dim)
+                ss = np.zeros((dim, dim))
+            n += len(a)
+            s += a.sum(axis=0)
+            ss += a.T @ a
+        if s is None:
+            return
+        pid = TaskContext.get().partitionId()
+        dim = len(s)
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "row": np.arange(dim, dtype="int32"),
+                "xx_row": list(ss),
+                "x": s,
+                "n": n,
+            }
+        )
+
+    rows = data.mapInPandas(
+        _partials, "pid int, row int, xx_row array<double>, x double, n long"
+    ).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    dim = max(r["row"] for r in rows) + 1
+    ss = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    seen = set()
+    for r in sorted(rows, key=lambda r: (r["pid"], r["row"])):
+        ss[r["row"]] += np.asarray(r["xx_row"], dtype=np.float64)
+        s[r["row"]] += r["x"]
+        if r["pid"] not in seen:
+            seen.add(r["pid"])
+            n += r["n"]
+    if n < 2:
+        raise ValueError(f"pca_fit: need >= 2 vectors, got {n}")
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, dim)
+    # deterministic sign: largest-|entry| coordinate made positive
+    for i in range(len(comps)):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.trace(cov))
+    ratio = np.maximum(evals[order], 0.0) / total_var if total_var > 0 else (
+        np.zeros(len(order))
+    )
+    return mean, comps, ratio
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten_scale: np.ndarray | None = None,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project (and optionally whiten) every vector onto the fitted
+    components: one broadcast + one Arrow-batched map, no shuffle.
+    ``whiten_scale`` (typically 1/sqrt(eigenvalues)) multiplies each
+    output coordinate."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (
+            np.asarray(mean, dtype=np.float64),
+            np.asarray(components, dtype=np.float64),
+            None
+            if whiten_scale is None
+            else np.asarray(whiten_scale, dtype=np.float64),
+        )
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _proj(batches):
+        mu, w, scale = bc.value
+        for pdf in batches:
+            a = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(a) == 0:
+                continue
+            p = (a - mu) @ w.T
+            if scale is not None:
+                p = p * scale
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _proj, f"{id_col} {id_type}, {out_col} array<double>"
+    )

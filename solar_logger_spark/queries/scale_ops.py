@@ -1608,3 +1608,23 @@ DECODE_PPM_SQL = """
            'RGB' AS mode
     FROM documents
 """
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-reduce the embedding table to 8 principal components
+    (operators.pca): one map-only moment scan + driver eigh + one
+    map-only projection — the standard whitening/reduction step before
+    IVF/PQ indexing. Rows-only (eigendecomposition is not SQL); the
+    output self-reports the fitted subspace's total explained-variance
+    ratio per row, and tests/test_pca.py pins exact parity with
+    single-node numpy PCA."""
+    from solar_logger_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ratio = pca.pca_fit(emb, vec_col="embedding", k=8)
+    proj = pca.pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id",
+        "proj",
+        F.lit(float(ratio.sum())).alias("explained_ratio"),
+    )

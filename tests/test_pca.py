@@ -1,0 +1,82 @@
+"""Distributed PCA parity and invariants (operators/pca.py).
+
+The fit must match single-node numpy PCA on the same data exactly (the
+partial-moment reduce is deterministic), components must be orthonormal
+with descending explained variance, and whitening must equalize the
+projected variances.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from solar_logger_spark.io.tables import load_table
+from solar_logger_spark.operators import pca
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    emb = load_table(spark, SF, "embeddings")
+    mean, comps, ratio = pca.pca_fit(emb, k=8)
+    X = np.vstack(
+        pq.read_table(f"{SF}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+        .embedding.to_numpy()
+    ).astype(np.float64)
+    return emb, mean, comps, ratio, X
+
+
+def test_fit_matches_single_node_numpy(fitted):
+    _, mean, comps, ratio, X = fitted
+    assert np.allclose(mean, X.mean(axis=0), rtol=0, atol=1e-12)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    ref = evecs[:, order].T
+    for i in range(8):  # compare up to the fixed sign convention
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(comps, ref, atol=1e-9)
+    assert np.allclose(ratio, evals[order] / np.trace(cov), atol=1e-12)
+
+
+def test_components_orthonormal_ratio_descending(fitted):
+    _, _, comps, ratio, _ = fitted
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-10)
+    assert all(ratio[i] >= ratio[i + 1] - 1e-15 for i in range(7))
+    assert 0 < ratio.sum() <= 1 + 1e-12
+
+
+def test_projection_matches_numpy_and_whitening(fitted):
+    emb, mean, comps, ratio, X = fitted
+    rows = pca.pca_project(emb, mean, comps).collect()
+    got = {r.vec_id: np.asarray(r.proj) for r in rows}
+    ref = (X - X.mean(axis=0)) @ comps.T
+    for i, vec_id in enumerate(
+        pq.read_table(f"{SF}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+        .vec_id
+    ):
+        assert np.allclose(got[vec_id], ref[i], atol=1e-9)
+    # whitening: projected per-axis variances become ~1
+    cov = np.cov(X, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    wrows = pca.pca_project(
+        emb, mean, comps, whiten_scale=1.0 / np.sqrt(evals)
+    ).collect()
+    W = np.vstack([np.asarray(r.proj) for r in wrows])
+    assert np.allclose(W.var(axis=0, ddof=1), np.ones(8), atol=1e-6)
+
+
+def test_degenerate_inputs(spark):
+    from pyspark.sql import Row
+
+    with pytest.raises(ValueError, match="need >= 2"):
+        pca.pca_fit(
+            spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
+        )
