@@ -68,7 +68,12 @@ def main() -> int:
             best = math.inf
             for _ in range(3):  # min-of-3: steady state, planning warm
                 t0 = time.time()
-                fn(spark, sf_dir).count()
+                # noop sink (same as bench.py): materializes EVERY
+                # column — .count() would let Catalyst prune the
+                # projections of map-only queries and time just the scan
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 best = min(best, time.time() - t0)
             results[name][sf_dir] = best
 
