@@ -1056,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_bpe_merge_candidates": sca.text_bpe_merge_candidates,
             "multimodal_decode_ppm": sca.multimodal_decode_ppm,
             "embedding_pca_project": sca.embedding_pca_project,
+            "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1103,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merge_candidates",
         "multimodal_decode_ppm",
         "embedding_pca_project",
+        "ts_anomaly_zscore_events",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1315,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus_length_quantiles": sca.LENGTH_QUANTILES_SQL,
             "text_bpe_merge_candidates": sca.BPE_MERGE_SQL,
             "multimodal_decode_ppm": sca.DECODE_PPM_SQL,
+            "ts_anomaly_zscore_events": sca.ANOMALY_ZSCORE_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

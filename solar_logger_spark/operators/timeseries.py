@@ -311,3 +311,48 @@ def exponential_moving_average(
         *sort_cols
     )
     return parted.mapInPandas(_ema_batches, out_schema)
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flag: each point scored against the mean
+    and sample stddev of the trailing ``n``-row window of its series —
+    the standard telemetry anomaly monitor (|z| > threshold ⇒ flag).
+
+    Adds ``z`` (null until the window holds ≥ 2 points) and
+    ``is_anomaly``. One partitioned analytic window, rows-frame — same
+    single-exchange plan as moving_average.
+
+    Numeric discipline: the window moments are EXACT DECIMAL sums
+    (value and value² cast to fixed scale), so the rolling variance is
+    order-independent and bit-reproducible against any engine; the only
+    float ops are the final IEEE-exact divide/sqrt. A double
+    ``stddev().over(w)`` would instead inherit each engine's
+    incremental-update algorithm and drift in the last ulp."""
+    w = (
+        _series_window(series, ts_col, tiebreak)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    xd = F.col(value_col).cast("decimal(18,6)")
+    sx = F.sum(xd).over(w)
+    sxx = F.sum(xd * xd).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    # sample variance via the cross-multiplied form: numerator exact
+    # decimal, ONE cast to double, one division — deterministic
+    var_num = (cnt * sxx - sx * sx).cast("double")
+    var = var_num / (cnt * (cnt - 1)).cast("double")
+    mean = sx.cast("double") / cnt.cast("double")
+    z = F.when(
+        (cnt > 1) & (var_num > 0),
+        (F.col(value_col) - mean) / F.sqrt(var),
+    )
+    return df.withColumn("z", z).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
+    )

@@ -1628,3 +1628,45 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "proj",
         F.lit(float(ratio.sum())).alias("explained_ratio"),
     )
+
+
+def ts_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (trailing 25 points per
+    event_type series, |z| > 3): operators.timeseries.anomaly_zscore —
+    the telemetry-monitoring capability a solar logger exists for.
+    Exact-decimal window moments make the score bit-comparable to the
+    SQL oracle."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.anomaly_zscore(
+        events, n=25, series=["event_type"], tiebreak=["event_id"]
+    )
+    return out.select("event_id", "event_type", "value", "z", "is_anomaly")
+
+
+ANOMALY_ZSCORE_SQL = """
+    WITH m AS (
+        SELECT event_id, event_type, value,
+               sum(CAST(value AS DECIMAL(18,6))) OVER w AS sx,
+               sum(CAST(value AS DECIMAL(18,6))
+                   * CAST(value AS DECIMAL(18,6))) OVER w AS sxx,
+               count(*) OVER w AS cnt
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, value,
+           CASE WHEN cnt > 1 AND CAST(cnt * sxx - sx * sx AS DOUBLE) > 0
+                THEN (value - CAST(sx AS DOUBLE) / cnt)
+                     / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+                            / (cnt * (cnt - 1)))
+           END AS z,
+           coalesce(abs(CASE WHEN cnt > 1
+                              AND CAST(cnt * sxx - sx * sx AS DOUBLE) > 0
+                             THEN (value - CAST(sx AS DOUBLE) / cnt)
+                                  / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+                                         / (cnt * (cnt - 1)))
+                        END) > 3.0, false) AS is_anomaly
+    FROM m
+"""

@@ -170,3 +170,26 @@ def test_state_duration_runs(spark):
     }
     # run restarts at t=120 after the off-state row at t=90
     assert out == {0: 0.0, 30: 30.0, 90: -1.0, 120: 0.0}
+
+
+def test_anomaly_zscore_flags_spike(spark):
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import timeseries as T
+
+    base = [float(v) for v in (10, 11, 9, 10, 12, 10, 11, 9, 10, 11)]
+    rows = [
+        Row(event_id=i, event_type="a", ts=i, value=v)
+        for i, v in enumerate(base)
+    ]
+    rows.append(Row(event_id=10, event_type="a", ts=10, value=500.0))
+    df = spark.createDataFrame(rows)
+    out = {
+        r.event_id: r
+        for r in T.anomaly_zscore(
+            df, n=25, series=["event_type"], tiebreak=["event_id"]
+        ).collect()
+    }
+    assert out[0].z is None  # single-point window: undefined
+    assert not any(out[i].is_anomaly for i in range(10))
+    assert out[10].is_anomaly and out[10].z > 3.0
