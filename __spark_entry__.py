@@ -1057,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_decode_ppm": sca.multimodal_decode_ppm,
             "embedding_pca_project": sca.embedding_pca_project,
             "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
+            "ts_interpolate_linear_events": sca.ts_interpolate_linear_events,
+            "flux_correlation_click_view": sca.flux_correlation_click_view,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1105,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_ppm",
         "embedding_pca_project",
         "ts_anomaly_zscore_events",
+        "ts_interpolate_linear_events",
+        "flux_correlation_click_view",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1318,6 +1322,8 @@ def oracle_sql() -> dict[str, str]:
             "text_bpe_merge_candidates": sca.BPE_MERGE_SQL,
             "multimodal_decode_ppm": sca.DECODE_PPM_SQL,
             "ts_anomaly_zscore_events": sca.ANOMALY_ZSCORE_SQL,
+            "ts_interpolate_linear_events": sca.INTERPOLATE_SQL,
+            "flux_correlation_click_view": sca.CORRELATION_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -356,3 +356,46 @@ def anomaly_zscore(
     return df.withColumn("z", z).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "filled",
+) -> DataFrame:
+    """Flux ``interpolate.linear``: nulls replaced by the straight line
+    between the nearest non-null neighbors of the series (time-weighted,
+    not row-weighted). Leading/trailing nulls (no neighbor on one side)
+    stay null — Flux behavior.
+
+    Two analytic passes over ONE partitioned ordering: last non-null
+    value+timestamp behind (ignorenulls last over the preceding frame)
+    and first non-null ahead (ignorenulls first over the following
+    frame). The time ratio divides epoch-µs longs in one IEEE-exact
+    double op, so results bit-match a SQL oracle."""
+    from solar_logger_spark.durations import epoch_us
+
+    base = _series_window(series, ts_col, tiebreak)
+    w_back = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    v = F.col(value_col)
+    t = epoch_us(ts_col)
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(
+        F.when(v.isNotNull(), t), ignorenulls=True
+    ).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(
+        F.when(v.isNotNull(), t), ignorenulls=True
+    ).over(w_fwd)
+    frac = (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = prev_v + (next_v - prev_v) * frac
+    return df.withColumn(
+        alias,
+        F.when(v.isNotNull(), v).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        ),
+    )

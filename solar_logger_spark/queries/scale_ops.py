@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from solar_logger_spark.durations import epoch_us
 from solar_logger_spark.io.tables import load_table
 from solar_logger_spark.operators import dedup, multimodal, similarity, text
 
@@ -1668,5 +1669,130 @@ ANOMALY_ZSCORE_SQL = """
                                   / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
                                          / (cnt * (cnt - 1)))
                         END) > 3.0, false) AS is_anomaly
+    FROM m
+"""
+
+
+def ts_interpolate_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux interpolate.linear over a deterministically-holed series:
+    the events table has no nulls, so the query nulls out every 7th
+    event in-query (the oracle does the same) and the operator
+    reconstructs them from the straight line between surviving
+    neighbors — time-weighted, leading/trailing gaps left null."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    holed = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")),
+    )
+    out = T.interpolate_linear(
+        holed, series=["event_type"], tiebreak=["event_id"]
+    )
+    return out.select("event_id", "event_type", "value", "filled")
+
+
+INTERPOLATE_SQL = """
+    WITH holed AS (
+        SELECT event_id, event_type, ts,
+               CASE WHEN event_id % 7 != 0 THEN value END AS value
+        FROM events
+    ), n AS (
+        SELECT event_id, event_type, ts, value,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_v,
+               last_value(CASE WHEN value IS NOT NULL
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_t,
+               first_value(value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_v,
+               first_value(CASE WHEN value IS NOT NULL
+                                THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_t
+        FROM holed
+    )
+    SELECT event_id, event_type, value,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v)
+                     * (CAST(epoch_us(ts) - prev_t AS DOUBLE)
+                        / CAST(next_t - prev_t AS DOUBLE))
+           END AS filled
+    FROM n
+"""
+
+
+def flux_correlation_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``pearsonr(x, y, on: time)``: correlation between the click
+    and view series aligned on 6-hour buckets.
+
+    Alignment is one conditional-sum hash aggregation (no join); bucket
+    sums stay EXACT DECIMAL so every engine sees identical inputs, and
+    the correlation is assembled from five decimal moments cast to
+    double once — the remaining ops (products, subtraction, sqrt,
+    divide) are IEEE-exact, so the single output value hash-matches the
+    oracle. Two shuffles total, the second over one row."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(epoch_us("ts") / F.lit(21_600_000_000)).alias("bucket")
+    xd = F.col("value").cast("decimal(12,2)")
+    per_bucket = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(bucket)
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", xd)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", xd)).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select(F.col("x").cast("decimal(15,2)").alias("x"),
+                F.col("y").cast("decimal(15,2)").alias("y"))
+    )
+    m = per_bucket.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(corr.alias("pearson_r"))
+
+
+CORRELATION_SQL = """
+    WITH per_bucket AS (
+        SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DECIMAL(15,2)) AS x,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(value AS DECIMAL(12,2)) END)
+                    AS DECIMAL(15,2)) AS y
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+        HAVING x IS NOT NULL AND y IS NOT NULL
+    ), m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM per_bucket
+    )
+    SELECT (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS pearson_r
     FROM m
 """
