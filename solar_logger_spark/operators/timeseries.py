@@ -371,24 +371,35 @@ def interpolate_linear(
     not row-weighted). Leading/trailing nulls (no neighbor on one side)
     stay null — Flux behavior.
 
-    Two analytic passes over ONE partitioned ordering: last non-null
-    value+timestamp behind (ignorenulls last over the preceding frame)
-    and first non-null ahead (ignorenulls first over the following
-    frame). The time ratio divides epoch-µs longs in one IEEE-exact
-    double op, so results bit-match a SQL oracle."""
+    Both neighbor lookups are GROWING frames (unbounded-preceding →
+    previous row), the backward one on the ascending ordering and the
+    forward one on the same ordering REVERSED — Spark evaluates growing
+    frames incrementally in O(n) per partition, whereas a shrinking
+    ``1 FOLLOWING .. UNBOUNDED FOLLOWING`` frame with ``ignorenulls``
+    re-scans the remaining partition per row, O(n²): measured 88 s at
+    sf0.1 vs 1 s with the reversed-order form (same single exchange,
+    one extra in-partition sort). The time ratio divides epoch-µs longs
+    in one IEEE-exact double op, so results bit-match a SQL oracle."""
     from solar_logger_spark.durations import epoch_us
 
-    base = _series_window(series, ts_col, tiebreak)
-    w_back = base.rowsBetween(Window.unboundedPreceding, -1)
-    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    w_back = _series_window(series, ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_fwd = (
+        Window.partitionBy(*series)
+        .orderBy(F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     v = F.col(value_col)
     t = epoch_us(ts_col)
     prev_v = F.last(v, ignorenulls=True).over(w_back)
     prev_t = F.last(
         F.when(v.isNotNull(), t), ignorenulls=True
     ).over(w_back)
-    next_v = F.first(v, ignorenulls=True).over(w_fwd)
-    next_t = F.first(
+    # "first non-null after me (ascending)" == "last non-null before me
+    # (descending)"
+    next_v = F.last(v, ignorenulls=True).over(w_fwd)
+    next_t = F.last(
         F.when(v.isNotNull(), t), ignorenulls=True
     ).over(w_fwd)
     frac = (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
