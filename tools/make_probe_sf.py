@@ -112,7 +112,40 @@ def main() -> int:
         }
     )
     pq.write_table(etbl, f"{out_dir}/embeddings.parquet")
-    print(f"wrote {n_docs} docs, {n_vec} embeddings -> {out_dir}")
+
+    # ---- events: 10x rows AND 10x users (events-per-user constant, so
+    # per-series window/session shapes scale like a real bigger tenant
+    # base), value/type distributions resampled from sf0.1 ----
+    ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+    n_ev = len(ev) * args.mult
+    n_users = ev.user_id.nunique() * args.mult
+    t0, t1 = ev.ts.min().value, ev.ts.max().value  # ns since epoch
+    etypes, p_et = np.unique(ev.event_type, return_counts=True)
+    ts = np.sort(rng.integers(t0, t1, size=n_ev))
+    vtbl = pa.table(
+        {
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "ts": pa.array(
+                (ts // 1000).astype("int64"), pa.timestamp("us")
+            ),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n_ev), pa.int64()
+            ),
+            "event_type": pa.array(
+                rng.choice(etypes, size=n_ev, p=p_et / p_et.sum())
+            ),
+            "value": pa.array(
+                rng.choice(ev.value.to_numpy(), size=n_ev), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_ev)]
+            ),
+        }
+    )
+    pq.write_table(vtbl, f"{out_dir}/events.parquet")
+    print(
+        f"wrote {n_docs} docs, {n_vec} embeddings, {n_ev} events -> {out_dir}"
+    )
     return 0
 
 
