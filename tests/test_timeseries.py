@@ -193,3 +193,83 @@ def test_anomaly_zscore_flags_spike(spark):
     assert out[0].z is None  # single-point window: undefined
     assert not any(out[i].is_anomaly for i in range(10))
     assert out[10].is_anomaly and out[10].z > 3.0
+
+
+def test_interpolate_linear_matches_pandas_reference(spark):
+    """Differential: 40 random series with random null patterns vs a
+    brute-force pandas reference (time-weighted interpolation, nulls at
+    the edges stay null) — one Spark job for all series."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import timeseries as T
+
+    rng = random.Random(7)
+    rows = []
+    for s in range(40):
+        n = rng.randrange(1, 30)
+        ts = sorted(rng.sample(range(0, 10_000), n))
+        for i, t in enumerate(ts):
+            v = None if rng.random() < 0.35 else round(rng.uniform(-50, 50), 3)
+            rows.append(
+                Row(
+                    series=f"s{s}",
+                    event_id=i,
+                    ts=t * 1_000_000,  # µs
+                    value=v,
+                )
+            )
+    df = spark.createDataFrame(rows, "series string, event_id long, ts long, value double")
+    # operator works on any orderable ts; epoch_us of a long column is
+    # not defined, so use a timestamp column derived from the µs value
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("tcol", F.timestamp_micros(F.col("ts")))
+    out = T.interpolate_linear(
+        df, series=["series"], ts_col="tcol", tiebreak=["event_id"]
+    ).collect()
+
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+
+    def _null(x):
+        return x is None or (isinstance(x, float) and x != x)  # None/NaN
+
+    expected = {}
+    for s, grp in pdf.groupby("series"):
+        g = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        vals = g.value.to_numpy(dtype=object)
+        for i in range(len(g)):
+            if not _null(vals[i]):
+                expected[(s, g.event_id[i])] = vals[i]
+                continue
+            prev = next_ = None
+            for j in range(i - 1, -1, -1):
+                if not _null(vals[j]):
+                    prev = j
+                    break
+            for j in range(i + 1, len(g)):
+                if not _null(vals[j]):
+                    next_ = j
+                    break
+            if prev is None or next_ is None:
+                expected[(s, g.event_id[i])] = None
+            else:
+                t0, t1, t = g.ts[prev], g.ts[next_], g.ts[i]
+                frac = (t - t0) / (t1 - t0)
+                expected[(s, g.event_id[i])] = vals[prev] + (
+                    vals[next_] - vals[prev]
+                ) * frac
+
+    assert len(out) == len(rows)
+    for r in out:
+        exp = expected[(r.series, r.event_id)]
+        if exp is None:
+            assert r.filled is None, (r.series, r.event_id, r.filled)
+        else:
+            assert r.filled == pytest.approx(exp, rel=1e-12), (
+                r.series,
+                r.event_id,
+            )
