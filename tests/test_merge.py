@@ -1,0 +1,84 @@
+"""Copy-on-write upsert / snapshot-pointer semantics (io/merge.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from solar_logger_spark.io import merge as M
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    base = spark.createDataFrame(
+        [
+            Row(device_id=1, name="mate-a", status="online"),
+            Row(device_id=2, name="mate-b", status="online"),
+            Row(device_id=3, name="mate-c", status="offline"),
+        ]
+    )
+    d = str(tmp_path / "devices")
+    M.init_table(base, d)
+    return d
+
+
+def test_init_and_read(spark, table):
+    assert M.current_snapshot(table) == "snap-000000"
+    got = M.read_table_snapshot(spark, table)
+    assert got.count() == 3
+
+
+def test_upsert_replaces_and_inserts(spark, table):
+    updates = spark.createDataFrame(
+        [
+            Row(device_id=2, name="mate-b2", status="offline"),  # replace
+            Row(device_id=9, name="mate-new", status="online"),  # insert
+        ]
+    )
+    name = M.upsert(spark, table, updates, keys=["device_id"])
+    assert name == "snap-000001"
+    rows = {
+        r.device_id: r
+        for r in M.read_table_snapshot(spark, table).collect()
+    }
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[2].name == "mate-b2" and rows[2].status == "offline"
+    assert rows[9].name == "mate-new"
+    assert rows[1].name == "mate-a"  # untouched
+
+
+def test_upsert_with_delete_filter(spark, table):
+    updates = spark.createDataFrame(
+        [Row(device_id=1, name="mate-a1", status="online")]
+    )
+    M.upsert(
+        spark,
+        table,
+        updates,
+        keys=["device_id"],
+        delete_filter=F.col("status") == "offline",
+    )
+    rows = {
+        r.device_id: r
+        for r in M.read_table_snapshot(spark, table).collect()
+    }
+    assert set(rows) == {1, 2}  # 3 deleted (offline), 1 replaced
+    assert rows[1].name == "mate-a1"
+
+
+def test_old_snapshots_pruned_and_pointer_atomic(spark, table):
+    for i in range(3):
+        upd = spark.createDataFrame(
+            [Row(device_id=100 + i, name=f"n{i}", status="online")]
+        )
+        M.upsert(spark, table, upd, keys=["device_id"], keep_snapshots=2)
+    snaps = sorted(d for d in os.listdir(table) if d.startswith("snap-"))
+    assert len(snaps) == 2  # pruned to keep_snapshots
+    assert M.current_snapshot(table) == snaps[-1]
+    assert M.read_table_snapshot(spark, table).count() == 6  # 3 + 3 inserts
+
+
+def test_upsert_requires_initialized_table(spark, tmp_path):
+    upd = spark.createDataFrame([Row(device_id=1, name="x", status="y")])
+    with pytest.raises(FileNotFoundError, match="_CURRENT"):
+        M.upsert(spark, str(tmp_path / "nope"), upd, keys=["device_id"])
