@@ -49,11 +49,21 @@ def current_snapshot(table_dir: str) -> str | None:
         return fh.read().strip() or None
 
 
-def read_table_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
-    snap = current_snapshot(table_dir)
+def read_table_snapshot(
+    spark: SparkSession, table_dir: str, at: str | None = None
+) -> DataFrame:
+    """Read the live snapshot, or time-travel to a retained older one
+    by name (``at="snap-000003"``)."""
+    snap = at or current_snapshot(table_dir)
     if snap is None:
         raise FileNotFoundError(f"no _CURRENT snapshot in {table_dir}")
-    return spark.read.parquet(os.path.join(table_dir, snap))
+    path = os.path.join(table_dir, snap)
+    if at is not None and not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"snapshot {at} not retained in {table_dir} "
+            f"(raise keep_snapshots to travel further back)"
+        )
+    return spark.read.parquet(path)
 
 
 def init_table(df: DataFrame, table_dir: str) -> str:
@@ -101,6 +111,57 @@ def upsert(
     _swap_pointer(table_dir, new_name)
     _prune(table_dir, keep=keep_snapshots)
     return new_name
+
+
+def upsert_sink(
+    table_dir: str,
+    keys: list[str],
+    order_col: str | None = None,
+    keep_snapshots: int = 2,
+):
+    """``foreachBatch`` function for a streaming MERGE sink: every
+    micro-batch upserts by key, so redelivered rows (at-least-once
+    sources, batch replays) overwrite instead of duplicating —
+    key-idempotent table state from an at-least-once stream.
+    Initializes the table on the first non-empty batch.
+
+    ``order_col`` picks the within-batch winner per key (max wins,
+    e.g. an event timestamp) — deterministic across batch replays.
+    Without it, an arbitrary row per key survives (dropDuplicates);
+    fine when upstream already emits one row per key per batch.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(upsert_sink(path, ["device_id"], "ts"))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if order_col is not None:
+            others = [c for c in batch_df.columns if c not in keys]
+            dedup = batch_df.groupBy(*keys).agg(
+                *[
+                    F.max_by(c, F.col(order_col)).alias(c)
+                    for c in others
+                ]
+            )
+        else:
+            dedup = batch_df.dropDuplicates(keys)
+        if current_snapshot(table_dir) is None:
+            init_table(dedup, table_dir)
+        else:
+            upsert(
+                batch_df.sparkSession,
+                table_dir,
+                dedup,
+                keys,
+                keep_snapshots=keep_snapshots,
+            )
+
+    return _write
 
 
 def _swap_pointer(table_dir: str, name: str) -> None:

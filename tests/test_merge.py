@@ -82,3 +82,50 @@ def test_upsert_requires_initialized_table(spark, tmp_path):
     upd = spark.createDataFrame([Row(device_id=1, name="x", status="y")])
     with pytest.raises(FileNotFoundError, match="_CURRENT"):
         M.upsert(spark, str(tmp_path / "nope"), upd, keys=["device_id"])
+
+
+def test_time_travel_read(spark, table):
+    upd = spark.createDataFrame(
+        [Row(device_id=2, name="mate-b2", status="offline")]
+    )
+    M.upsert(spark, table, upd, keys=["device_id"], keep_snapshots=5)
+    old = M.read_table_snapshot(spark, table, at="snap-000000")
+    new = M.read_table_snapshot(spark, table)
+    assert {r.name for r in old.collect()} == {"mate-a", "mate-b", "mate-c"}
+    assert "mate-b2" in {r.name for r in new.collect()}
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        M.read_table_snapshot(spark, table, at="snap-000099")
+
+
+def test_upsert_sink_batches_are_key_idempotent(spark, tmp_path):
+    """foreachBatch-contract test: redelivered keys overwrite, the
+    order_col picks the within-batch winner, replays don't duplicate."""
+    d = str(tmp_path / "stream_tbl")
+    sink = M.upsert_sink(d, keys=["device_id"], order_col="ts")
+
+    b0 = spark.createDataFrame(
+        [
+            Row(device_id=1, ts=10, status="online"),
+            Row(device_id=1, ts=11, status="offline"),  # later ts wins
+            Row(device_id=2, ts=10, status="online"),
+        ]
+    )
+    sink(b0, 0)
+    rows = {r.device_id: r for r in M.read_table_snapshot(spark, d).collect()}
+    assert rows[1].status == "offline" and rows[2].status == "online"
+
+    b1 = spark.createDataFrame(
+        [
+            Row(device_id=2, ts=20, status="offline"),  # update
+            Row(device_id=3, ts=20, status="online"),  # insert
+        ]
+    )
+    sink(b1, 1)
+    sink(b1, 1)  # replay of the same batch: no duplicates
+    rows = {r.device_id: r for r in M.read_table_snapshot(spark, d).collect()}
+    assert len(rows) == 3
+    assert rows[2].status == "offline" and rows[3].status == "online"
+
+    empty = spark.createDataFrame([], b1.schema)
+    sink(empty, 2)  # no-op, no new snapshot
+    assert M.read_table_snapshot(spark, d).count() == 3
