@@ -619,3 +619,93 @@ def test_parse_flux_script_join_multi_key_anchored_to_brackets():
         'method: "inner")'
     )
     assert s.combine[1]["on"] == ["_time", "event_type"]
+
+
+# --- property fuzz: script-statement splitting & join() argument
+# extraction must be whitespace/order/decoy-insensitive ----------------
+
+import hypothesis.strategies as _st
+from hypothesis import given as _given, settings as _settings
+
+_names = _st.sampled_from(["a", "b", "left1", "right2", "t_x"])
+_keys = _st.lists(
+    _st.sampled_from(["ts", "user_id", "event_type", "k1"]),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+_ws = _st.sampled_from(["", " ", "  ", "\t"])
+
+
+@_settings(max_examples=150, deadline=None)
+@_given(
+    n1=_names,
+    n2=_names,
+    keys=_keys,
+    w1=_ws,
+    w2=_ws,
+    w3=_ws,
+    method=_st.sampled_from([None, "inner", "left"]),
+    swap=_st.booleans(),
+)
+def test_fuzz_join_script_parses_exactly(n1, n2, keys, w1, w2, w3, method, swap):
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    if n1 == n2:
+        n2 = n1 + "2"
+    on = ", ".join(f'"{k}"' for k in keys)
+    margs = f', method:{w2}"{method}"' if method else ""
+    tbl = f"{{x:{w1}{n1}, y: {n2}}}"
+    join_args = [f"tables:{w1}{tbl}", f"on:{w3}[{on}]{margs}"]
+    if swap:
+        join_args.reverse()
+    script = (
+        f'{n1} ={w1}from(bucket: "events") |> range(start: -5d)\n'
+        f'{n2} = from(bucket:{w2} "events") |> range(start: -3d)\n'
+        f"join({', '.join(join_args)})"
+    )
+    out = parse_flux_script(script)
+    assert out.tables == [n1, n2]
+    assert out.combine[0] == "join"
+    assert out.combine[1]["on"] == keys
+    assert out.combine[1]["method"] == (method or "inner")
+
+
+@_settings(max_examples=60, deadline=None)
+@_given(n1=_names, decoy=_st.sampled_from(["ts", "bogus", "left"]))
+def test_fuzz_join_rejects_stray_quoted_args(n1, decoy):
+    import pytest as _pytest
+
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    n2 = n1 + "2"
+    script = (
+        f'{n1} = from(bucket: "events") |> range(start: -5d)\n'
+        f'{n2} = from(bucket: "events") |> range(start: -3d)\n'
+        f'join(tables: {{x: {n1}, y: {n2}}}, on: ["ts"], frame: "{decoy}")'
+    )
+    with _pytest.raises(ValueError, match="unrecognized quoted"):
+        parse_flux_script(script)
+
+
+@_settings(max_examples=60, deadline=None)
+@_given(
+    names=_st.lists(
+        _st.sampled_from(["a", "b", "c", "d"]),
+        min_size=2,
+        max_size=4,
+        unique=True,
+    ),
+    w=_ws,
+)
+def test_fuzz_union_script_collects_known_tables(names, w):
+    from solar_logger_spark.query.flux_parser import parse_flux_script
+
+    defs = "\n".join(
+        f'{n} = from(bucket: "events") |> range(start: -{i + 1}d)'
+        for i, n in enumerate(names)
+    )
+    script = f"{defs}\nunion(tables:{w}[{', '.join(names)}])"
+    out = parse_flux_script(script)
+    assert out.combine == ("union", None)
+    assert out.tables == names
