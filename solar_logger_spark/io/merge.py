@@ -81,6 +81,7 @@ def upsert(
     updates: DataFrame,
     keys: list[str],
     delete_filter: Column | None = None,
+    order_col: str | None = None,
     keep_snapshots: int = 2,
 ) -> str:
     """MERGE ``updates`` into the table by ``keys``: matched base rows
@@ -88,8 +89,17 @@ def upsert(
     ``delete_filter`` (evaluated on the base) are dropped. Writes a new
     snapshot and swaps ``_CURRENT``; returns the new snapshot name.
 
-    The base side anti-joins the (distinct, usually broadcastable) key
-    set — the base never shuffles when the update key set broadcasts.
+    ``order_col``: a monotonic version/event-time column. When given, an
+    update only replaces a base row if its ``order_col`` is >= the base
+    row's — a redelivered STALE row (at-least-once sources, late
+    re-sends) cannot regress newer table state. Without it, updates win
+    unconditionally (last-writer-wins by arrival).
+
+    The base side anti-joins the distinct update-key set (no hint —
+    Catalyst/AQE broadcast it when it is small, which it usually is;
+    huge backfill key sets degrade to a shuffle join instead of an
+    unbounded forced broadcast). Single-writer assumed, like any
+    log-less copy-on-write store.
     """
     snap = current_snapshot(table_dir)
     if snap is None:
@@ -99,12 +109,35 @@ def upsert(
         # NULL predicate means "not deleted" — coalesce before negating,
         # else three-valued logic silently drops NULL-predicate rows
         base = base.filter(~F.coalesce(delete_filter, F.lit(False)))
+    if order_col is not None:
+        # drop stale updates: keep only rows at/above the base version.
+        # matched_base is |matched keys| rows — small like upd_keys.
+        upd_keys0 = updates.select(*keys).distinct()
+        matched = base.join(upd_keys0, keys, "left_semi").select(
+            *keys, F.col(order_col).alias("_base_order")
+        )
+        updates = (
+            updates.join(matched, keys, "left")
+            .filter(
+                F.col("_base_order").isNull()
+                | (F.col(order_col) >= F.col("_base_order"))
+            )
+            .drop("_base_order")
+        )
     upd_keys = updates.select(*keys).distinct()
-    kept = base.join(F.broadcast(upd_keys), keys, "left_anti")
+    kept = base.join(upd_keys, keys, "left_anti")
     merged = kept.unionByName(updates.select(*base.columns))
 
-    new_idx = int(snap.split("-")[1]) + 1
-    new_name = _snap_name(new_idx)
+    # next index = max existing + 1, NOT pointer + 1: a crash between a
+    # snapshot write and the pointer swap leaves an orphan dir, and
+    # pointer+1 would collide with it forever (errorifexists). Orphans
+    # newer than the live pointer are dead (never referenced) — remove
+    # them first so a half-written directory can't be confused for data.
+    live_idx = int(snap.split("-")[1])
+    for d in sorted(os.listdir(table_dir)):
+        if d.startswith("snap-") and int(d.split("-")[1]) > live_idx:
+            shutil.rmtree(os.path.join(table_dir, d))
+    new_name = _snap_name(live_idx + 1)
     merged.write.mode("errorifexists").parquet(
         os.path.join(table_dir, new_name)
     )
@@ -126,9 +159,12 @@ def upsert_sink(
     Initializes the table on the first non-empty batch.
 
     ``order_col`` picks the within-batch winner per key (max wins,
-    e.g. an event timestamp) — deterministic across batch replays.
-    Without it, an arbitrary row per key survives (dropDuplicates);
-    fine when upstream already emits one row per key per batch.
+    e.g. an event timestamp) — deterministic across batch replays —
+    AND is forwarded to :func:`upsert` so a LATER batch redelivering an
+    older row cannot regress newer table state. Without it, an
+    arbitrary row per key survives (dropDuplicates) and updates win
+    unconditionally; fine when upstream already emits one fresh row
+    per key per batch.
 
     Usage::
 
@@ -158,6 +194,7 @@ def upsert_sink(
                 table_dir,
                 dedup,
                 keys,
+                order_col=order_col,
                 keep_snapshots=keep_snapshots,
             )
 

@@ -77,23 +77,20 @@ def decode_stub(payload: bytes, fake: bool) -> tuple[int, int, str]:
     return width, height, mode
 
 
-def extract_features(
+def _extract_with(
     df: DataFrame,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
-    fake: bool = True,
+    id_col: str,
+    payload_col: str,
+    decode_fn,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
-
-    ``mapInPandas`` keeps each executor working on whole record batches
-    (no per-row Python overhead) and the output schema is fixed, so the
-    operator composes with normal DataFrame code downstream.
-    """
+    """Shared Arrow-batched extraction body: ``decode_fn(payload) ->
+    (width, height, mode)`` is the only pluggable piece (the
+    "swap in a real codec is a one-function change" boundary)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            dims = [decode_stub(p, fake) for p in payloads]
+            dims = [decode_fn(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -109,6 +106,24 @@ def extract_features(
 
     src = df.select(F.col(id_col), F.col(payload_col))
     return src.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (stub
+    codec — see ``decode_stub``).
+
+    ``mapInPandas`` keeps each executor working on whole record batches
+    (no per-row Python overhead) and the output schema is fixed, so the
+    operator composes with normal DataFrame code downstream.
+    """
+    return _extract_with(
+        df, id_col, payload_col, lambda p: decode_stub(p, fake)
+    )
 
 
 def blob_meta(df: DataFrame, id_col: str = "doc_id",
@@ -252,13 +267,17 @@ def decode_media(payload: bytes) -> tuple[str, int, int, str]:
         import io
         import wave
 
-        with wave.open(io.BytesIO(payload)) as w:
-            return (
-                "wav",
-                w.getnframes(),
-                w.getnchannels(),
-                f"PCM{8 * w.getsampwidth()}",
-            )
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                return (
+                    "wav",
+                    w.getnframes(),
+                    w.getnchannels(),
+                    f"PCM{8 * w.getsampwidth()}",
+                )
+        except (wave.Error, EOFError) as exc:
+            # keep the documented contract: malformed media ⇒ ValueError
+            raise ValueError(f"malformed WAV payload: {exc}") from exc
     raise ValueError(
         f"unsupported media format (head={payload[:4]!r}); "
         "PIL/ffmpeg formats remain stubbed (decode_stub)"
@@ -271,27 +290,9 @@ def extract_real_features(
     payload_col: str = "payload",
 ) -> DataFrame:
     """`extract_features` with the REAL stdlib codec (`decode_media`)
-    instead of the stub: same Arrow-batched mapInPandas shape, same
-    FEATURE_SCHEMA, actual binary parsing. Raises on non-PPM/WAV
-    payloads — honest failure, not silent fake features."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = pdf[payload_col]
-            dims = [decode_media(bytes(p)) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "media_md5": payloads.map(
-                        lambda p: hashlib.md5(p).hexdigest()
-                    ),
-                    "width": [d[1] for d in dims],
-                    "height": [d[2] for d in dims],
-                    "mode": [d[3] for d in dims],
-                }
-            )
-
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        batches, FEATURE_SCHEMA
+    instead of the stub: same shared Arrow-batched body, same
+    FEATURE_SCHEMA, actual binary parsing. Raises ValueError on
+    non-PPM/WAV payloads — honest failure, not silent fake features."""
+    return _extract_with(
+        df, id_col, payload_col, lambda p: decode_media(p)[1:]
     )

@@ -331,24 +331,29 @@ def anomaly_zscore(
     single-exchange plan as moving_average.
 
     Numeric discipline: the window moments are EXACT DECIMAL sums
-    (value and value² cast to fixed scale), so the rolling variance is
-    order-independent and bit-reproducible against any engine; the only
-    float ops are the final IEEE-exact divide/sqrt. A double
-    ``stddev().over(w)`` would instead inherit each engine's
-    incremental-update algorithm and drift in the last ulp."""
+    (value and value² cast to fixed scale), so they are
+    order-independent; each moment is cast to double ONCE and the
+    variance is assembled purely from IEEE-exact double ops
+    (multiply/subtract/divide/sqrt of identical inputs), making z
+    deterministic and engine-agnostic. Combining the moments while
+    still decimal would overflow precision 38 (cnt·Σx² at scale 12)
+    and silently truncate the scale — measured as last-ulp divergence
+    from the oracle. A double ``stddev().over(w)`` would be worse:
+    each engine's incremental-update algorithm drifts.
+
+    Null values are skipped by sum AND count (``count(xd)``), so a
+    gappy series is scored against its observed points only."""
     w = (
         _series_window(series, ts_col, tiebreak)
         .rowsBetween(-(n - 1), Window.currentRow)
     )
     xd = F.col(value_col).cast("decimal(18,6)")
-    sx = F.sum(xd).over(w)
-    sxx = F.sum(xd * xd).over(w)
-    cnt = F.count(F.lit(1)).over(w)
-    # sample variance via the cross-multiplied form: numerator exact
-    # decimal, ONE cast to double, one division — deterministic
-    var_num = (cnt * sxx - sx * sx).cast("double")
-    var = var_num / (cnt * (cnt - 1)).cast("double")
-    mean = sx.cast("double") / cnt.cast("double")
+    sx = F.sum(xd).over(w).cast("double")
+    sxx = F.sum(xd * xd).over(w).cast("double")
+    cnt = F.count(xd).over(w).cast("double")  # non-null count
+    var_num = cnt * sxx - sx * sx
+    var = var_num / (cnt * (cnt - F.lit(1.0)))
+    mean = sx / cnt
     z = F.when(
         (cnt > 1) & (var_num > 0),
         (F.col(value_col) - mean) / F.sqrt(var),
@@ -404,6 +409,10 @@ def interpolate_linear(
     ).over(w_fwd)
     frac = (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
     interp = prev_v + (next_v - prev_v) * frac
+    # duplicate-timestamp neighbors (next_t == prev_t) make the ratio
+    # 0/0: pin the result to prev_v instead of leaving it to each
+    # engine's division semantics (Spark NULL vs IEEE NaN)
+    interp = F.when(next_t == prev_t, prev_v).otherwise(interp)
     return df.withColumn(
         alias,
         F.when(v.isNotNull(), v).otherwise(

@@ -1537,15 +1537,17 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weeks are integer epoch-week numbers (floor(epoch_seconds / 7d)
     from the Unix origin) on both engines — no date_trunc('week')
     dependence on week-start conventions. Two user_id-keyed hash
-    aggregations and one broadcast join of the (one row per user)
-    first-event table; the distinct count shuffles on the bounded
+    aggregations joined back on user_id (NO broadcast hint: the
+    first-event table is one row PER USER and grows without bound, so
+    the join must be allowed to shuffle; AQE still broadcasts it while
+    it is small); the distinct count shuffles on the bounded
     (cohort_week, week_offset) keys."""
     events = load_table(spark, sf_dir, "events")
     wk = 7 * 86400 * 1_000_000  # µs per week
     first = events.groupBy("user_id").agg(
         F.floor(F.min(epoch_us("ts")) / wk).cast("long").alias("cohort_week")
     )
-    joined = events.join(F.broadcast(first), "user_id").select(
+    joined = events.join(first, "user_id").select(
         "user_id",
         "cohort_week",
         (F.floor(epoch_us("ts") / wk).cast("long") - F.col("cohort_week")).alias(

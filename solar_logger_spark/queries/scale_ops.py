@@ -1648,25 +1648,27 @@ def ts_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANOMALY_ZSCORE_SQL = """
     WITH m AS (
+        -- each decimal moment cast to double ONCE; the variance is then
+        -- pure IEEE double arithmetic, matching the Spark side exactly
+        -- (combining while decimal overflows precision 38 and truncates)
         SELECT event_id, event_type, value,
-               sum(CAST(value AS DECIMAL(18,6))) OVER w AS sx,
-               sum(CAST(value AS DECIMAL(18,6))
-                   * CAST(value AS DECIMAL(18,6))) OVER w AS sxx,
-               count(*) OVER w AS cnt
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS sxx,
+               CAST(count(value) OVER w AS DOUBLE) AS cnt
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, event_type, value,
-           CASE WHEN cnt > 1 AND CAST(cnt * sxx - sx * sx AS DOUBLE) > 0
-                THEN (value - CAST(sx AS DOUBLE) / cnt)
-                     / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
-                            / (cnt * (cnt - 1)))
+           CASE WHEN cnt > 1 AND cnt * sxx - sx * sx > 0
+                THEN (value - sx / cnt)
+                     / sqrt((cnt * sxx - sx * sx) / (cnt * (cnt - 1)))
            END AS z,
-           coalesce(abs(CASE WHEN cnt > 1
-                              AND CAST(cnt * sxx - sx * sx AS DOUBLE) > 0
-                             THEN (value - CAST(sx AS DOUBLE) / cnt)
-                                  / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+           coalesce(abs(CASE WHEN cnt > 1 AND cnt * sxx - sx * sx > 0
+                             THEN (value - sx / cnt)
+                                  / sqrt((cnt * sxx - sx * sx)
                                          / (cnt * (cnt - 1)))
                         END) > 3.0, false) AS is_anomaly
     FROM m
@@ -1722,9 +1724,10 @@ INTERPOLATE_SQL = """
     SELECT event_id, event_type, value,
            CASE WHEN value IS NOT NULL THEN value
                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
-                THEN prev_v + (next_v - prev_v)
-                     * (CAST(epoch_us(ts) - prev_t AS DOUBLE)
-                        / CAST(next_t - prev_t AS DOUBLE))
+                THEN CASE WHEN next_t = prev_t THEN prev_v
+                          ELSE prev_v + (next_v - prev_v)
+                               * (CAST(epoch_us(ts) - prev_t AS DOUBLE)
+                                  / CAST(next_t - prev_t AS DOUBLE)) END
            END AS filled
     FROM n
 """

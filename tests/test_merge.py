@@ -129,3 +129,40 @@ def test_upsert_sink_batches_are_key_idempotent(spark, tmp_path):
     empty = spark.createDataFrame([], b1.schema)
     sink(empty, 2)  # no-op, no new snapshot
     assert M.read_table_snapshot(spark, d).count() == 3
+
+
+def test_upsert_stale_redelivery_cannot_regress(spark, tmp_path):
+    """order_col guards ACROSS batches: a later batch redelivering an
+    older row must not overwrite newer table state."""
+    d = str(tmp_path / "stale_tbl")
+    sink = M.upsert_sink(d, keys=["device_id"], order_col="ts")
+    sink(
+        spark.createDataFrame([Row(device_id=1, ts=100, status="online")]), 0
+    )
+    # late re-send of an older state in a LATER batch
+    sink(
+        spark.createDataFrame([Row(device_id=1, ts=50, status="offline")]), 1
+    )
+    rows = M.read_table_snapshot(spark, d).collect()
+    assert len(rows) == 1
+    assert (rows[0].ts, rows[0].status) == (100, "online")
+    # equal-or-newer still wins
+    sink(
+        spark.createDataFrame([Row(device_id=1, ts=100, status="maint")]), 2
+    )
+    assert M.read_table_snapshot(spark, d).collect()[0].status == "maint"
+
+
+def test_upsert_recovers_from_orphan_snapshot_dir(spark, table):
+    """A crash between snapshot write and pointer swap leaves an orphan
+    dir; the next upsert must clean it and proceed, not collide."""
+    orphan = os.path.join(table, "snap-000001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-partial.parquet"), "wb") as fh:
+        fh.write(b"garbage-from-a-crashed-writer")
+    upd = spark.createDataFrame(
+        [Row(device_id=9, name="new", status="online")]
+    )
+    name = M.upsert(spark, table, upd, keys=["device_id"])
+    assert name == "snap-000001"
+    assert M.read_table_snapshot(spark, table).count() == 4

@@ -119,3 +119,13 @@ def test_decode_media_real_formats(spark):
     assert (out[1].width, out[1].height, out[1].mode) == (12, 7, "RGB")
     assert (out[2].width, out[2].height, out[2].mode) == (3, 2, "PCM16")
     assert out[1].n_bytes == len(ppm)
+
+
+def test_decode_media_malformed_wav_raises_valueerror():
+    import pytest
+
+    from solar_logger_spark.operators import multimodal as mm
+
+    truncated = b"RIFF\x10\x00\x00\x00WAVEfmt "  # valid magic, dead body
+    with pytest.raises(ValueError, match="malformed WAV"):
+        mm.decode_media(truncated)

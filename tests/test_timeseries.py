@@ -273,3 +273,54 @@ def test_interpolate_linear_matches_pandas_reference(spark):
                 r.series,
                 r.event_id,
             )
+
+
+def test_anomaly_zscore_skips_nulls(spark):
+    """Null values must not bias the window moments: [10, null, 10]
+    has zero variance over its two observed points — z undefined, no
+    spurious anomaly."""
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import timeseries as T
+
+    df = spark.createDataFrame(
+        [
+            Row(event_id=0, event_type="a", ts=0, value=10.0),
+            Row(event_id=1, event_type="a", ts=1, value=None),
+            Row(event_id=2, event_type="a", ts=2, value=10.0),
+            Row(event_id=3, event_type="a", ts=3, value=40.0),
+        ],
+        "event_id long, event_type string, ts long, value double",
+    )
+    out = {
+        r.event_id: r
+        for r in T.anomaly_zscore(
+            df, n=25, series=["event_type"], tiebreak=["event_id"]
+        ).collect()
+    }
+    assert out[2].z is None and not out[2].is_anomaly  # var 0, not biased
+    assert out[1].z is None  # null input row scores nothing
+    assert out[3].z is not None  # 3 observed points, real variance
+
+
+def test_interpolate_duplicate_timestamps_pin_prev(spark):
+    from pyspark.sql import Row, functions as F
+
+    from solar_logger_spark.operators import timeseries as T
+
+    df = spark.createDataFrame(
+        [
+            Row(series="s", event_id=0, ts=5, value=1.0),
+            Row(series="s", event_id=1, ts=5, value=None),
+            Row(series="s", event_id=2, ts=5, value=9.0),
+        ],
+        "series string, event_id long, ts long, value double",
+    )
+    df = df.withColumn("tcol", F.timestamp_micros(F.col("ts")))
+    out = {
+        r.event_id: r
+        for r in T.interpolate_linear(
+            df, series=["series"], ts_col="tcol", tiebreak=["event_id"]
+        ).collect()
+    }
+    assert out[1].filled == 1.0  # pinned to prev, not NaN/NULL
