@@ -1059,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
             "ts_interpolate_linear_events": sca.ts_interpolate_linear_events,
             "flux_correlation_click_view": sca.flux_correlation_click_view,
+            "ts_anomaly_mad_events": sca.ts_anomaly_mad_events,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1109,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly_zscore_events",
         "ts_interpolate_linear_events",
         "flux_correlation_click_view",
+        "ts_anomaly_mad_events",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1324,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_anomaly_zscore_events": sca.ANOMALY_ZSCORE_SQL,
             "ts_interpolate_linear_events": sca.INTERPOLATE_SQL,
             "flux_correlation_click_view": sca.CORRELATION_SQL,
+            "ts_anomaly_mad_events": sca.ANOMALY_MAD_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

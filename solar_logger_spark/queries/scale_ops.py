@@ -1799,3 +1799,68 @@ CORRELATION_SQL = """
                AS pearson_r
     FROM m
 """
+
+
+def ts_anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly summary per series: median, median
+    absolute deviation, and the count of points beyond 3.5 robust
+    z-units (|x − med| > 3.5 · 1.4826 · MAD) — the outlier rule that
+    survives the contamination that wrecks mean/stddev z-scores.
+
+    Three chained aggregations (median → MAD → count), each bridged by
+    broadcasting the |series|-row stats table back into the event scan;
+    percentiles are exact (per-group sort partitioned on the series key
+    — same exact-vs-approx tradeoff documented on
+    corpus_length_quantiles) and the remaining ops are IEEE-exact, so
+    every output hash-matches the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("median").alias("median"),
+        F.percentile("ad", F.lit(0.5)).alias("mad"),
+    )
+    flagged = dev.select("event_type", "ad").join(
+        F.broadcast(mad), "event_type"
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (
+                    F.col("ad") > F.lit(3.5) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANOMALY_MAD_SQL = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS median
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, m.median, abs(e.value - m.median) AS ad
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, any_value(median) AS median,
+               quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, any_value(m.median) AS median,
+           any_value(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.ad > 3.5 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    ORDER BY 1
+"""
