@@ -1060,6 +1060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_interpolate_linear_events": sca.ts_interpolate_linear_events,
             "flux_correlation_click_view": sca.flux_correlation_click_view,
             "ts_anomaly_mad_events": sca.ts_anomaly_mad_events,
+            "embedding_quantize_int8": sca.embedding_quantize_int8,
+            "embedding_cluster_balance": sca.embedding_cluster_balance,
+            "text_dsir_weights": sca.text_dsir_weights,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1111,6 +1114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_interpolate_linear_events",
         "flux_correlation_click_view",
         "ts_anomaly_mad_events",
+        "embedding_quantize_int8",
+        "embedding_cluster_balance",
+        "text_dsir_weights",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1327,6 +1333,9 @@ def oracle_sql() -> dict[str, str]:
             "ts_interpolate_linear_events": sca.INTERPOLATE_SQL,
             "flux_correlation_click_view": sca.CORRELATION_SQL,
             "ts_anomaly_mad_events": sca.ANOMALY_MAD_SQL,
+            "embedding_quantize_int8": sca.QUANTIZE_INT8_SQL,
+            "embedding_cluster_balance": sca.CLUSTER_BALANCE_SQL,
+            "text_dsir_weights": sca.DSIR_WEIGHTS_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

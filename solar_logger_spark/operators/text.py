@@ -554,3 +554,77 @@ def pii_scrub(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (after Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — log-free variant): score each document by how much
+    more its token mass concentrates in a *target* slice of the corpus
+    (e.g. ``lang == 'en'``) than in the corpus overall::
+
+        importance = (Σ_w tc(w) / target_total) / (Σ_w cc(w) / corpus_total)
+
+    where ``tc(w)`` / ``cc(w)`` count word ``w`` in the target slice /
+    whole corpus, summed over the document's token occurrences. Keeping
+    the masses as exact integer sums and dividing once at the end makes
+    the score bit-reproducible against a SQL oracle (no per-word float
+    accumulation, no transcendentals — same discipline as
+    ``unigram_rarity``).
+
+    Scale shape: one vocab hash agg (map-side combined), one shuffle
+    join of token occurrences to vocab on the word key, and one per-doc
+    hash agg; the two corpus totals come from a separate explode-free
+    counting scan collected as literals (1 row over the wire). Identical
+    topology to ``unigram_rarity`` — linear in token count, no
+    all-pairs, no Python.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.alias("is_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cc"),
+        F.count_if(F.col("is_t")).alias("tc"),
+    )
+    doc = (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tc").alias("target_mass"),
+            F.sum("cc").alias("corpus_mass"),
+        )
+    )
+    # The corpus/target token totals are plain token counts — one cheap
+    # explode-free scan (sum of size(split(..)), map-side combined to a
+    # 1-row result), collected eagerly and inlined as literals. This
+    # keeps the main plan at the intrinsic two corpus scans
+    # (vocab + join) with no scalar cross-join branch; the integer
+    # totals are < 2^53 at any plausible corpus size, so the literal
+    # double equals the oracle's CAST(bigint AS DOUBLE) bit-for-bit.
+    n_col = F.size(F.split(F.col(text_col), " ")).cast("long")
+    tot = df.select(
+        n_col.alias("n"), target.alias("is_t")
+    ).agg(
+        F.sum("n").alias("ct"),
+        F.sum(F.when(F.col("is_t"), F.col("n"))).alias("tt"),
+    ).first()
+    corpus_total = float(tot["ct"] or 0)
+    target_total = float(tot["tt"] or 0)
+    return doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("target_mass").cast("long").alias("target_mass"),
+        F.col("corpus_mass").cast("long").alias("corpus_mass"),
+        (
+            (F.col("target_mass").cast("double") * F.lit(corpus_total))
+            / (F.col("corpus_mass").cast("double") * F.lit(target_total))
+        ).alias("importance"),
+    )

@@ -1864,3 +1864,182 @@ ANOMALY_MAD_SQL = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 min-max quantization of the embedding table
+    (operators.quantize): the standard 4x storage/serving compression
+    before shipping an embedding index. Fit is one dim-group hash agg
+    collected as a bounded 64-value literal; encode is a shuffle-free
+    HOF map. Output summaries are integer-exact (code_sum) or
+    order-independent (min/max), so the oracle hash-matches."""
+    from solar_logger_spark.operators import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = quantize.fit_minmax(emb)
+    return quantize.quantize_int8(emb, mins, maxs).select(
+        "vec_id", "code_sum", "min_code", "max_code", "max_abs_err"
+    )
+
+
+QUANTIZE_INT8_SQL = """
+    WITH flat AS (
+        SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    ), dims AS (
+        SELECT i, min(v) AS mn, max(v) AS mx FROM flat GROUP BY i
+    ), d AS (
+        SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        FROM dims
+    ), coded AS (
+        SELECT e.vec_id,
+               [CASE WHEN d.mxs[i] > d.mns[i]
+                     THEN CAST(round(((CAST(e.embedding[i] AS DOUBLE)
+                                       - d.mns[i])
+                                      / (d.mxs[i] - d.mns[i])) * 254.0)
+                          AS INTEGER)
+                     ELSE 0 END
+                FOR i IN range(1, len(e.embedding) + 1)] AS cs,
+               [abs(CAST(e.embedding[i] AS DOUBLE)
+                    - (d.mns[i]
+                       + CAST(CASE WHEN d.mxs[i] > d.mns[i]
+                                   THEN CAST(round(((CAST(e.embedding[i]
+                                                         AS DOUBLE)
+                                                     - d.mns[i])
+                                                    / (d.mxs[i] - d.mns[i]))
+                                                   * 254.0) AS INTEGER)
+                                   ELSE 0 END AS DOUBLE)
+                         * ((d.mxs[i] - d.mns[i]) / 254.0)))
+                FOR i IN range(1, len(e.embedding) + 1)] AS errs
+        FROM embeddings e, d
+    )
+    SELECT vec_id, CAST(list_sum(cs) AS BIGINT) AS code_sum,
+           CAST(list_min(cs) AS INTEGER) AS min_code,
+           CAST(list_max(cs) AS INTEGER) AS max_code,
+           list_max(errs) AS max_abs_err
+    FROM coded
+"""
+
+
+def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balance audit before topic/cluster-capped corpus
+    sampling: assign every embedding to its nearest of K=8 seeded
+    centroids (the lowest-vec_id vectors — data-derived and
+    deterministic, so the oracle reproduces them in SQL) by squared L2,
+    ties to the lowest centroid id, then report per-cluster membership
+    and distance spread.
+
+    Scale shape: bounded K-row collect -> literal centroid array; the
+    argmin is a pure per-row HOF map (no |corpus| x K shuffle — the
+    cross product lives inside one projection); the only exchange is
+    the final K-group hash agg. Squared-L2 accumulates left-to-right in
+    double on both sides (same discipline as COSINE_TOPK_SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    cents.sort(key=lambda r: r["vec_id"])
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("cid"),
+                F.array(
+                    *[F.lit(float(x)) for x in r["embedding"]]
+                ).alias("cvec"),
+            )
+            for r in cents
+        ]
+    )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scores = F.transform(
+        carr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c["cvec"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(scores)
+    assigned = emb.select(
+        F.col("vec_id"),
+        best["cid"].alias("cluster_id"),
+        best["d2"].alias("d2"),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+CLUSTER_BALANCE_SQL = """
+    WITH c AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT e.vec_id, c.cid,
+               list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                         FOR i IN range(1, len(e.embedding) + 1)]) AS d2
+        FROM embeddings e, c
+    ), best AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM scored
+    )
+    SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           min(d2) AS min_d2, max(d2) AS max_d2
+    FROM best WHERE rn = 1
+    GROUP BY cid
+    ORDER BY cid
+"""
+
+
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators.text.dsir_weights) with
+    the English slice as the selection target — the data-selection
+    scoring pass that decides each document's resampling weight when
+    building a target-matched training mix. Integer token masses + one
+    final double division keep it hash-exact vs the oracle."""
+    from solar_logger_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TXT.dsir_weights(docs, target=F.col("lang") == "en")
+
+
+DSIR_WEIGHTS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, count(*) AS cc,
+               count(*) FILTER (WHERE is_t) AS tc
+        FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT sum(cc) AS corpus_total, sum(tc) AS target_total FROM vocab
+    ), doc AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(v.tc) AS target_mass,
+               sum(v.cc) AS corpus_mass
+        FROM toks t JOIN vocab v USING (tok)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(target_mass AS BIGINT) AS target_mass,
+           CAST(corpus_mass AS BIGINT) AS corpus_mass,
+           (CAST(target_mass AS DOUBLE) * CAST(tot.corpus_total AS DOUBLE))
+           / (CAST(corpus_mass AS DOUBLE) * CAST(tot.target_total AS DOUBLE))
+               AS importance
+    FROM doc, tot
+"""
