@@ -1063,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_quantize_int8": sca.embedding_quantize_int8,
             "embedding_cluster_balance": sca.embedding_cluster_balance,
             "text_dsir_weights": sca.text_dsir_weights,
+            "pipeline_corpus_build": sca.pipeline_corpus_build,
         }
     )
     # The driver's correctness harness walks this registry in order with a
@@ -1117,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8",
         "embedding_cluster_balance",
         "text_dsir_weights",
+        "pipeline_corpus_build",
     ]
     missing = [k for k in unchecked_head if k not in out]
     assert not missing, f"registry head references unknown queries: {missing}"
@@ -1336,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
             "embedding_quantize_int8": sca.QUANTIZE_INT8_SQL,
             "embedding_cluster_balance": sca.CLUSTER_BALANCE_SQL,
             "text_dsir_weights": sca.DSIR_WEIGHTS_SQL,
+            "pipeline_corpus_build": sca.PIPELINE_CORPUS_BUILD_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

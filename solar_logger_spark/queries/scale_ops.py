@@ -2043,3 +2043,159 @@ DSIR_WEIGHTS_SQL = """
                AS importance
     FROM doc, tot
 """
+
+
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus build — the full training-data funnel in one
+    declared query, composing the separately-verified stages:
+
+      quality filter (composite score >= 0.62)
+        → exact n-gram-Jaccard near-dup partner prune (drop any doc
+          with a LOWER-id partner at jaccard >= 0.5 — the one-pass
+          production variant; the transitive-closure alternative is
+          dedup_cluster_assignments / embedding_semantic_dedup)
+        → 128-token chunking
+        → 512-token GPT-style sequence packing per source shard
+
+    reported as a per-source funnel: docs in → after quality → after
+    dedup → chunks / tokens / packed sequences. ``n_sequences`` comes
+    from the ACTUAL packed output (count of distinct seq_id); the
+    oracle independently recomputes the running-sum window in SQL —
+    note it is NOT ceil(total_tokens / 512), because a straddling final
+    chunk can leave the last 512-window with no chunk start.
+
+    Scale shape: each stage keeps its audited topology (score/chunk/
+    pack are map+window, the prune inherits the inverted-index join);
+    the funnel counts are per-source hash aggs joined on the
+    |sources|-bounded key. In production the inter-stage frames would
+    be persisted tables; as a declared query the lineage recomputes,
+    which only re-reads the (columnar, pruned) corpus scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    keptq = docs.join(
+        scored.filter(F.col("quality_score") >= 0.62).select("doc_id"),
+        "doc_id",
+    )
+    pairs = dedup.ngram_jaccard_pairs(keptq, threshold=0.5)
+    surv = keptq.join(
+        pairs.select(F.col("b_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    chunks = (
+        text.chunk_documents(surv, chunk_tokens=128, overlap=0)
+        .join(surv.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "chunk_index", "source", "n_tokens")
+    )
+    packed = text.pack_training_sequences(
+        chunks, max_tokens=512, part_col="source"
+    )
+    f_in = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in")
+    )
+    f_q = keptq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_quality")
+    )
+    # n_docs_kept comes from the packed output (every surviving doc
+    # yields >= 1 chunk), so the expensive prune subtree is planned
+    # once instead of twice
+    f_p = packed.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("seq_id").cast("long").alias("n_sequences"),
+    )
+    return (
+        f_in.join(f_q, "source", "left")
+        .join(f_p, "source", "left")
+        .na.fill(
+            {
+                "n_docs_quality": 0,
+                "n_docs_kept": 0,
+                "n_chunks": 0,
+                "total_tokens": 0,
+                "n_sequences": 0,
+            }
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_CORPUS_BUILD_SQL = """
+    WITH base AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(translate(text, '.,!?;:', '')) AS punct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                   AS stop_hits
+        FROM documents
+    ), keptq AS (
+        SELECT doc_id, source, text FROM base
+        WHERE (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                    THEN 1.0 ELSE 0.0 END) * 0.4
+              + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+              + (1.0 - CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2
+              >= 0.62
+    ), words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM keptq
+    ), sh AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))])
+                   AS s
+        FROM words
+    ),
+    sd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pruned AS (
+        SELECT DISTINCT b_id FROM pairs
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+              >= 0.5
+    ), surv AS (
+        SELECT * FROM words
+        WHERE doc_id NOT IN (SELECT b_id FROM pruned)
+    ), starts AS (
+        SELECT doc_id, source, ws,
+               unnest(range(0, greatest(len(ws) - 1, 0) + 1, 128)) AS st
+        FROM surv
+    ), chunks AS (
+        SELECT doc_id, source, CAST(st / 128 AS INTEGER) AS chunk_index,
+               CAST(len(list_slice(ws, st + 1, st + 128)) AS BIGINT)
+                   AS n_tokens
+        FROM starts
+    ), packedq AS (
+        SELECT source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id, chunk_index
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start
+        FROM chunks
+    ),
+    f_in AS (SELECT source, count(*) AS n_docs_in FROM documents GROUP BY 1),
+    f_q AS (SELECT source, count(*) AS n_docs_quality FROM keptq GROUP BY 1),
+    f_k AS (SELECT source, count(*) AS n_docs_kept FROM surv GROUP BY 1),
+    f_c AS (
+        SELECT source, count(*) AS n_chunks, sum(n_tokens) AS total_tokens,
+               count(DISTINCT start // 512) AS n_sequences
+        FROM packedq GROUP BY 1
+    )
+    SELECT f_in.source,
+           CAST(n_docs_in AS BIGINT) AS n_docs_in,
+           CAST(coalesce(n_docs_quality, 0) AS BIGINT) AS n_docs_quality,
+           CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(total_tokens, 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(n_sequences, 0) AS BIGINT) AS n_sequences
+    FROM f_in
+    LEFT JOIN f_q USING (source)
+    LEFT JOIN f_k USING (source)
+    LEFT JOIN f_c USING (source)
+    ORDER BY source
+"""

@@ -1,0 +1,36 @@
+"""End-to-end corpus-build funnel invariants."""
+
+import pytest
+
+from solar_logger_spark.io.tables import load_table
+from solar_logger_spark.queries import scale_ops
+
+
+@pytest.fixture(scope="module")
+def funnel(spark, sf_dir):
+    return scale_ops.pipeline_corpus_build(spark, sf_dir).collect()
+
+
+def test_funnel_is_monotone(funnel):
+    for r in funnel:
+        assert r.n_docs_in >= r.n_docs_quality >= r.n_docs_kept >= 0
+        assert r.n_chunks >= r.n_docs_kept  # every kept doc chunks >= once
+        assert r.total_tokens >= r.n_chunks  # chunks are non-empty
+        # packing is shard-dense: sequences within [floor, ceil] of the
+        # token budget, and zero iff the shard is empty
+        assert r.n_sequences <= (r.total_tokens + 511) // 512
+        if r.n_docs_kept:
+            assert r.n_sequences >= 1
+
+
+def test_funnel_totals(funnel, spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs_in for r in funnel) == docs.count()
+    # every stage drops something on the standard corpus — the declared
+    # thresholds are non-vacuous
+    assert sum(r.n_docs_quality for r in funnel) < sum(
+        r.n_docs_in for r in funnel
+    )
+    assert sum(r.n_docs_kept for r in funnel) < sum(
+        r.n_docs_quality for r in funnel
+    )
