@@ -1,0 +1,72 @@
+"""Driver-budget registry ordering computed from CORRECTNESS records."""
+
+import __spark_entry__ as em
+
+GREEN = {
+    "rows_match": True,
+    "schema_match": True,
+    "hash_match": True,
+    "err": None,
+}
+RED = {
+    "rows_match": True,
+    "schema_match": True,
+    "hash_match": False,
+    "err": None,
+}
+ERR = {
+    "rows_match": False,
+    "schema_match": False,
+    "hash_match": False,
+    "err": "boom",
+}
+
+
+def _order(out, records):
+    return list(em._registry_order(out, records=records))
+
+
+def test_never_checked_comes_first():
+    out = {"a": 1, "b": 2, "c": 3}
+    got = _order(out, {1: {"a": GREEN, "b": GREEN}})
+    assert got[0] == "c" and set(got) == {"a", "b", "c"}
+
+
+def test_latest_red_outranks_green_but_not_new():
+    out = {"new": 1, "fixed": 2, "ok": 3}
+    records = {1: {"fixed": GREEN, "ok": GREEN}, 2: {"fixed": ERR, "ok": GREEN}}
+    assert _order(out, records) == ["new", "fixed", "ok"]
+
+
+def test_red_then_regreened_is_settled():
+    out = {"q": 1, "other": 2}
+    records = {1: {"q": RED, "other": GREEN}, 2: {"q": GREEN}}
+    # latest row green -> lowest priority, original order kept
+    assert _order(out, records) == ["q", "other"] or _order(out, records) == [
+        "other",
+        "q",
+    ]
+    # both settled: order must be the original insertion order
+    assert _order(out, records) == ["q", "other"]
+
+
+def test_stable_within_class():
+    out = {"x": 1, "y": 2, "z": 3}
+    assert _order(out, {}) and _order(out, {})[:3] == _order(out, {})
+
+
+def test_real_registry_is_complete_permutation():
+    q = em.queries()
+    # ordering is a pure permutation: nothing dropped, nothing invented
+    assert len(q) == len(set(q))
+    again = em.queries()
+    assert list(q) == list(again)
+
+
+def test_oracle_backed_lead_within_never_checked():
+    # synthetic names are not in oracle_sql(), so both land in the
+    # rows-only subclass of priority 0 — equal priority, original
+    # order preserved; a real oracle-backed name must jump ahead
+    out = {"ro_new": 1, "tpch_q1_pricing_summary": 2}
+    got = _order(out, {})
+    assert got == ["tpch_q1_pricing_summary", "ro_new"]
