@@ -1064,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_cluster_balance": sca.embedding_cluster_balance,
             "text_dsir_weights": sca.text_dsir_weights,
             "pipeline_corpus_build": sca.pipeline_corpus_build,
+            "text_classifier_score_docs": sca.text_classifier_score_docs,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1355,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
             "embedding_cluster_balance": sca.CLUSTER_BALANCE_SQL,
             "text_dsir_weights": sca.DSIR_WEIGHTS_SQL,
             "pipeline_corpus_build": sca.PIPELINE_CORPUS_BUILD_SQL,
+            "text_classifier_score_docs": sca.CLASSIFIER_SCORE_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

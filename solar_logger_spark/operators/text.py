@@ -628,3 +628,56 @@ def dsir_weights(
             / (F.col("corpus_mass").cast("double") * F.lit(target_total))
         ).alias("importance"),
     )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed-feature linear classifier scoring — the fasttext-shaped
+    model-based quality filter (hash each token into one of
+    ``n_buckets`` feature buckets, sum per-bucket weights, normalize):
+    the standard learned replacement for heuristic quality scores in
+    web-corpus pipelines.
+
+    The weight table here is a deterministic stand-in (a fixed integer
+    mix of the bucket id, in [-500, 500]); a trained model would swap in
+    a broadcast weight array with the identical plan. What this
+    exercises — and what matters at 100 TB — is the scoring plumbing:
+    per-token hashing, bucket lookup, and accumulation are all JVM
+    expressions inside one whole-stage-codegen map over the corpus
+    (explode → hash agg on the doc key), no Python, no model server.
+
+    Bit-reproducibility discipline: weights accumulate as exact
+    integers; ONE final double division produces the score, so a SQL
+    oracle matches bit-for-bit (token hash is the engine-portable
+    md5-prefix ``dedup.token_hash``).
+    """
+    from solar_logger_spark.operators.dedup import token_hash
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    bucket = F.pmod(token_hash(F.col("tok")), F.lit(n_buckets))
+    # Knuth multiplicative mix of the bucket id -> pseudo-weight in
+    # [-500, 500]; pure 64-bit-safe integer ops, portable to any engine
+    weight = F.pmod(bucket * F.lit(2654435761), F.lit(1001)) - F.lit(500)
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(weight).cast("long").alias("raw_score"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "raw_score",
+            (
+                F.col("raw_score").cast("double")
+                / (F.lit(500.0) * F.col("n_tokens").cast("double"))
+            ).alias("score"),
+        )
+    )

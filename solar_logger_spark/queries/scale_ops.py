@@ -2199,3 +2199,36 @@ PIPELINE_CORPUS_BUILD_SQL = """
     LEFT JOIN f_c USING (source)
     ORDER BY source
 """
+
+
+def text_classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style hashed linear classifier scoring over the corpus
+    (operators.text.hashed_classifier_score): the model-based quality
+    filter's scoring plumbing — token hash → feature bucket → weight
+    accumulation — as pure JVM expressions. Integer weight sums + one
+    final division keep it hash-exact vs the oracle."""
+    from solar_logger_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TXT.hashed_classifier_score(docs)
+
+
+CLASSIFIER_SCORE_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               (CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024)
+                   AS bucket
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum((bucket * 2654435761) % 1001 - 500) AS BIGINT)
+               AS raw_score,
+           CAST(sum((bucket * 2654435761) % 1001 - 500) AS DOUBLE)
+           / (500.0 * CAST(count(*) AS DOUBLE)) AS score
+    FROM feats
+    GROUP BY doc_id
+"""

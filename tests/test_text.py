@@ -325,3 +325,26 @@ def test_pii_scrub_differential_vs_duckdb(spark):
             got[doc_id],
             (n_email, n_ipv4, n_phone, scrubbed),
         )
+
+
+def test_hashed_classifier_score(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma"), Row(doc_id=1, text="x")]
+    )
+    out = {
+        r.doc_id: r for r in text.hashed_classifier_score(df).collect()
+    }
+
+    def w(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return (h % 1024) * 2654435761 % 1001 - 500
+
+    exp0 = sum(w(t) for t in ["alpha", "beta", "gamma"])
+    assert out[0].n_tokens == 3 and out[0].raw_score == exp0
+    assert out[0].score == exp0 / (500.0 * 3)
+    assert out[1].n_tokens == 1 and out[1].raw_score == w("x")
+    assert -1.002 <= out[0].score <= 1.002  # weights bounded by ±500
