@@ -1065,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_dsir_weights": sca.text_dsir_weights,
             "pipeline_corpus_build": sca.pipeline_corpus_build,
             "text_classifier_score_docs": sca.text_classifier_score_docs,
+            "ts_cusum_events": sca.ts_cusum_events,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1357,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
             "text_dsir_weights": sca.DSIR_WEIGHTS_SQL,
             "pipeline_corpus_build": sca.PIPELINE_CORPUS_BUILD_SQL,
             "text_classifier_score_docs": sca.CLASSIFIER_SCORE_SQL,
+            "ts_cusum_events": sca.CUSUM_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -419,3 +419,86 @@ def interpolate_linear(
             F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
         ),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    slack_sigmas: float = 0.5,
+    threshold_sigmas: float = 4.0,
+) -> DataFrame:
+    """Tabular CUSUM drift / changepoint detection per series — the
+    monitor that catches slow sensor degradation a rolling z-score
+    misses (each point looks normal; the cumulative deviation does
+    not). Two-sided: ``cusum_pos`` accumulates upward drift,
+    ``cusum_neg`` downward; ``is_drift`` fires when either exceeds
+    ``threshold_sigmas`` × the series stddev.
+
+    The textbook recursion S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ − k) is not a
+    window function, but it has an exact closed form: with
+    Qᵢ = Σ_{j≤i}(dⱼ − k), S⁺ᵢ = Qᵢ − min(0, min_{j≤i} Qⱼ) (and the
+    downward side with d negated). Both pieces are single-pass
+    analytic windows over one partitioning — one exchange per series,
+    the cumulative_sum plan family, scaling with rows like every other
+    stacked-window op here.
+
+    Numeric discipline (the anomaly_zscore pattern): the in-control
+    mean and stddev come from exact-decimal per-series moments cast to
+    double once; the increments (value − mean − k, computed in double
+    with identical operation order) are cast to DECIMAL(18,6) so the
+    prefix sums and running minima are EXACT and order-independent;
+    each CUSUM statistic converts to double once at the end.
+    """
+    xd = F.col(value_col).cast("decimal(18,6)")
+    stats = df.groupBy(*series).agg(
+        F.sum(xd).cast("double").alias("_sx"),
+        F.sum(xd * xd).cast("double").alias("_sxx"),
+        F.count(value_col).cast("double").alias("_cnt"),
+    )
+    base = df.join(F.broadcast(stats), list(series))
+    mean = F.col("_sx") / F.col("_cnt")
+    var_num = F.col("_cnt") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    sigma = F.when(
+        (F.col("_cnt") > 1) & (var_num > 0),
+        F.sqrt(var_num / (F.col("_cnt") * (F.col("_cnt") - F.lit(1.0)))),
+    )
+    k = F.lit(float(slack_sigmas)) * sigma
+    base = base.withColumns(
+        {
+            "_sigma": sigma,
+            "_qp": (F.col(value_col) - mean - k).cast("decimal(18,6)"),
+            "_qn": (mean - F.col(value_col) - k).cast("decimal(18,6)"),
+        }
+    )
+    w = _series_window(series, ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = base.withColumns(
+        {"_cqp": F.sum("_qp").over(w), "_cqn": F.sum("_qn").over(w)}
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    ext = cum.withColumns(
+        {
+            "_mqp": F.least(F.min("_cqp").over(w), zero),
+            "_mqn": F.least(F.min("_cqn").over(w), zero),
+        }
+    )
+    pos = (F.col("_cqp") - F.col("_mqp")).cast("double")
+    neg = (F.col("_cqn") - F.col("_mqn")).cast("double")
+    lim = F.lit(float(threshold_sigmas)) * F.col("_sigma")
+    return (
+        ext.withColumns(
+            {
+                "cusum_pos": pos,
+                "cusum_neg": neg,
+                "is_drift": F.coalesce(
+                    (pos > lim) | (neg > lim), F.lit(False)
+                ),
+            }
+        )
+        .drop("_sx", "_sxx", "_cnt", "_sigma", "_qp", "_qn", "_cqp",
+              "_cqn", "_mqp", "_mqn")
+    )

@@ -2232,3 +2232,71 @@ CLASSIFIER_SCORE_SQL = """
     FROM feats
     GROUP BY doc_id
 """
+
+
+def ts_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection per event_type series
+    (operators.timeseries.cusum_drift): cumulative-deviation
+    changepoint monitoring — the slow-degradation complement to the
+    rolling z-score and MAD monitors. Exact-decimal prefix sums +
+    running minima make both CUSUM statistics hash-exact vs the
+    oracle."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.cusum_drift(
+        events, series=["event_type"], tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id", "event_type", "value", "cusum_pos", "cusum_neg",
+        "is_drift",
+    )
+
+
+CUSUM_SQL = """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+               CAST(count(value) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1
+    ), base AS (
+        SELECT e.event_id, e.event_type, e.ts, e.value,
+               s.sx / s.cnt AS mean,
+               CASE WHEN s.cnt > 1 AND s.cnt * s.sxx - s.sx * s.sx > 0
+                    THEN sqrt((s.cnt * s.sxx - s.sx * s.sx)
+                              / (s.cnt * (s.cnt - 1)))
+               END AS sigma
+        FROM events e JOIN stats s USING (event_type)
+    ), q AS (
+        SELECT *,
+               CAST(value - mean - 0.5 * sigma AS DECIMAL(18,6)) AS qp,
+               CAST(mean - value - 0.5 * sigma AS DECIMAL(18,6)) AS qn
+        FROM base
+    ), c AS (
+        SELECT *, sum(qp) OVER w AS cqp, sum(qn) OVER w AS cqn
+        FROM q
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), m AS (
+        -- NOT least(): DuckDB's least() on decimals returns DOUBLE,
+        -- which re-introduces the catastrophic cancellation the whole
+        -- decimal chain exists to avoid; CASE keeps DECIMAL(38,6)
+        SELECT *,
+               CASE WHEN min(cqp) OVER w2 < 0 THEN min(cqp) OVER w2
+                    ELSE CAST(0 AS DECIMAL(38,6)) END AS mqp,
+               CASE WHEN min(cqn) OVER w2 < 0 THEN min(cqn) OVER w2
+                    ELSE CAST(0 AS DECIMAL(38,6)) END AS mqn
+        FROM c
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, value,
+           CAST(cqp - mqp AS DOUBLE) AS cusum_pos,
+           CAST(cqn - mqn AS DOUBLE) AS cusum_neg,
+           coalesce(CAST(cqp - mqp AS DOUBLE) > 4.0 * sigma
+                    OR CAST(cqn - mqn AS DOUBLE) > 4.0 * sigma,
+                    false) AS is_drift
+    FROM m
+"""

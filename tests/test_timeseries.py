@@ -324,3 +324,67 @@ def test_interpolate_duplicate_timestamps_pin_prev(spark):
         ).collect()
     }
     assert out[1].filled == 1.0  # pinned to prev, not NaN/NULL
+
+
+def test_cusum_drift_matches_textbook_recursion(spark):
+    """The closed form (prefix sum minus running min) must equal the
+    textbook recursion S_i = max(0, S_{i-1} + d_i - k) exactly, with a
+    drift injected mid-series getting detected."""
+    import numpy as np
+    import pandas as pd
+    from decimal import Decimal, ROUND_HALF_UP
+
+    rng = np.random.default_rng(7)
+    vals = np.round(
+        np.concatenate([rng.normal(0, 1, 120), rng.normal(1.5, 1, 60)]), 4
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": pd.date_range("2024-01-01", periods=len(vals), freq="min"),
+            "event_type": "a",
+            "value": vals,
+        }
+    )
+    out = (
+        T.cusum_drift(
+            spark.createDataFrame(pdf),
+            series=["event_type"],
+            tiebreak=["event_id"],
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    xd = [Decimal(str(v)).quantize(Decimal("0.000001")) for v in vals]
+    sx, sxx, n = float(sum(xd)), float(sum(d * d for d in xd)), float(len(xd))
+    mean = sx / n
+    sigma = ((n * sxx - sx * sx) / (n * (n - 1))) ** 0.5
+    k = 0.5 * sigma
+
+    def dq(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    sp = sn = Decimal(0)
+    exp_pos, exp_neg = [], []
+    for v in vals:
+        sp = max(Decimal(0), sp + dq(float(v) - mean - k))
+        sn = max(Decimal(0), sn + dq(mean - float(v) - k))
+        exp_pos.append(float(sp))
+        exp_neg.append(float(sn))
+
+    assert np.abs(out["cusum_pos"].to_numpy() - exp_pos).max() == 0.0
+    assert np.abs(out["cusum_neg"].to_numpy() - exp_neg).max() == 0.0
+    # drift is detected (the in-control stats come from the full —
+    # contaminated — series, so the pre-shift segment reads as downward
+    # drift relative to the elevated mean: both sides fire; upward
+    # accumulation must peak after the +1.5 sigma shift begins)
+    assert out["is_drift"].any()
+    assert out["cusum_pos"].to_numpy().argmax() >= 120
+    assert (
+        out.loc[out["event_id"] >= 160, "cusum_pos"].min()
+        > out.loc[out["event_id"] < 120, "cusum_pos"].max()
+    )
