@@ -1066,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipeline_corpus_build": sca.pipeline_corpus_build,
             "text_classifier_score_docs": sca.text_classifier_score_docs,
             "ts_cusum_events": sca.ts_cusum_events,
+            "ts_holt_smoothing_events": sca.ts_holt_smoothing_events,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1359,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
             "pipeline_corpus_build": sca.PIPELINE_CORPUS_BUILD_SQL,
             "text_classifier_score_docs": sca.CLASSIFIER_SCORE_SQL,
             "ts_cusum_events": sca.CUSUM_SQL,
+            "ts_holt_smoothing_events": sca.HOLT_SMOOTHING_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -502,3 +502,90 @@ def cusum_drift(
         .drop("_sx", "_sxx", "_cnt", "_sigma", "_qp", "_qn", "_cqp",
               "_cqn", "_mqp", "_mqn")
     )
+
+
+def holt_smoothing(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    level_alias: str = "level",
+    trend_alias: str = "trend",
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per series — the
+    level+trend forecaster behind Flux's ``holtWinters`` family
+    (seasonality omitted; this is the non-seasonal core)::
+
+        l_0 = x_0,  b_0 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    The one-step-ahead forecast is ``level + trend``.
+
+    Same execution shape as ``exponential_moving_average``: the
+    recursion is sequential per series but embarrassingly parallel
+    across series, so this hash-partitions on the series key, sorts
+    within partitions, and runs ONE ``mapInPandas`` stage with a
+    per-series carry across Arrow batch boundaries — one exchange,
+    one Python crossing, scales with the widest single series, not the
+    corpus. The coupled (level, trend) state is why this cannot be a
+    window function or ``ewm`` call; the Python loop evaluates exactly
+    the recursion above, bit-matched by the DuckDB ``list_reduce``
+    oracle folding the same expressions over a struct accumulator.
+
+    Nulls are a documented precondition violation (they poison the
+    recursion identically in both engines).
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a, b_ = float(alpha), float(beta)
+    series = list(series)
+    sort_cols = series + [ts_col, *tiebreak]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(level_alias, DoubleType()),
+           StructField(trend_alias, DoubleType())]
+    )
+
+    def _holt_batches(batches):
+        carry: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lv = pd.Series(0.0, index=pdf.index)
+            tr = pd.Series(0.0, index=pdf.index)
+            grouped = pdf.groupby(series, sort=False)
+            for key, idx in grouped.indices.items():
+                xs = pdf[value_col].iloc[idx].astype(float).to_numpy()
+                ls = [0.0] * len(xs)
+                bs = [0.0] * len(xs)
+                state = carry.get(key)
+                if state is None:
+                    l, b = float(xs[0]), 0.0
+                    ls[0], bs[0] = l, b
+                    start = 1
+                else:
+                    l, b = state
+                    start = 0
+                for i in range(start, len(xs)):
+                    x = float(xs[i])
+                    l_new = a * x + (1 - a) * (l + b)
+                    b = b_ * (l_new - l) + (1 - b_) * b
+                    l = l_new
+                    ls[i], bs[i] = l, b
+                lv.iloc[idx] = ls
+                tr.iloc[idx] = bs
+                carry[key] = (l, b)
+            pdf = pdf.copy()
+            pdf[level_alias] = lv
+            pdf[trend_alias] = tr
+            yield pdf
+
+    parted = df.repartition(*[F.col(c) for c in series]).sortWithinPartitions(
+        *sort_cols
+    )
+    return parted.mapInPandas(_holt_batches, out_schema)

@@ -2300,3 +2300,45 @@ CUSUM_SQL = """
                     false) AS is_drift
     FROM m
 """
+
+
+def ts_holt_smoothing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing per user
+    series (operators.timeseries.holt_smoothing) — the non-seasonal
+    core of Flux's holtWinters forecaster. The oracle replays the
+    identical recursion through a RECURSIVE CTE (O(n) per series; a
+    ``list_reduce`` struct accumulator was rejected — DuckDB evaluates
+    result-struct fields sequentially with ``acc`` aliased in place, so
+    a field reading another field's input silently sees the updated
+    value)."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.holt_smoothing(
+        events, series=["user_id"], tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "level", "trend")
+
+
+HOLT_SMOOTHING_SQL = """
+    WITH RECURSIVE s AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM events GROUP BY user_id
+    ), r AS (
+        SELECT user_id, 1 AS rn, ids[1] AS event_id,
+               CAST(vals[1] AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+               vals, ids
+        FROM s
+        UNION ALL
+        SELECT user_id, rn + 1, ids[rn + 1],
+               0.2::DOUBLE * CAST(vals[rn + 1] AS DOUBLE)
+                   + 0.8::DOUBLE * (l + b),
+               0.1::DOUBLE * ((0.2::DOUBLE * CAST(vals[rn + 1] AS DOUBLE)
+                               + 0.8::DOUBLE * (l + b)) - l)
+                   + 0.9::DOUBLE * b,
+               vals, ids
+        FROM r WHERE rn < len(vals)
+    )
+    SELECT event_id, user_id, l AS level, b AS trend FROM r
+"""

@@ -388,3 +388,54 @@ def test_cusum_drift_matches_textbook_recursion(spark):
         out.loc[out["event_id"] >= 160, "cusum_pos"].min()
         > out.loc[out["event_id"] < 120, "cusum_pos"].max()
     )
+
+
+def test_holt_smoothing_recursion_and_batch_carry(spark):
+    """Levels/trends equal the plain recursion bit-for-bit, including
+    when one series spans Arrow batch boundaries (tiny batch size
+    forces the carry path)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.normal(50, 10, 64), 3)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(64),
+            "ts": pd.date_range("2024-01-01", periods=64, freq="min"),
+            "event_type": "a",
+            "value": vals,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    # force multiple small Arrow batches through mapInPandas
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = (
+            T.holt_smoothing(
+                sdf, series=["event_type"], tiebreak=["event_id"]
+            )
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+
+    a, b_ = 0.2, 0.1
+    l, b = float(vals[0]), 0.0
+    exp_l, exp_b = [l], [b]
+    for x in vals[1:]:
+        ln = a * float(x) + (1 - a) * (l + b)
+        b = b_ * (ln - l) + (1 - b_) * b
+        l = ln
+        exp_l.append(l)
+        exp_b.append(b)
+    assert np.abs(out["level"].to_numpy() - exp_l).max() == 0.0
+    assert np.abs(out["trend"].to_numpy() - exp_b).max() == 0.0
