@@ -81,24 +81,27 @@ def quantize_int8(
             .otherwise(F.lit(0))
         )
 
+    # materialize codes once, then derive errors from the materialized
+    # column — Catalyst does not CSE across transform() lambda bodies,
+    # so recomputing _code inside the error lambda would double the
+    # per-element encode work in the hot map
+    with_codes = df.withColumn("codes", F.transform(vec, _code))
+
     def _err(x, i):
         lo = F.element_at(mn, i + 1)
         hi = F.element_at(mx, i + 1)
-        deq = lo + _code(x, i).cast("double") * (
-            (hi - lo) / F.lit(float(LEVELS_MINUS_1))
-        )
+        code = F.element_at(F.col("codes"), i + 1).cast("double")
+        deq = lo + code * ((hi - lo) / F.lit(float(LEVELS_MINUS_1)))
         return F.abs(x - deq)
 
-    codes = F.transform(vec, _code)
-    errs = F.transform(vec, _err)
-    return df.withColumns(
+    codes = F.col("codes")
+    return with_codes.withColumns(
         {
-            "codes": codes,
             "code_sum": F.aggregate(
                 codes, F.lit(0).cast("long"), lambda acc, c: acc + c
             ),
             "min_code": F.array_min(codes),
             "max_code": F.array_max(codes),
-            "max_abs_err": F.array_max(errs),
+            "max_abs_err": F.array_max(F.transform(vec, _err)),
         }
     )

@@ -28,6 +28,18 @@ def _series_window(
     return Window.partitionBy(*series).orderBy(ts_col, *tiebreak)
 
 
+def _normalize_group_key(key) -> tuple:
+    """Stable dict key for a pandas groupby key: null-ish components
+    (None / NaN / NaT) collapse to None so the carry state written by
+    one Arrow batch is found by the next (NaN != NaN would otherwise
+    silently restart a null-key series' recursion every batch)."""
+    ks = key if isinstance(key, tuple) else (key,)
+    return tuple(
+        None if (k is None or k != k) else k
+        for k in ks
+    )
+
+
 def difference(
     df: DataFrame,
     series: Sequence[str],
@@ -289,8 +301,10 @@ def exponential_moving_average(
             if len(pdf) == 0:
                 continue
             out = pd.Series(0.0, index=pdf.index)
-            grouped = pdf.groupby(series, sort=False)
-            for key, idx in grouped.indices.items():
+            # dropna=False + key normalization: see _normalize_group_key
+            grouped = pdf.groupby(series, sort=False, dropna=False)
+            for raw_key, idx in grouped.indices.items():
+                key = _normalize_group_key(raw_key)
                 vals = pdf[value_col].iloc[idx].astype(float)
                 seed = carry.get(key)
                 if seed is not None:
@@ -458,7 +472,23 @@ def cusum_drift(
         F.sum(xd * xd).cast("double").alias("_sxx"),
         F.count(value_col).cast("double").alias("_cnt"),
     )
-    base = df.join(F.broadcast(stats), list(series))
+    # null-SAFE equi-join: a plain column-list join drops rows whose
+    # series key is null (NULL != NULL), silently losing input rows —
+    # the window-based operators in this module all keep null-key
+    # series, and so does the SQL oracle (GROUP BY groups NULLs)
+    keyed = F.broadcast(
+        stats.select(
+            *[F.col(c).alias(f"_k_{c}") for c in series],
+            "_sx",
+            "_sxx",
+            "_cnt",
+        )
+    )
+    cond = None
+    for c in series:
+        clause = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        cond = clause if cond is None else cond & clause
+    base = df.join(keyed, cond).drop(*[f"_k_{c}" for c in series])
     mean = F.col("_sx") / F.col("_cnt")
     var_num = F.col("_cnt") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     sigma = F.when(
@@ -558,8 +588,14 @@ def holt_smoothing(
                 continue
             lv = pd.Series(0.0, index=pdf.index)
             tr = pd.Series(0.0, index=pdf.index)
-            grouped = pdf.groupby(series, sort=False)
-            for key, idx in grouped.indices.items():
+            # dropna=False: a null series key is still a series (the
+            # SQL oracle GROUPs BY it); the default dropna=True would
+            # skip those rows and emit fabricated 0.0 level/trend.
+            # Keys are normalized so the NaN the next batch produces
+            # equals the one this batch stored (NaN != NaN).
+            grouped = pdf.groupby(series, sort=False, dropna=False)
+            for raw_key, idx in grouped.indices.items():
+                key = _normalize_group_key(raw_key)
                 xs = pdf[value_col].iloc[idx].astype(float).to_numpy()
                 ls = [0.0] * len(xs)
                 bs = [0.0] * len(xs)

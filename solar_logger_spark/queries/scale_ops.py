@@ -2321,24 +2321,28 @@ def ts_holt_smoothing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HOLT_SMOOTHING_SQL = """
+    -- The recursion carries only (user_id, rn, l, b); the per-series
+    -- value/id arrays live once in CTE s and are joined per step /
+    -- at the end — O(L) per series, not O(L^2) as carrying the arrays
+    -- through every recursion row would be.
     WITH RECURSIVE s AS (
         SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
                list(event_id ORDER BY ts, event_id) AS ids
         FROM events GROUP BY user_id
     ), r AS (
-        SELECT user_id, 1 AS rn, ids[1] AS event_id,
-               CAST(vals[1] AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
-               vals, ids
+        SELECT user_id, 1 AS rn,
+               CAST(vals[1] AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
         FROM s
         UNION ALL
-        SELECT user_id, rn + 1, ids[rn + 1],
-               0.2::DOUBLE * CAST(vals[rn + 1] AS DOUBLE)
-                   + 0.8::DOUBLE * (l + b),
-               0.1::DOUBLE * ((0.2::DOUBLE * CAST(vals[rn + 1] AS DOUBLE)
-                               + 0.8::DOUBLE * (l + b)) - l)
-                   + 0.9::DOUBLE * b,
-               vals, ids
-        FROM r WHERE rn < len(vals)
+        SELECT r.user_id, r.rn + 1,
+               0.2::DOUBLE * CAST(s.vals[r.rn + 1] AS DOUBLE)
+                   + 0.8::DOUBLE * (r.l + r.b),
+               0.1::DOUBLE * ((0.2::DOUBLE * CAST(s.vals[r.rn + 1] AS DOUBLE)
+                               + 0.8::DOUBLE * (r.l + r.b)) - r.l)
+                   + 0.9::DOUBLE * r.b
+        FROM r JOIN s USING (user_id)
+        WHERE r.rn < len(s.vals)
     )
-    SELECT event_id, user_id, l AS level, b AS trend FROM r
+    SELECT s.ids[r.rn] AS event_id, r.user_id, r.l AS level, r.b AS trend
+    FROM r JOIN s USING (user_id)
 """

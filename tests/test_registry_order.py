@@ -41,12 +41,7 @@ def test_latest_red_outranks_green_but_not_new():
 def test_red_then_regreened_is_settled():
     out = {"q": 1, "other": 2}
     records = {1: {"q": RED, "other": GREEN}, 2: {"q": GREEN}}
-    # latest row green -> lowest priority, original order kept
-    assert _order(out, records) == ["q", "other"] or _order(out, records) == [
-        "other",
-        "q",
-    ]
-    # both settled: order must be the original insertion order
+    # latest row green -> both settled: original insertion order
     assert _order(out, records) == ["q", "other"]
 
 

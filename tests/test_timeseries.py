@@ -439,3 +439,36 @@ def test_holt_smoothing_recursion_and_batch_carry(spark):
         exp_b.append(b)
     assert np.abs(out["level"].to_numpy() - exp_l).max() == 0.0
     assert np.abs(out["trend"].to_numpy() - exp_b).max() == 0.0
+
+
+def test_cusum_and_holt_keep_null_series_keys(spark):
+    """Null series keys form a real series: cusum must not drop the
+    rows (null-safe stats join) and holt must not fabricate 0.0 state
+    (groupby dropna=False + normalized carry keys)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.date_range("2024-01-01", periods=6, freq="min"),
+            "event_type": ["a", "a", "a", None, None, None],
+            "value": [10.0, 12.0, 11.0, 5.0, 7.0, 6.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    c = T.cusum_drift(sdf, series=["event_type"], tiebreak=["event_id"])
+    assert c.count() == 6  # null-key rows survive the stats join
+
+    h = (
+        T.holt_smoothing(sdf, series=["event_type"], tiebreak=["event_id"])
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # the null series runs the real recursion: l0 = x0, and the later
+    # levels move toward the observations instead of staying 0.0
+    nulls = h[h["event_type"].isna()]
+    assert list(nulls["event_id"]) == [3, 4, 5]
+    assert nulls["level"].iloc[0] == 5.0
+    assert (nulls["level"] != 0.0).all()
