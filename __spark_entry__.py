@@ -1067,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_classifier_score_docs": sca.text_classifier_score_docs,
             "ts_cusum_events": sca.ts_cusum_events,
             "ts_holt_smoothing_events": sca.ts_holt_smoothing_events,
+            "ts_holtwinters_events": sca.ts_holtwinters_events,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1361,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
             "text_classifier_score_docs": sca.CLASSIFIER_SCORE_SQL,
             "ts_cusum_events": sca.CUSUM_SQL,
             "ts_holt_smoothing_events": sca.HOLT_SMOOTHING_SQL,
+            "ts_holtwinters_events": sca.HOLT_WINTERS_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

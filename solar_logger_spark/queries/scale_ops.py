@@ -2346,3 +2346,62 @@ HOLT_SMOOTHING_SQL = """
     SELECT s.ids[r.rn] AS event_id, r.user_id, r.l AS level, r.b AS trend
     FROM r JOIN s USING (user_id)
 """
+
+
+def ts_holtwinters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal Holt-Winters per event_type series with a
+    24-step season (operators.timeseries.holt_winters) — the full Flux
+    holtWinters recursion, zero-init seasonals for exact oracle
+    reproducibility. The oracle replays the recursion through a
+    RECURSIVE CTE whose only carried state is (l, b) plus the fixed
+    period-length seasonal ring — O(L·m) per series."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.holt_winters(
+        events, series=["event_type"], period=24, tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id", "event_type", "level", "trend", "seasonal"
+    )
+
+
+HOLT_WINTERS_SQL = """
+    WITH RECURSIVE s AS (
+        SELECT event_type, list(value ORDER BY ts, event_id) AS vals,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM events GROUP BY event_type
+    ), r AS (
+        SELECT event_type, 1 AS rn,
+               CAST(vals[1] AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+               CAST(0 AS DOUBLE) AS sn,
+               [CAST(0 AS DOUBLE) FOR i IN range(24)] AS seas
+        FROM s
+        UNION ALL
+        SELECT r.event_type, r.rn + 1,
+               0.3::DOUBLE * (CAST(s.vals[r.rn + 1] AS DOUBLE) - r.seas[1])
+                   + 0.7::DOUBLE * (r.l + r.b),
+               0.1::DOUBLE * ((0.3::DOUBLE
+                               * (CAST(s.vals[r.rn + 1] AS DOUBLE)
+                                  - r.seas[1])
+                               + 0.7::DOUBLE * (r.l + r.b)) - r.l)
+                   + 0.9::DOUBLE * r.b,
+               0.2::DOUBLE * (CAST(s.vals[r.rn + 1] AS DOUBLE)
+                              - (0.3::DOUBLE
+                                 * (CAST(s.vals[r.rn + 1] AS DOUBLE)
+                                    - r.seas[1])
+                                 + 0.7::DOUBLE * (r.l + r.b)))
+                   + 0.8::DOUBLE * r.seas[1],
+               r.seas[2:] || [0.2::DOUBLE * (CAST(s.vals[r.rn + 1] AS DOUBLE)
+                              - (0.3::DOUBLE
+                                 * (CAST(s.vals[r.rn + 1] AS DOUBLE)
+                                    - r.seas[1])
+                                 + 0.7::DOUBLE * (r.l + r.b)))
+                   + 0.8::DOUBLE * r.seas[1]]
+        FROM r JOIN s USING (event_type)
+        WHERE r.rn < len(s.vals)
+    )
+    SELECT s.ids[r.rn] AS event_id, r.event_type,
+           r.l AS level, r.b AS trend, r.sn AS seasonal
+    FROM r JOIN s USING (event_type)
+"""

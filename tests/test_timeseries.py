@@ -472,3 +472,58 @@ def test_cusum_and_holt_keep_null_series_keys(spark):
     assert list(nulls["event_id"]) == [3, 4, 5]
     assert nulls["level"].iloc[0] == 5.0
     assert (nulls["level"] != 0.0).all()
+
+
+def test_holt_winters_learns_a_season(spark):
+    """Seasonal recursion matches the plain python reference bit-for-bit
+    and actually learns an injected 4-step season (late-series seasonal
+    estimates correlate with the true pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    pattern = [5.0, -2.0, 0.0, -3.0]
+    vals = np.array(
+        [50.0 + pattern[i % 4] for i in range(80)]
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(80),
+            "ts": pd.date_range("2024-01-01", periods=80, freq="h"),
+            "event_type": "a",
+            "value": vals,
+        }
+    )
+    out = (
+        T.holt_winters(
+            spark.createDataFrame(pdf),
+            series=["event_type"],
+            period=4,
+            tiebreak=["event_id"],
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    a, be, g = 0.3, 0.1, 0.2
+    l, b = float(vals[0]), 0.0
+    seas = [0.0] * 4
+    exp_l, exp_b, exp_s = [l], [b], [0.0]
+    for x in vals[1:]:
+        sm = seas[0]
+        ln = a * (float(x) - sm) + (1 - a) * (l + b)
+        b = be * (ln - l) + (1 - be) * b
+        sn = g * (float(x) - ln) + (1 - g) * sm
+        seas = seas[1:] + [sn]
+        l = ln
+        exp_l.append(l)
+        exp_b.append(b)
+        exp_s.append(sn)
+    assert np.abs(out["level"].to_numpy() - exp_l).max() == 0.0
+    assert np.abs(out["trend"].to_numpy() - exp_b).max() == 0.0
+    assert np.abs(out["seasonal"].to_numpy() - exp_s).max() == 0.0
+    # learned seasonals in the last cycle rank the same as the truth
+    tail = out["seasonal"].to_numpy()[-4:]
+    phase = [(i % 4) for i in out["event_id"].to_numpy()[-4:]]
+    truth = [pattern[p] for p in phase]
+    assert np.argsort(tail).tolist() == np.argsort(truth).tolist()
