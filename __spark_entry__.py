@@ -1085,13 +1085,14 @@ def _registry_order(
     """Order queries for the driver's fixed correctness budget.
 
     Priority classes (stable original order within each):
-      0. no green row in ANY round's record — brand-new queries and the
-         rows-only ones the driver has never reached; oracle-backed
-         entries lead so the hard hash-compare signal fills the budget
-         before the weaker rows-only checks;
+      0. oracle-backed with no green row in ANY round's record — the
+         hard hash-compare signal fills the budget first;
       1. latest record is red — code was fixed after a failing row and
          needs re-verification (the flux_agg_integral case from r2/r3);
-      2. green and current — the long-proven tail.
+         converting a standing red row to green outranks adding a first
+         weak rows-only row;
+      2. rows-only, never checked — the weaker rows+schema signal;
+      3. green and current — the long-proven tail.
 
     ``records`` maps round -> {query: row-dict} for tests; by default
     the committed CORRECTNESS_r*.json files next to this module are
@@ -1134,12 +1135,20 @@ def _registry_order(
 
     oracle_backed = set(oracle_sql())
 
-    def _prio(name: str) -> tuple[int, int]:
+    def _prio(name: str) -> int:
+        # 0: oracle-backed, never green — the hard hash-compare signal
+        # 1: latest record red — converts a standing red row to green
+        #    (worth more than a first weak rows-only row, so it outranks
+        #    class 2)
+        # 2: rows-only, never checked — weak rows+schema signal
+        # 3: green and current
         if not ever_green.get(name, False):
-            return (0, 0 if name in oracle_backed else 1)
+            if name in oracle_backed:
+                return 0
+            return 2
         if not latest[name][1]:
-            return (1, 0)
-        return (2, 0)
+            return 1
+        return 3
 
     names = list(out)
     pos = {n: i for i, n in enumerate(names)}

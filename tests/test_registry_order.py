@@ -32,10 +32,18 @@ def test_never_checked_comes_first():
     assert got[0] == "c" and set(got) == {"a", "b", "c"}
 
 
-def test_latest_red_outranks_green_but_not_new():
-    out = {"new": 1, "fixed": 2, "ok": 3}
+def test_latest_red_outranks_green_and_rows_only_new():
+    # "new" is a synthetic name not in oracle_sql() -> rows-only class;
+    # a standing red record outranks it, an oracle-backed new name
+    # outranks both
+    out = {"new": 1, "fixed": 2, "ok": 3, "tpch_q1_pricing_summary": 4}
     records = {1: {"fixed": GREEN, "ok": GREEN}, 2: {"fixed": ERR, "ok": GREEN}}
-    assert _order(out, records) == ["new", "fixed", "ok"]
+    assert _order(out, records) == [
+        "tpch_q1_pricing_summary",
+        "fixed",
+        "new",
+        "ok",
+    ]
 
 
 def test_red_then_regreened_is_settled():
