@@ -1068,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_cusum_events": sca.ts_cusum_events,
             "ts_holt_smoothing_events": sca.ts_holt_smoothing_events,
             "ts_holtwinters_events": sca.ts_holtwinters_events,
+            "dedup_scrub_duplicate_spans": sca.dedup_scrub_duplicate_spans,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1372,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_cusum_events": sca.CUSUM_SQL,
             "ts_holt_smoothing_events": sca.HOLT_SMOOTHING_SQL,
             "ts_holtwinters_events": sca.HOLT_WINTERS_SQL,
+            "dedup_scrub_duplicate_spans": sca.SCRUB_SPANS_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

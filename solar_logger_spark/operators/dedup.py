@@ -517,3 +517,69 @@ def benchmark_contamination(
         F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
         (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (the actionable
+    counterpart of ``duplicate_ngram_spans``, after Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    token-n-gram-window variant): every token covered by a token
+    ``n``-gram that occurs more than once corpus-wide is deleted from
+    the document; the survivors are re-joined into ``clean_text``.
+
+    Output: input columns + ``n_tokens``, ``n_removed``,
+    ``clean_text``. Docs shorter than ``n`` tokens are untouched.
+
+    Plan (linear in token count, no all-pairs anywhere): one positional
+    gram explode, hashed to 8-byte keys and materialized as a
+    repartition exchange on the hash so BOTH consumers — the
+    duplicate-hash aggregate and the join back to positions — re-read
+    one shuffle (the minhash materialize-via-exchange pattern, nothing
+    pinned in executor storage); covered token indices fan out ×n from
+    the (sparse) duplicate positions only; the rebuild is a per-row HOF
+    filter. Hashing trades a ~1e-8 64-bit collision risk for fixed-
+    width shuffle keys — the same documented tradeoff as
+    ``ngram_jaccard_pairs``; the oracle compares on full gram strings.
+    """
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.repartition(spread)
+        .select(
+            F.col(id_col),
+            F.posexplode(shingle_array(text_col, n)).alias("pos", "gram"),
+        )
+        .select(F.col(id_col), "pos", F.xxhash64("gram").alias("gh"))
+        .repartition(spread, "gh")
+    )
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup_hashes, "gh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("_covered"))
+    )
+    toks = tokens(text_col)
+    out = df.join(covered, id_col, "left")
+    cov = F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
+    cleaned = F.filter(toks, lambda t, i: ~F.array_contains(cov, i))
+    return out.select(
+        "*",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(cov).cast("long").alias("n_removed"),
+        F.array_join(cleaned, " ").alias("clean_text"),
+    ).drop("_covered")

@@ -2405,3 +2405,49 @@ HOLT_WINTERS_SQL = """
            r.l AS level, r.b AS trend, r.sn AS seasonal
     FROM r JOIN s USING (event_type)
 """
+
+
+def dedup_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal over the corpus
+    (operators.dedup.remove_duplicate_spans, 5-token windows): the
+    cleaned text is md5'd so the full reconstruction — positions,
+    coverage fan-out, token filter, re-join — must match the oracle's
+    string-level replay exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(docs, n=5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+SCRUB_SPANS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        WHERE len(ws) >= 5
+    ), dup_grams AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1
+    ), covered AS (
+        SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS idx
+        FROM grams JOIN dup_grams USING (gram)
+    ), cov_set AS (
+        SELECT doc_id, list(idx) AS cov FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+           -- coalesce: DuckDB's array_to_string returns NULL (not '')
+           -- for an empty list, unlike Spark's array_join
+           md5(coalesce(array_to_string(
+               [t.ws[i] FOR i IN range(1, len(t.ws) + 1)
+                IF NOT list_contains(coalesce(c.cov, []), i - 1)],
+               ' '), '')) AS clean_md5
+    FROM toks t LEFT JOIN cov_set c USING (doc_id)
+"""

@@ -149,3 +149,31 @@ def test_benchmark_contamination_flags_shared_ngrams(spark):
     assert not out[1].contaminated and out[1].n_grams == 3
     assert out[3].n_grams == 0 and not out[3].contaminated
     assert len(out) == 4
+
+
+def test_remove_duplicate_spans_surgical(spark):
+    """Only tokens covered by a corpus-duplicated n-gram are removed;
+    unique text survives verbatim."""
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import dedup as D
+
+    boiler = "x1 x2 x3 x4 x5"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"alpha beta {boiler} gamma delta"),
+            Row(doc_id=1, text=f"uniq1 uniq2 {boiler} uniq3 uniq4"),
+            Row(doc_id=2, text="all original words here stay put"),
+            Row(doc_id=3, text="tiny doc"),  # shorter than n: untouched
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in D.remove_duplicate_spans(docs, n=5).collect()
+    }
+    assert out[0].clean_text == "alpha beta gamma delta"
+    assert out[0].n_removed == 5
+    assert out[1].clean_text == "uniq1 uniq2 uniq3 uniq4"
+    assert out[2].clean_text == "all original words here stay put"
+    assert out[2].n_removed == 0
+    assert out[3].clean_text == "tiny doc" and out[3].n_removed == 0
