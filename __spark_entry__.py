@@ -1069,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_holt_smoothing_events": sca.ts_holt_smoothing_events,
             "ts_holtwinters_events": sca.ts_holtwinters_events,
             "dedup_scrub_duplicate_spans": sca.dedup_scrub_duplicate_spans,
+            "ts_rsi_events": sca.ts_rsi_events,
+            "corpus_token_budget_select": sca.corpus_token_budget_select,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1374,6 +1376,8 @@ def oracle_sql() -> dict[str, str]:
             "ts_holt_smoothing_events": sca.HOLT_SMOOTHING_SQL,
             "ts_holtwinters_events": sca.HOLT_WINTERS_SQL,
             "dedup_scrub_duplicate_spans": sca.SCRUB_SPANS_SQL,
+            "ts_rsi_events": sca.RSI_SQL,
+            "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

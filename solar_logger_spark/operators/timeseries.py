@@ -724,3 +724,51 @@ def holt_winters(
         *sort_cols
     )
     return parted.mapInPandas(_hw_batches, out_schema)
+
+
+def rsi(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "rsi",
+) -> DataFrame:
+    """Relative Strength Index over the trailing ``n`` deltas per
+    series — Flux ``relativeStrengthIndex(n:)``, simple-average
+    variant. Algebraically simplified to ONE division so it is
+    bit-reproducible: ``100·Σgain / (Σgain + Σloss)`` equals
+    ``100 − 100/(1 + avg_gain/avg_loss)`` exactly (the counts cancel),
+    and the two sums are exact decimals, so only the final divide is
+    floating point. Null until a full window of deltas exists; null on
+    a flat window (Σgain + Σloss = 0).
+
+    Plan: lag + one rows-frame window over the same (series, ts)
+    partitioning — single exchange, stacked windows, the
+    moving_average plan family."""
+    w = _series_window(series, ts_col, tiebreak)
+    cum = w.rowsBetween(-(n - 1), Window.currentRow)
+    diff = (F.col(value_col) - F.lag(value_col).over(w)).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    # null-delta rows (series head) stay null so the window count
+    # counts DELTAS, not rows; Spark's greatest() would swallow the
+    # null into 0 and shift the warm-up boundary
+    staged = df.withColumns(
+        {
+            "_gain": F.when(diff.isNotNull(), F.greatest(diff, zero)),
+            "_loss": F.when(diff.isNotNull(), F.greatest(-diff, zero)),
+        }
+    )
+    sg = F.sum("_gain").over(cum).cast("double")
+    sl = F.sum("_loss").over(cum).cast("double")
+    full = F.count("_gain").over(cum) >= n
+    out = staged.withColumn(
+        alias,
+        F.when(
+            full & ((sg + sl) > 0), F.lit(100.0) * sg / (sg + sl)
+        ),
+    )
+    return out.drop("_gain", "_loss")

@@ -2451,3 +2451,113 @@ SCRUB_SPANS_SQL = """
                ' '), '')) AS clean_md5
     FROM toks t LEFT JOIN cov_set c USING (doc_id)
 """
+
+
+def ts_rsi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-delta Relative Strength Index per event_type series
+    (operators.timeseries.rsi) — Flux relativeStrengthIndex, the
+    momentum transform of its stdlib family. Exact-decimal gain/loss
+    sums + one final division keep it hash-exact vs the oracle."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.rsi(events, n=14, series=["event_type"], tiebreak=["event_id"])
+    return out.select("event_id", "event_type", "value", "rsi")
+
+
+RSI_SQL = """
+    WITH d AS (
+        SELECT event_id, event_type, ts, value,
+               CAST(value - lag(value) OVER w AS DECIMAL(18,6)) AS diff
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), g AS (
+        -- CASE, not greatest(): DuckDB's greatest() on decimals
+        -- returns DOUBLE (same trap as least() in CUSUM_SQL), which
+        -- would break the exact-decimal window sums; null deltas stay
+        -- null so cnt counts deltas
+        SELECT *,
+               CASE WHEN diff IS NULL THEN NULL
+                    WHEN diff > 0 THEN diff
+                    ELSE CAST(0 AS DECIMAL(18,6)) END AS gain,
+               CASE WHEN diff IS NULL THEN NULL
+                    WHEN diff < 0 THEN -diff
+                    ELSE CAST(0 AS DECIMAL(18,6)) END AS loss
+        FROM d
+    ), s AS (
+        SELECT event_id, event_type, value,
+               CAST(sum(gain) OVER c AS DOUBLE) AS sg,
+               CAST(sum(loss) OVER c AS DOUBLE) AS sl,
+               count(gain) OVER c AS cnt
+        FROM g
+        WINDOW c AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, value,
+           CASE WHEN cnt >= 14 AND sg + sl > 0
+                THEN 100.0 * sg / (sg + sl) END AS rsi
+    FROM s
+"""
+
+
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection per source shard: rank each
+    source's documents by quality score (ties to lowest doc_id), admit
+    documents while the running token total stays within a 2,000-token
+    per-source budget — the selection pass that assembles a fixed-size
+    training mix from quality-ranked candidates (the budgeted
+    counterpart of corpus_mix_weights). Integer running sums and the
+    bit-identical quality ordering make the cut deterministic
+    cross-engine; one partitioned window, no global sort."""
+    from pyspark.sql import Window
+
+    from solar_logger_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TXT.quality_score(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    j = docs.select("doc_id", "source").join(scored, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return j.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+        cum.cast("long").alias("cum_tokens"),
+        (cum <= 2000).alias("selected"),
+    )
+
+
+TOKEN_BUDGET_SQL = """
+    WITH base AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(translate(text, '.,!?;:', '')) AS punct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                   AS stop_hits
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source, n_tokens,
+               (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                     THEN 1.0 ELSE 0.0 END) * 0.4
+               + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+               + (1.0 - CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                 * 0.2 AS quality_score
+        FROM base
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           quality_score,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           sum(n_tokens) OVER w <= 2000 AS selected
+    FROM scored
+    WINDOW w AS (PARTITION BY source ORDER BY quality_score DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

@@ -34,3 +34,30 @@ def test_funnel_totals(funnel, spark, sf_dir):
     assert sum(r.n_docs_kept for r in funnel) < sum(
         r.n_docs_quality for r in funnel
     )
+
+
+def test_token_budget_selection_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = scale_ops.corpus_token_budget_select(spark, sf_dir)
+    per_src = (
+        out.filter("selected")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("toks"),
+            F.min("quality_score").alias("worst_sel"),
+        )
+    )
+    rows = {r.source: r for r in per_src.collect()}
+    rejected = {
+        r.source: r
+        for r in out.filter("NOT selected")
+        .groupBy("source")
+        .agg(F.max("quality_score").alias("best_rej"))
+        .collect()
+    }
+    for src, r in rows.items():
+        assert r.toks <= 2000  # budget respected
+        if src in rejected:
+            # greedy by quality: no rejected doc outranks a selected one
+            assert rejected[src].best_rej <= r.worst_sel + 1e-12

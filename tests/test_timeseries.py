@@ -527,3 +527,32 @@ def test_holt_winters_learns_a_season(spark):
     phase = [(i % 4) for i in out["event_id"].to_numpy()[-4:]]
     truth = [pattern[p] for p in phase]
     assert np.argsort(tail).tolist() == np.argsort(truth).tolist()
+
+
+def test_rsi_hand_computed(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(event_id=i, event_type="a", ts=i, value=float(v))
+        for i, v in enumerate([10, 11, 10, 11, 10])
+    ]
+    rows += [
+        Row(event_id=10 + i, event_type="b", ts=i, value=float(10 + i))
+        for i in range(4)
+    ]
+    out = {
+        r.event_id: r.rsi
+        for r in T.rsi(
+            spark.createDataFrame(rows),
+            n=2,
+            series=["event_type"],
+            tiebreak=["event_id"],
+        ).collect()
+    }
+    # series a: needs 2 deltas -> null, null, then alternating +1/-1
+    # windows give 100*1/(1+1) = 50
+    assert out[0] is None and out[1] is None
+    assert out[2] == 50.0 and out[3] == 50.0 and out[4] == 50.0
+    # series b: monotone up -> all gains, rsi = 100
+    assert out[10] is None and out[11] is None
+    assert out[12] == 100.0 and out[13] == 100.0
