@@ -40,26 +40,44 @@ def downsample_partitions(
     """Roll the named ``date=`` partitions of the raw point store up to
     ``every`` resolution per (measurement, field) and append them to
     ``dst_path`` with the same (measurement, date) layout. Returns the
-    number of rollup rows written.
+    number of rollup rows written BY THIS RUN.
 
-    Idempotency contract: run per closed date with a fresh dst
-    partition (re-running a date first ``expire_partitions`` it from
-    the rollup) — append without dedup double-counts.
+    Windows are START-labeled here (unlike the query path's Flux
+    default of stop labels): a stop-labeled [23:00, 24:00) window
+    would land on the NEXT day's midnight and therefore in a rollup
+    partition outside ``dates`` — re-rolling that later date would
+    then silently clobber the hour, and expiring raw day 1 would lose
+    it. Start labels keep every rolled row inside its own date
+    partition.
+
+    Idempotency contract: re-running a date first removes exactly that
+    rollup partition (``remove_rollup_dates`` — NOT
+    ``expire_partitions``, which deletes the whole prefix of older
+    dates) — append without dedup double-counts.
     """
     df = spark.read.parquet(src_path).filter(
         F.col("date").isin([str(d) for d in dates])
     )
-    rolled = aggregate_window(
-        df, every=every, fn=fn, by=["measurement", "field"]
-    ).withColumn("date", F.to_date("ts"))
-    rolled = rolled.select("measurement", "ts", "field", "value", "date")
-    rolled.write.mode("append").partitionBy("measurement", "date").parquet(
-        dst_path
+    rolled = (
+        aggregate_window(
+            df, every=every, fn=fn, by=["measurement", "field"],
+            label="start",
+        )
+        .withColumn("date", F.to_date("ts"))
+        .select("measurement", "ts", "field", "value", "date")
     )
-    out = spark.read.parquet(dst_path).filter(
-        F.col("date").isin([str(d) for d in dates])
-    )
-    return out.count()
+    # count THIS run's output (not a read-back of the appended store,
+    # which would report pre-existing rows on a re-run); persist so the
+    # aggregation runs once for count + write
+    rolled.persist()
+    try:
+        n = rolled.count()
+        rolled.write.mode("append").partitionBy(
+            "measurement", "date"
+        ).parquet(dst_path)
+    finally:
+        rolled.unpersist()
+    return n
 
 
 def expire_partitions(table_path: str, before_date: str) -> list[str]:
@@ -79,6 +97,29 @@ def expire_partitions(table_path: str, before_date: str) -> list[str]:
             if not part.startswith("date="):
                 continue
             if part.split("=", 1)[1] < before_date:
+                pdir = os.path.join(mdir, part)
+                shutil.rmtree(pdir)
+                removed.append(pdir)
+    return removed
+
+
+def remove_rollup_dates(table_path: str, dates: list[str]) -> list[str]:
+    """Delete EXACTLY the named ``date=<d>`` rollup partitions (across
+    all measurements) — the safe primitive for re-rolling a failed
+    date. ``expire_partitions`` is the wrong tool for that: it deletes
+    the whole prefix of OLDER dates, which for a rollup store is
+    months of downsampled history whose raw source is already gone.
+    """
+    wanted = {str(d) for d in dates}
+    removed = []
+    if not os.path.isdir(table_path):
+        return removed
+    for meas in sorted(os.listdir(table_path)):
+        mdir = os.path.join(table_path, meas)
+        if not (os.path.isdir(mdir) and meas.startswith("measurement=")):
+            continue
+        for part in sorted(os.listdir(mdir)):
+            if part.startswith("date=") and part.split("=", 1)[1] in wanted:
                 pdir = os.path.join(mdir, part)
                 shutil.rmtree(pdir)
                 removed.append(pdir)
@@ -106,16 +147,31 @@ def apply_retention(
     return {"rollup_rows": n_rows, "expired_partitions": removed}
 
 
+def _has_parquet(path: str) -> bool:
+    for root, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def read_merged(
     spark: SparkSession, raw_path: str, rollup_path: str
 ) -> DataFrame:
-    """Query view over the two-tier store: full-resolution points where
-    raw still exists, rollup elsewhere (union by name; both tiers share
-    the canonical point schema so downstream queries are unchanged)."""
-    raw = spark.read.parquet(raw_path).select(
-        "measurement", "ts", "field", "value"
+    """Query view over the two-tier store: full-resolution points for
+    every date still present in raw, rollup rows ONLY for dates raw no
+    longer holds (anti-join on the partition date — overlap happens by
+    design, since rolling precedes expiry and a crash between the two
+    leaves both tiers holding a date; a plain union would double-count
+    those). Degrades to raw-only before the first retention pass (no
+    rollup files yet). Both tiers share the canonical point schema so
+    downstream queries are unchanged."""
+    raw = spark.read.parquet(raw_path)
+    if not _has_parquet(rollup_path):
+        return raw.select("measurement", "ts", "field", "value")
+    rolled = spark.read.parquet(rollup_path)
+    rolled_only = rolled.join(
+        raw.select("date").distinct(), "date", "left_anti"
     )
-    rolled = spark.read.parquet(rollup_path).select(
-        "measurement", "ts", "field", "value"
+    return raw.select("measurement", "ts", "field", "value").unionByName(
+        rolled_only.select("measurement", "ts", "field", "value")
     )
-    return raw.unionByName(rolled)

@@ -576,7 +576,14 @@ def remove_duplicate_spans(
     toks = tokens(text_col)
     out = df.join(covered, id_col, "left")
     cov = F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
-    cleaned = F.filter(toks, lambda t, i: ~F.array_contains(cov, i))
+    # the per-row rebuild is O(n_tokens x |covered|) (array_contains
+    # scans); the common heavy case — a fully-boilerplate doc with
+    # EVERY token covered — short-circuits to empty, so the quadratic
+    # path only runs on partially-covered rows, where |covered| is the
+    # duplicated fraction, not the doc length
+    cleaned = F.when(
+        F.size(cov) >= F.size(toks), F.array().cast("array<string>")
+    ).otherwise(F.filter(toks, lambda t, i: ~F.array_contains(cov, i)))
     return out.select(
         "*",
         F.size(toks).cast("long").alias("n_tokens"),

@@ -747,6 +747,8 @@ def rsi(
     Plan: lag + one rows-frame window over the same (series, ts)
     partitioning — single exchange, stacked windows, the
     moving_average plan family."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
     w = _series_window(series, ts_col, tiebreak)
     cum = w.rowsBetween(-(n - 1), Window.currentRow)
     diff = (F.col(value_col) - F.lag(value_col).over(w)).cast(

@@ -115,6 +115,21 @@ def text_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
+# Single source of truth for the quality-score formula fragments that
+# several oracles embed (QUALITY_SCORE_SQL, PIPELINE_CORPUS_BUILD_SQL,
+# TOKEN_BUDGET_SQL) — interpolated so they cannot drift from
+# operators.text.quality_score / text.STOPWORDS.
+_QUALITY_BASE_COLS_SQL = f"""len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(translate(text, '.,!?;:', '')) AS punct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({_STOP_IN}))) AS stop_hits"""
+
+_QUALITY_SCORE_EXPR_SQL = """(CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                    THEN 1.0 ELSE 0.0 END) * 0.4
+              + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+              + (1.0 - CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2"""
+
 QUALITY_SCORE_SQL = f"""
     WITH base AS (
         SELECT doc_id,
@@ -2121,22 +2136,14 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PIPELINE_CORPUS_BUILD_SQL = """
+PIPELINE_CORPUS_BUILD_SQL = f"""
     WITH base AS (
         SELECT doc_id, source, text,
-               len(string_split(text, ' ')) AS n_tokens,
-               length(text) AS n_chars,
-               length(text) - length(translate(text, '.,!?;:', '')) AS punct,
-               len(list_filter(string_split(text, ' '),
-                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
-                   AS stop_hits
+               {_QUALITY_BASE_COLS_SQL}
         FROM documents
     ), keptq AS (
         SELECT doc_id, source, text FROM base
-        WHERE (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
-                    THEN 1.0 ELSE 0.0 END) * 0.4
-              + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
-              + (1.0 - CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2
+        WHERE {_QUALITY_SCORE_EXPR_SQL}
               >= 0.62
     ), words AS (
         SELECT doc_id, source, string_split(text, ' ') AS ws FROM keptq
@@ -2340,11 +2347,13 @@ HOLT_SMOOTHING_SQL = """
                0.1::DOUBLE * ((0.2::DOUBLE * CAST(s.vals[r.rn + 1] AS DOUBLE)
                                + 0.8::DOUBLE * (r.l + r.b)) - r.l)
                    + 0.9::DOUBLE * r.b
-        FROM r JOIN s USING (user_id)
+        -- IS NOT DISTINCT FROM: USING would drop a null series key
+        -- that the Spark operator deliberately keeps (dropna=False)
+        FROM r JOIN s ON r.user_id IS NOT DISTINCT FROM s.user_id
         WHERE r.rn < len(s.vals)
     )
     SELECT s.ids[r.rn] AS event_id, r.user_id, r.l AS level, r.b AS trend
-    FROM r JOIN s USING (user_id)
+    FROM r JOIN s ON r.user_id IS NOT DISTINCT FROM s.user_id
 """
 
 
@@ -2398,12 +2407,14 @@ HOLT_WINTERS_SQL = """
                                     - r.seas[1])
                                  + 0.7::DOUBLE * (r.l + r.b)))
                    + 0.8::DOUBLE * r.seas[1]]
-        FROM r JOIN s USING (event_type)
+        -- IS NOT DISTINCT FROM: USING would drop a null series key
+        -- that the Spark operator deliberately keeps (dropna=False)
+        FROM r JOIN s ON r.event_type IS NOT DISTINCT FROM s.event_type
         WHERE r.rn < len(s.vals)
     )
     SELECT s.ids[r.rn] AS event_id, r.event_type,
            r.l AS level, r.b AS trend, r.sn AS seasonal
-    FROM r JOIN s USING (event_type)
+    FROM r JOIN s ON r.event_type IS NOT DISTINCT FROM s.event_type
 """
 
 
@@ -2534,23 +2545,14 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOKEN_BUDGET_SQL = """
+TOKEN_BUDGET_SQL = f"""
     WITH base AS (
         SELECT doc_id, source,
-               len(string_split(text, ' ')) AS n_tokens,
-               length(text) AS n_chars,
-               length(text) - length(translate(text, '.,!?;:', '')) AS punct,
-               len(list_filter(string_split(text, ' '),
-                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
-                   AS stop_hits
+               {_QUALITY_BASE_COLS_SQL}
         FROM documents
     ), scored AS (
         SELECT doc_id, source, n_tokens,
-               (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
-                     THEN 1.0 ELSE 0.0 END) * 0.4
-               + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
-               + (1.0 - CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
-                 * 0.2 AS quality_score
+               {_QUALITY_SCORE_EXPR_SQL} AS quality_score
         FROM base
     )
     SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
