@@ -177,3 +177,59 @@ def test_remove_duplicate_spans_surgical(spark):
     assert out[2].clean_text == "all original words here stay put"
     assert out[2].n_removed == 0
     assert out[3].clean_text == "tiny doc" and out[3].n_removed == 0
+
+
+def test_remove_duplicate_spans_differential(spark):
+    """Differential vs a brute-force python reference over a random
+    small-alphabet corpus (forced collisions), one Spark job for all
+    docs: covered sets, counts, and the reconstructed strings must
+    match exactly."""
+    import random
+
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import dedup as D
+
+    rng = random.Random(13)
+    n = 4
+    docs = []
+    for d in range(40):
+        length = rng.randrange(0, 30)
+        docs.append(
+            (d, " ".join(rng.choice("ab") + str(rng.randrange(4))
+                         for _ in range(length)))
+        )
+
+    # brute force
+    from collections import Counter
+
+    gram_count: Counter = Counter()
+    toks = {d: (t.split(" ") if t else [""]) for d, t in docs}
+    grams = {}
+    for d, t in docs:
+        ws = toks[d]
+        gs = [
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        ] if len(ws) >= n else []
+        grams[d] = gs
+        gram_count.update(gs)
+    expected = {}
+    for d, t in docs:
+        ws = toks[d]
+        covered = set()
+        for i, g in enumerate(grams[d]):
+            if gram_count[g] > 1:
+                covered.update(range(i, i + n))
+        clean = " ".join(w for i, w in enumerate(ws) if i not in covered)
+        expected[d] = (len(ws), len(covered), clean)
+
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in D.remove_duplicate_spans(
+            spark.createDataFrame(
+                [Row(doc_id=d, text=t) for d, t in docs]
+            ),
+            n=n,
+        ).collect()
+    }
+    assert out == expected

@@ -556,3 +556,57 @@ def test_rsi_hand_computed(spark):
     # series b: monotone up -> all gains, rsi = 100
     assert out[10] is None and out[11] is None
     assert out[12] == 100.0 and out[13] == 100.0
+
+
+def test_rsi_differential_vs_pandas(spark):
+    """Differential: random multi-series data vs a pandas rolling
+    reference (simple-average RSI, warm-up = n deltas), one job."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for s in range(6):
+        m = int(rng.integers(1, 40))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_id": np.arange(m) + s * 1000,
+                    "ts": pd.date_range("2024-01-01", periods=m, freq="min"),
+                    "event_type": f"s{s}",
+                    "value": np.round(rng.normal(50, 10, m), 3),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    n = 5
+    out = (
+        T.rsi(
+            spark.createDataFrame(pdf),
+            n=n,
+            series=["event_type"],
+            tiebreak=["event_id"],
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    exp = []
+    for s, g in pdf.groupby("event_type", sort=False):
+        diff = g["value"].diff()
+        gain = diff.clip(lower=0)
+        loss = (-diff).clip(lower=0)
+        sg = gain.rolling(n, min_periods=n).sum()
+        sl = loss.rolling(n, min_periods=n).sum()
+        r = 100.0 * sg / (sg + sl)
+        r[(sg + sl) == 0] = np.nan
+        exp.append(pd.DataFrame({"event_id": g["event_id"], "exp": r}))
+    expected = (
+        pd.concat(exp).sort_values("event_id").reset_index(drop=True)
+    )
+    a = out["rsi"].to_numpy()
+    b = expected["exp"].to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    close = np.isclose(a, b, rtol=1e-9, atol=1e-12)
+    assert bool((both_nan | close).all())
