@@ -1347,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_ema_events": sca.EMA_SQL,
             "ts_state_count_events": sca.STATE_COUNT_SQL,
             "sketch_heavy_hitters": sca.HEAVY_HITTERS_SQL,
+            "sketch_distinct_users_daily": sca.SKETCH_DISTINCT_SQL,
             "ts_state_duration_events": sca.STATE_DURATION_SQL,
             "dedup_ngram_span_coverage": sca.NGRAM_SPAN_SQL,
             "text_unigram_rarity_docs": sca.UNIGRAM_RARITY_SQL,
@@ -1363,6 +1364,8 @@ def oracle_sql() -> dict[str, str]:
             "corpus_length_quantiles": sca.LENGTH_QUANTILES_SQL,
             "text_bpe_merge_candidates": sca.BPE_MERGE_SQL,
             "multimodal_decode_ppm": sca.DECODE_PPM_SQL,
+            "multimodal_decode_features": sca.MULTIMODAL_FEATURES_SQL,
+            "multimodal_frame_sample": sca.FRAME_SAMPLE_SQL,
             "ts_anomaly_zscore_events": sca.ANOMALY_ZSCORE_SQL,
             "ts_interpolate_linear_events": sca.INTERPOLATE_SQL,
             "flux_correlation_click_view": sca.CORRELATION_SQL,

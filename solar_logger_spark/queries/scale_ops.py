@@ -266,11 +266,29 @@ BLOB_META_SQL = """
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing with the deterministic stub codec
-    (rows-only: the pseudo-decode is not SQL-expressible)."""
+    """mapInPandas decode plumbing with the deterministic stub codec —
+    NOW ORACLE-BACKED: the fake decode derives width/height/mode from
+    the payload's md5 digest bytes, which SQL reproduces exactly
+    (``64 + digest_byte % 192``, mode from digest[2] % 3), so the full
+    Arrow batching + stub-digest path hash-compares cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.attach_blob(docs)
     return multimodal.extract_features(blobs, fake=True)
+
+
+MULTIMODAL_FEATURES_SQL = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS media_md5,
+           CAST(64 + CAST(('0x' || substring(md5(text), 1, 2)) AS INT)
+                     % 192 AS INT) AS width,
+           CAST(64 + CAST(('0x' || substring(md5(text), 3, 2)) AS INT)
+                     % 192 AS INT) AS height,
+           ['RGB', 'RGBA', 'L'][
+               CAST(('0x' || substring(md5(text), 5, 2)) AS INT) % 3 + 1
+           ] AS mode
+    FROM documents
+"""
 
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,13 +341,40 @@ PERCENTILES_SQL = """
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One→many frame sampling over blob columns (rows-only check: the
-    frame chunking happens in the stubbed codec, Spark-side plumbing is
-    what this exercises)."""
+    """One→many frame sampling over blob columns — NOW ORACLE-BACKED:
+    the stub's frame chunking is pure byte slicing
+    (``payload[i·128 : (i+1)·128]`` for every 2nd frame), which SQL
+    replays with substring arithmetic; frames are compared by md5 +
+    byte length (the corpus text is ASCII, so char slicing == byte
+    slicing — a non-ASCII corpus would fail the compare loudly, not
+    silently)."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.sample_frames(
+    frames = multimodal.sample_frames(
         multimodal.attach_blob(docs), every_n=2, frame_bytes=128
     )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+FRAME_SAMPLE_SQL = """
+    WITH f AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS nb
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(nb // 128, 1), 2)) AS frame_idx
+        FROM f
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(octet_length(encode(substring(text, frame_idx * 128 + 1,
+                                              128))) AS BIGINT) AS n_bytes,
+           md5(substring(text, frame_idx * 128 + 1, 128)) AS frame_md5
+    FROM idx
+"""
 
 
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,15 +871,16 @@ STATE_DURATION_SQL = """
 
 def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day HLL sketches of user_id, merged to a per-event-type
-    distinct estimate — the store-sketches-not-rows pattern (rows-only:
-    estimates are engine-specific; invariants pinned in
-    tests/test_sketches.py).
+    distinct estimate — the store-sketches-not-rows pattern.
 
-    Like the ANN queries' recall@k, the output self-reports accuracy:
-    ``exact_distinct`` (one COUNT DISTINCT rescan — a check column, not
-    part of the sketch pattern) and ``rel_error``, pinned < 5% in
-    pytest, so the driver's rows+schema record certifies more than
-    "it ran"."""
+    NOW ORACLE-BACKED via the accuracy contract: the raw HLL estimate
+    is engine-specific (Spark HLL++ is not reproducible in DuckDB), so
+    the declared output is ``exact_distinct`` plus ``within_5pct`` —
+    whether the merged-sketch estimate lands inside its pinned 5%
+    envelope. The sketch pipeline still runs inside the query (the
+    boolean derives from its estimate), so a broken sketch or merge
+    flips the boolean and fails the hash compare; the estimate itself
+    stays pinned in tests/test_sketches.py."""
     from solar_logger_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -849,13 +895,21 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return approx.join(F.broadcast(exact), "event_type").select(
         "event_type",
-        "approx_distinct",
         "exact_distinct",
         (
             F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
             / F.col("exact_distinct").cast("double")
-        ).alias("rel_error"),
+            < 0.05
+        ).alias("within_5pct"),
     )
+
+
+SKETCH_DISTINCT_SQL = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+"""
 
 
 def text_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

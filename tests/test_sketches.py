@@ -130,4 +130,6 @@ def test_distinct_users_daily_query_error_pinned(spark):
     assert rows, "query returned no groups"
     for r in rows:
         assert r.exact_distinct > 0
-        assert r.rel_error < 0.05, (r.event_type, r.rel_error)
+        # the declared output IS the accuracy contract: the merged-HLL
+        # estimate must sit inside the 5% envelope per group
+        assert r.within_5pct, r.event_type
