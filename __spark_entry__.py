@@ -1071,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_scrub_duplicate_spans": sca.dedup_scrub_duplicate_spans,
             "ts_rsi_events": sca.ts_rsi_events,
             "corpus_token_budget_select": sca.corpus_token_budget_select,
+            "dedup_editdistance_docs": sca.dedup_editdistance_docs,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1381,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_scrub_duplicate_spans": sca.SCRUB_SPANS_SQL,
             "ts_rsi_events": sca.RSI_SQL,
             "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,
+            "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -590,3 +590,90 @@ def remove_duplicate_spans(
         F.size(cov).cast("long").alias("n_removed"),
         F.array_join(cleaned, " ").alias("clean_text"),
     ).drop("_covered")
+
+
+def editdistance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    max_dist: int = 16,
+    band_width: int | None = None,
+) -> DataFrame:
+    """Fifth dedup family: fuzzy pairs by character edit distance
+    (Levenshtein <= ``max_dist``), the classic fine-grained near-dup
+    test for short documents / titles / code lines where word-level
+    Jaccard is too coarse (one-character typos, whitespace drift).
+
+    Candidate generation is length-banded blocking: edit distance >=
+    absolute length difference, so a pair at distance <= d can only
+    straddle adjacent ``band_width``-wide length buckets (band_width >=
+    max_dist). Each doc lands in its native bucket floor(len/W) and,
+    replicated once, in the next bucket up; a candidate pair always
+    meets in exactly ONE bucket because (native, native) covers
+    same-bucket pairs and (replicated-a, native-b) covers the straddle
+    — pairs where BOTH sides are replicas are dropped before the join
+    emits them, so no distinct() pass is needed afterwards.
+
+    Verification stays JVM-side: ``F.levenshtein(a, b, threshold)``
+    (Spark >= 3.5) early-exits at the threshold — O(d * n) per pair
+    instead of O(n * m) — and returns -1 past it. At 100 TB the knobs
+    that matter are ``block_col`` (never compare across languages /
+    sources) and ``band_width`` (bucket population ~ corpus density at
+    that length); production deployments usually add a cheap token-set
+    prefilter between blocking and the DP, which composes here as an
+    extra predicate on the joined frame.
+
+    Output: (a_id, b_id, dist), a_id < b_id, dist <= max_dist.
+    """
+    if band_width is None:
+        band_width = max_dist
+    if band_width < max_dist:
+        raise ValueError(
+            f"band_width ({band_width}) must be >= max_dist ({max_dist}):"
+            " narrower bands would drop straddling pairs"
+        )
+    w = band_width
+    blocks = [block_col] if block_col else []
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[F.col(c) for c in blocks],
+        F.length(text_col).alias("_len"),
+    )
+    native = F.floor(F.col("_len") / w)
+    bucketed = base.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(native.alias("b"), F.lit(False).alias("repl")),
+                F.struct((native + 1).alias("b"), F.lit(True).alias("repl")),
+            )
+        ).alias("_bb"),
+    ).select("*", F.col("_bb.b").alias("_bucket"), F.col("_bb.repl").alias("_repl"))
+    a = bucketed.select(
+        F.col(id_col).alias("a_id"),
+        F.col(text_col).alias("_a_text"),
+        F.col("_len").alias("_a_len"),
+        F.col("_repl").alias("_a_repl"),
+        *[F.col(c) for c in blocks],
+        "_bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("b_id"),
+        F.col(text_col).alias("_b_text"),
+        F.col("_len").alias("_b_len"),
+        F.col("_repl").alias("_b_repl"),
+        *[F.col(c) for c in blocks],
+        "_bucket",
+    )
+    joined = a.join(b, blocks + ["_bucket"]).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & ~(F.col("_a_repl") & F.col("_b_repl"))
+        & (F.abs(F.col("_a_len") - F.col("_b_len")) <= max_dist)
+    )
+    dist = F.levenshtein(F.col("_a_text"), F.col("_b_text"), max_dist)
+    return (
+        joined.select("a_id", "b_id", dist.cast("long").alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )

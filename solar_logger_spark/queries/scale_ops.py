@@ -2617,3 +2617,25 @@ TOKEN_BUDGET_SQL = f"""
     WINDOW w AS (PARTITION BY source ORDER BY quality_score DESC, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+def dedup_editdistance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by character edit distance within
+    length-banded, language-blocked candidate buckets — the fine-grained
+    complement to Jaccard/MinHash for typo-level duplicates. All-JVM:
+    blocking is an equi-join on (lang, length bucket), verification is
+    Spark's thresholded ``levenshtein`` (early-exit at max_dist)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.editdistance_pairs(
+        docs, id_col="doc_id", text_col="text", block_col="lang", max_dist=16
+    )
+
+
+DEDUP_EDITDISTANCE_SQL = """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 16
+    WHERE levenshtein(a.text, b.text) <= 16
+"""

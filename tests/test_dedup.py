@@ -233,3 +233,72 @@ def test_remove_duplicate_spans_differential(spark):
         ).collect()
     }
     assert out == expected
+
+
+def test_editdistance_pairs_brute_force_parity(spark):
+    """Length-banded blocked pairs == brute-force all-pairs filter,
+    including pairs that straddle adjacent length buckets, with no
+    duplicate emissions from the replication trick."""
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = [
+        "aaaa",           # len 4
+        "aaab",           # dist 1 to above, same bucket at w=4
+        "aaaabbb",        # len 7: straddles bucket 0(4..)/1 vs len 8
+        "aaaabbbc",       # len 8: next bucket at w=4, dist 1 to above
+        "zzzzzzzzzzzz",   # far from everything
+        "aaaa",           # exact dup of 0 -> dist 0
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    d = 4
+    got = {
+        (r.a_id, r.b_id): r.dist
+        for r in dedup.editdistance_pairs(
+            df, block_col=None, max_dist=d, band_width=d
+        ).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2):
+        dist = lev(a, b)
+        if dist <= d:
+            want[(i, j)] = dist
+    assert got == want
+    # straddle pair (len 7 vs len 8 across the w=4 bucket edge) is in
+    assert (2, 3) in got and got[(2, 3)] == 1
+    # collect() already proves single emission; a duplicate would have
+    # produced two identical rows and dict-collapse hides it, so check
+    rows = dedup.editdistance_pairs(
+        df, block_col=None, max_dist=d, band_width=d
+    ).collect()
+    assert len(rows) == len(got)
+
+
+def test_editdistance_band_width_guard(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="abc")])
+    with pytest.raises(ValueError, match="band_width"):
+        dedup.editdistance_pairs(df, block_col=None, max_dist=8, band_width=4)
+
+
+def test_editdistance_blocking_respects_block_col(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="same text", lang="en"),
+            Row(doc_id=1, text="same text", lang="de"),  # other language
+            Row(doc_id=2, text="same text", lang="en"),
+        ]
+    )
+    got = {(r.a_id, r.b_id) for r in
+           dedup.editdistance_pairs(df, max_dist=2).collect()}
+    assert got == {(0, 2)}
