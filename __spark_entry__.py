@@ -1072,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_rsi_events": sca.ts_rsi_events,
             "corpus_token_budget_select": sca.corpus_token_budget_select,
             "dedup_editdistance_docs": sca.dedup_editdistance_docs,
+            "profile_columns_lineitem": sca.profile_columns_lineitem,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1383,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_rsi_events": sca.RSI_SQL,
             "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,
             "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,
+            "profile_columns_lineitem": sca.PROFILE_COLUMNS_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -1,0 +1,79 @@
+"""Single-pass column profiling — the data-quality audit that fronts
+every large-scale pipeline run (null blow-ups, cardinality drift, and
+range excursions are the three classic upstream-schema-change symptoms,
+and each is a per-column aggregate).
+
+Spark shape: ONE scan computes every per-column metric. The non-distinct
+metrics (counts, nulls, min/max) fold into a single hash aggregate with
+map-side partials; the exact distinct counts share the same scan through
+Catalyst's multi-distinct rewrite (one Expand of |cols| duplicated rows
+feeding a two-stage aggregate) — the standard exact-profile plan. At
+100 TB the exact-distinct Expand multiplies shuffle volume by the column
+count, so ``exact_distinct=False`` swaps in ``approx_count_distinct``
+(HLL++, map-side mergeable sketches, no Expand) — same output schema,
+±2% cardinalities; that is the default posture for scheduled profiling
+jobs, while the exact mode backs the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile ``cols`` (default: all) in one scan.
+
+    Output, one row per column, ordered by the caller's column order:
+    ``(column, n_rows, n_null, n_distinct, min_value, max_value)`` —
+    counts as long; min/max cast to double for numeric columns and null
+    for everything else (string formatting of non-numeric extremes is
+    engine-specific, so the profile stays type-stable instead).
+    """
+    if cols is None:
+        cols = df.columns
+    aggs = []
+    for c in cols:
+        numeric = isinstance(df.schema[c].dataType, _NUMERIC)
+        aggs.append(F.count(F.col(c)).alias(f"_cnt_{c}"))
+        aggs.append(
+            F.count_if(F.col(c).isNull()).alias(f"_null_{c}")
+        )
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact_distinct
+                else F.approx_count_distinct(F.col(c))
+            ).alias(f"_dist_{c}")
+        )
+        if numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    # unpivot the 1-row wide frame into per-column rows, JVM-side
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_cnt_{c}").cast("long").alias("n_rows"),
+                F.col(f"_null_{c}").cast("long").alias("n_null"),
+                F.col(f"_dist_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

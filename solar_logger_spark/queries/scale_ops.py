@@ -2639,3 +2639,40 @@ DEDUP_EDITDISTANCE_SQL = """
      AND abs(length(a.text) - length(b.text)) <= 16
     WHERE levenshtein(a.text, b.text) <= 16
 """
+
+
+def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan data-quality profile of every lineitem column:
+    non-null count, null count, exact distinct count, numeric min/max.
+    The pre-flight audit step of a pipeline run (schema-drift / null
+    blow-up / range-excursion detection)."""
+    from solar_logger_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li)
+
+
+def _profile_oracle_sql() -> str:
+    numeric = {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    }
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ]
+    parts = []
+    for c in cols:
+        mn = f"CAST(min({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column, count({c}) AS n_rows,"
+            f" count(*) - count({c}) AS n_null,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+PROFILE_COLUMNS_SQL = _profile_oracle_sql()

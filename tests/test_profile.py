@@ -1,0 +1,51 @@
+"""Single-pass column profiling semantics."""
+
+from pyspark.sql import Row
+
+from solar_logger_spark.operators.profile import profile_columns
+
+
+def _rows(df):
+    return {r["column"]: r.asDict() for r in df.collect()}
+
+
+def test_profile_counts_nulls_distinct_minmax(spark):
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b="x", c=1.5),
+            Row(a=1, b=None, c=2.5),
+            Row(a=2, b="y", c=None),
+            Row(a=None, b="y", c=-1.0),
+        ]
+    )
+    out = _rows(profile_columns(df))
+    assert out["a"] == {
+        "column": "a", "n_rows": 3, "n_null": 1, "n_distinct": 2,
+        "min_value": 1.0, "max_value": 2.0,
+    }
+    assert out["b"]["n_null"] == 1 and out["b"]["n_distinct"] == 2
+    # non-numeric columns report null extremes (type-stable profile)
+    assert out["b"]["min_value"] is None and out["b"]["max_value"] is None
+    assert out["c"]["min_value"] == -1.0 and out["c"]["max_value"] == 2.5
+
+
+def test_profile_approx_mode_same_schema(spark):
+    df = spark.createDataFrame([Row(a=i % 7, b=str(i % 3)) for i in range(100)])
+    exact = profile_columns(df)
+    approx = profile_columns(df, exact_distinct=False)
+    assert exact.schema == approx.schema
+    ex, ap = _rows(exact), _rows(approx)
+    # HLL++ at default rsd is exact for tiny cardinalities
+    assert ap["a"]["n_distinct"] == ex["a"]["n_distinct"] == 7
+    assert ap["b"]["n_distinct"] == 3
+
+
+def test_profile_column_subset_and_single_scan(spark):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    out = profile_columns(df, cols=["b"])
+    rows = out.collect()
+    assert [r["column"] for r in rows] == ["b"]
+    # approx mode must not add an Expand to the plan (the exact
+    # multi-distinct rewrite does, by design)
+    plan = profile_columns(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
