@@ -1073,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_token_budget_select": sca.corpus_token_budget_select,
             "dedup_editdistance_docs": sca.dedup_editdistance_docs,
             "profile_columns_lineitem": sca.profile_columns_lineitem,
+            "ts_rolling_median_events": sca.ts_rolling_median_events,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1385,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,
             "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,
             "profile_columns_lineitem": sca.PROFILE_COLUMNS_SQL,
+            "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

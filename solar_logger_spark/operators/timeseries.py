@@ -774,3 +774,47 @@ def rsi(
         ),
     )
     return out.drop("_gain", "_loss")
+
+
+def rolling_median_despike(
+    df: DataFrame,
+    k: int,
+    threshold: float,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Centered rolling-median filter + spike flag — the classic robust
+    despiking pass for sensor streams (a median is unmoved by up to k
+    outliers in its window, where a moving average smears them).
+
+    Adds ``rolling_med`` (median of the 2k+1-row centered window; the
+    frame shrinks at series edges) and ``is_spike``
+    (|value − rolling_med| > threshold; null value → null flag).
+
+    One analytic window per series partition — the same single-exchange
+    shape as ``moving_average``. Spark's ``median`` aggregate rejects a
+    window frame (it is not frame-incremental), so the median is an
+    explicit exact selection over the frame's sorted values:
+    ``array_sort(collect_list(...))`` then element_at — odd interior
+    windows never interpolate (arithmetic-free), and even edge windows
+    use (a+b)/2, a formula the SQL oracle mirrors verbatim so both
+    engines round identically. The sorted-array build is O(k log k) per
+    row over a bounded frame, not a partition-global sort.
+    """
+    w = (
+        _series_window(series, ts_col, tiebreak)
+        .rowsBetween(-k, k)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(arr)
+    mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    med = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.when(n % 2 == 1, mid).otherwise((lo + hi) / 2.0)
+    )
+    return df.withColumn("rolling_med", med).withColumn(
+        "is_spike", F.abs(F.col(value_col) - F.col("rolling_med")) > threshold
+    )

@@ -2676,3 +2676,37 @@ def _profile_oracle_sql() -> str:
 
 
 PROFILE_COLUMNS_SQL = _profile_oracle_sql()
+
+
+def ts_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust despiking: centered 5-row rolling median per user and a
+    spike flag at |value - median| > 40."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    return T.rolling_median_despike(
+        events, k=2, threshold=40.0, series=["user_id"],
+        tiebreak=["event_id"],
+    ).select("event_id", "user_id", "value", "rolling_med", "is_spike")
+
+
+ROLLING_MEDIAN_SQL = """
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               list_sort([x FOR x IN list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                   IF x IS NOT NULL]) AS arr
+        FROM events
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN len(arr) = 0 THEN NULL
+                WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
+                ELSE (arr[len(arr)//2] + arr[len(arr)//2 + 1]) / 2.0
+           END AS rolling_med,
+           abs(value - CASE WHEN len(arr) = 0 THEN NULL
+                WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
+                ELSE (arr[len(arr)//2] + arr[len(arr)//2 + 1]) / 2.0
+           END) > 40.0 AS is_spike
+    FROM w
+"""

@@ -610,3 +610,35 @@ def test_rsi_differential_vs_pandas(spark):
     both_nan = np.isnan(a) & np.isnan(b)
     close = np.isclose(a, b, rtol=1e-9, atol=1e-12)
     assert bool((both_nan | close).all())
+
+
+def test_rolling_median_despike(spark):
+    from solar_logger_spark.operators import timeseries as T
+    from pyspark.sql import Row
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 100.0, 3.0, 4.0, 5.0]  # 100 is a spike
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=t0 + dt.timedelta(minutes=i),
+                user_id=1, value=v)
+            for i, v in enumerate(vals)
+        ]
+    )
+    out = {
+        r.event_id: (r.rolling_med, r.is_spike)
+        for r in T.rolling_median_despike(
+            df, k=2, threshold=10.0, series=["user_id"],
+            tiebreak=["event_id"],
+        ).collect()
+    }
+    # interior odd window: median of [1,2,100,3,4] = 3
+    assert out[2] == (3.0, True)
+    # edge row 0: window [1,2,100] -> 2; |1-2| < 10
+    assert out[0] == (2.0, False)
+    # edge row 1: even window [1,2,100,3] -> (2+3)/2
+    assert out[1] == (2.5, False)
+    # interior after the spike: [100,3,4,5] even -> (4+100... sorted
+    # [3,4,5,100] -> (4+5)/2 = 4.5
+    assert out[4] == (4.5, False)
