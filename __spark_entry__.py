@@ -1074,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_editdistance_docs": sca.dedup_editdistance_docs,
             "profile_columns_lineitem": sca.profile_columns_lineitem,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
+            "layout_zorder_events": sca.layout_zorder_events,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1387,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,
             "profile_columns_lineitem": sca.PROFILE_COLUMNS_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
+            "layout_zorder_events": sca.ZORDER_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -2710,3 +2710,41 @@ ROLLING_MEDIAN_SQL = """
            END) > 40.0 AS is_spike
     FROM w
 """
+
+
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key for events over (user bucket, time bucket):
+    the multi-dim clustering pass that makes one file layout prunable
+    by BOTH user and time predicates. Pure JVM bit interleaving plus
+    one range exchange (the write-side shuffle a layout pass needs
+    anyway)."""
+    from solar_logger_spark.durations import epoch_us
+    from solar_logger_spark.operators.layout import zorder_repartition
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("ubucket"),
+        F.pmod(
+            F.floor(epoch_us("ts") / F.lit(60_000_000)), F.lit(65536)
+        ).alias("tbucket"),
+    )
+    return zorder_repartition(keyed, ["ubucket", "tbucket"], bits=16)
+
+
+ZORDER_SQL = """
+    SELECT event_id, ubucket, tbucket,
+           CAST(list_sum([
+               ((ubucket >> i) & 1) << (2 * i)
+               FOR i IN range(16)
+           ]) + list_sum([
+               ((tbucket >> i) & 1) << (2 * i + 1)
+               FOR i IN range(16)
+           ]) AS BIGINT) AS zval
+    FROM (
+        SELECT event_id,
+               user_id % 65536 AS ubucket,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) % 65536 AS tbucket
+        FROM events
+    )
+"""
