@@ -1075,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "profile_columns_lineitem": sca.profile_columns_lineitem,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
+            "ab_welch_value_click_view": sca.ab_welch_value_click_view,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1389,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
             "profile_columns_lineitem": sca.PROFILE_COLUMNS_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
+            "ab_welch_value_click_view": sca.AB_WELCH_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -2748,3 +2748,86 @@ ZORDER_SQL = """
         FROM events
     )
 """
+
+
+def ab_welch_value_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample statistic between click and view event values —
+    the A/B-experiment readout (works at any scale: one conditional
+    hash aggregate, map-side partials, no shuffle of raw rows).
+
+    Cross-engine determinism: per-group moments are exact DECIMAL(18,6)
+    sums cast to double ONCE, after which mean/variance/t are pure IEEE
+    double formulas mirrored verbatim by the oracle (same association
+    order) — the ts_anomaly_zscore recipe."""
+    events = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "view"
+    m = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .agg(
+            F.count(F.when(is_a, 1)).cast("double").alias("n_a"),
+            F.count(F.when(is_b, 1)).cast("double").alias("n_b"),
+            F.sum(F.when(is_a, dec)).cast("double").alias("sx_a"),
+            F.sum(F.when(is_b, dec)).cast("double").alias("sx_b"),
+            F.sum(F.when(is_a, dec * dec)).cast("double").alias("sxx_a"),
+            F.sum(F.when(is_b, dec * dec)).cast("double").alias("sxx_b"),
+        )
+    )
+    mean_a = F.col("sx_a") / F.col("n_a")
+    mean_b = F.col("sx_b") / F.col("n_b")
+    var_a = (F.col("n_a") * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a")) / (
+        F.col("n_a") * (F.col("n_a") - 1)
+    )
+    var_b = (F.col("n_b") * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b")) / (
+        F.col("n_b") * (F.col("n_b") - 1)
+    )
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        (
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+        ).alias("t_stat"),
+    )
+
+
+AB_WELCH_SQL = """
+    WITH m AS (
+        SELECT CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS DOUBLE) AS n_a,
+               CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                    AS DOUBLE) AS n_b,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE) AS sx_a,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE) AS sx_b,
+               -- DuckDB's wide-decimal -> DOUBLE cast is not correctly
+               -- rounded (one-ulp error at scale 12); the VARCHAR hop
+               -- is, and matches Spark's BigDecimal.doubleValue exactly
+               CAST(CAST(sum(CASE WHEN event_type = 'click'
+                             THEN CAST(value AS DECIMAL(18,6))
+                                  * CAST(value AS DECIMAL(18,6)) END)
+                    AS VARCHAR) AS DOUBLE) AS sxx_a,
+               CAST(CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(value AS DECIMAL(18,6))
+                                  * CAST(value AS DECIMAL(18,6)) END)
+                    AS VARCHAR) AS DOUBLE) AS sxx_b
+        FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
+           (n_a * sxx_a - sx_a * sx_a) / (n_a * (n_a - 1)) AS var_a,
+           (n_b * sxx_b - sx_b * sx_b) / (n_b * (n_b - 1)) AS var_b,
+           (sx_a / n_a - sx_b / n_b)
+           / sqrt((n_a * sxx_a - sx_a * sx_a) / (n_a * (n_a - 1)) / n_a
+                  + (n_b * sxx_b - sx_b * sx_b) / (n_b * (n_b - 1)) / n_b)
+               AS t_stat
+    FROM m
+"""

@@ -642,3 +642,32 @@ def test_rolling_median_despike(spark):
     # interior after the spike: [100,3,4,5] even -> (4+100... sorted
     # [3,4,5,100] -> (4+5)/2 = 4.5
     assert out[4] == (4.5, False)
+
+
+def test_ab_welch_hand_computed(spark, tmp_path):
+    """Welch statistic on a hand-checkable corpus written as parquet so
+    the query path (load_table) is exercised end to end."""
+    import math
+    from pyspark.sql import Row
+    import datetime as dt
+    from solar_logger_spark.queries.scale_ops import ab_welch_value_click_view
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    a_vals, b_vals = [1.0, 2.0, 3.0, 4.0], [10.0, 12.0, 14.0]
+    for i, v in enumerate(a_vals):
+        rows.append(Row(event_id=i, ts=t0, user_id=1,
+                        event_type="click", value=v, props="{}"))
+    for i, v in enumerate(b_vals):
+        rows.append(Row(event_id=100 + i, ts=t0, user_id=1,
+                        event_type="view", value=v, props="{}"))
+    rows.append(Row(event_id=999, ts=t0, user_id=1,
+                    event_type="purchase", value=99.0, props="{}"))
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = ab_welch_value_click_view(spark, str(tmp_path)).collect()[0]
+    assert (out.n_a, out.n_b) == (4, 3)
+    assert out.mean_a == 2.5 and out.mean_b == 12.0
+    va = 5.0 / 3.0   # sample var of 1..4
+    vb = 4.0         # sample var of 10,12,14
+    assert abs(out.var_a - va) < 1e-12 and out.var_b == vb
+    assert abs(out.t_stat - (2.5 - 12.0) / math.sqrt(va / 4 + vb / 3)) < 1e-12
