@@ -1076,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
+            "dedup_containment_docs": sca.dedup_containment_docs,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1391,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,
+            "dedup_containment_docs": sca.DEDUP_CONTAINMENT_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -99,6 +99,29 @@ def ngram_jaccard_pairs(
     # ReuseExchange — unlike ``.cache()``, nothing pins executor
     # storage after the query finishes, which matters when the exploded
     # shingle table is several × the corpus size.
+    sized = _shingle_pair_counts(df, id_col, text_col, n, max_shingle_df)
+    jac = sized.select(
+        "a_id",
+        "b_id",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index pair counting: (a_id, b_id, inter, na, nb)
+    for every doc pair sharing >= 1 shingle, a_id < b_id. Feeds both
+    Jaccard and containment — the set-similarity measures differ only
+    in the final arithmetic over these three exact ints."""
     spread = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         doc_shingles(df.repartition(spread), id_col, text_col, n)
@@ -125,19 +148,39 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("set_size").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("set_size").alias("nb"))
-    jac = (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
+    return inter.join(sa, "a_id").join(sb, "b_id")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER shingle set is
+    >= threshold contained in the other — |A∩B| / min(|A|,|B|). Catches
+    partial copies (a doc quoting most of another, boilerplate wrappers
+    around shared bodies) that symmetric Jaccard dilutes below its
+    threshold whenever the sizes differ.
+
+    Same inverted-index plan as ``ngram_jaccard_pairs`` (shared pair
+    counting over 8-byte shingle hashes); output adds both directed
+    containments so callers can tell which side is the copy:
+    (a_id, b_id, containment, c_a_in_b, c_b_in_a).
+    """
+    sized = _shingle_pair_counts(df, id_col, text_col, n, max_shingle_df)
+    c_a = F.col("inter").cast("double") / F.col("na").cast("double")
+    c_b = F.col("inter").cast("double") / F.col("nb").cast("double")
+    out = sized.select(
+        "a_id",
+        "b_id",
+        F.greatest(c_a, c_b).alias("containment"),
+        c_a.alias("c_a_in_b"),
+        c_b.alias("c_b_in_a"),
     )
-    return jac.filter(F.col("jaccard") >= threshold)
+    return out.filter(F.col("containment") >= threshold)
 
 
 def minhash_signatures(

@@ -2831,3 +2831,38 @@ AB_WELCH_SQL = """
                AS t_stat
     FROM m
 """
+
+
+def dedup_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: pairs where the smaller
+    shingle set is >= 80% inside the other — partial-copy detection
+    that symmetric Jaccard dilutes when document sizes differ."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.8)
+
+
+DEDUP_CONTAINMENT_SQL = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))]) AS s
+        FROM words
+    ),
+    sd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           greatest(CAST(inter AS DOUBLE) / sa.n,
+                    CAST(inter AS DOUBLE) / sb.n) AS containment,
+           CAST(inter AS DOUBLE) / sa.n AS c_a_in_b,
+           CAST(inter AS DOUBLE) / sb.n AS c_b_in_a
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE greatest(CAST(inter AS DOUBLE) / sa.n,
+                   CAST(inter AS DOUBLE) / sb.n) >= 0.8
+"""

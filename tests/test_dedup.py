@@ -302,3 +302,23 @@ def test_editdistance_blocking_respects_block_col(spark):
     got = {(r.a_id, r.b_id) for r in
            dedup.editdistance_pairs(df, max_dist=2).collect()}
     assert got == {(0, 2)}
+
+
+def test_containment_catches_partial_copy(spark):
+    big = "w " + " ".join(f"t{i}" for i in range(40))
+    small = " ".join(f"t{i}" for i in range(12))   # fully inside big
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=big), Row(doc_id=1, text=small),
+         Row(doc_id=2, text="x y z entirely other words here now")]
+    )
+    rows = {(r.a_id, r.b_id): r for r in
+            dedup.containment_pairs(df, threshold=0.8).collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    # every trigram of `small` appears in `big` -> containment 1.0
+    assert r.containment == 1.0 and r.c_b_in_a == 1.0 and r.c_a_in_b < 0.5
+    # symmetric Jaccard on the same pair is well under 0.5: the case
+    # containment exists for
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    j = {(x.a_id, x.b_id): x.jaccard for x in jac}[(0, 1)]
+    assert j < 0.3
