@@ -2620,14 +2620,20 @@ TOKEN_BUDGET_SQL = f"""
 
 
 def dedup_editdistance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup pairs by character edit distance within
-    length-banded, language-blocked candidate buckets — the fine-grained
-    complement to Jaccard/MinHash for typo-level duplicates. All-JVM:
-    blocking is an equi-join on (lang, length bucket), verification is
-    Spark's thresholded ``levenshtein`` (early-exit at max_dist)."""
+    """Fuzzy near-dup pairs by character edit distance — the
+    fine-grained complement to Jaccard/MinHash for typo-level
+    duplicates. All-JVM: candidate blocking is an equi-join, and
+    verification is Spark's thresholded ``levenshtein`` (early-exit at
+    max_dist). method="band" is the measured winner for THIS corpus
+    shape (50-word vocabulary defeats gram-rarity filtering — see the
+    operator docstring's regime analysis and SCALING.md); the edjoin
+    prefix-filter path is the natural-text scale configuration, and
+    document-scale near-dup at 100 TB belongs to MinHash-LSH either
+    way."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.editdistance_pairs(
-        docs, id_col="doc_id", text_col="text", block_col="lang", max_dist=16
+        docs, id_col="doc_id", text_col="text", block_col="lang",
+        max_dist=16, method="band",
     )
 
 

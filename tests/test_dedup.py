@@ -263,26 +263,27 @@ def test_editdistance_pairs_brute_force_parity(spark):
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     )
     d = 4
-    got = {
-        (r.a_id, r.b_id): r.dist
-        for r in dedup.editdistance_pairs(
-            df, block_col=None, max_dist=d, band_width=d
-        ).collect()
-    }
     want = {}
     for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2):
         dist = lev(a, b)
         if dist <= d:
             want[(i, j)] = dist
-    assert got == want
-    # straddle pair (len 7 vs len 8 across the w=4 bucket edge) is in
-    assert (2, 3) in got and got[(2, 3)] == 1
-    # collect() already proves single emission; a duplicate would have
-    # produced two identical rows and dict-collapse hides it, so check
-    rows = dedup.editdistance_pairs(
-        df, block_col=None, max_dist=d, band_width=d
-    ).collect()
-    assert len(rows) == len(got)
+    for method in ("band", "edjoin"):
+        got = {
+            (r.a_id, r.b_id): r.dist
+            for r in dedup.editdistance_pairs(
+                df, block_col=None, max_dist=d, band_width=d,
+                method=method,
+            ).collect()
+        }
+        assert got == want, method
+        # straddle pair (len 7 vs len 8 across the w=4 bucket edge)
+        assert (2, 3) in got and got[(2, 3)] == 1
+        # no duplicate emissions (dict-collapse would hide them)
+        rows = dedup.editdistance_pairs(
+            df, block_col=None, max_dist=d, band_width=d, method=method
+        ).collect()
+        assert len(rows) == len(got), method
 
 
 def test_editdistance_band_width_guard(spark):
@@ -322,3 +323,56 @@ def test_containment_catches_partial_copy(spark):
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
     j = {(x.a_id, x.b_id): x.jaccard for x in jac}[(0, 1)]
     assert j < 0.3
+
+
+def test_editdistance_edjoin_random_parity(spark):
+    """Randomized differential check: edjoin == band == brute force on
+    a corpus of mutated strings (seeded, deterministic)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base = ["".join(rng.choice("abcd") for _ in range(rng.randint(4, 30)))
+            for _ in range(12)]
+    texts = list(base)
+    for t in base[:6]:  # mutated near-dups
+        chars = list(t)
+        for _ in range(rng.randint(1, 3)):
+            op = rng.choice("sid")
+            pos = rng.randrange(len(chars)) if chars else 0
+            if op == "s" and chars:
+                chars[pos] = rng.choice("abcd")
+            elif op == "i":
+                chars.insert(pos, rng.choice("abcd"))
+            elif op == "d" and len(chars) > 1:
+                del chars[pos]
+        texts.append("".join(chars))
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    d = 3
+    want = {
+        (i, j): dist
+        for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2)
+        if (dist := lev(a, b)) <= d
+    }
+    assert want  # the mutation loop must actually produce close pairs
+    for method in ("edjoin", "band"):
+        got = {
+            (r.a_id, r.b_id): r.dist
+            for r in dedup.editdistance_pairs(
+                df, block_col=None, max_dist=d, method=method
+            ).collect()
+        }
+        assert got == want, method

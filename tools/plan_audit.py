@@ -11,9 +11,10 @@ Queries that intentionally trip the join flag: similarity_cosine_topk
 text_tfidf_top_terms, tpch_q22_dormant_customers,
 tpch_q11_important_stock and corpus_mix_weights (cross join against a
 broadcast 1-row scalar — the plan Spark itself produces for an
-uncorrelated scalar subquery); and the four similarity_ann_* queries
-(their recall@k self-check column attaches a broadcast 1-row recall
-summary the same way).
+uncorrelated scalar subquery); profile_columns_lineitem (crossJoin of
+its two 1-row aggregate frames — plain metrics x exact distincts); and
+the four similarity_ann_* queries (their recall@k self-check column
+attaches a broadcast 1-row recall summary the same way).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
