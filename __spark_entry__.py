@@ -1330,8 +1330,9 @@ def oracle_sql() -> dict[str, str]:
             "text_lang_id_docs": lang_id_oracle_sql(),
             "similarity_cosine_topk": sca.COSINE_TOPK_SQL,
             "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
-            # similarity_ann_lsh / multimodal_decode_features: rows-only
-            # (plane literals / stub codec live Spark-side)
+            # similarity_ann_* stay rows-only (plane/codebook literals
+            # live Spark-side); the stub-codec multimodal queries are
+            # oracle-backed below (MULTIMODAL_FEATURES_SQL etc.)
             "multimodal_blob_meta": sca.BLOB_META_SQL,
             "text_tfidf_top_terms": sca.TFIDF_SQL,
             "value_percentiles": sca.PERCENTILES_SQL,
