@@ -758,22 +758,32 @@ def _band_candidates(
     ).select(
         "*", F.col("_bb.b").alias("_bucket"), F.col("_bb.repl").alias("_repl")
     )
-    a = bucketed.select(
+    # block columns join as xxhash64 surrogates: xxhash64(NULL) is the
+    # (non-null) seed, so NULL blocks match each other — same semantics
+    # as the eqNullSafe verification filter downstream (a plain
+    # equi-join on the raw columns would silently drop NULL-block
+    # pairs that the edjoin generator keeps). A hash collision can only
+    # ADD a candidate, which verification removes.
+    bkeys = [f"_bk_{c}" for c in blocks]
+    hashed = bucketed.select(
+        "*", *[F.xxhash64(F.col(c)).alias(k) for c, k in zip(blocks, bkeys)]
+    )
+    a = hashed.select(
         F.col(id_col).alias("a_id"),
         F.col("_len").alias("_a_len"),
         F.col("_repl").alias("_a_repl"),
-        *[F.col(c) for c in blocks],
+        *bkeys,
         "_bucket",
     )
-    b = bucketed.select(
+    b = hashed.select(
         F.col(id_col).alias("b_id"),
         F.col("_len").alias("_b_len"),
         F.col("_repl").alias("_b_repl"),
-        *[F.col(c) for c in blocks],
+        *bkeys,
         "_bucket",
     )
     return (
-        a.join(b, blocks + ["_bucket"])
+        a.join(b, bkeys + ["_bucket"])
         .filter(
             (F.col("a_id") < F.col("b_id"))
             & ~(F.col("_a_repl") & F.col("_b_repl"))

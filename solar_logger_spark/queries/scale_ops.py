@@ -2648,10 +2648,12 @@ DEDUP_EDITDISTANCE_SQL = """
 
 
 def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan data-quality profile of every lineitem column:
-    non-null count, null count, exact distinct count, numeric min/max.
-    The pre-flight audit step of a pipeline run (schema-drift / null
-    blow-up / range-excursion detection)."""
+    """Data-quality profile of every lineitem column: non-null count,
+    null count, exact distinct count, numeric min/max — the pre-flight
+    audit step of a pipeline run (schema-drift / null blow-up /
+    range-excursion detection). Exact-distinct mode (two scans, backs
+    the oracle); production scheduled jobs use the one-scan HLL++
+    mode."""
     from solar_logger_spark.operators.profile import profile_columns
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2673,7 +2675,7 @@ def _profile_oracle_sql() -> str:
         mn = f"CAST(min({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
         mx = f"CAST(max({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
         parts.append(
-            f"SELECT '{c}' AS column, count({c}) AS n_rows,"
+            f"SELECT '{c}' AS column, count({c}) AS n_nonnull,"
             f" count(*) - count({c}) AS n_null,"
             f" count(DISTINCT {c}) AS n_distinct,"
             f" {mn} AS min_value, {mx} AS max_value FROM lineitem"
@@ -2710,10 +2712,8 @@ ROLLING_MEDIAN_SQL = """
                 WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
                 ELSE (arr[len(arr)//2] + arr[len(arr)//2 + 1]) / 2.0
            END AS rolling_med,
-           abs(value - CASE WHEN len(arr) = 0 THEN NULL
-                WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
-                ELSE (arr[len(arr)//2] + arr[len(arr)//2 + 1]) / 2.0
-           END) > 40.0 AS is_spike
+           -- lateral alias reuse: one copy of the median formula
+           abs(value - rolling_med) > 40.0 AS is_spike
     FROM w
 """
 

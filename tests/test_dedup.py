@@ -5,6 +5,18 @@ from pyspark.sql import Row
 
 from solar_logger_spark.operators import dedup
 
+
+def _lev(a, b):
+    """Reference Levenshtein for differential tests."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog"),
     (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
@@ -241,16 +253,6 @@ def test_editdistance_pairs_brute_force_parity(spark):
     duplicate emissions from the replication trick."""
     import itertools
 
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                               prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
-
     texts = [
         "aaaa",           # len 4
         "aaab",           # dist 1 to above, same bucket at w=4
@@ -265,7 +267,7 @@ def test_editdistance_pairs_brute_force_parity(spark):
     d = 4
     want = {}
     for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2):
-        dist = lev(a, b)
+        dist = _lev(a, b)
         if dist <= d:
             want[(i, j)] = dist
     for method in ("band", "edjoin"):
@@ -348,16 +350,6 @@ def test_editdistance_edjoin_random_parity(spark):
                 del chars[pos]
         texts.append("".join(chars))
 
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                               prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
-
     df = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     )
@@ -365,7 +357,7 @@ def test_editdistance_edjoin_random_parity(spark):
     want = {
         (i, j): dist
         for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2)
-        if (dist := lev(a, b)) <= d
+        if (dist := _lev(a, b)) <= d
     }
     assert want  # the mutation loop must actually produce close pairs
     for method in ("edjoin", "band"):
@@ -375,4 +367,25 @@ def test_editdistance_edjoin_random_parity(spark):
                 df, block_col=None, max_dist=d, method=method
             ).collect()
         }
+        assert got == want, method
+
+
+def test_editdistance_null_block_values_match_both_methods(spark):
+    """NULL block values must behave identically in both candidate
+    generators: NULL == NULL for blocking (same as the eqNullSafe
+    verification filter), regardless of string length."""
+    long_a = "m" * 60
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="same text", lang=None),
+            Row(doc_id=1, text="same text", lang=None),
+            Row(doc_id=2, text="same text", lang="en"),
+            Row(doc_id=3, text=long_a, lang=None),      # long stratum
+            Row(doc_id=4, text=long_a + "x", lang=None),
+        ]
+    )
+    want = {(0, 1), (3, 4)}
+    for method in ("band", "edjoin"):
+        got = {(r.a_id, r.b_id) for r in dedup.editdistance_pairs(
+            df, max_dist=2, method=method).collect()}
         assert got == want, method

@@ -20,7 +20,7 @@ def test_profile_counts_nulls_distinct_minmax(spark):
     )
     out = _rows(profile_columns(df))
     assert out["a"] == {
-        "column": "a", "n_rows": 3, "n_null": 1, "n_distinct": 2,
+        "column": "a", "n_nonnull": 3, "n_null": 1, "n_distinct": 2,
         "min_value": 1.0, "max_value": 2.0,
     }
     assert out["b"]["n_null"] == 1 and out["b"]["n_distinct"] == 2
