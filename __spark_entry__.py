@@ -1077,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
             "dedup_containment_docs": sca.dedup_containment_docs,
+            "sketch_quantiles_events": sca.sketch_quantiles_events,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1394,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,
             "dedup_containment_docs": sca.DEDUP_CONTAINMENT_SQL,
+            "sketch_quantiles_events": sca.SKETCH_QUANTILES_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

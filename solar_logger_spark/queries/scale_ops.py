@@ -2872,3 +2872,73 @@ DEDUP_CONTAINMENT_SQL = """
     WHERE greatest(CAST(inter AS DOUBLE) / sa.n,
                    CAST(inter AS DOUBLE) / sb.n) >= 0.8
 """
+
+
+def sketch_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with a deterministic self-check — the
+    quantile counterpart of sketch_distinct_users_daily's HLL pattern.
+
+    Spark's ``percentile_approx`` (Greenwald-Khanna sketch: mergeable
+    map-side summaries, O(1/eps log n) space — the 100 TB path where
+    exact percentiles would sort the world) answers p50/p95/p99 per
+    event_type at accuracy 1000 (eps = 1e-3). The sketch VALUES are
+    partition-order dependent, so the query outputs the exact
+    percentiles (oracle-matched float equality, same as
+    value_percentiles) plus per-quantile booleans asserting the GK
+    rank-error guarantee: the returned value's tie-aware rank interval
+    [count(<v)+1, count(<=v)] must intersect [(p-eps)n - 1, (p+eps)n
+    + 1] — the ±1 absorbs the implementation's floor/ceil rank
+    convention (measured: GK returns rank 989 where the idealized
+    bound floor is 989.018). The booleans are deterministically TRUE
+    whenever the sketch honors its bound — a broken sketch flips them
+    and fails the driver's hash compare loudly."""
+    eps = 1e-3
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+            F.lit(int(1 / eps)),
+        ).alias("av"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count("value").alias("n"),
+    )
+    j = events.select("event_type", "value").join(
+        F.broadcast(agg.select("event_type", "av")), "event_type"
+    )
+    checks = j.groupBy("event_type").agg(
+        *[
+            F.sum(
+                F.when(F.col("value") < F.col("av")[i], 1).otherwise(0)
+            ).alias(f"_lt{i}")
+            for i in range(3)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("value") <= F.col("av")[i], 1).otherwise(0)
+            ).alias(f"_le{i}")
+            for i in range(3)
+        ],
+    )
+    out = agg.join(checks, "event_type")
+    flags = []
+    for i, p in enumerate((0.5, 0.95, 0.99)):
+        lo = (F.lit(p) - F.lit(eps)) * F.col("n") - 1
+        hi = (F.lit(p) + F.lit(eps)) * F.col("n") + 1
+        flags.append(
+            (
+                (F.col(f"_lt{i}") + 1 <= hi) & (F.col(f"_le{i}") >= lo)
+            ).alias(f"q{int(p * 100)}_ok")
+        )
+    return out.select("event_type", "n", "p50", "p95", "p99", *flags)
+
+
+SKETCH_QUANTILES_SQL = """
+    SELECT event_type, count(value) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99,
+           TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
+    FROM events GROUP BY event_type
+"""

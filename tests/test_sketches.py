@@ -133,3 +133,31 @@ def test_distinct_users_daily_query_error_pinned(spark):
         # the declared output IS the accuracy contract: the merged-HLL
         # estimate must sit inside the 5% envelope per group
         assert r.within_5pct, r.event_type
+
+
+def test_sketch_quantiles_bound_flags(spark, tmp_path):
+    """GK rank-bound flags are TRUE on a real distribution, and the
+    exact percentiles match a numpy reference."""
+    import numpy as np
+    import datetime as dt
+    from pyspark.sql import Row
+    from solar_logger_spark.queries.scale_ops import sketch_quantiles_events
+
+    rng = np.random.RandomState(3)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate(rng.lognormal(3.0, 1.0, 2000)):
+        rows.append(Row(event_id=i, ts=t0, user_id=int(i % 7),
+                        event_type="click" if i % 2 else "view",
+                        value=float(v), props="{}"))
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in
+           sketch_quantiles_events(spark, str(tmp_path)).collect()}
+    assert set(out) == {"click", "view"}
+    for et, r in out.items():
+        assert r.q50_ok and r.q95_ok and r.q99_ok
+        vals = np.array([row.value for row in rows
+                         if row.event_type == et])
+        assert abs(r.p50 - np.percentile(vals, 50)) < 1e-9
+        assert abs(r.p99 - np.percentile(vals, 99)) < 1e-9
+        assert r.n == len(vals)
