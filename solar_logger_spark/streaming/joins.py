@@ -1,0 +1,63 @@
+"""Stream-stream event-time joins.
+
+Structured Streaming's watermarked inner join buffers each side's rows
+in state ONLY for the interval the join condition can still match, so a
+time-bounded condition (attribution windows, request/response pairing,
+status correlation) runs with bounded state at any input rate — the
+streaming counterpart of `operators/interval_join.py`. State per side
+is O(rate × (watermark delay + join window)); without the time bound
+Spark rejects the inner stream-stream join outright rather than buffer
+forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str,
+    watermark: str = "10 minutes",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Attribute each right-side event to the left-side events it
+    follows within ``within`` (e.g. purchases to the clicks they
+    followed): inner join on ``key`` with the event-time band
+    ``left_ts <= right_ts <= left_ts + within``.
+
+    Both sides are watermarked with ``watermark``: rows later than that
+    relative to each stream's max event time may be dropped, and —
+    because the band bounds how long a left row can still match — the
+    join state store evicts left rows once the watermark passes
+    ``left_ts + within`` and right rows once it passes ``right_ts``.
+    Output columns: key, left ts/columns prefixed ``l_``, right
+    prefixed ``r_``.
+    """
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(key).alias("k"),
+        F.col(left_ts).alias("l_ts"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c not in (key, left_ts)
+        ],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("r_k"),
+        F.col(right_ts).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    )
+    cond = (
+        (l["k"] == r["r_k"])
+        & (r["r_ts"] >= l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop("r_k")

@@ -831,3 +831,61 @@ def test_windowed_rollup_streaming_approx_distinct(spark, tmp_path):
     q.stop()
     # HLL is exact at cardinality 2
     assert got[datetime(2024, 1, 1, 1, 0)] == 2
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases attribute to
+    the clicks they follow within 30 minutes, per user; pairs outside
+    the band never match."""
+    from solar_logger_spark.streaming.joins import stream_attribution_join
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(minute):
+        return t0 + __import__("datetime").timedelta(minutes=minute)
+
+    clicks = [(1, ts(0), "c1"), (1, ts(60), "c2"), (2, ts(5), "c3")]
+    buys = [
+        (1, ts(10), "b1"),   # within 30m of c1
+        (1, ts(75), "b2"),   # within 30m of c2, NOT of c1
+        (2, ts(50), "b3"),   # 45m after c3 -> no match
+        # far-future row on each side drags both watermarks forward so
+        # append mode flushes the joined rows
+        (9, ts(6000), "bx"),
+    ]
+    spark.createDataFrame(
+        clicks + [(9, ts(6000), "cx")], "user_id long, ts timestamp, cid string"
+    ).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        buys, "user_id long, ts timestamp, bid string"
+    ).write.parquet(buys_dir)
+
+    lc = spark.readStream.schema(
+        "user_id long, ts timestamp, cid string"
+    ).parquet(clicks_dir)
+    rb = spark.readStream.schema(
+        "user_id long, ts timestamp, bid string"
+    ).parquet(buys_dir)
+
+    joined = stream_attribution_join(
+        lc, rb, key="user_id", within="30 minutes", watermark="1 minute"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.l_cid, r.r_bid)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {("c1", "b1"), ("c2", "b2"), ("cx", "bx")}
