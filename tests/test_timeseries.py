@@ -671,3 +671,41 @@ def test_ab_welch_hand_computed(spark, tmp_path):
     vb = 4.0         # sample var of 10,12,14
     assert abs(out.var_a - va) < 1e-12 and out.var_b == vb
     assert abs(out.t_stat - (2.5 - 12.0) / math.sqrt(va / 4 + vb / 3)) < 1e-12
+
+
+def test_rolling_median_differential_vs_pandas(spark):
+    """One Spark job over a seeded random series vs pandas
+    rolling(center=True).median() — including both edges, ties, and
+    repeated values."""
+    import datetime as dt
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Row
+    from solar_logger_spark.operators import timeseries as T
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.lognormal(2.0, 1.0, 200), 2)
+    vals[::17] = 5.0  # forced ties
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=t0 + dt.timedelta(seconds=i),
+                user_id=1, value=float(v))
+            for i, v in enumerate(vals)
+        ]
+    )
+    got = (
+        T.rolling_median_despike(
+            df, k=2, threshold=1.0, series=["user_id"],
+            tiebreak=["event_id"],
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    want = (
+        pd.Series(vals)
+        .rolling(5, center=True, min_periods=1)
+        .median()
+        .to_numpy()
+    )
+    assert np.array_equal(got["rolling_med"].to_numpy(), want)
