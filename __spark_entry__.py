@@ -156,6 +156,21 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured props: parse_json once
+    into the binary variant encoding, then typed variant_get paths —
+    the scale posture for JSON columns (parse once, extract many;
+    repeated get_json_object re-parses the string per extraction).
+    Output matches json_props_extract so the same oracle applies."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def q_flux_agg_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window aggregateWindow (Flux ``window(every: 6h, period:
     1d)``): 1-day windows sliding 6h — each event fans out to 4 windows
@@ -931,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_events": q_unpivot_events,
         "pivot_event_types": q_pivot_event_types,
         "json_props_extract": q_json_props_extract,
+        "json_variant_props": q_json_variant_props,
         "packet_decode_points": q_packet_decode_points,
         "flux_regex_filter": q_flux_regex_filter,
         "flux_agg_create_empty": q_flux_agg_create_empty,
@@ -1146,18 +1162,20 @@ def _registry_order(
     oracle_backed = set(oracle_sql())
 
     def _prio(name: str) -> int:
-        # 0: oracle-backed, never green — the hard hash-compare signal
-        # 1: latest record red — converts a standing red row to green
-        #    (worth more than a first weak rows-only row, so it outranks
-        #    class 2)
+        # 0: latest committed record is RED (regardless of history) —
+        #    a standing red row on since-fixed code reads as a live
+        #    failure in the record, and with a registry larger than the
+        #    driver's ~50-row budget these re-checks must never be
+        #    starved by a stream of new additions (the flux_agg_integral
+        #    lesson: its r2 red sat outside the checked window for two
+        #    rounds under never-checked-first ordering)
+        # 1: oracle-backed, never checked — the hard hash-compare signal
         # 2: rows-only, never checked — weak rows+schema signal
         # 3: green and current
+        if name in latest and not latest[name][1]:
+            return 0
         if not ever_green.get(name, False):
-            if name in oracle_backed:
-                return 0
-            return 2
-        if not latest[name][1]:
-            return 1
+            return 1 if name in oracle_backed else 2
         return 3
 
     names = list(out)
@@ -1238,6 +1256,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "json_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   CAST(value AS DOUBLE) AS value
+            FROM events
+        """,
+        "json_variant_props": """
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                    CAST(value AS DOUBLE) AS value

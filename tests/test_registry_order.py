@@ -32,15 +32,17 @@ def test_never_checked_comes_first():
     assert got[0] == "c" and set(got) == {"a", "b", "c"}
 
 
-def test_latest_red_outranks_green_and_rows_only_new():
+def test_latest_red_outranks_everything():
     # "new" is a synthetic name not in oracle_sql() -> rows-only class;
-    # a standing red record outranks it, an oracle-backed new name
-    # outranks both
+    # a standing red record outranks even oracle-backed never-checked
+    # names: in the final record a red row reads as a live failure, so
+    # re-checks must never be starved out of the driver budget by a
+    # stream of new additions
     out = {"new": 1, "fixed": 2, "ok": 3, "tpch_q1_pricing_summary": 4}
     records = {1: {"fixed": GREEN, "ok": GREEN}, 2: {"fixed": ERR, "ok": GREEN}}
     assert _order(out, records) == [
-        "tpch_q1_pricing_summary",
         "fixed",
+        "tpch_q1_pricing_summary",
         "new",
         "ok",
     ]
@@ -73,3 +75,14 @@ def test_oracle_backed_lead_within_never_checked():
     out = {"ro_new": 1, "tpch_q1_pricing_summary": 2}
     got = _order(out, {})
     assert got == ["tpch_q1_pricing_summary", "ro_new"]
+
+
+def test_standing_red_leads_never_checked():
+    # never-green-with-red-record outranks the brand-new oracle-backed
+    # name even if registered later
+    out = {"tpch_q1_pricing_summary": 1, "flux_range_filter": 2}
+    records = {1: {"flux_range_filter": ERR}}
+    assert _order(out, records) == [
+        "flux_range_filter",
+        "tpch_q1_pricing_summary",
+    ]
