@@ -1094,6 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
             "dedup_containment_docs": sca.dedup_containment_docs,
             "sketch_quantiles_events": sca.sketch_quantiles_events,
+            "dedup_keep_best_quality": sca.dedup_keep_best_quality,
+            "dedup_scrub_benchmark_spans": sca.dedup_scrub_benchmark_spans,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1420,6 +1422,8 @@ def oracle_sql() -> dict[str, str]:
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,
             "dedup_containment_docs": sca.DEDUP_CONTAINMENT_SQL,
             "sketch_quantiles_events": sca.SKETCH_QUANTILES_SQL,
+            "dedup_keep_best_quality": sca.DEDUP_KEEP_BEST_SQL,
+            "dedup_scrub_benchmark_spans": sca.SCRUB_BENCH_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

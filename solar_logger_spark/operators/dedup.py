@@ -589,8 +589,24 @@ def remove_duplicate_spans(
     width shuffle keys — the same documented tradeoff as
     ``ngram_jaccard_pairs``; the oracle compares on full gram strings.
     """
+    grams = _positional_gram_hashes(df, id_col, text_col, n)
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gh")
+    )
+    return _remove_covered_tokens(df, grams, dup_hashes, id_col, text_col, n)
+
+
+def _positional_gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gram hash) rows, spread across cores and materialized
+    as a repartition exchange on the hash so multiple consumers re-read
+    one shuffle (nothing pinned in executor storage)."""
     spread = df.sparkSession.sparkContext.defaultParallelism
-    grams = (
+    return (
         df.repartition(spread)
         .select(
             F.col(id_col),
@@ -599,14 +615,50 @@ def remove_duplicate_spans(
         .select(F.col(id_col), "pos", F.xxhash64("gram").alias("gh"))
         .repartition(spread, "gh")
     )
-    dup_hashes = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .select("gh")
+
+
+def remove_benchmark_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Span-level benchmark decontamination: every corpus token covered
+    by a token ``n``-gram that appears ANYWHERE in the benchmark set is
+    deleted and the survivors re-joined — the surgical counterpart of
+    ``benchmark_contamination``'s doc-level flag (drop the overlapping
+    spans, keep the rest of the document; the GPT-3 appendix-C rule
+    applied as an edit instead of a filter).
+
+    Same linear plan as ``remove_duplicate_spans``, except the bad-gram
+    set comes from the benchmark side (distinct hashed benchmark grams
+    — small, and the join against the corpus gram exchange is an
+    8-byte-key equi-join that broadcasts when the benchmark is small).
+
+    Output: input columns + ``n_tokens``, ``n_removed``, ``clean_text``.
+    """
+    grams = _positional_gram_hashes(df, id_col, text_col, n)
+    bad = (
+        bench.select(F.explode(shingle_array(text_col, n)).alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
     )
+    return _remove_covered_tokens(df, grams, bad, id_col, text_col, n)
+
+
+def _remove_covered_tokens(
+    df: DataFrame,
+    grams: DataFrame,
+    bad_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """Shared span-scrub tail: tokens covered by any bad positional
+    gram are removed; survivors re-join into ``clean_text``."""
     covered = (
-        grams.join(dup_hashes, "gh")
+        grams.join(bad_hashes, "gh")
         .select(
             F.col(id_col),
             F.explode(

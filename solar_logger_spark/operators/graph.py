@@ -170,3 +170,44 @@ def dedup_representatives(
             ).alias("keep"),
         )
     )
+
+
+def dedup_best_representatives(
+    pairs: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Dedup decision keeping the BEST member of each near-dup cluster
+    rather than the minimum id — production pipelines keep the
+    highest-quality (or longest, or most recent) duplicate, since
+    near-dup clusters routinely contain one clean copy and N degraded
+    ones. ``scored`` must carry (id_col, score_col) for every document.
+
+    Returns ``(id_col, component, keep)`` for every scored document;
+    the keep flag marks the argmax by (score desc, id asc) per
+    component — deterministic under score ties. One window over
+    components (bounded: component size ~ duplicate-cluster size, not
+    corpus size) on top of the connected-components fixpoint."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, src=a_col, dst=b_col)
+    full = (
+        scored.select(F.col(id_col), F.col(score_col))
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            score_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return full.select(
+        id_col,
+        "component",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

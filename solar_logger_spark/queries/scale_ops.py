@@ -2942,3 +2942,122 @@ SKETCH_QUANTILES_SQL = """
            TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
     FROM events GROUP BY event_type
 """
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (MinHash-LSH pairs at Jaccard >= 0.5 ->
+    connected components) keeping the HIGHEST-QUALITY member per
+    cluster instead of the minimum id — the production keep rule
+    (clusters usually hold one clean copy and N degraded ones).
+    Deterministic tiebreak (quality desc, doc_id asc)."""
+    from solar_logger_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    return graph.dedup_best_representatives(pairs, scored)
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE
+    base AS (
+        SELECT doc_id, {_QUALITY_BASE_COLS_SQL}
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, {_QUALITY_SCORE_EXPR_SQL} AS quality_score
+        FROM base
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))]) AS s
+        FROM words
+    ),
+    sd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+    pairs0 AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a_id, b_id FROM pairs0
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE CAST(inter AS DOUBLE)
+              / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(label) AS component
+        FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, c.component,
+           row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY q.quality_score DESC, c.doc_id ASC
+           ) = 1 AS keep
+    FROM comp c JOIN q USING (doc_id)
+"""
+
+
+def dedup_scrub_benchmark_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: delete every corpus token
+    covered by an 8-gram that appears in the (hash-sampled) benchmark
+    set — the surgical edit counterpart of the doc-level
+    dedup_benchmark_contamination flag. Cleaned text is md5'd so the
+    full reconstruction must match the oracle's string-level replay."""
+    from solar_logger_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = sampling.sample_fraction(docs, 0.1, ["doc_id"], seed=7)
+    out = dedup.remove_benchmark_spans(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+SCRUB_BENCH_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bench AS (
+        SELECT doc_id FROM documents
+        WHERE CAST(('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'), 1, 15))
+              AS BIGINT) % 1000000 < 100000
+    ), grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ws[i:i+7], ' ') AS gram
+        FROM toks, LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)
+        WHERE len(ws) >= 8
+    ), bad_grams AS (
+        SELECT DISTINCT g.gram
+        FROM grams g JOIN bench b USING (doc_id)
+    ), covered AS (
+        SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx
+        FROM grams JOIN bad_grams USING (gram)
+    ), cov_set AS (
+        SELECT doc_id, list(idx) AS cov FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+               [t.ws[i] FOR i IN range(1, len(t.ws) + 1)
+                IF NOT list_contains(coalesce(c.cov, []), i - 1)],
+               ' '), '')) AS clean_md5
+    FROM toks t LEFT JOIN cov_set c USING (doc_id)
+"""

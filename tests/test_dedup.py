@@ -389,3 +389,35 @@ def test_editdistance_null_block_values_match_both_methods(spark):
         got = {(r.a_id, r.b_id) for r in dedup.editdistance_pairs(
             df, max_dist=2, method=method).collect()}
         assert got == want, method
+
+
+def test_remove_benchmark_spans_surgical(spark):
+    """Only benchmark-overlapping spans are removed; corpus-internal
+    duplication is untouched (that's remove_duplicate_spans' job)."""
+    from pyspark.sql import Row
+
+    leak = "b1 b2 b3 b4"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"alpha beta {leak} gamma delta"),
+            # corpus-internal dup of doc 0's frame, but NOT in bench:
+            Row(doc_id=1, text=f"alpha beta {leak} gamma delta"),
+            Row(doc_id=2, text="all clean words here stay put"),
+            Row(doc_id=3, text="tiny"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=9, text=f"prefix {leak} suffix words here")]
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_benchmark_spans(docs, bench, n=4).collect()
+    }
+    # the 4-gram "b1 b2 b3 b4" is in bench -> its tokens go; the
+    # surrounding unique words survive
+    assert out[0].clean_text == "alpha beta gamma delta"
+    assert out[0].n_removed == 4
+    assert out[1].clean_text == "alpha beta gamma delta"  # same overlap
+    assert out[2].clean_text == "all clean words here stay put"
+    assert out[2].n_removed == 0
+    assert out[3].clean_text == "tiny" and out[3].n_removed == 0

@@ -92,3 +92,28 @@ def test_dedup_representatives_covers_all_docs(spark):
         12: (10, False),
         13: (13, True),  # untouched doc is its own kept singleton
     }
+
+
+def test_best_representatives_keeps_highest_quality(spark):
+    from pyspark.sql import Row
+    from solar_logger_spark.operators.graph import dedup_best_representatives
+
+    # cluster {1,2,3} (chain), singleton {9}; doc 2 has best quality
+    pairs = spark.createDataFrame(
+        [Row(a_id=1, b_id=2), Row(a_id=2, b_id=3)]
+    )
+    scored = spark.createDataFrame(
+        [
+            Row(doc_id=1, quality_score=0.5),
+            Row(doc_id=2, quality_score=0.9),
+            Row(doc_id=3, quality_score=0.9),  # tie -> lower id wins
+            Row(doc_id=9, quality_score=0.1),
+        ]
+    )
+    out = {r.doc_id: r for r in
+           dedup_best_representatives(pairs, scored).collect()}
+    assert out[1].component == out[2].component == out[3].component == 1
+    assert not out[1].keep
+    assert out[2].keep          # 0.9 tie, id 2 < 3
+    assert not out[3].keep
+    assert out[9].keep and out[9].component == 9
