@@ -1096,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sketch_quantiles_events": sca.sketch_quantiles_events,
             "dedup_keep_best_quality": sca.dedup_keep_best_quality,
             "dedup_scrub_benchmark_spans": sca.dedup_scrub_benchmark_spans,
+            "ts_seasonal_decompose_events": sca.ts_seasonal_decompose_events,
         }
     )
     # The driver's correctness harness walks this registry in order with
@@ -1424,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
             "sketch_quantiles_events": sca.SKETCH_QUANTILES_SQL,
             "dedup_keep_best_quality": sca.DEDUP_KEEP_BEST_SQL,
             "dedup_scrub_benchmark_spans": sca.SCRUB_BENCH_SQL,
+            "ts_seasonal_decompose_events": sca.SEASONAL_DECOMPOSE_SQL,
             "embedding_semantic_dedup": sca.SEMANTIC_DEDUP_SQL.format(
                 neardup=sca.NEARDUP_PAIRS_SQL
             ),

@@ -3065,3 +3065,78 @@ SCRUB_BENCH_SQL = """
                ' '), '')) AS clean_md5
     FROM toks t LEFT JOIN cov_set c USING (doc_id)
 """
+
+
+def ts_seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition per event_type series:
+    trend (centered 25-row moving average), hour-of-day seasonal
+    component (hourly mean minus grand mean — computed from exact
+    DECIMAL(18,6) sums so the float is engine-identical), and the
+    residual value - trend - seasonal. The classical-decomposition
+    variant with period means over RAW values, which keeps every
+    component a deterministic formula over exact moments (residual-
+    based seasonal means would average arbitrary doubles, whose
+    cross-engine sum order is not reproducible).
+
+    Plan: one analytic window per series (same exchange as the moving
+    average) + one tiny (series, hour) aggregate + one series-level
+    aggregate, both broadcast back — no extra shuffle of the events."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-12, 12)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    hour = F.hour("ts")
+    base = events.select(
+        "event_id", "ts", "event_type", "value", hour.alias("hod")
+    ).withColumn("trend", F.avg("value").over(w))
+    hourly = base.groupBy("event_type", "hod").agg(
+        (F.sum(dec).cast("double") / F.count("value")).alias("_hmean")
+    )
+    grand = base.groupBy("event_type").agg(
+        (F.sum(dec).cast("double") / F.count("value")).alias("_gmean")
+    )
+    out = base.join(F.broadcast(hourly), ["event_type", "hod"]).join(
+        F.broadcast(grand), "event_type"
+    )
+    seasonal = F.col("_hmean") - F.col("_gmean")
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "trend",
+        seasonal.alias("seasonal"),
+        (F.col("value") - F.col("trend") - seasonal).alias("resid"),
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = """
+    WITH base AS (
+        SELECT event_id, ts, event_type, value,
+               CAST(extract(hour FROM ts) AS INT) AS hod,
+               avg(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        FROM events
+    ), hourly AS (
+        SELECT event_type, hod,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS hmean
+        FROM base GROUP BY 1, 2
+    ), grand AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS gmean
+        FROM base GROUP BY 1
+    )
+    SELECT b.event_id, b.event_type, b.value, b.trend,
+           h.hmean - g.gmean AS seasonal,
+           b.value - b.trend - (h.hmean - g.gmean) AS resid
+    FROM base b
+    JOIN hourly h ON h.event_type = b.event_type AND h.hod = b.hod
+    JOIN grand g ON g.event_type = b.event_type
+"""

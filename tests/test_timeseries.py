@@ -709,3 +709,34 @@ def test_rolling_median_differential_vs_pandas(spark):
         .to_numpy()
     )
     assert np.array_equal(got["rolling_med"].to_numpy(), want)
+
+
+def test_seasonal_decompose_components_sum(spark, tmp_path):
+    """value == trend + seasonal + resid identically, and a pure
+    hourly pattern is fully captured by the seasonal component."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from solar_logger_spark.queries.scale_ops import (
+        ts_seasonal_decompose_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    pattern = {0: 10.0, 1: 20.0, 2: 30.0}  # 3-hour cycle over hours 0-2
+    rows = [
+        Row(event_id=i, ts=t0 + dt.timedelta(hours=i % 3, days=i // 3),
+            user_id=1, event_type="click",
+            value=pattern[i % 3], props="{}")
+        for i in range(90)
+    ]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = ts_seasonal_decompose_events(spark, str(tmp_path)).collect()
+    for r in out:
+        assert abs(r.value - (r.trend + r.seasonal + r.resid)) < 1e-9
+    # hourly means are exactly 10/20/30; grand mean 20 -> seasonal
+    # -10/0/+10 per hour bucket
+    by_hour = {}
+    for r in out:
+        by_hour.setdefault(r.value, r.seasonal)
+    assert by_hour[10.0] == -10.0
+    assert by_hour[20.0] == 0.0
+    assert by_hour[30.0] == 10.0
