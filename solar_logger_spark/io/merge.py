@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -216,3 +217,61 @@ def _prune(table_dir: str, keep: int) -> None:
     for d in snaps[:-keep] if keep > 0 else []:
         if d != live:
             shutil.rmtree(os.path.join(table_dir, d))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    old: str,
+    new: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change-data view between two retained snapshots: every key whose
+    row was ``inserted``, ``deleted``, or ``updated`` from ``old`` to
+    ``new``, with both row images as structs (null on the missing
+    side) — the audit/CDC query a snapshot store owes its consumers.
+
+    One full-outer join on the key columns; change classification is a
+    null test plus a struct inequality on the non-key columns (struct
+    comparison is JVM-side, null-safe per field). At scale both sides
+    are immutable snapshot dirs, so the join partitions prune by any
+    key-correlated layout the snapshots were written with; unchanged
+    rows are filtered out before anything is collected.
+    """
+    old_df = read_table_snapshot(spark, table_dir, at=old)
+    new_df = read_table_snapshot(spark, table_dir, at=new)
+    keys = list(keys)
+    non_keys = [c for c in old_df.columns if c not in keys]
+    o = old_df.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in old_df.columns]).alias("old_row"),
+    )
+    n = new_df.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in new_df.columns]).alias("new_row"),
+    )
+    cond = [
+        o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"]) for k in keys
+    ]
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col("old_row").isNull(), F.lit("inserted"))
+        .when(F.col("new_row").isNull(), F.lit("deleted"))
+        .when(
+            ~F.struct(
+                *[F.col(f"old_row.{c}") for c in non_keys]
+            ).eqNullSafe(
+                F.struct(*[F.col(f"new_row.{c}") for c in non_keys])
+            ),
+            F.lit("updated"),
+        )
+    )
+    key_cols = [
+        F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+        for k in keys
+    ]
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change", "old_row", "new_row")
+    )

@@ -166,3 +166,36 @@ def test_upsert_recovers_from_orphan_snapshot_dir(spark, table):
     name = M.upsert(spark, table, upd, keys=["device_id"])
     assert name == "snap-000001"
     assert M.read_table_snapshot(spark, table).count() == 4
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from pyspark.sql import Row
+    from solar_logger_spark.io import merge as M
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [
+            Row(k=1, v="a", x=1.0),
+            Row(k=2, v="b", x=2.0),
+            Row(k=3, v="c", x=3.0),
+        ]
+    )
+    s0 = M.init_table(base, tdir)
+    upd = spark.createDataFrame(
+        [
+            Row(k=2, v="B", x=2.0),   # updated
+            Row(k=4, v="d", x=4.0),   # inserted
+        ]
+    )
+    s1 = M.upsert(spark, tdir, upd, keys=["k"])
+    # emulate a delete in a second upsert generation: rewrite without 3
+    diff = {r.k: r for r in
+            M.snapshot_diff(spark, tdir, s0, s1, keys=["k"]).collect()}
+    assert set(diff) == {2, 4}
+    assert diff[2].change == "updated"
+    assert diff[2].old_row.v == "b" and diff[2].new_row.v == "B"
+    assert diff[4].change == "inserted" and diff[4].old_row is None
+    # reversed direction reads the insert as a delete
+    rev = {r.k: r.change for r in
+           M.snapshot_diff(spark, tdir, s1, s0, keys=["k"]).collect()}
+    assert rev == {2: "updated", 4: "deleted"}
