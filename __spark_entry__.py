@@ -1114,12 +1114,11 @@ def _registry_order(
     """Order queries for the driver's fixed correctness budget.
 
     Priority classes (stable original order within each):
-      0. oracle-backed with no green row in ANY round's record — the
-         hard hash-compare signal fills the budget first;
-      1. latest record is red — code was fixed after a failing row and
-         needs re-verification (the flux_agg_integral case from r2/r3);
-         converting a standing red row to green outranks adding a first
-         weak rows-only row;
+      0. latest committed record is RED — a standing red row reads as
+         a live failure and must never be starved out of the budget by
+         new additions (the flux_agg_integral case from r2/r3);
+      1. oracle-backed with no green row in ANY round's record — the
+         hard hash-compare signal;
       2. rows-only, never checked — the weaker rows+schema signal;
       3. green and current — the long-proven tail.
 

@@ -44,9 +44,10 @@ def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
-# word-3-gram shingle sets, exact pair jaccard >= 0.5
-NGRAM_JACCARD_SQL = """
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+# Shared DuckDB CTE fragments for word-3-gram shingle pair counting —
+# the single source the Jaccard / containment / keep-best oracles
+# compose, so the shingle or pair formula can never drift between them.
+_SHINGLE_PAIR_CTES_SQL = """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (
         SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                                for i in range(1, greatest(len(ws) - 1, 1))]) AS s
@@ -58,7 +59,11 @@ NGRAM_JACCARD_SQL = """
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
         FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    )"""
+
+# word-3-gram shingle sets, exact pair jaccard >= 0.5
+NGRAM_JACCARD_SQL = f"""
+    WITH {_SHINGLE_PAIR_CTES_SQL}
     SELECT a_id, b_id,
            CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
     FROM pairs
@@ -621,9 +626,9 @@ CLUSTER_SQL = """
               >= 0.5
     ),
     edges AS (
-        SELECT a_id AS src, b_id AS dst FROM pairs
+        SELECT a_id AS src, b_id AS dst FROM jpairs
         UNION ALL
-        SELECT b_id, a_id FROM pairs
+        SELECT b_id, a_id FROM jpairs
     ),
     reach AS (
         SELECT doc_id AS node, doc_id AS label FROM documents
@@ -2851,20 +2856,8 @@ def dedup_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(docs, threshold=0.8)
 
 
-DEDUP_CONTAINMENT_SQL = """
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (
-        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                               for i in range(1, greatest(len(ws) - 1, 1))]) AS s
-        FROM words
-    ),
-    sd AS (SELECT DISTINCT doc_id, s FROM sh),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
-    pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
+DEDUP_CONTAINMENT_SQL = f"""
+    WITH {_SHINGLE_PAIR_CTES_SQL}
     SELECT a_id, b_id,
            greatest(CAST(inter AS DOUBLE) / sa.n,
                     CAST(inter AS DOUBLE) / sb.n) AS containment,
@@ -2898,18 +2891,24 @@ def sketch_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fails the driver's hash compare loudly."""
     eps = 1e-3
     events = load_table(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
+    # the sketch aggregate is separate from the exact-percentile one:
+    # referencing one combined aggregate from two consumers would make
+    # Catalyst execute the (expensive, full-value-buffering) exact
+    # percentiles twice — subplans are not deduped, only exchanges
+    sketch = events.groupBy("event_type").agg(
         F.percentile_approx(
             "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
             F.lit(int(1 / eps)),
         ).alias("av"),
+    )
+    agg = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, 0.99)").alias("p99"),
         F.count("value").alias("n"),
     )
     j = events.select("event_type", "value").join(
-        F.broadcast(agg.select("event_type", "av")), "event_type"
+        F.broadcast(sketch), "event_type"
     )
     checks = j.groupBy("event_type").agg(
         *[
@@ -2972,30 +2971,18 @@ DEDUP_KEEP_BEST_SQL = f"""
         SELECT doc_id, {_QUALITY_SCORE_EXPR_SQL} AS quality_score
         FROM base
     ),
-    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (
-        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                               for i in range(1, greatest(len(ws) - 1, 1))]) AS s
-        FROM words
-    ),
-    sd AS (SELECT DISTINCT doc_id, s FROM sh),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
-    pairs0 AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT a_id, b_id FROM pairs0
+    {_SHINGLE_PAIR_CTES_SQL},
+    jpairs AS (
+        SELECT a_id, b_id FROM pairs
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id
         WHERE CAST(inter AS DOUBLE)
               / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
     ),
     edges AS (
-        SELECT a_id AS src, b_id AS dst FROM pairs
+        SELECT a_id AS src, b_id AS dst FROM jpairs
         UNION ALL
-        SELECT b_id, a_id FROM pairs
+        SELECT b_id, a_id FROM jpairs
     ),
     reach AS (
         SELECT doc_id AS node, doc_id AS label FROM documents
@@ -3091,9 +3078,17 @@ def ts_seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = F.col("value").cast("decimal(18,6)")
     hour = F.hour("ts")
+    # trend from exact decimal window sums: a raw-double windowed avg
+    # differs from DuckDB's at ~1 ulp on centered frames (measured
+    # 677/3000 rows on probe data) — accumulation order is not part of
+    # the SQL contract, exact moments are
     base = events.select(
         "event_id", "ts", "event_type", "value", hour.alias("hod")
-    ).withColumn("trend", F.avg("value").over(w))
+    ).withColumn(
+        "trend",
+        F.sum(dec).over(w).cast("double")
+        / F.count("value").over(w).cast("double"),
+    )
     hourly = base.groupBy("event_type", "hod").agg(
         (F.sum(dec).cast("double") / F.count("value")).alias("_hmean")
     )
@@ -3118,10 +3113,11 @@ SEASONAL_DECOMPOSE_SQL = """
     WITH base AS (
         SELECT event_id, ts, event_type, value,
                CAST(extract(hour FROM ts) AS INT) AS hod,
-               avg(value) OVER (
-                   PARTITION BY event_type ORDER BY ts, event_id
-                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   / CAST(count(value) OVER w AS DOUBLE) AS trend
         FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
     ), hourly AS (
         SELECT event_type, hod,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)

@@ -34,11 +34,17 @@ def stream_attribution_join(
     because the band bounds how long a left row can still match — the
     join state store evicts left rows once the watermark passes
     ``left_ts + within`` and right rows once it passes ``right_ts``.
-    Output columns: key, left ts/columns prefixed ``l_``, right
-    prefixed ``r_``.
+    Output columns: ``key`` (original name), left ts/columns prefixed
+    ``l_``, right prefixed ``r_``.
     """
+    for side, df in (("left", left), ("right", right)):
+        clash = {"_sj_k", "_sj_rk"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"{side} stream carries reserved column(s) {sorted(clash)}"
+            )
     l = left.withWatermark(left_ts, watermark).select(
-        F.col(key).alias("k"),
+        F.col(key).alias("_sj_k"),
         F.col(left_ts).alias("l_ts"),
         *[
             F.col(c).alias(f"l_{c}")
@@ -47,7 +53,7 @@ def stream_attribution_join(
         ],
     )
     r = right.withWatermark(right_ts, watermark).select(
-        F.col(key).alias("r_k"),
+        F.col(key).alias("_sj_rk"),
         F.col(right_ts).alias("r_ts"),
         *[
             F.col(c).alias(f"r_{c}")
@@ -56,8 +62,12 @@ def stream_attribution_join(
         ],
     )
     cond = (
-        (l["k"] == r["r_k"])
+        (l["_sj_k"] == r["_sj_rk"])
         & (r["r_ts"] >= l["l_ts"])
         & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop("r_k")
+    return (
+        l.join(r, cond, "inner")
+        .drop("_sj_rk")
+        .withColumnRenamed("_sj_k", key)
+    )

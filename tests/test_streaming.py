@@ -884,8 +884,8 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = {
-        (r.l_cid, r.r_bid)
-        for r in spark.read.parquet(out_dir).collect()
-    }
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r.l_cid, r.r_bid) for r in rows}
     assert got == {("c1", "b1"), ("c2", "b2"), ("cx", "bx")}
+    # the join key comes back under its ORIGINAL name
+    assert {r.user_id for r in rows} == {1, 9}
