@@ -626,9 +626,9 @@ CLUSTER_SQL = """
               >= 0.5
     ),
     edges AS (
-        SELECT a_id AS src, b_id AS dst FROM jpairs
+        SELECT a_id AS src, b_id AS dst FROM pairs
         UNION ALL
-        SELECT b_id, a_id FROM jpairs
+        SELECT b_id, a_id FROM pairs
     ),
     reach AS (
         SELECT doc_id AS node, doc_id AS label FROM documents
