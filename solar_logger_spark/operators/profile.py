@@ -86,3 +86,45 @@ def profile_columns(
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+class QualityGateViolation(Exception):
+    """Raised by :func:`raise_on_violations` when any observed
+    violation counter is non-zero."""
+
+    def __init__(self, violations: dict):
+        self.violations = violations
+        super().__init__(f"quality gate violations: {violations}")
+
+
+def attach_quality_counters(df: DataFrame, checks: dict):
+    """Attach FREE data-quality counters to a plan via Spark's
+    Observation API: each check is a boolean violation predicate, and
+    its count rides the query's own execution — no second scan, no
+    extra job, which is the difference between "validate 100 TB" and
+    "read 100 TB twice" (``profile_columns`` is the offline audit; this
+    is the inline gate for pipelines that are writing anyway).
+
+    Returns ``(df, observation)``: materialize ``df`` with any action
+    (write, count, collect), then read ``observation.get`` — a dict
+    ``{name: violation_count}`` — or pass it to
+    :func:`raise_on_violations`.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    counters = [
+        F.count_if(pred).alias(name) for name, pred in checks.items()
+    ]
+    return df.observe(obs, *counters), obs
+
+
+def raise_on_violations(observation) -> dict:
+    """Read an Observation's counters (blocks until the observed query
+    has run an action) and raise :class:`QualityGateViolation` if any
+    is non-zero; returns the counter dict when clean."""
+    got = dict(observation.get)
+    bad = {k: v for k, v in got.items() if v}
+    if bad:
+        raise QualityGateViolation(bad)
+    return got

@@ -49,3 +49,38 @@ def test_profile_column_subset_and_single_scan(spark):
     # multi-distinct rewrite does, by design)
     plan = profile_columns(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_quality_counters_ride_the_action(spark, tmp_path):
+    from pyspark.sql import Row, functions as F
+    from solar_logger_spark.operators.profile import (
+        QualityGateViolation,
+        attach_quality_counters,
+        raise_on_violations,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=-3.0), Row(k=None, v=5.0)]
+    )
+    observed, obs = attach_quality_counters(
+        df,
+        {
+            "null_key": F.col("k").isNull(),
+            "negative_value": F.col("v") < 0,
+            "huge_value": F.col("v") > 1e6,
+        },
+    )
+    # counters ride the write action itself — no second scan
+    observed.write.parquet(str(tmp_path / "out"))
+    try:
+        raise_on_violations(obs)
+        assert False, "expected QualityGateViolation"
+    except QualityGateViolation as e:
+        assert e.violations == {"null_key": 1, "negative_value": 1}
+
+    clean = df.filter(F.col("k").isNotNull() & (F.col("v") >= 0))
+    observed2, obs2 = attach_quality_counters(
+        clean, {"null_key": F.col("k").isNull()}
+    )
+    assert observed2.count() == 1
+    assert raise_on_violations(obs2) == {"null_key": 0}
