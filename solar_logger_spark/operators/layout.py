@@ -65,3 +65,32 @@ def zorder_repartition(
     if num_partitions is None:
         return keyed.repartitionByRange(key_name)
     return keyed.repartitionByRange(num_partitions, key_name)
+
+
+def clustered_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on ``cluster_cols``: range-partition so
+    each output file owns a disjoint key range, then sort inside each
+    partition so every ROW GROUP's min/max stats are tight. Readers
+    filtering on the cluster columns then skip whole files (driver-side
+    listing + file stats) and whole row groups (parquet predicate
+    pushdown) — the same bytes-not-read win as Z-ordering, for the
+    single-dimension case where plain range clustering dominates.
+
+    For multi-dimension pruning, compute ``morton_key`` first and
+    cluster on it. The only cost is the one range exchange any layout
+    pass needs; sortWithinPartitions is a spillable local sort, no
+    second shuffle.
+    """
+    cols = list(cluster_cols)
+    parted = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

@@ -50,3 +50,45 @@ def test_zorder_partitions_bound_both_dims(spark):
         # a 1/16 z-slice of a 64x64 grid is at most a 16x32 rectangle
         # (plus one straddle row/column at slice edges)
         assert r.da <= 32 and r.db <= 32, (r.pid, r.da, r.db)
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """Files written by clustered_write carry disjoint min/max stats on
+    the cluster column (checked straight from parquet footers), while a
+    naive shuffled write overlaps — the property file/row-group pruning
+    depends on."""
+    import pyarrow.parquet as pq
+    import glob
+    from pyspark.sql import Row
+    from solar_logger_spark.operators.layout import clustered_write
+
+    rows = [Row(k=(i * 7919) % 10000, payload=i) for i in range(10000)]
+    df = spark.createDataFrame(rows)
+
+    def file_ranges(d):
+        out = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "k"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    clustered = str(tmp_path / "clustered")
+    clustered_write(df, clustered, ["k"], num_files=8)
+    ranges = file_ranges(clustered)
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, in order
+
+    naive = str(tmp_path / "naive")
+    df.repartition(8).write.parquet(naive)
+    nranges = file_ranges(naive)
+    overlaps = sum(
+        1 for (l1, h1), (l2, h2) in zip(nranges, nranges[1:]) if h1 > l2
+    )
+    assert overlaps > 0  # hash layout overlaps; clustering is the fix
