@@ -38,6 +38,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    simple_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
 
     findings: dict[str, list[str]] = {}
     for name, fn in entry_mod.queries().items():
@@ -52,6 +53,22 @@ def main() -> int:
             flags.append("nested-loop/cartesian join")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time Python UDF")
+        # a Window directly over an Exchange SinglePartition moves ALL
+        # data to one task — the "No Partition Defined" smell (global
+        # analytic over the whole dataset); 1-row scalar aggregates also
+        # use SinglePartition legitimately, so only the Window shape is
+        # flagged
+        simple = df._jdf.queryExecution().explainString(simple_mode)
+        lines = simple.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                window_above = any(
+                    re.search(r"\bWindow\b", lines[j])
+                    for j in range(max(0, i - 3), i)
+                )
+                if window_above:
+                    flags.append("single-partition global window")
+                    break
         # (no codegen check: AQE's pre-execution explain elides codegen
         # ids, so presence can only be observed on the executed plan)
         n_scans = plan.count("Scan parquet") // 2 or plan.count("Scan parquet")
