@@ -73,6 +73,7 @@ def clustered_write(
     cluster_cols: Sequence[str],
     num_files: int | None = None,
     mode: str = "overwrite",
+    persist_input: bool = True,
 ) -> None:
     """Write parquet clustered on ``cluster_cols``: range-partition so
     each output file owns a disjoint key range, then sort inside each
@@ -80,17 +81,30 @@ def clustered_write(
     filtering on the cluster columns then skip whole files (driver-side
     listing + file stats) and whole row groups (parquet predicate
     pushdown) — the same bytes-not-read win as Z-ordering, for the
-    single-dimension case where plain range clustering dominates.
+    single-dimension case where plain range clustering dominates. For
+    multi-dimension pruning, compute ``morton_key`` first and cluster
+    on it.
 
-    For multi-dimension pruning, compute ``morton_key`` first and
-    cluster on it. The only cost is the one range exchange any layout
-    pass needs; sortWithinPartitions is a spillable local sort, no
-    second shuffle.
+    ``repartitionByRange`` is NOT free on an unpersisted plan: it runs
+    a range-boundary SAMPLING job that executes the entire upstream
+    chain once before the real shuffle executes it again — doubling an
+    expensive pipeline and double-firing any Observation metrics
+    attached to it. ``persist_input=True`` (default) therefore spills
+    the input to memory-and-disk first: the sampling job materializes
+    the cache (metrics fire exactly once), the shuffle re-reads it, and
+    the cache is dropped before returning. Disable only when the input
+    is already materialized (a fresh table scan), where re-reading the
+    source twice beats writing a cache copy.
     """
     cols = list(cluster_cols)
-    parted = (
-        df.repartitionByRange(num_files, *cols)
-        if num_files is not None
-        else df.repartitionByRange(*cols)
-    )
-    parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+    src = df.persist() if persist_input else df
+    try:
+        parted = (
+            src.repartitionByRange(num_files, *cols)
+            if num_files is not None
+            else src.repartitionByRange(*cols)
+        )
+        parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+    finally:
+        if persist_input:
+            src.unpersist()

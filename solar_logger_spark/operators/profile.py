@@ -109,9 +109,18 @@ def attach_quality_counters(df: DataFrame, checks: dict):
     (write, count, collect), then read ``observation.get`` — a dict
     ``{name: violation_count}`` — or pass it to
     :func:`raise_on_violations`.
+
+    Counter accuracy requires the observed plan to execute ONCE: a
+    downstream ``repartitionByRange`` (range-boundary sampling) or any
+    other plan re-execution fires the counters again and inflates the
+    dict (a 2x count, not a wrong gate decision). ``clustered_write``
+    persists its input by default for exactly this reason; do the same
+    before any other double-executing sink.
     """
     from pyspark.sql import Observation
 
+    if not checks:
+        raise ValueError("checks must not be empty")
     obs = Observation()
     counters = [
         F.count_if(pred).alias(name) for name, pred in checks.items()

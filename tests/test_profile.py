@@ -84,3 +84,23 @@ def test_quality_counters_ride_the_action(spark, tmp_path):
     )
     assert observed2.count() == 1
     assert raise_on_violations(obs2) == {"null_key": 0}
+
+
+def test_quality_counters_exact_through_clustered_write(spark, tmp_path):
+    """repartitionByRange's sampling job re-executes the plan; the
+    persisted clustered_write keeps observe counters exact (the naive
+    composition double-fires them)."""
+    import pytest
+    from pyspark.sql import Row, functions as F
+    from solar_logger_spark.operators.layout import clustered_write
+    from solar_logger_spark.operators.profile import attach_quality_counters
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(-1 if i < 50 else 1)) for i in range(500)]
+    )
+    gated, obs = attach_quality_counters(df, {"neg": F.col("v") < 0})
+    clustered_write(gated, str(tmp_path / "a"), ["k"], num_files=4)
+    assert dict(obs.get) == {"neg": 50}
+
+    with pytest.raises(ValueError, match="checks must not be empty"):
+        attach_quality_counters(df, {})
