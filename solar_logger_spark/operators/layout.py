@@ -60,7 +60,13 @@ def zorder_repartition(
     """Add the Morton key and range-partition on it — the write-side
     layout pass. Each output partition covers a contiguous z-range,
     i.e. a bounded rectangle in every interleaved dimension, which is
-    what makes downstream min/max pruning work on all of them."""
+    what makes downstream min/max pruning work on all of them.
+
+    Note ``repartitionByRange``'s boundary-sampling job executes the
+    input plan once before the shuffle does — fine over a bare table
+    scan (this function's use case), but persist first when the input
+    is an expensive derived plan, or use ``clustered_write`` which
+    does so by default."""
     keyed = df.withColumn(key_name, morton_key(cols, bits))
     if num_partitions is None:
         return keyed.repartitionByRange(key_name)
