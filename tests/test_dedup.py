@@ -421,3 +421,49 @@ def test_remove_benchmark_spans_surgical(spark):
     assert out[2].clean_text == "all clean words here stay put"
     assert out[2].n_removed == 0
     assert out[3].clean_text == "tiny" and out[3].n_removed == 0
+
+
+def test_containment_random_differential(spark):
+    """containment_pairs == brute-force shingle-set computation over a
+    random small-vocab corpus (seeded): values exact, both directions."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+             for _ in range(30)]
+    # force some partial copies: doc i+30 embeds doc i's text
+    for i in range(5):
+        texts.append(texts[i] + " " + " ".join(rng.choice(vocab)
+                                               for _ in range(8)))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+    def shingles(t, n=3):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            c = max(inter / len(sa), inter / len(sb))
+            if c >= 0.8:
+                want[(a, b)] = (c, inter / len(sa), inter / len(sb))
+
+    got = {
+        (r.a_id, r.b_id): (r.containment, r.c_a_in_b, r.c_b_in_a)
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for x, y in zip(got[k], want[k]):
+            assert x == y, (k, got[k], want[k])
+    assert any(k[1] >= 30 for k in got)  # the planted partial copies hit
