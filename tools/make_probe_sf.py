@@ -143,8 +143,33 @@ def main() -> int:
         }
     )
     pq.write_table(vtbl, f"{out_dir}/events.parquet")
+
+    # ---- lineitem: resample 10x for the profiling growth probe.
+    # Distributional realism per column (value ranges, null-ness,
+    # cardinality growth for key-like columns) is what a profile
+    # measures, so keys are resampled over a 10x-wider id space while
+    # value-like columns bootstrap the sf0.1 marginals.
+    li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
+    n_li = len(li) * args.mult
+    cols = {}
+    for c in li.columns:
+        base = li[c].to_numpy()
+        if c in ("l_orderkey", "l_partkey", "l_suppkey"):
+            hi = int(base.max()) * args.mult + 1
+            cols[c] = pa.array(
+                rng.integers(1, hi, size=n_li), pa.int64()
+            )
+        elif c == "l_linenumber":
+            cols[c] = pa.array(
+                rng.choice(base, size=n_li).astype("int32"), pa.int32()
+            )
+        else:
+            cols[c] = pa.array(rng.choice(base, size=n_li))
+    pq.write_table(pa.table(cols), f"{out_dir}/lineitem.parquet")
+
     print(
-        f"wrote {n_docs} docs, {n_vec} embeddings, {n_ev} events -> {out_dir}"
+        f"wrote {n_docs} docs, {n_vec} embeddings, {n_ev} events, "
+        f"{n_li} lineitem -> {out_dir}"
     )
     return 0
 
