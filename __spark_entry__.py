@@ -1089,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_token_budget_select": sca.corpus_token_budget_select,
             "dedup_editdistance_docs": sca.dedup_editdistance_docs,
             "profile_columns_lineitem": sca.profile_columns_lineitem,
+            "profile_columns_exact": sca.profile_columns_exact,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
@@ -1417,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,
             "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,
             "profile_columns_lineitem": sca.PROFILE_COLUMNS_SQL,
+            "profile_columns_exact": sca.PROFILE_COLUMNS_EXACT_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,

@@ -30,9 +30,15 @@ _NUMERIC = (
 def profile_columns(
     df: DataFrame,
     cols: list[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Profile ``cols`` (default: all).
+
+    The default is the scale-safe posture: approx distincts (HLL++,
+    ±~5%) fuse into ONE hash-aggregate scan — the mode a scheduled
+    100 TB profiling job should run. Pass ``exact_distinct=True`` for
+    the audit mode, which pays a second scan whose multi-distinct
+    Expand shuffles every distinct (column, value) pair.
 
     Output, one row per column, ordered by the caller's column order:
     ``(column, n_nonnull, n_null, n_distinct, min_value, max_value)``
@@ -64,13 +70,17 @@ def profile_columns(
         else:
             plain.append(F.lit(None).cast("double").alias(f"_min_{c}"))
             plain.append(F.lit(None).cast("double").alias(f"_max_{c}"))
-    # Two aggregations crossJoined (both are 1-row frames): folding the
-    # distincts into the plain agg makes Catalyst's multi-distinct
-    # Expand carry every plain-metric buffer across |cols|+1 duplicated
-    # rows — measured ~1.8x slower than paying a second scan. In approx
-    # mode the split collapses back to one scan-equivalent cost anyway
-    # (sketches fuse into the plain hash aggregate with no Expand).
-    wide = df.agg(*plain).crossJoin(df.agg(*dist))
+    # Approx mode: one fused aggregation — HLL++ sketches join the
+    # plain metrics in the same hash aggregate with no Expand, so the
+    # whole profile is a single scan. Exact mode: two aggregations
+    # crossJoined (both 1-row frames), because folding exact distincts
+    # into the plain agg makes Catalyst's multi-distinct Expand carry
+    # every plain-metric buffer across |cols|+1 duplicated rows —
+    # measured ~1.8x slower than paying a second scan.
+    if exact_distinct:
+        wide = df.agg(*plain).crossJoin(df.agg(*dist))
+    else:
+        wide = df.agg(*plain, *dist)
     # unpivot the 1-row wide frame into per-column rows, JVM-side
     rows = F.array(
         *[

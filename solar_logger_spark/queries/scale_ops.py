@@ -2656,20 +2656,83 @@ DEDUP_EDITDISTANCE_SQL = """
 """
 
 
+# Calibration subset for the approx-profile self-check: one column per
+# cardinality decade (keys ~n, dates ~10^3, enum ~10^1) so the HLL++
+# accuracy contract is exercised across the range the sketch must
+# cover, while the exact-distinct reference scan stays column-pruned
+# and 4/11ths of the full Expand (the full exact multi-distinct is the
+# separate profile_columns_exact audit query).
+_PROFILE_CAL_COLS = ["l_orderkey", "l_partkey", "l_shipdate", "l_linenumber"]
+
+
 def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality profile of every lineitem column: non-null count,
-    null count, exact distinct count, numeric min/max — the pre-flight
-    audit step of a pipeline run (schema-drift / null blow-up /
-    range-excursion detection). Exact-distinct mode (two scans, backs
-    the oracle); production scheduled jobs use the one-scan HLL++
-    mode."""
+    """Data-quality profile of every lineitem column in the SCALE-SAFE
+    mode: non-null count, null count, numeric min/max from ONE fused
+    hash-aggregate scan, with distinct cardinalities from HLL++
+    sketches riding the same scan — the shape a scheduled 100 TB
+    profiling job runs (no multi-distinct Expand, no second full
+    scan).
+
+    The sketch estimates are engine-specific, so (same accuracy-
+    contract pattern as sketch_distinct_users_daily / GK quantiles)
+    the declared output replaces the raw estimate with
+    ``n_distinct_ok``: for a cardinality-stratified calibration subset
+    of columns, whether the estimate lands within 15% of the exact
+    distinct count (computed by a column-pruned 4-column reference
+    agg); NULL for uncalibrated columns. A broken sketch or fusion
+    flips the boolean and fails the driver hash compare. The full
+    exact audit is profile_columns_exact."""
     from solar_logger_spark.operators.profile import profile_columns
 
     li = load_table(spark, sf_dir, "lineitem")
-    return profile_columns(li)
+    prof = profile_columns(li, exact_distinct=False)
+    cal = li.agg(
+        *[
+            F.count_distinct(F.col(c)).alias(f"_d_{c}")
+            for c in _PROFILE_CAL_COLS
+        ]
+    )
+    cal_rows = cal.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_d_{c}").cast("long").alias("_exact"),
+                    )
+                    for c in _PROFILE_CAL_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return prof.join(F.broadcast(cal_rows), "column", "left").select(
+        "column",
+        "n_nonnull",
+        "n_null",
+        "min_value",
+        "max_value",
+        F.when(
+            F.col("_exact").isNotNull(),
+            F.abs(F.col("n_distinct") - F.col("_exact"))
+            / F.col("_exact").cast("double")
+            <= 0.15,
+        ).alias("n_distinct_ok"),
+    )
 
 
-def _profile_oracle_sql() -> str:
+def profile_columns_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-distinct AUDIT variant of the lineitem profile: same
+    plain metrics plus exact per-column distinct counts. Pays the
+    multi-distinct Expand scan on purpose — run on demand (schema-
+    drift forensics), not on the 100 TB schedule; the scheduled mode
+    is profile_columns_lineitem's one-scan sketch shape."""
+    from solar_logger_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, exact_distinct=True)
+
+
+def _profile_oracle_sql(exact_distinct: bool) -> str:
     numeric = {
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -2683,16 +2746,21 @@ def _profile_oracle_sql() -> str:
     for c in cols:
         mn = f"CAST(min({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
         mx = f"CAST(max({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        if exact_distinct:
+            dist = f"count(DISTINCT {c}) AS n_distinct, {mn} AS min_value, {mx} AS max_value"
+        else:
+            ok = "TRUE" if c in _PROFILE_CAL_COLS else "CAST(NULL AS BOOLEAN)"
+            dist = f"{mn} AS min_value, {mx} AS max_value, {ok} AS n_distinct_ok"
         parts.append(
             f"SELECT '{c}' AS column, count({c}) AS n_nonnull,"
             f" count(*) - count({c}) AS n_null,"
-            f" count(DISTINCT {c}) AS n_distinct,"
-            f" {mn} AS min_value, {mx} AS max_value FROM lineitem"
+            f" {dist} FROM lineitem"
         )
     return " UNION ALL ".join(parts)
 
 
-PROFILE_COLUMNS_SQL = _profile_oracle_sql()
+PROFILE_COLUMNS_SQL = _profile_oracle_sql(exact_distinct=False)
+PROFILE_COLUMNS_EXACT_SQL = _profile_oracle_sql(exact_distinct=True)
 
 
 def ts_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:

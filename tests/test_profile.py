@@ -18,7 +18,7 @@ def test_profile_counts_nulls_distinct_minmax(spark):
             Row(a=None, b="y", c=-1.0),
         ]
     )
-    out = _rows(profile_columns(df))
+    out = _rows(profile_columns(df, exact_distinct=True))
     assert out["a"] == {
         "column": "a", "n_nonnull": 3, "n_null": 1, "n_distinct": 2,
         "min_value": 1.0, "max_value": 2.0,
@@ -31,8 +31,8 @@ def test_profile_counts_nulls_distinct_minmax(spark):
 
 def test_profile_approx_mode_same_schema(spark):
     df = spark.createDataFrame([Row(a=i % 7, b=str(i % 3)) for i in range(100)])
-    exact = profile_columns(df)
-    approx = profile_columns(df, exact_distinct=False)
+    exact = profile_columns(df, exact_distinct=True)
+    approx = profile_columns(df)  # approx is the (scale-safe) default
     assert exact.schema == approx.schema
     ex, ap = _rows(exact), _rows(approx)
     # HLL++ at default rsd is exact for tiny cardinalities
