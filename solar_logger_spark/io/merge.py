@@ -241,6 +241,17 @@ def snapshot_diff(
     old_df = read_table_snapshot(spark, table_dir, at=old)
     new_df = read_table_snapshot(spark, table_dir, at=new)
     keys = list(keys)
+    # change classification diffs the non-key columns of BOTH sides; a
+    # schema-evolved snapshot (added/removed columns) would otherwise
+    # silently classify rows differing only in the new columns as
+    # unchanged. Require identical column sets instead of guessing.
+    if set(old_df.columns) != set(new_df.columns):
+        only_old = sorted(set(old_df.columns) - set(new_df.columns))
+        only_new = sorted(set(new_df.columns) - set(old_df.columns))
+        raise ValueError(
+            "snapshot_diff requires matching snapshot schemas; "
+            f"only in {old!r}: {only_old}, only in {new!r}: {only_new}"
+        )
     non_keys = [c for c in old_df.columns if c not in keys]
     o = old_df.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],

@@ -2665,7 +2665,9 @@ DEDUP_EDITDISTANCE_SQL = """
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
     FROM documents a JOIN documents b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
+      -- IS NOT DISTINCT FROM mirrors the operator's eqNullSafe block
+      -- keys (NULL-lang docs form their own block, they are not dropped)
+      ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
      AND abs(length(a.text) - length(b.text)) <= 8
     WHERE levenshtein(a.text, b.text) <= 8
 """
@@ -2856,7 +2858,14 @@ def ab_welch_value_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: per-group moments are exact DECIMAL(18,6)
     sums cast to double ONCE, after which mean/variance/t are pure IEEE
     double formulas mirrored verbatim by the oracle (same association
-    order) — the ts_anomaly_zscore recipe."""
+    order) — the ts_anomaly_zscore recipe.
+
+    Numerical-accuracy caveat: the textbook (n*sxx - sx^2) variance
+    form suffers catastrophic cancellation when mean >> stddev at
+    large n — both engines compute the SAME cancelled bits, so the
+    hash compare stays green, but if statistical accuracy at
+    production scale ever matters, switch both sides to a centered
+    second pass (sum((x-mean)^2) over the exact-decimal values)."""
     events = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     is_a = F.col("event_type") == "click"

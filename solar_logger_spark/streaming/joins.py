@@ -37,11 +37,26 @@ def stream_attribution_join(
     Output columns: ``key`` (original name), left ts/columns prefixed
     ``l_``, right prefixed ``r_``.
     """
-    for side, df in (("left", left), ("right", right)):
+    for side, df, ts_col, pre in (
+        ("left", left, left_ts, "l_"),
+        ("right", right, right_ts, "r_"),
+    ):
         clash = {"_sj_k", "_sj_rk"} & set(df.columns)
         if clash:
             raise ValueError(
                 f"{side} stream carries reserved column(s) {sorted(clash)}"
+            )
+        # the output prefixes every non-key column with l_/r_; an input
+        # already carrying a prefixed name (e.g. both `ts` and `l_ts`)
+        # would produce duplicate/ambiguous output columns
+        out_names = [f"{pre}ts"] + [
+            f"{pre}{c}" for c in df.columns if c not in (key, ts_col)
+        ] + [key]
+        dups = {n for n in out_names if out_names.count(n) > 1}
+        if dups:
+            raise ValueError(
+                f"{side} stream columns collide after {pre} prefixing: "
+                f"{sorted(dups)} — rename the input column(s)"
             )
     l = left.withWatermark(left_ts, watermark).select(
         F.col(key).alias("_sj_k"),

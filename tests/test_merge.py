@@ -199,3 +199,21 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     rev = {r.k: r.change for r in
            M.snapshot_diff(spark, tdir, s1, s0, keys=["k"]).collect()}
     assert rev == {2: "updated", 4: "deleted"}
+
+
+def test_snapshot_diff_rejects_schema_evolution(spark, tmp_path, monkeypatch):
+    """A snapshot pair with differing column sets must be rejected:
+    diffing only the shared columns would silently classify rows that
+    changed in the added column as unchanged."""
+    import pytest
+    from pyspark.sql import Row
+    from solar_logger_spark.io import merge as M
+
+    old = spark.createDataFrame([Row(k=1, v="a")])
+    new = spark.createDataFrame([Row(k=1, v="a", extra=1)])
+    monkeypatch.setattr(
+        M, "read_table_snapshot",
+        lambda _spark, _dir, at: old if at == "s0" else new,
+    )
+    with pytest.raises(ValueError, match="extra"):
+        M.snapshot_diff(spark, "ignored", "s0", "s1", keys=["k"])

@@ -889,3 +889,23 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert got == {("c1", "b1"), ("c2", "b2"), ("cx", "bx")}
     # the join key comes back under its ORIGINAL name
     assert {r.user_id for r in rows} == {1, 9}
+
+
+def test_attribution_join_rejects_prefix_collisions(spark):
+    """Inputs already carrying l_/r_-prefixed names (or a key that
+    collides with a generated name) must be rejected up front instead
+    of producing ambiguous duplicate output columns."""
+    from datetime import datetime
+    from solar_logger_spark.streaming.joins import stream_attribution_join
+
+    t = datetime(2024, 1, 1)
+    # left has both `ts`-named l_ts source and a literal l_ts? No —
+    # collision case: left_ts is `click_ts`, so `ts` maps to l_ts AND
+    # the fixed left_ts alias is also l_ts.
+    left = spark.createDataFrame([(1, t, t)], "user_id long, click_ts timestamp, ts timestamp")
+    right = spark.createDataFrame([(1, t)], "user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="l_ts"):
+        stream_attribution_join(
+            left, right, key="user_id", within="10 minutes",
+            watermark="1 minute", left_ts="click_ts", right_ts="ts",
+        )
