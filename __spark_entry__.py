@@ -1090,6 +1090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_editdistance_docs": sca.dedup_editdistance_docs,
             "profile_columns_lineitem": sca.profile_columns_lineitem,
             "profile_columns_exact": sca.profile_columns_exact,
+            "text_clean_boilerplate_docs": sca.text_clean_boilerplate_docs,
+            "corpus_url_dedup": sca.corpus_url_dedup,
+            "text_lang_confidence_cutoff": sca.text_lang_confidence_cutoff,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
@@ -1419,6 +1422,9 @@ def oracle_sql() -> dict[str, str]:
             "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,
             "profile_columns_lineitem": sca.PROFILE_COLUMNS_SQL,
             "profile_columns_exact": sca.PROFILE_COLUMNS_EXACT_SQL,
+            "text_clean_boilerplate_docs": sca.CLEAN_BOILERPLATE_SQL,
+            "corpus_url_dedup": sca.CORPUS_URL_DEDUP_SQL,
+            "text_lang_confidence_cutoff": sca.LANG_CONFIDENCE_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,

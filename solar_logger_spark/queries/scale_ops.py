@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from solar_logger_spark.durations import epoch_us
 from solar_logger_spark.io.tables import load_table
-from solar_logger_spark.operators import dedup, multimodal, similarity, text
+from solar_logger_spark.operators import (
+    cleaning,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 
 
 # -- dedup -----------------------------------------------------------------
@@ -2138,7 +2144,11 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus build — the full training-data funnel in one
     declared query, composing the separately-verified stages:
 
-      quality filter (composite score >= 0.62)
+      language-confidence cutoff (drop only when confidently a
+          different language than declared — cleaning.lang_keep_filter,
+          the C4 "English-only" stage generalized to declared-lang
+          agreement)
+        → quality filter (composite score >= 0.62)
         → exact n-gram-Jaccard near-dup partner prune (drop any doc
           with a LOWER-id partner at jaccard >= 0.5 — the one-pass
           production variant; the transitive-closure alternative is
@@ -2146,8 +2156,8 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         → 128-token chunking
         → 512-token GPT-style sequence packing per source shard
 
-    reported as a per-source funnel: docs in → after quality → after
-    dedup → chunks / tokens / packed sequences. ``n_sequences`` comes
+    reported as a per-source funnel: docs in → after lang cutoff →
+    after quality → after dedup → chunks / tokens / packed sequences. ``n_sequences`` comes
     from the ACTUAL packed output (count of distinct seq_id); the
     oracle independently recomputes the running-sum window in SQL —
     note it is NOT ceil(total_tokens / 512), because a straddling final
@@ -2160,8 +2170,9 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     be persisted tables; as a declared query the lineage recomputes,
     which only re-reads the (columnar, pruned) corpus scans."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.quality_score(docs).select("doc_id", "quality_score")
-    keptq = docs.join(
+    keptl = cleaning.lang_keep_filter(docs)
+    scored = text.quality_score(keptl).select("doc_id", "quality_score")
+    keptq = keptl.join(
         scored.filter(F.col("quality_score") >= 0.62).select("doc_id"),
         "doc_id",
     )
@@ -2182,6 +2193,9 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_in = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_in")
     )
+    f_l = keptl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_lang")
+    )
     f_q = keptq.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_quality")
     )
@@ -2195,10 +2209,12 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("seq_id").cast("long").alias("n_sequences"),
     )
     return (
-        f_in.join(f_q, "source", "left")
+        f_in.join(f_l, "source", "left")
+        .join(f_q, "source", "left")
         .join(f_p, "source", "left")
         .na.fill(
             {
+                "n_docs_lang": 0,
                 "n_docs_quality": 0,
                 "n_docs_kept": 0,
                 "n_chunks": 0,
@@ -2210,11 +2226,59 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_keep_fragments() -> tuple[str, str]:
+    """SQL fragments for the language-confidence cutoff (mirrors
+    operators/cleaning.py lang_keep_filter): hit-count columns over
+    ``documents``, and the keep predicate over those ``hits_*``
+    columns plus the declared ``lang``. Shared by the standalone
+    text_lang_confidence_cutoff oracle and the corpus-build funnel."""
+    langs = list(text.LANG_MARKERS)
+
+    def hits(markers: list[str]) -> str:
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        return (
+            f"len(list_filter(string_split(text, ' '), "
+            f"t -> t IN ({inlist})))"
+        )
+
+    hit_cols = ", ".join(
+        f"{hits(m)} AS hits_{lang}"
+        for lang, m in text.LANG_MARKERS.items()
+    )
+    total = " + ".join(f"hits_{lang}" for lang in langs)
+    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    branches = []
+    for lang in langs:
+        clauses = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            clauses.append(f"hits_{lang} {op} hits_{other}")
+        branches.append(f"WHEN {' AND '.join(clauses)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    keep = (
+        f"({total} < 3"
+        f" OR CAST({top} AS DOUBLE) / CAST({total} AS DOUBLE) < 0.8"
+        f" OR ({case}) IS NOT DISTINCT FROM lang)"
+    )
+    return hit_cols, keep
+
+
+_LANG_HIT_COLS_SQL, _LANG_KEEP_WHERE_SQL = _lang_keep_fragments()
+
+
 PIPELINE_CORPUS_BUILD_SQL = f"""
-    WITH base AS (
+    WITH langh AS (
+        SELECT doc_id, lang, {_LANG_HIT_COLS_SQL} FROM documents
+    ), keptl AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT doc_id FROM langh WHERE {_LANG_KEEP_WHERE_SQL}) l
+        USING (doc_id)
+    ), base AS (
         SELECT doc_id, source, text,
                {_QUALITY_BASE_COLS_SQL}
-        FROM documents
+        FROM keptl
     ), keptq AS (
         SELECT doc_id, source, text FROM base
         WHERE {_QUALITY_SCORE_EXPR_SQL}
@@ -2260,6 +2324,7 @@ PIPELINE_CORPUS_BUILD_SQL = f"""
         FROM chunks
     ),
     f_in AS (SELECT source, count(*) AS n_docs_in FROM documents GROUP BY 1),
+    f_l AS (SELECT source, count(*) AS n_docs_lang FROM keptl GROUP BY 1),
     f_q AS (SELECT source, count(*) AS n_docs_quality FROM keptq GROUP BY 1),
     f_k AS (SELECT source, count(*) AS n_docs_kept FROM surv GROUP BY 1),
     f_c AS (
@@ -2269,12 +2334,14 @@ PIPELINE_CORPUS_BUILD_SQL = f"""
     )
     SELECT f_in.source,
            CAST(n_docs_in AS BIGINT) AS n_docs_in,
+           CAST(coalesce(n_docs_lang, 0) AS BIGINT) AS n_docs_lang,
            CAST(coalesce(n_docs_quality, 0) AS BIGINT) AS n_docs_quality,
            CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
            CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
            CAST(coalesce(total_tokens, 0) AS BIGINT) AS total_tokens,
            CAST(coalesce(n_sequences, 0) AS BIGINT) AS n_sequences
     FROM f_in
+    LEFT JOIN f_l USING (source)
     LEFT JOIN f_q USING (source)
     LEFT JOIN f_k USING (source)
     LEFT JOIN f_c USING (source)
@@ -3228,3 +3295,211 @@ SEASONAL_DECOMPOSE_SQL = """
     JOIN hourly h ON h.event_type = b.event_type AND h.hod = b.hod
     JOIN grand g ON g.event_type = b.event_type
 """
+
+
+# -- C4/RefinedWeb-style cleaning --------------------------------------------
+
+# The synthetic corpus has no newlines or punctuation (single-line
+# docs), so the declared boilerplate query STAGES a lined document
+# deterministically from each doc's own words — 10-word lines, a
+# terminal '.' on every third line, plus three appended boilerplate/
+# short lines — and then runs the real operator over it. The staging
+# is test scaffolding reproduced verbatim by the oracle; the operator
+# itself (solar_logger_spark/operators/cleaning.py) is generic.
+_BOILER_LINES = (
+    "please enable javascript to continue.",  # blacklist rule
+    "home about contact",                     # terminal-punct rule
+    "ok.",                                    # min-words rule
+)
+
+
+def text_clean_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 boilerplate-line scrub over staged multi-line documents:
+    keep lines with >= 3 words AND terminal punctuation AND no
+    blacklisted phrase; doc survives with >= 3 kept lines. All JVM
+    higher-order array ops — map-only at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_last = F.floor((F.size(toks) - F.lit(1)) / F.lit(10)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_last),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            F.when(i % 3 == F.lit(0), F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = F.array_join(
+        F.concat(lines, F.array(*[F.lit(b) for b in _BOILER_LINES])),
+        "\n",
+    )
+    staged = docs.select("doc_id", lined.alias("text"))
+    return cleaning.clean_boilerplate_lines(staged)
+
+
+CLEAN_BOILERPLATE_SQL = """
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lined AS (
+        SELECT doc_id,
+               list_concat(
+                   [array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ')
+                        || CASE WHEN i % 3 = 0 THEN '.' ELSE '' END
+                    for i in range(0, (len(w) - 1) // 10 + 1)],
+                   ['please enable javascript to continue.',
+                    'home about contact', 'ok.']
+               ) AS lines
+        FROM ws
+    ), cleaned AS (
+        SELECT doc_id, lines,
+               list_filter(lines, l ->
+                   len(list_filter(string_split(l, ' '), t -> t != '')) >= 3
+                   AND right(l, 1) IN ('.', '!', '?', '"', chr(39))
+                   AND NOT contains(lower(l), 'javascript')
+                   AND NOT contains(lower(l), 'lorem ipsum')
+                   AND NOT contains(lower(l), '{')
+               ) AS kept
+        FROM lined
+    )
+    SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           array_to_string(kept, chr(10)) AS clean_text,
+           len(kept) >= 3 AS doc_kept
+    FROM cleaned
+"""
+
+
+_URL_BLOCKED_HOSTS = ("src3.example.com", "src7.example.com")
+
+
+def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup + domain blocklist — the first (cheapest) pass
+    of a crawl-corpus pipeline. The corpus carries no URL column, so
+    the query derives one deterministically from (source, n_chars)
+    with four raw variants per group (www/scheme/case/query/fragment
+    differences); normalization must collapse them to one canonical
+    key. One hash aggregate on the canonical URL — scales as exact
+    dedup does."""
+    docs = load_table(spark, sf_dir, "documents")
+    pk = (F.col("n_chars") % 37).cast("string")
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".example.com/docs/"), pk, F.lit("/")))
+        .when(m == 1, F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example.com/docs/"), pk, F.lit("?utm_source=feed")))
+        .when(m == 2, F.concat(
+            F.lit("https://"), F.upper(F.col("source")),
+            F.lit(".EXAMPLE.com/docs/"), pk, F.lit("#frag")))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/docs/"), pk,
+            F.lit("?id=1&utm_campaign=x")))
+    )
+    withu = docs.select("doc_id", raw.alias("url"))
+    allowed = cleaning.url_blocklist_filter(
+        withu, "url", _URL_BLOCKED_HOSTS
+    )
+    return cleaning.url_dedup(allowed, "url")
+
+
+CORPUS_URL_DEDUP_SQL = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://www.' || source
+                      || '.example.com/docs/' || CAST(n_chars % 37 AS VARCHAR)
+                      || '/'
+                 WHEN 1 THEN 'http://' || source
+                      || '.example.com/docs/' || CAST(n_chars % 37 AS VARCHAR)
+                      || '?utm_source=feed'
+                 WHEN 2 THEN 'https://' || upper(source)
+                      || '.EXAMPLE.com/docs/' || CAST(n_chars % 37 AS VARCHAR)
+                      || '#frag'
+                 ELSE 'https://' || source
+                      || '.example.com/docs/' || CAST(n_chars % 37 AS VARCHAR)
+                      || '?id=1&utm_campaign=x'
+               END AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   lower(url), '^https?://', ''), '^www\\.', ''),
+                   '[?#].*$', ''), '/$', '') AS canonical_url
+        FROM u
+    )
+    SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM canon
+    WHERE regexp_extract(canonical_url, '^[^/]+')
+          NOT IN ('src3.example.com', 'src7.example.com')
+    GROUP BY canonical_url
+"""
+
+
+def text_lang_confidence_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level language-confidence audit: marker-hit evidence,
+    argmax language, confidence (top/total — one IEEE-exact int/int
+    division), and the keep decision (drop only when CONFIDENTLY a
+    different language than declared: >= 3 hits, confidence >= 0.8,
+    prediction != declared). Row-stable output (one row per doc, kept
+    flag) so the filter semantics hash-compare exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = cleaning.lang_confidence(docs)
+    keep = (
+        (F.col("lang_hits_total") < F.lit(3))
+        | (F.col("lang_confidence") < F.lit(0.8))
+        | F.col("pred_lang").eqNullSafe(F.col("lang"))
+    )
+    return scored.select(
+        "doc_id", "lang", "pred_lang", "lang_hits_total",
+        "lang_confidence", keep.alias("kept"),
+    )
+
+
+def _lang_conf_oracle_sql() -> str:
+    def hits(markers: list[str]) -> str:
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        return (
+            f"len(list_filter(string_split(text, ' '), "
+            f"t -> t IN ({inlist})))"
+        )
+
+    langs = list(text.LANG_MARKERS)
+    hit_cols = ", ".join(
+        f"{hits(m)} AS hits_{lang}"
+        for lang, m in text.LANG_MARKERS.items()
+    )
+    total = " + ".join(f"hits_{lang}" for lang in langs)
+    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    branches = []
+    for lang in langs:
+        clauses = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            clauses.append(f"hits_{lang} {op} hits_{other}")
+        branches.append(f"WHEN {' AND '.join(clauses)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+        WITH h AS (SELECT doc_id, lang, {hit_cols} FROM documents),
+        t AS (
+            SELECT doc_id, lang, {total} AS total, {top} AS top,
+                   {case} AS pred_lang
+            FROM h
+        )
+        SELECT doc_id, lang, pred_lang,
+               CAST(total AS BIGINT) AS lang_hits_total,
+               CASE WHEN total > 0
+                    THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE)
+               END AS lang_confidence,
+               (total < 3
+                OR CAST(top AS DOUBLE) / CAST(total AS DOUBLE) < 0.8
+                OR pred_lang IS NOT DISTINCT FROM lang) AS kept
+        FROM t
+    """
+
+
+LANG_CONFIDENCE_SQL = _lang_conf_oracle_sql()

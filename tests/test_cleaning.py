@@ -1,0 +1,112 @@
+"""C4/RefinedWeb-style cleaning operator semantics."""
+
+import pytest
+from pyspark.sql import Row
+
+from solar_logger_spark.operators import cleaning as C
+
+
+def test_boilerplate_line_rules(spark):
+    doc = "\n".join(
+        [
+            "this line is long enough and ends well.",   # kept
+            "short one.",                                 # < 3 words
+            "no terminal punctuation on this line",       # punct rule
+            "please enable javascript to continue.",      # blacklist
+            "another perfectly fine sentence here!",      # kept
+            "lorem ipsum dolor sit amet.",                # blacklist
+            'a quoted line stays in bounds."',            # kept (quote)
+        ]
+    )
+    df = spark.createDataFrame([Row(doc_id=1, text=doc)])
+    out = C.clean_boilerplate_lines(df, min_lines_per_doc=3).collect()[0]
+    assert out.n_lines == 7
+    assert out.n_lines_kept == 3
+    assert out.doc_kept is True
+    assert out.clean_text.split("\n") == [
+        "this line is long enough and ends well.",
+        "another perfectly fine sentence here!",
+        'a quoted line stays in bounds."',
+    ]
+
+
+def test_boilerplate_doc_rule_and_relaxed_punct(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="only one good line survives here.")]
+    )
+    out = C.clean_boilerplate_lines(df).collect()[0]
+    assert out.n_lines_kept == 1 and out.doc_kept is False
+    relaxed = C.clean_boilerplate_lines(
+        spark.createDataFrame([Row(doc_id=1, text="no punct but words")]),
+        require_terminal_punct=False,
+        min_lines_per_doc=1,
+    ).collect()[0]
+    assert relaxed.n_lines_kept == 1 and relaxed.doc_kept is True
+
+
+def test_url_normalize_variants_collapse(spark):
+    variants = [
+        "https://www.Example.com/Docs/12/",
+        "http://example.com/docs/12?utm_source=feed",
+        "HTTPS://EXAMPLE.COM/docs/12#frag",
+        "example.com/docs/12?id=1&utm_campaign=x",
+    ]
+    df = spark.createDataFrame([Row(u=v) for v in variants])
+    got = {r[0] for r in df.select(C.url_normalize("u")).collect()}
+    assert got == {"example.com/docs/12"}
+    hosts = {r[0] for r in df.select(C.url_host("u")).collect()}
+    assert hosts == {"example.com"}
+
+
+def test_url_dedup_and_blocklist(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=3, url="https://www.a.com/x/"),
+            Row(doc_id=1, url="http://a.com/x"),
+            Row(doc_id=2, url="https://b.com/y"),
+            Row(doc_id=4, url="https://blocked.com/z"),
+        ]
+    )
+    dd = {r.canonical_url: r for r in C.url_dedup(df, "url").collect()}
+    assert dd["a.com/x"].rep_id == 1 and dd["a.com/x"].n_dups == 2
+    assert dd["b.com/y"].n_dups == 1
+    left = C.url_blocklist_filter(df, "url", ["blocked.com"]).collect()
+    assert {r.doc_id for r in left} == {1, 2, 3}
+
+
+def test_lang_confidence_and_keep_rule(spark):
+    df = spark.createDataFrame(
+        [
+            # confidently english, declared de -> dropped
+            Row(doc_id=1, lang="de", text="the a of and to in is the a"),
+            # confidently english, declared en -> kept
+            Row(doc_id=2, lang="en", text="the a of and to in is"),
+            # no evidence at all -> kept (cannot confidently reject)
+            Row(doc_id=3, lang="zh", text="spark rows shuffle"),
+            # mixed evidence below cutoff -> kept
+            Row(doc_id=4, lang="fr", text="the le la de a et of"),
+        ]
+    )
+    conf = {
+        r.doc_id: r
+        for r in C.lang_confidence(df).select(
+            "doc_id", "pred_lang", "lang_hits_total", "lang_confidence"
+        ).collect()
+    }
+    assert conf[1].pred_lang == "en" and conf[1].lang_confidence == 1.0
+    assert conf[3].lang_hits_total == 0
+    assert conf[3].lang_confidence is None
+    assert conf[4].lang_confidence < 0.8
+    kept = {r.doc_id for r in C.lang_keep_filter(df).collect()}
+    assert kept == {2, 3, 4}
+    # output schema is the input schema, untouched
+    assert C.lang_keep_filter(df).columns == df.columns
+
+
+def test_lang_keep_null_declared_lang(spark):
+    df = spark.createDataFrame(
+        [(1, None, "the a of and to in is the")],
+        "doc_id long, lang string, text string",
+    )
+    # confident 'en' vs declared NULL: eqNullSafe is false -> dropped
+    assert C.lang_keep_filter(df).count() == 0

@@ -13,7 +13,10 @@ def funnel(spark, sf_dir):
 
 def test_funnel_is_monotone(funnel):
     for r in funnel:
-        assert r.n_docs_in >= r.n_docs_quality >= r.n_docs_kept >= 0
+        assert (
+            r.n_docs_in >= r.n_docs_lang >= r.n_docs_quality
+            >= r.n_docs_kept >= 0
+        )
         assert r.n_chunks >= r.n_docs_kept  # every kept doc chunks >= once
         assert r.total_tokens >= r.n_chunks  # chunks are non-empty
         # packing is shard-dense: sequences within [floor, ceil] of the
@@ -28,8 +31,11 @@ def test_funnel_totals(funnel, spark, sf_dir):
     assert sum(r.n_docs_in for r in funnel) == docs.count()
     # every stage drops something on the standard corpus — the declared
     # thresholds are non-vacuous
-    assert sum(r.n_docs_quality for r in funnel) < sum(
+    assert sum(r.n_docs_lang for r in funnel) < sum(
         r.n_docs_in for r in funnel
+    )
+    assert sum(r.n_docs_quality for r in funnel) < sum(
+        r.n_docs_lang for r in funnel
     )
     assert sum(r.n_docs_kept for r in funnel) < sum(
         r.n_docs_quality for r in funnel
