@@ -909,3 +909,69 @@ def test_attribution_join_rejects_prefix_collisions(spark):
             left, right, key="user_id", within="10 minutes",
             watermark="1 minute", left_ts="click_ts", right_ts="ts",
         )
+
+
+def test_attribution_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Batch-equivalence differential for the watermarked stream-stream
+    band join on REAL corpus data: replaying the events table through
+    stream_attribution_join yields exactly the pairs the equivalent
+    batch band join produces (a far-future sentinel on each side drags
+    the final watermark so append mode flushes the tail; sentinel rows
+    are excluded from the comparison)."""
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.streaming.joins import stream_attribution_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("cid")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("bid")
+    )
+    far = datetime(2030, 1, 1)
+    sent_c = spark.createDataFrame(
+        [(-1, far, -1)], "user_id long, ts timestamp, cid long"
+    )
+    sent_b = spark.createDataFrame(
+        [(-1, far, -1)], "user_id long, ts timestamp, bid long"
+    )
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    clicks.unionByName(sent_c).coalesce(1).write.parquet(cdir)
+    buys.unionByName(sent_b).coalesce(1).write.parquet(bdir)
+
+    lc = spark.readStream.schema(
+        "user_id long, ts timestamp, cid long"
+    ).parquet(cdir)
+    rb = spark.readStream.schema(
+        "user_id long, ts timestamp, bid long"
+    ).parquet(bdir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_attribution_join(
+            lc, rb, key="user_id", within="10 minutes",
+            watermark="1 minute",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.l_cid, r.r_bid)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id != -1
+    }
+
+    batch = clicks.alias("l").join(
+        buys.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+    )
+    expected = {(r.cid, r.bid) for r in batch.select("cid", "bid").collect()}
+    assert streamed == expected
+    assert len(expected) > 0  # the corpus genuinely exercises the band
