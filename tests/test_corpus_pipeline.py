@@ -67,3 +67,40 @@ def test_token_budget_selection_invariants(spark, sf_dir):
         if src in rejected:
             # greedy by quality: no rejected doc outranks a selected one
             assert rejected[src].best_rej <= r.worst_sel + 1e-12
+
+
+def test_staged_pipeline_matches_one_shot(spark, sf_dir, tmp_path):
+    """The production topology (each stage materialized to the
+    copy-on-write store and re-read — tools/run_corpus_pipeline.py)
+    must produce byte-identical funnel rows to the one-shot declared
+    query: materialize/re-read changes execution topology, never
+    results."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from run_corpus_pipeline import run_staged
+
+    staged = [
+        r.asDict()
+        for r in run_staged(spark, sf_dir, str(tmp_path / "store")).collect()
+    ]
+    oneshot = [
+        r.asDict()
+        for r in scale_ops.pipeline_corpus_build(spark, sf_dir)
+        .orderBy("source")
+        .collect()
+    ]
+    assert staged == oneshot
+    # the store really holds every stage as a readable snapshot table
+    from solar_logger_spark.io import merge as M
+
+    for stage in (
+        "stage_lang", "stage_quality", "stage_dedup",
+        "stage_chunks", "stage_packed",
+    ):
+        assert M.read_table_snapshot(
+            spark, str(tmp_path / "store" / stage)
+        ).count() > 0
