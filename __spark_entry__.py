@@ -1093,6 +1093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_clean_boilerplate_docs": sca.text_clean_boilerplate_docs,
             "corpus_url_dedup": sca.corpus_url_dedup,
             "text_lang_confidence_cutoff": sca.text_lang_confidence_cutoff,
+            "corpus_mix_rate_sample": sca.corpus_mix_rate_sample,
+            "dedup_incremental_batch": sca.dedup_incremental_batch,
+            "dedup_leakage_matrix": sca.dedup_leakage_matrix,
+            "corpus_quality_histogram": sca.corpus_quality_histogram,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
@@ -1425,6 +1429,10 @@ def oracle_sql() -> dict[str, str]:
             "text_clean_boilerplate_docs": sca.CLEAN_BOILERPLATE_SQL,
             "corpus_url_dedup": sca.CORPUS_URL_DEDUP_SQL,
             "text_lang_confidence_cutoff": sca.LANG_CONFIDENCE_SQL,
+            "corpus_mix_rate_sample": sca.STRATIFIED_RATE_SAMPLE_SQL,
+            "dedup_incremental_batch": sca.DEDUP_INCREMENTAL_SQL,
+            "dedup_leakage_matrix": sca.DEDUP_LEAKAGE_SQL,
+            "corpus_quality_histogram": sca.QUALITY_HISTOGRAM_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,

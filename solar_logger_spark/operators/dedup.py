@@ -183,6 +183,48 @@ def containment_pairs(
     return out.filter(F.col("containment") >= threshold)
 
 
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, 64-bit shingle hash) rows, spread across cores before the
+    CPU-heavy shingling and re-exchanged on the hash so the downstream
+    signature/size/verification consumers all ReuseExchange one
+    materialization (see minhash_lsh_pairs docstring)."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        doc_shingles(df.repartition(spread), id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+        .repartition(spread, "h")
+    )
+
+
+def _rowwise_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """MinHash signature array per doc from hashed shingles, built
+    row-wise (seed dimension exploded, min per (doc, seed), collected
+    into one array) instead of num_hashes named aggregates — the
+    codegen-compile-time lesson from simhash."""
+    return (
+        sh.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias(
+                "seed"
+            ),
+            "h",
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min(F.xxhash64(F.col("h"), F.col("seed"))).alias("mh"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda s: s["mh"],
+            ).alias("sig")
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -201,6 +243,30 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def _band_bucket_rows(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: Column,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, band, bucket) rows: each band of r = num_hashes/bands
+    signature slots hashed to one bucket."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[sig_col[band * rows + r] for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def _banded_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -215,19 +281,7 @@ def _banded_candidate_pairs(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    rows = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(
-                *[sig_col[band * rows + r] for r in range(rows)]
-            ).alias("bucket"),
-        )
-        for band in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = _band_bucket_rows(sig, id_col, sig_col, num_hashes, bands)
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
     return (
@@ -305,30 +359,8 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    spread = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        doc_shingles(df.repartition(spread), id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
-        .repartition(spread, "h")
-    )
-    sig = (
-        sh.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias(
-                "seed"
-            ),
-            "h",
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min(F.xxhash64(F.col("h"), F.col("seed"))).alias("mh"))
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda s: s["mh"],
-            ).alias("sig")
-        )
-    )
+    sh = _hashed_shingles(df, id_col, text_col, n)
+    sig = _rowwise_signatures(sh, id_col, num_hashes)
     cands = _banded_candidate_pairs(
         sig, id_col, F.col("sig"), num_hashes, bands
     )
@@ -361,6 +393,81 @@ def minhash_lsh_pairs(
         ).alias("jaccard"),
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_lsh_pairs(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Incremental-ingest near-dup check: pairs (batch doc, index doc)
+    with exact Jaccard >= threshold, candidates generated by MinHash
+    LSH BETWEEN the incoming batch and the existing corpus only — the
+    shape a production pipeline runs on every new crawl delivery.
+
+    The bipartite banding is the scale win over re-running self-join
+    dedup on index ∪ batch: candidates are batch-side bucket rows
+    joined against index-side bucket rows, so the (huge) index never
+    pairs with itself — per delivery the work is O(batch + matching
+    buckets), not O(corpus²-ish). In production the index side's
+    signatures and hashed shingles are PRECOMPUTED artifacts persisted
+    from previous runs (see io/merge.py's snapshot store); here both
+    sides are built in-query, which only adds the index's (map-side,
+    linear) signature cost. Ids must be unique ACROSS both frames.
+
+    Output: ``(batch_id, index_id, jaccard)``, no false positives
+    (exact verification via the same inverted-index count join as
+    minhash_lsh_pairs).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    sh_i = _hashed_shingles(index_df, id_col, text_col, n)
+    sh_b = _hashed_shingles(batch_df, id_col, text_col, n)
+    bk_i = _band_bucket_rows(
+        _rowwise_signatures(sh_i, id_col, num_hashes),
+        id_col, F.col("sig"), num_hashes, bands,
+    ).select(F.col(id_col).alias("index_id"), "band", "bucket")
+    bk_b = _band_bucket_rows(
+        _rowwise_signatures(sh_b, id_col, num_hashes),
+        id_col, F.col("sig"), num_hashes, bands,
+    ).select(F.col(id_col).alias("batch_id"), "band", "bucket")
+    cands = (
+        bk_b.join(bk_i, ["band", "bucket"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    inter = (
+        cands.join(sh_b.select(F.col(id_col).alias("batch_id"), "h"), "batch_id")
+        .join(sh_i.select(F.col(id_col).alias("index_id"), "h"), ["index_id", "h"])
+        .groupBy("batch_id", "index_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    szb = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb")).select(
+        F.col(id_col).alias("batch_id"), "nb"
+    )
+    szi = sh_i.groupBy(id_col).agg(F.count(F.lit(1)).alias("ni")).select(
+        F.col(id_col).alias("index_id"), "ni"
+    )
+    return (
+        inter.join(szb, "batch_id")
+        .join(szi, "index_id")
+        .select(
+            "batch_id",
+            "index_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("nb") + F.col("ni") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 SIMHASH_BITS = 60  # md5-prefix hashes are 15 hex digits = 60 bits

@@ -76,6 +76,38 @@ def split_assign(
     return df.withColumn(split_col, expr.otherwise(last))
 
 
+def stratified_sample_rates(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_cols: list[str],
+    seed: int = 0,
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling at per-stratum RATES — the
+    corpus-mixing primitive ("25% of crawl, all of wiki, none of
+    spam-feed"): keep a row iff its key hash falls under its stratum's
+    cut (``default`` for unlisted strata). The rates vector IS the
+    data mixture.
+
+    Complements :func:`stratified_topn` (hard per-stratum QUOTA, one
+    shuffle): rate sampling is shuffle-free map-only — the shape that
+    reweights 100 TB in a single codegen'd scan — and composes with
+    the same determinism contract as :func:`sample_fraction` (a doc's
+    fate never depends on partitioning or corpus growth)."""
+    for s, frac in rates.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1]: {frac}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default rate must be in [0, 1]: {default}")
+    cut = F.lit(int(default * _BUCKETS))
+    for s, frac in rates.items():
+        cut = F.when(
+            F.col(stratum_col) == s, F.lit(int(frac * _BUCKETS))
+        ).otherwise(cut)
+    return df.filter(hash_bucket(list(key_cols), seed) < cut)
+
+
 def stratified_topn(
     df: DataFrame,
     stratum_cols: list[str],

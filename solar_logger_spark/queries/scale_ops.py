@@ -3503,3 +3503,164 @@ def _lang_conf_oracle_sql() -> str:
 
 
 LANG_CONFIDENCE_SQL = _lang_conf_oracle_sql()
+
+
+# -- sampling / splits / corpus governance -----------------------------------
+
+def corpus_mix_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sample at per-source RATES
+    (sampling.stratified_sample_rates) — the corpus-mixing primitive,
+    complementing the existing quota query (sample_stratified_docs)
+    and flat-rate query (sample_hash_fraction). Rates here: src0
+    downsampled to 25%, src1 dropped, src2 kept whole, everything
+    else 50%. Shuffle-free map-only scan at any corpus size."""
+    from solar_logger_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample_rates(
+        docs,
+        {"src0": 0.25, "src1": 0.0, "src2": 1.0},
+        stratum_col="source",
+        key_cols=["doc_id"],
+        seed=11,
+        default=0.5,
+    )
+    return out.select(
+        "doc_id", "source",
+        sampling.hash_bucket(["doc_id"], seed=11).cast("long").alias("bucket"),
+    )
+
+
+STRATIFIED_RATE_SAMPLE_SQL = """
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR) || chr(31) || '11'), 1, 15))
+               AS BIGINT) % 1000000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source, bucket
+    FROM b
+    WHERE bucket < CASE source
+                     WHEN 'src0' THEN 250000
+                     WHEN 'src1' THEN 0
+                     WHEN 'src2' THEN 1000000
+                     ELSE 500000
+                   END
+"""
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the 10% of docs with doc_id % 10 = 9
+    play the incoming crawl delivery, the rest the existing corpus;
+    bipartite MinHash-LSH candidates (batch x index only — the index
+    never pairs with itself) verified by exact Jaccard at >= 0.5.
+    Oracle validity is the same argument as dedup_minhash_lsh_docs:
+    the (64, 32) collision curve is ~1.0 at the corpus' similarity
+    gap, and verification is exact, so LSH output equals the exact
+    cross-side pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == F.lit(9)
+    return dedup.incremental_lsh_pairs(
+        docs.filter(~is_batch), docs.filter(is_batch), threshold=0.5
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+    WITH {_SHINGLE_PAIR_CTES_SQL}
+    SELECT CASE WHEN a_id % 10 = 9 THEN a_id ELSE b_id END AS batch_id,
+           CASE WHEN a_id % 10 = 9 THEN b_id ELSE a_id END AS index_id,
+           CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+      AND ((a_id % 10 = 9) != (b_id % 10 = 9))
+"""
+
+
+def dedup_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication report: near-dup pairs (exact n-gram
+    Jaccard >= 0.5) rolled up by canonical source pair — the audit
+    that tells you WHERE duplication comes from (within one feed vs
+    leaking between feeds, e.g. a benchmark mirrored into a crawl).
+    Inherits the inverted-index pair join; the rollup is a tiny hash
+    agg on a |sources|^2-bounded key."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("a_id"),
+                       F.col("source").alias("sa")), "a_id")
+        .join(
+            src.select(F.col("doc_id").alias("b_id"),
+                       F.col("source").alias("sb")), "b_id")
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+DEDUP_LEAKAGE_SQL = f"""
+    WITH {_SHINGLE_PAIR_CTES_SQL},
+    jp AS (
+        SELECT a_id, b_id,
+               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+              >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           max(jaccard) AS max_jaccard
+    FROM jp
+    JOIN documents da ON da.doc_id = a_id
+    JOIN documents db ON db.doc_id = b_id
+    GROUP BY 1, 2
+"""
+
+
+def corpus_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score histogram (decile-width bins): the
+    distribution audit behind threshold choices — a source whose mass
+    sits below the quality cutoff is about to vanish from the corpus,
+    and this is the query that shows it before it happens. One hash
+    agg on a (sources x 11)-bounded key."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    binned = docs.select("doc_id", "source").join(scored, "doc_id").select(
+        "source",
+        F.floor(F.col("quality_score") * 10).cast("int").alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+QUALITY_HISTOGRAM_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               {_QUALITY_BASE_COLS_SQL}
+        FROM documents
+    )
+    SELECT source,
+           CAST(floor(({_QUALITY_SCORE_EXPR_SQL}) * 10) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM base
+    GROUP BY 1, 2
+"""

@@ -467,3 +467,55 @@ def test_containment_random_differential(spark):
         for x, y in zip(got[k], want[k]):
             assert x == y, (k, got[k], want[k])
     assert any(k[1] >= 30 for k in got)  # the planted partial copies hit
+
+
+def test_incremental_lsh_random_differential(spark):
+    """incremental_lsh_pairs == brute-force cross-side Jaccard on a
+    seeded random corpus with planted near-dups: only (batch, index)
+    pairs appear (never index x index or batch x batch), values exact."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30)))
+             for _ in range(40)]
+    # planted: batch docs 100..104 are 1-word edits of index docs 0..4
+    for i in range(5):
+        ws = texts[i].split(" ")
+        ws[len(ws) // 2] = "EDIT"
+        texts.append(" ".join(ws))
+    ids = list(range(40)) + list(range(100, 105))
+    df = {i: t for i, t in zip(ids, texts)}
+    index = spark.createDataFrame(
+        [Row(doc_id=i, text=df[i]) for i in ids if i < 100]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=i, text=df[i]) for i in ids if i >= 100]
+    )
+
+    def shingles(t, n=3):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    want = {}
+    for b in (i for i in ids if i >= 100):
+        for a in (i for i in ids if i < 100):
+            sa, sb = shingles(df[a]), shingles(df[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= 0.5:
+                want[(b, a)] = inter / union
+
+    got = {
+        (r.batch_id, r.index_id): r.jaccard
+        for r in dedup.incremental_lsh_pairs(
+            index, batch, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    # most planted edits stay above the 0.5 threshold (a mid-word edit
+    # on a short doc can legitimately drop below it)
+    assert len(want) >= 4
+    assert all(b >= 100 > a for (b, a) in got)

@@ -75,3 +75,28 @@ def test_invalid_args(spark):
         sampling.sample_fraction(df, 1.5, ["id"])
     with pytest.raises(ValueError, match="sum to 1"):
         sampling.split_assign(df, {"a": 0.5, "b": 0.1}, ["id"])
+
+
+def test_stratified_rate_sample(spark):
+    import pytest
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    out = sampling.stratified_sample_rates(
+        df, {"s0": 0.25, "s1": 1.0}, stratum_col="source",
+        key_cols=["doc_id"], seed=4, default=0.0,
+    )
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("s1") == 1000            # rate 1.0 keeps everything
+    assert "s2" not in counts                  # default 0.0 drops unlisted
+    assert abs(counts["s0"] / 1000 - 0.25) < 0.05
+    # deterministic rerun; different seed re-deals
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in sampling.stratified_sample_rates(
+        df, {"s0": 0.25, "s1": 1.0}, "source", ["doc_id"], 4, 0.0).collect()}
+    c = {r.doc_id for r in sampling.stratified_sample_rates(
+        df, {"s0": 0.25, "s1": 1.0}, "source", ["doc_id"], 5, 0.0).collect()}
+    assert a == b and a != c
+    with pytest.raises(ValueError, match="rate"):
+        sampling.stratified_sample_rates(df, {"s0": 1.5}, "source", ["doc_id"])
