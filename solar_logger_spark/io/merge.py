@@ -147,6 +147,33 @@ def upsert(
     return new_name
 
 
+def replace_table(
+    df: DataFrame, table_dir: str, keep_snapshots: int = 2
+) -> str:
+    """Full-refresh write: replace the table's contents with ``df`` as
+    a NEW snapshot and swap ``_CURRENT`` atomically — the rebuild
+    counterpart to :func:`upsert` (pipeline stages that recompute
+    their whole output each run, e.g. tools/run_corpus_pipeline.py).
+    Creates the table if it does not exist; previous snapshots remain
+    time-travelable up to ``keep_snapshots``. Same crash-orphan
+    handling as upsert: dead snapshot dirs newer than the live pointer
+    are removed before writing."""
+    snap = current_snapshot(table_dir)
+    if snap is None:
+        return init_table(df, table_dir)
+    live_idx = int(snap.split("-")[1])
+    for d in sorted(os.listdir(table_dir)):
+        if d.startswith("snap-") and int(d.split("-")[1]) > live_idx:
+            shutil.rmtree(os.path.join(table_dir, d))
+    new_name = _snap_name(live_idx + 1)
+    df.write.mode("errorifexists").parquet(
+        os.path.join(table_dir, new_name)
+    )
+    _swap_pointer(table_dir, new_name)
+    _prune(table_dir, keep=keep_snapshots)
+    return new_name
+
+
 def upsert_sink(
     table_dir: str,
     keys: list[str],

@@ -19,7 +19,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from solar_logger_spark.operators.text import LANG_MARKERS, _marker_hits
+from solar_logger_spark.operators.text import (
+    LANG_MARKERS,
+    lang_hit_columns,
+    lang_pred_expr,
+)
 
 # C4's line-level heuristics: a terminal-punctuation requirement and a
 # line blacklist (the published rules target javascript warnings,
@@ -150,35 +154,33 @@ def lang_confidence(
 
     Confidence is ONE int→double division — IEEE-exact and therefore
     oracle-reproducible (no transcendentals, per the repo's
-    cross-engine float rules). Map-only: no join, no shuffle.
+    cross-engine float rules). Map-only: no join, no shuffle. The
+    hits/argmax construction is shared with ``text.lang_id``
+    (``lang_hit_columns`` / ``lang_pred_expr``) so the two operators
+    cannot drift.
     """
-    out = df
     langs = list(LANG_MARKERS)
-    for lang, markers in LANG_MARKERS.items():
-        out = out.withColumn(
-            f"hits_{lang}", _marker_hits(text_col, markers).cast("long")
+    reserved = (
+        {f"hits_{lang}" for lang in langs}
+        | {"pred_lang", "lang_hits_total", "lang_confidence"}
+    )
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries reserved column(s) {sorted(clash)} — "
+            "rename them before lang_confidence/lang_keep_filter"
         )
+    out = df
+    for lang, hits in lang_hit_columns(text_col).items():
+        out = out.withColumn(f"hits_{lang}", hits)
     total = None
     for lang in langs:
         c = F.col(f"hits_{lang}")
         total = c if total is None else total + c
     top = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = F.lit(None).cast("string")
-    for lang in reversed(langs):
-        cond = None
-        for other in langs:
-            if other == lang:
-                continue
-            clause = (
-                F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
-                if langs.index(other) > langs.index(lang)
-                else F.col(f"hits_{lang}") > F.col(f"hits_{other}")
-            )
-            cond = clause if cond is None else (cond & clause)
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return (
         out.withColumn("lang_hits_total", total.cast("long"))
-        .withColumn("pred_lang", pred)
+        .withColumn("pred_lang", lang_pred_expr())
         .withColumn(
             "lang_confidence",
             F.when(

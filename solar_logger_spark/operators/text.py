@@ -83,16 +83,22 @@ def quality_score(
     )
 
 
-def lang_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Marker-word language ID: argmax of per-language marker hits,
-    first-listed language wins ties (deterministic)."""
-    out = df.select(F.col(id_col), F.col(text_col))
-    for lang, markers in LANG_MARKERS.items():
-        out = out.withColumn(
-            f"hits_{lang}", _marker_hits(text_col, markers).cast("long")
-        )
+def lang_hit_columns(text_col: str = "text") -> dict[str, Column]:
+    """Per-language marker-hit count expressions keyed by language —
+    the single Python source of the evidence columns both ``lang_id``
+    and ``cleaning.lang_confidence`` attach (as ``hits_<lang>``)."""
+    return {
+        lang: _marker_hits(text_col, markers).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_pred_expr() -> Column:
+    """Argmax over the attached ``hits_<lang>`` columns with the
+    deterministic tie rule (first-listed language wins): strictly
+    greater than every LATER language, >= every EARLIER one. The one
+    Python copy of the rule; the SQL twin is scale_ops'
+    ``_lang_sql_parts``."""
     langs = list(LANG_MARKERS)
     pred = F.lit(None).cast("string")
     # build argmax right-to-left: earlier languages win ties
@@ -101,7 +107,6 @@ def lang_id(
         for other in langs:
             if other == lang:
                 continue
-            # strictly greater than every later language, >= every earlier
             clause = (
                 F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
                 if langs.index(other) > langs.index(lang)
@@ -109,8 +114,22 @@ def lang_id(
             )
             cond = clause if cond is None else (cond & clause)
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits,
+    first-listed language wins ties (deterministic)."""
+    out = df.select(F.col(id_col), F.col(text_col))
+    for lang, hits in lang_hit_columns(text_col).items():
+        out = out.withColumn(f"hits_{lang}", hits)
+    langs = list(LANG_MARKERS)
     return out.select(
-        id_col, *[f"hits_{lang}" for lang in langs], pred.alias("pred_lang")
+        id_col,
+        *[f"hits_{lang}" for lang in langs],
+        lang_pred_expr().alias("pred_lang"),
     )
 
 

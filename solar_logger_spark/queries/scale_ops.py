@@ -2226,12 +2226,14 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_keep_fragments() -> tuple[str, str]:
-    """SQL fragments for the language-confidence cutoff (mirrors
-    operators/cleaning.py lang_keep_filter): hit-count columns over
-    ``documents``, and the keep predicate over those ``hits_*``
-    columns plus the declared ``lang``. Shared by the standalone
-    text_lang_confidence_cutoff oracle and the corpus-build funnel."""
+def _lang_sql_parts() -> dict[str, str]:
+    """The single SQL source for the language-evidence fragments
+    (mirrors text.lang_hit_columns / text.lang_pred_expr): per-lang
+    hit-count column list, total/top expressions over the ``hits_*``
+    columns, the argmax CASE with the first-listed-wins tie rule, and
+    the keep predicate of cleaning.lang_keep_filter. Composed by the
+    standalone lang_id + lang-confidence oracles AND the corpus-build
+    funnel oracle, so the rule cannot drift between them."""
     langs = list(text.LANG_MARKERS)
 
     def hits(markers: list[str]) -> str:
@@ -2262,10 +2264,15 @@ def _lang_keep_fragments() -> tuple[str, str]:
         f" OR CAST({top} AS DOUBLE) / CAST({total} AS DOUBLE) < 0.8"
         f" OR ({case}) IS NOT DISTINCT FROM lang)"
     )
-    return hit_cols, keep
+    return {
+        "hit_cols": hit_cols, "total": total, "top": top,
+        "case": case, "keep": keep,
+    }
 
 
-_LANG_HIT_COLS_SQL, _LANG_KEEP_WHERE_SQL = _lang_keep_fragments()
+_LANG_SQL = _lang_sql_parts()
+_LANG_HIT_COLS_SQL = _LANG_SQL["hit_cols"]
+_LANG_KEEP_WHERE_SQL = _LANG_SQL["keep"]
 
 
 PIPELINE_CORPUS_BUILD_SQL = f"""
@@ -3459,35 +3466,14 @@ def text_lang_confidence_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_conf_oracle_sql() -> str:
-    def hits(markers: list[str]) -> str:
-        inlist = ", ".join(f"'{m}'" for m in markers)
-        return (
-            f"len(list_filter(string_split(text, ' '), "
-            f"t -> t IN ({inlist})))"
-        )
-
-    langs = list(text.LANG_MARKERS)
-    hit_cols = ", ".join(
-        f"{hits(m)} AS hits_{lang}"
-        for lang, m in text.LANG_MARKERS.items()
-    )
-    total = " + ".join(f"hits_{lang}" for lang in langs)
-    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
-    branches = []
-    for lang in langs:
-        clauses = []
-        for other in langs:
-            if other == lang:
-                continue
-            op = ">=" if langs.index(other) > langs.index(lang) else ">"
-            clauses.append(f"hits_{lang} {op} hits_{other}")
-        branches.append(f"WHEN {' AND '.join(clauses)} THEN '{lang}'")
-    case = "CASE " + " ".join(branches) + " END"
+    """Composes the shared _lang_sql_parts fragments — no second copy
+    of the hits/argmax/keep SQL lives here."""
+    p = _LANG_SQL
     return f"""
-        WITH h AS (SELECT doc_id, lang, {hit_cols} FROM documents),
+        WITH h AS (SELECT doc_id, lang, {p['hit_cols']} FROM documents),
         t AS (
-            SELECT doc_id, lang, {total} AS total, {top} AS top,
-                   {case} AS pred_lang
+            SELECT doc_id, lang, {p['total']} AS total, {p['top']} AS top,
+                   {p['case']} AS pred_lang
             FROM h
         )
         SELECT doc_id, lang, pred_lang,

@@ -110,3 +110,17 @@ def test_lang_keep_null_declared_lang(spark):
     )
     # confident 'en' vs declared NULL: eqNullSafe is false -> dropped
     assert C.lang_keep_filter(df).count() == 0
+
+
+def test_lang_confidence_rejects_reserved_columns(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, lang="en", text="the a", pred_lang="xx")]
+    )
+    with pytest.raises(ValueError, match="pred_lang"):
+        C.lang_confidence(df)
+    with pytest.raises(ValueError, match="hits_en"):
+        C.lang_keep_filter(
+            spark.createDataFrame(
+                [Row(doc_id=1, lang="en", text="t", hits_en=9)]
+            )
+        )

@@ -217,3 +217,18 @@ def test_snapshot_diff_rejects_schema_evolution(spark, tmp_path, monkeypatch):
     )
     with pytest.raises(ValueError, match="extra"):
         M.snapshot_diff(spark, "ignored", "s0", "s1", keys=["k"])
+
+
+def test_replace_table_full_refresh_and_time_travel(spark, tmp_path):
+    from pyspark.sql import Row
+    from solar_logger_spark.io import merge as M
+
+    tdir = str(tmp_path / "t")
+    s0 = M.replace_table(spark.createDataFrame([Row(k=1, v="a")]), tdir)
+    s1 = M.replace_table(spark.createDataFrame([Row(k=2, v="b")]), tdir)
+    assert s0 != s1
+    # full refresh: only the new contents are live
+    assert [r.k for r in M.read_table_snapshot(spark, tdir).collect()] == [2]
+    # the previous snapshot stays time-travelable
+    assert [r.k for r in
+            M.read_table_snapshot(spark, tdir, at=s0).collect()] == [1]

@@ -39,12 +39,13 @@ from solar_logger_spark.operators import cleaning, dedup, text  # noqa: E402
 
 
 def _store(df: DataFrame, work_dir: str, name: str) -> DataFrame:
-    """Materialize ``df`` as snapshot 0 of a store table and read it
-    back — the stage boundary. Everything downstream sees the table,
-    not the lineage."""
+    """Materialize ``df`` as a new snapshot of a store table and read
+    it back — the stage boundary. Everything downstream sees the
+    table, not the lineage; re-running against the same work_dir
+    writes the next snapshot (previous runs stay time-travelable)."""
     spark = df.sparkSession
     tdir = os.path.join(work_dir, name)
-    M.init_table(df, tdir)
+    M.replace_table(df, tdir)
     return M.read_table_snapshot(spark, tdir)
 
 
