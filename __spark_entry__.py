@@ -1097,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_incremental_batch": sca.dedup_incremental_batch,
             "dedup_leakage_matrix": sca.dedup_leakage_matrix,
             "corpus_quality_histogram": sca.corpus_quality_histogram,
+            "text_winnow_fingerprints": sca.text_winnow_fingerprints,
+            "text_vocab_encode_docs": sca.text_vocab_encode_docs,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
@@ -1433,6 +1435,8 @@ def oracle_sql() -> dict[str, str]:
             "dedup_incremental_batch": sca.DEDUP_INCREMENTAL_SQL,
             "dedup_leakage_matrix": sca.DEDUP_LEAKAGE_SQL,
             "corpus_quality_histogram": sca.QUALITY_HISTOGRAM_SQL,
+            "text_winnow_fingerprints": sca.WINNOW_SQL,
+            "text_vocab_encode_docs": sca.VOCAB_ENCODE_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,

@@ -178,6 +178,79 @@ def fingerprint(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003, the MOSS algorithm): hash every ``k``-word gram, then
+    in each sliding window of ``window`` consecutive gram hashes
+    select the minimum (rightmost on ties), and emit the distinct
+    selected (position, hash) pairs.
+
+    The guarantee that makes this THE local fingerprinting scheme for
+    copy detection: any shared word run of at least ``window + k - 1``
+    words between two documents is guaranteed to share at least one
+    selected fingerprint, while storage is ~2/(window+1) of the gram
+    count. The classic paper uses a rolling Rabin hash for per-gram
+    cost; here each gram is hashed directly with the repo's md5-derived
+    60-bit integer (engine-reproducible — the selection guarantee is
+    hash-agnostic, and the Spark shape is vectorized array ops either
+    way, one codegen'd map stage, no shuffle, no Python).
+
+    Output: ``(id, pos, fp)`` exploded rows (``pos`` = 0-based gram
+    index of the selected gram) — the join-ready inverted-index shape.
+    Documents shorter than ``k`` words emit nothing; documents with
+    fewer than ``window`` grams winnow their single short window.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1: {k}, {window}")
+    toks = _toks(text_col)
+    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    gram = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")  # noqa: E731
+    ghash = lambda i: (  # noqa: E731
+        F.conv(F.substring(F.md5(gram(i)), 1, 15), 16, 10).cast("bigint")
+    )
+    # sequence(0, -1) DESCENDS in Spark, so the empty-gram case (doc
+    # shorter than k words) must short-circuit to an empty array
+    hashes = F.when(
+        n_grams > 0,
+        F.transform(F.sequence(F.lit(0), n_grams - 1), lambda i: ghash(i)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
+    win = lambda i: F.slice(F.col("_hashes"), i + 1, window)  # noqa: E731
+
+    def _select(i):
+        w = win(i)
+        m = F.array_min(w)
+        # rightmost occurrence of the min inside the window
+        rpos = F.size(w) + 1 - F.array_position(F.reverse(w), m)
+        return F.struct((i + rpos - 1).alias("pos"), m.alias("fp"))
+
+    picked = F.transform(
+        F.sequence(F.lit(0), F.col("_n_windows") - 1), _select
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            hashes.alias("_hashes"),
+            n_windows.alias("_n_windows"),
+        )
+        .filter(F.size(F.col("_hashes")) > 0)
+        .select(
+            id_col, F.explode(F.array_distinct(picked)).alias("_p")
+        )
+        .select(
+            id_col,
+            F.col("_p.pos").cast("int").alias("pos"),
+            F.col("_p.fp").alias("fp"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,
@@ -228,6 +301,64 @@ def tfidf_top_terms(
 # Kept to a regex dialect subset (character classes + alternation) that
 # behaves identically in Java regex (Spark) and RE2 (DuckDB/others).
 BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def vocab_encode(
+    df: DataFrame,
+    vocab: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "join",
+) -> DataFrame:
+    """Tokenize-and-encode against a fixed vocabulary: each whitespace
+    token becomes its 1-based vocab id (0 = OOV) — the dictionary-
+    encoding step that turns a text corpus into the integer streams a
+    training pipeline ships (ids, not strings, are what get packed).
+
+    Output: one row per token position —
+    ``(id, pos, token, token_id)`` with ``pos`` 0-based; the exploded
+    inverted shape that downstream packing/statistics join on.
+
+    Two physical strategies with identical results (differential-
+    tested):
+
+    * ``method="array"`` — ``array_position`` against a literal vocab
+      array inside one map stage. No shuffle, no join; per-token cost
+      is O(|vocab|), so it is the right shape for small control
+      vocabularies (markers, tags).
+    * ``method="join"`` — posexplode + broadcast hash join against the
+      vocab as a table + OOV via left join. Per-token cost O(1) after
+      the broadcast: the 100 TB shape for real vocabularies (32k-256k
+      entries), where the literal-array expression would be both huge
+      in the plan and linear per token.
+    """
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("vocab entries must be unique")
+    toks = _toks(text_col)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "token")
+    )
+    if method == "array":
+        arr = F.array(*[F.lit(w) for w in vocab])
+        return exploded.select(
+            id_col, "pos", "token",
+            F.array_position(arr, F.col("token")).cast("int")
+            .alias("token_id"),
+        )
+    if method != "join":
+        raise ValueError(f"unknown method: {method!r}")
+    spark = df.sparkSession
+    vdf = spark.createDataFrame(
+        [(w, i + 1) for i, w in enumerate(vocab)], "token string, _vid int"
+    )
+    return (
+        exploded.join(F.broadcast(vdf), "token", "left")
+        .select(
+            id_col, "pos", "token",
+            F.coalesce(F.col("_vid"), F.lit(0)).cast("int")
+            .alias("token_id"),
+        )
+    )
 
 
 def bpe_ish_token_count(text_col: str = "text") -> Column:

@@ -3650,3 +3650,79 @@ QUALITY_HISTOGRAM_SQL = f"""
     FROM base
     GROUP BY 1, 2
 """
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, SIGMOD 2003) over the corpus:
+    4-word grams, window 5, rightmost-min selection — the local
+    copy-detection fingerprint family (guarantee: any shared run of
+    >= 8 words shares a fingerprint). One codegen'd map stage, no
+    shuffle; md5-derived gram hashes keep the selection
+    engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=4, window=5)
+
+
+WINNOW_SQL = """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               [CAST(('0x' || substring(md5(
+                    array_to_string(list_slice(w, i + 1, i + 4), ' ')), 1, 15))
+                 AS BIGINT)
+                for i in range(0, greatest(len(w) - 3, 0))] AS hs
+        FROM ws
+    ),
+    p AS (
+        SELECT doc_id,
+               [{'pos': i + (len(list_slice(hs, i + 1, i + 5)) + 1
+                             - list_position(
+                                   list_reverse(list_slice(hs, i + 1, i + 5)),
+                                   list_min(list_slice(hs, i + 1, i + 5))))
+                           - 1,
+                 'fp': list_min(list_slice(hs, i + 1, i + 5))}
+                for i in range(0, greatest(len(hs) - 4, 1))] AS picked
+        FROM g WHERE len(hs) > 0
+    )
+    SELECT DISTINCT doc_id, CAST(u.pos AS INT) AS pos, u.fp AS fp
+    FROM (SELECT doc_id, unnest(picked) AS u FROM p)
+"""
+
+
+def text_vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encode the corpus against its own top-24 vocabulary
+    (rank by frequency desc, word asc — deterministic): every token
+    position becomes a vocab id, OOV = 0 — the string→integer step a
+    training pipeline runs before packing. Vocabulary derivation is a
+    TakeOrdered (distributed top-k) + 24-row driver collect (bounded
+    by construction); encoding is the broadcast-join path (the 100 TB
+    shape — see operators/text.vocab_encode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [
+        r.w
+        for r in docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(24)
+        .collect()
+    ]
+    return text.vocab_encode(docs, vocab, method="join")
+
+
+VOCAB_ENCODE_SQL = """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    vocab AS (
+        SELECT list(w ORDER BY c DESC, w) AS v FROM (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(ws) AS w FROM ws)
+            GROUP BY w ORDER BY c DESC, w LIMIT 24
+        )
+    ),
+    p AS (
+        SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM ws
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS token,
+           CAST(coalesce(list_position(v, ws[i]), 0) AS INT) AS token_id
+    FROM p, vocab
+"""

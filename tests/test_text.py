@@ -348,3 +348,74 @@ def test_hashed_classifier_score(spark):
     assert out[0].score == exp0 / (500.0 * 3)
     assert out[1].n_tokens == 1 and out[1].raw_score == w("x")
     assert -1.002 <= out[0].score <= 1.002  # weights bounded by ±500
+
+
+def test_winnow_fingerprints_guarantee_and_selection(spark):
+    """Winnowing invariants: rightmost-min selection, storage bound,
+    and the SIGMOD-2003 guarantee — any shared run of >= window+k-1
+    words yields at least one shared fingerprint."""
+    import random
+    from pyspark.sql import Row
+
+    k, w = 4, 5
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(40)]
+    base = [rng.choice(vocab) for _ in range(120)]
+    shared = base[30:30 + (w + k - 1)]  # exactly the guarantee length
+    other = [rng.choice(vocab) for _ in range(80)] + shared + [
+        rng.choice(vocab) for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(base)),
+         Row(doc_id=2, text=" ".join(other)),
+         Row(doc_id=3, text="too short")]  # < k words -> no output
+    )
+    out = text.winnow_fingerprints(df, k=k, window=w).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert 3 not in by_doc
+    # guarantee: the planted shared run produces a common fingerprint
+    assert by_doc[1] & by_doc[2]
+    # storage bound: far fewer fingerprints than grams (~2/(w+1))
+    n_grams = 120 - k + 1
+    assert len(by_doc[1]) < 0.6 * n_grams
+    # python reference implementation: exact match on doc 1
+    import hashlib
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    grams = [" ".join(base[i:i + k]) for i in range(n_grams)]
+    hs = [h(g) for g in grams]
+    want = set()
+    for i in range(n_grams - w + 1):
+        win = hs[i:i + w]
+        m = min(win)
+        rpos = max(j for j in range(w) if win[j] == m)
+        want.add((i + rpos, m))
+    got = {(r.pos, r.fp) for r in out if r.doc_id == 1}
+    assert got == want
+
+
+def test_vocab_encode_methods_agree(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b oovy a"), Row(doc_id=2, text="c a")]
+    )
+    vocab = ["a", "b", "c"]
+    a = text.vocab_encode(df, vocab, method="array").collect()
+    j = text.vocab_encode(df, vocab, method="join").collect()
+    key = lambda r: (r.doc_id, r.pos)  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, j))
+    got = {(r.doc_id, r.pos): (r.token, r.token_id) for r in j}
+    assert got[(1, 0)] == ("a", 1)
+    assert got[(1, 1)] == ("b", 2)
+    assert got[(1, 2)] == ("oovy", 0)   # OOV -> 0
+    assert got[(2, 0)] == ("c", 3)
+    import pytest
+    with pytest.raises(ValueError, match="unique"):
+        text.vocab_encode(df, ["a", "a"])
+    with pytest.raises(ValueError, match="method"):
+        text.vocab_encode(df, vocab, method="nope")
