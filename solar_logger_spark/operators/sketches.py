@@ -160,3 +160,70 @@ def cms_estimate(
     return joined.groupBy(*group_cols, key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(alias)
     )
+
+
+# -- Bloom filter (row-form, engine-reproducible) -----------------------------
+
+def _bloom_positions(key: Column, m: int, k: int) -> Column:
+    """Array of the ``k`` bit positions for a key: md5-derived 60-bit
+    integers mod ``m`` — deterministic AND engine-reproducible (unlike
+    xxhash64, DuckDB computes identical md5 bytes), so a filter built
+    by any engine tests identically in any other."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f":{s}"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint") % F.lit(m)
+            for s in range(k)
+        ]
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m: int = 8192, k: int = 3
+) -> DataFrame:
+    """Bloom filter over ``df[key_col]`` (Bloom 1970 — public),
+    materialized as ROWS of distinct set bits ``(bit,)`` — the same
+    row-form trade as ``cms_table``: building is explode + distinct
+    (map-side combinable; shuffle bounded by min(m, k·distinct keys),
+    never input rows), MERGING filters is a plain union-distinct, and
+    the whole filter is at most ``m`` rows — always broadcastable at
+    probe time no matter how many keys went in."""
+    return (
+        df.select(
+            F.explode(
+                _bloom_positions(F.col(key_col), m, k)
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Membership test against a row-form Bloom filter: appends
+    ``might_contain`` to ``probe`` — true iff all ``k`` positions of
+    the key are set. No false negatives ever; false-positive rate
+    ~(1 - e^(-k·n/m))^k. The filter side is broadcast (<= m rows by
+    construction) so probing 100 TB of keys is one map-side join."""
+    pos = probe.select(
+        F.col(key_col),
+        F.explode(_bloom_positions(F.col(key_col), m, k)).alias("bit"),
+    )
+    hits = (
+        pos.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+        )
+        .groupBy(key_col)
+        .agg((F.count("_set") == F.lit(k)).alias("might_contain"))
+    )
+    return probe.join(hits, key_col)

@@ -3726,3 +3726,66 @@ VOCAB_ENCODE_SQL = """
            CAST(coalesce(list_position(v, ws[i]), 0) AS INT) AS token_id
     FROM p, vocab
 """
+
+
+def sketch_bloom_user_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a row-form Bloom filter
+    (m=8192, k=3) over the purchasing users, probe EVERY user, and
+    report (might_contain, is_member, is_false_positive) per user.
+    The md5-derived positions are engine-reproducible, so unlike the
+    HLL/GK accuracy-contract oracles this one is EXACT — DuckDB builds
+    the identical filter and the per-user booleans hash-compare
+    directly. No false negatives by construction (a member fails only
+    if the math diverged — which the oracle would catch)."""
+    from solar_logger_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    members = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+    )
+    bits = sketches.bloom_bits(members, "user_id")
+    probe = events.select("user_id").distinct()
+    tested = sketches.bloom_might_contain(probe, bits, "user_id")
+    flagged = tested.join(
+        members.withColumn("_m", F.lit(1)), "user_id", "left"
+    )
+    return flagged.select(
+        "user_id",
+        "might_contain",
+        F.col("_m").isNotNull().alias("is_member"),
+        (F.col("might_contain") & F.col("_m").isNull())
+        .alias("is_false_positive"),
+    )
+
+
+BLOOM_FILTER_SQL = """
+    WITH members AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    seeds AS (SELECT unnest([0, 1, 2]) AS s),
+    bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substring(
+                   md5(CAST(user_id AS VARCHAR) || ':' || s), 1, 15))
+               AS BIGINT) % 8192 AS bit
+        FROM members, seeds
+    ),
+    probe AS (SELECT DISTINCT user_id FROM events),
+    ph AS (
+        SELECT user_id,
+               CAST(('0x' || substring(
+                   md5(CAST(user_id AS VARCHAR) || ':' || s), 1, 15))
+               AS BIGINT) % 8192 AS bit
+        FROM probe, seeds
+    ),
+    hits AS (
+        SELECT p.user_id, count(b.bit) = 3 AS might_contain
+        FROM ph p LEFT JOIN bits b USING (bit)
+        GROUP BY p.user_id
+    )
+    SELECT h.user_id, h.might_contain,
+           m.user_id IS NOT NULL AS is_member,
+           (h.might_contain AND m.user_id IS NULL) AS is_false_positive
+    FROM hits h LEFT JOIN members m ON h.user_id = m.user_id
+"""

@@ -161,3 +161,26 @@ def test_sketch_quantiles_bound_flags(spark, tmp_path):
         assert abs(r.p50 - np.percentile(vals, 50)) < 1e-9
         assert abs(r.p99 - np.percentile(vals, 99)) < 1e-9
         assert r.n == len(vals)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from pyspark.sql import Row
+    from solar_logger_spark.operators import sketches as SK
+
+    members = spark.createDataFrame([Row(k=i) for i in range(0, 200)])
+    probe = spark.createDataFrame([Row(k=i) for i in range(0, 1000)])
+    # small m forces observable false positives; k=3 hashes
+    bits = SK.bloom_bits(members, "k", m=512, k=3)
+    out = {r.k: r.might_contain
+           for r in SK.bloom_might_contain(probe, bits, "k", m=512, k=3).collect()}
+    # no false negatives, ever
+    assert all(out[i] for i in range(200))
+    fps = sum(1 for i in range(200, 1000) if out[i])
+    # (1 - e^(-3*200/512))^3 ~ 0.33 -> expect some but not all
+    assert 0 < fps < 800
+    # filters merge by plain union-distinct
+    m1 = SK.bloom_bits(spark.createDataFrame([Row(k=i) for i in range(100)]), "k", m=512)
+    m2 = SK.bloom_bits(spark.createDataFrame([Row(k=i) for i in range(100, 200)]), "k", m=512)
+    merged = m1.union(m2).distinct()
+    direct = {r.bit for r in SK.bloom_bits(members, "k", m=512).collect()}
+    assert {r.bit for r in merged.collect()} == direct
