@@ -1174,6 +1174,18 @@ def _registry_order(
 
     oracle_backed = set(oracle_sql())
 
+    # Queries whose implementation or oracle changed AFTER their last
+    # committed green row: a green record for the OLD shape must not
+    # count as settled, so they re-check right after standing reds.
+    # Maintained by hand per round; clear entries once re-verified.
+    changed_since_green = {
+        # r5: schema changed (new columns) — old green rows are stale
+        "profile_columns_lineitem",
+        "pipeline_corpus_build",
+        # r5: oracle join made NULL-safe (same results on current data)
+        "dedup_editdistance_docs",
+    }
+
     def _prio(name: str) -> int:
         # 0: latest committed record is RED (regardless of history) —
         #    a standing red row on since-fixed code reads as a live
@@ -1182,14 +1194,18 @@ def _registry_order(
         #    starved by a stream of new additions (the flux_agg_integral
         #    lesson: its r2 red sat outside the checked window for two
         #    rounds under never-checked-first ordering)
-        # 1: oracle-backed, never checked — the hard hash-compare signal
-        # 2: rows-only, never checked — weak rows+schema signal
-        # 3: green and current
+        # 1: green record exists but the query changed since (stale
+        #    green must re-verify the NEW shape before settling)
+        # 2: oracle-backed, never checked — the hard hash-compare signal
+        # 3: rows-only, never checked — weak rows+schema signal
+        # 4: green and current
         if name in latest and not latest[name][1]:
             return 0
+        if name in changed_since_green and ever_green.get(name, False):
+            return 1
         if not ever_green.get(name, False):
-            return 1 if name in oracle_backed else 2
-        return 3
+            return 2 if name in oracle_backed else 3
+        return 4
 
     names = list(out)
     pos = {n: i for i, n in enumerate(names)}

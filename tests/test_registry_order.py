@@ -86,3 +86,16 @@ def test_standing_red_leads_never_checked():
         "flux_range_filter",
         "tpch_q1_pricing_summary",
     ]
+
+
+def test_changed_since_green_outranks_never_checked():
+    """A query listed in changed_since_green with a green historical
+    record re-checks before never-checked additions (its green row
+    describes the OLD shape), but after any standing red."""
+    out = {
+        "fresh": 1,                    # never checked
+        "pipeline_corpus_build": 2,    # green but changed since (r5 list)
+        "redq": 3,                     # standing red
+    }
+    got = _order(out, {1: {"pipeline_corpus_build": GREEN, "redq": RED}})
+    assert got == ["redq", "pipeline_corpus_build", "fresh"]
