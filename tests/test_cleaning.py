@@ -124,3 +124,52 @@ def test_lang_confidence_rejects_reserved_columns(spark):
                 [Row(doc_id=1, lang="en", text="t", hits_en=9)]
             )
         )
+
+
+def test_url_normalize_random_differential(spark):
+    """url_normalize == a pure-python reference over randomized URL
+    shapes (scheme/www/case/query/fragment/trailing-slash variants),
+    and normalization is idempotent."""
+    import random
+    import re
+
+    rng = random.Random(99)
+    hosts = ["Example.com", "sub.domain.ORG", "a-b.net", "x.io"]
+    paths = ["", "/p", "/p/q", "/Deep/Path/12"]
+
+    def build():
+        u = rng.choice(hosts) + rng.choice(paths)
+        if rng.random() < 0.5:
+            u = "www." + u
+        if rng.random() < 0.7:
+            u = rng.choice(["http://", "https://", "HTTPS://"]) + u
+        if rng.random() < 0.4:
+            u += "?" + rng.choice(["a=1", "utm_source=x&b=2", ""])
+        if rng.random() < 0.3:
+            u += "#" + rng.choice(["frag", "x/y", ""])
+        if rng.random() < 0.3:
+            u += "/"
+        return u
+
+    def ref(u):
+        u = u.lower()
+        u = re.sub(r"^https?://", "", u)
+        u = re.sub(r"^www\.", "", u)
+        u = re.sub(r"[?#].*$", "", u)
+        u = re.sub(r"/$", "", u)
+        return u
+
+    urls = [build() for _ in range(300)]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, u string")
+    got = {r.i: r.n for r in
+           df.select("i", C.url_normalize("u").alias("n")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == ref(u), (u, got[i], ref(u))
+    # idempotent: normalizing the canonical form changes nothing
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in got.items()], "i long, u string"
+    )
+    again = {r.i: r.n for r in
+             df2.select("i", C.url_normalize("u").alias("n")).collect()}
+    assert again == got
