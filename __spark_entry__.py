@@ -1128,10 +1128,14 @@ def _registry_order(
       0. latest committed record is RED — a standing red row reads as
          a live failure and must never be starved out of the budget by
          new additions (the flux_agg_integral case from r2/r3);
-      1. oracle-backed with no green row in ANY round's record — the
+      1. green record exists but the query's implementation or oracle
+         changed in a later round (``changed_in_round``) — the stale
+         green must re-verify the new shape; the pin self-retires
+         once a green row from >= the change round lands;
+      2. oracle-backed with no green row in ANY round's record — the
          hard hash-compare signal;
-      2. rows-only, never checked — the weaker rows+schema signal;
-      3. green and current — the long-proven tail.
+      3. rows-only, never checked — the weaker rows+schema signal;
+      4. green and current — the long-proven tail.
 
     ``records`` maps round -> {query: row-dict} for tests; by default
     the committed CORRECTNESS_r*.json files next to this module are
@@ -1175,16 +1179,37 @@ def _registry_order(
     oracle_backed = set(oracle_sql())
 
     # Queries whose implementation or oracle changed AFTER their last
-    # committed green row: a green record for the OLD shape must not
-    # count as settled, so they re-check right after standing reds.
-    # Maintained by hand per round; clear entries once re-verified.
-    changed_since_green = {
+    # committed green row, mapped to the round the change shipped in:
+    # a green record for the OLD shape must not count as settled, so
+    # they re-check right after standing reds. SELF-RETIRING: once a
+    # green row exists from a round >= the change round, the entry is
+    # ignored (no human edit needed — the r3/r4 lesson that
+    # hand-repointed head lists go stale).
+    changed_in_round = {
         # r5: schema changed (new columns) — old green rows are stale
-        "profile_columns_lineitem",
-        "pipeline_corpus_build",
+        "profile_columns_lineitem": 5,
+        "pipeline_corpus_build": 5,
         # r5: oracle join made NULL-safe (same results on current data)
-        "dedup_editdistance_docs",
+        "dedup_editdistance_docs": 5,
     }
+    latest_green_round: dict[str, int] = {}
+    for rnd in sorted(records):
+        for name, row in records[rnd].items():
+            ok = (
+                isinstance(row, dict)
+                and bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+                and row.get("err") in (None, "")
+            )
+            if ok:
+                latest_green_round[name] = rnd
+
+    def _stale_green(name: str) -> bool:
+        rnd = changed_in_round.get(name)
+        if rnd is None or not ever_green.get(name, False):
+            return False
+        return latest_green_round.get(name, -1) < rnd
 
     def _prio(name: str) -> int:
         # 0: latest committed record is RED (regardless of history) —
@@ -1195,13 +1220,14 @@ def _registry_order(
         #    lesson: its r2 red sat outside the checked window for two
         #    rounds under never-checked-first ordering)
         # 1: green record exists but the query changed since (stale
-        #    green must re-verify the NEW shape before settling)
+        #    green must re-verify the NEW shape before settling;
+        #    self-retires once a green row from the change round lands)
         # 2: oracle-backed, never checked — the hard hash-compare signal
         # 3: rows-only, never checked — weak rows+schema signal
         # 4: green and current
         if name in latest and not latest[name][1]:
             return 0
-        if name in changed_since_green and ever_green.get(name, False):
+        if _stale_green(name):
             return 1
         if not ever_green.get(name, False):
             return 2 if name in oracle_backed else 3

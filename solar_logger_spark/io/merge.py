@@ -129,17 +129,28 @@ def upsert(
     kept = base.join(upd_keys, keys, "left_anti")
     merged = kept.unionByName(updates.select(*base.columns))
 
-    # next index = max existing + 1, NOT pointer + 1: a crash between a
-    # snapshot write and the pointer swap leaves an orphan dir, and
-    # pointer+1 would collide with it forever (errorifexists). Orphans
-    # newer than the live pointer are dead (never referenced) — remove
-    # them first so a half-written directory can't be confused for data.
-    live_idx = int(snap.split("-")[1])
+    return _write_next_snapshot(merged, table_dir, snap, keep_snapshots)
+
+
+def _write_next_snapshot(
+    df: DataFrame, table_dir: str, live_snap: str, keep_snapshots: int
+) -> str:
+    """The one copy of the commit sequence shared by upsert and
+    replace_table: clean dead orphans, write the next snapshot dir,
+    swap the pointer atomically, prune.
+
+    Next index = live pointer + 1 AFTER removing orphans: a crash
+    between a snapshot write and the pointer swap leaves an orphan
+    dir, and writing into it would collide forever (errorifexists).
+    Orphans newer than the live pointer are dead (never referenced) —
+    removed first so a half-written directory can't be confused for
+    data."""
+    live_idx = int(live_snap.split("-")[1])
     for d in sorted(os.listdir(table_dir)):
         if d.startswith("snap-") and int(d.split("-")[1]) > live_idx:
             shutil.rmtree(os.path.join(table_dir, d))
     new_name = _snap_name(live_idx + 1)
-    merged.write.mode("errorifexists").parquet(
+    df.write.mode("errorifexists").parquet(
         os.path.join(table_dir, new_name)
     )
     _swap_pointer(table_dir, new_name)
@@ -161,17 +172,7 @@ def replace_table(
     snap = current_snapshot(table_dir)
     if snap is None:
         return init_table(df, table_dir)
-    live_idx = int(snap.split("-")[1])
-    for d in sorted(os.listdir(table_dir)):
-        if d.startswith("snap-") and int(d.split("-")[1]) > live_idx:
-            shutil.rmtree(os.path.join(table_dir, d))
-    new_name = _snap_name(live_idx + 1)
-    df.write.mode("errorifexists").parquet(
-        os.path.join(table_dir, new_name)
-    )
-    _swap_pointer(table_dir, new_name)
-    _prune(table_dir, keep=keep_snapshots)
-    return new_name
+    return _write_next_snapshot(df, table_dir, snap, keep_snapshots)
 
 
 def upsert_sink(

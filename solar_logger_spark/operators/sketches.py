@@ -214,16 +214,33 @@ def bloom_might_contain(
     ``might_contain`` to ``probe`` — true iff all ``k`` positions of
     the key are set. No false negatives ever; false-positive rate
     ~(1 - e^(-k·n/m))^k. The filter side is broadcast (<= m rows by
-    construction) so probing 100 TB of keys is one map-side join."""
-    pos = probe.select(
+    construction) so probing 100 TB of keys is one map-side join.
+
+    Robust to the messy-probe realities: the hit count is computed
+    over DISTINCT probe keys (duplicate probe rows would otherwise
+    inflate the per-key matched-row count past k — a silent false
+    negative), the bits side is de-duplicated for the same reason
+    (filters merged with a plain union instead of union-distinct),
+    and NULL probe keys come back with ``might_contain = false``
+    instead of being dropped by the join."""
+    pos = probe.select(key_col).distinct().select(
         F.col(key_col),
         F.explode(_bloom_positions(F.col(key_col), m, k)).alias("bit"),
     )
     hits = (
         pos.join(
-            F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+            F.broadcast(
+                bits.select("bit").distinct().withColumn("_set", F.lit(1))
+            ),
+            "bit",
+            "left",
         )
         .groupBy(key_col)
         .agg((F.count("_set") == F.lit(k)).alias("might_contain"))
     )
-    return probe.join(hits, key_col)
+    return probe.join(hits, [probe[key_col].eqNullSafe(hits[key_col])],
+                      "left").drop(hits[key_col]).select(
+        *probe.columns,
+        F.coalesce(F.col("might_contain"), F.lit(False))
+        .alias("might_contain"),
+    )

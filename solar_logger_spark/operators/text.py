@@ -97,8 +97,8 @@ def lang_pred_expr() -> Column:
     """Argmax over the attached ``hits_<lang>`` columns with the
     deterministic tie rule (first-listed language wins): strictly
     greater than every LATER language, >= every EARLIER one. The one
-    Python copy of the rule; the SQL twin is scale_ops'
-    ``_lang_sql_parts``."""
+    Python copy of the rule; the one SQL copy is
+    :func:`lang_sql_parts` below."""
     langs = list(LANG_MARKERS)
     pred = F.lit(None).cast("string")
     # build argmax right-to-left: earlier languages win ties
@@ -133,8 +133,16 @@ def lang_id(
     )
 
 
-def lang_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
-                       text_col: str = "text") -> str:
+def lang_sql_parts(text_col: str = "text") -> dict[str, str]:
+    """THE single SQL source of the language-evidence fragments — the
+    DuckDB twin of :func:`lang_hit_columns` / :func:`lang_pred_expr`.
+    Returns ``hit_cols`` (per-lang hit-count column list), ``total``,
+    ``top`` (over the attached ``hits_*`` columns), and ``case`` (the
+    argmax with the first-listed-wins tie rule). Composed by the
+    lang_id oracle below, scale_ops' lang-confidence oracle, AND the
+    corpus-build funnel oracle, so the rule cannot drift."""
+    langs = list(LANG_MARKERS)
+
     def hits(markers: list[str]) -> str:
         inlist = ", ".join(f"'{m}'" for m in markers)
         return (
@@ -142,10 +150,11 @@ def lang_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
             f"t -> t IN ({inlist})))"
         )
 
-    langs = list(LANG_MARKERS)
     hit_cols = ", ".join(
         f"{hits(m)} AS hits_{lang}" for lang, m in LANG_MARKERS.items()
     )
+    total = " + ".join(f"hits_{lang}" for lang in langs)
+    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
     branches = []
     for lang in langs:
         clauses = []
@@ -156,10 +165,17 @@ def lang_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
             clauses.append(f"hits_{lang} {op} hits_{other}")
         branches.append(f"WHEN {' AND '.join(clauses)} THEN '{lang}'")
     case = "CASE " + " ".join(branches) + " END"
+    return {"hit_cols": hit_cols, "total": total, "top": top, "case": case}
+
+
+def lang_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    p = lang_sql_parts(text_col)
+    langs = list(LANG_MARKERS)
     return f"""
-        WITH h AS (SELECT {id_col}, {hit_cols} FROM {table})
+        WITH h AS (SELECT {id_col}, {p['hit_cols']} FROM {table})
         SELECT {id_col}, {', '.join(f'hits_{lang}' for lang in langs)},
-               {case} AS pred_lang
+               {p['case']} AS pred_lang
         FROM h
     """
 

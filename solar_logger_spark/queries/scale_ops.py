@@ -2227,47 +2227,18 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_sql_parts() -> dict[str, str]:
-    """The single SQL source for the language-evidence fragments
-    (mirrors text.lang_hit_columns / text.lang_pred_expr): per-lang
-    hit-count column list, total/top expressions over the ``hits_*``
-    columns, the argmax CASE with the first-listed-wins tie rule, and
-    the keep predicate of cleaning.lang_keep_filter. Composed by the
-    standalone lang_id + lang-confidence oracles AND the corpus-build
-    funnel oracle, so the rule cannot drift between them."""
-    langs = list(text.LANG_MARKERS)
-
-    def hits(markers: list[str]) -> str:
-        inlist = ", ".join(f"'{m}'" for m in markers)
-        return (
-            f"len(list_filter(string_split(text, ' '), "
-            f"t -> t IN ({inlist})))"
-        )
-
-    hit_cols = ", ".join(
-        f"{hits(m)} AS hits_{lang}"
-        for lang, m in text.LANG_MARKERS.items()
+    """text.lang_sql_parts (the single SQL source of the language
+    fragments) plus the keep predicate of cleaning.lang_keep_filter —
+    composed by the lang-confidence oracle AND the corpus-build funnel
+    oracle, so the cutoff rule cannot drift between them."""
+    p = dict(text.lang_sql_parts())
+    p["keep"] = (
+        f"({p['total']} < 3"
+        f" OR CAST({p['top']} AS DOUBLE) / CAST({p['total']} AS DOUBLE)"
+        f" < 0.8"
+        f" OR ({p['case']}) IS NOT DISTINCT FROM lang)"
     )
-    total = " + ".join(f"hits_{lang}" for lang in langs)
-    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
-    branches = []
-    for lang in langs:
-        clauses = []
-        for other in langs:
-            if other == lang:
-                continue
-            op = ">=" if langs.index(other) > langs.index(lang) else ">"
-            clauses.append(f"hits_{lang} {op} hits_{other}")
-        branches.append(f"WHEN {' AND '.join(clauses)} THEN '{lang}'")
-    case = "CASE " + " ".join(branches) + " END"
-    keep = (
-        f"({total} < 3"
-        f" OR CAST({top} AS DOUBLE) / CAST({total} AS DOUBLE) < 0.8"
-        f" OR ({case}) IS NOT DISTINCT FROM lang)"
-    )
-    return {
-        "hit_cols": hit_cols, "total": total, "top": top,
-        "case": case, "keep": keep,
-    }
+    return p
 
 
 _LANG_SQL = _lang_sql_parts()

@@ -89,13 +89,21 @@ def test_standing_red_leads_never_checked():
 
 
 def test_changed_since_green_outranks_never_checked():
-    """A query listed in changed_since_green with a green historical
-    record re-checks before never-checked additions (its green row
-    describes the OLD shape), but after any standing red."""
+    """A query in changed_in_round with only a PRE-change green record
+    re-checks before never-checked additions (its green row describes
+    the OLD shape), but after any standing red."""
     out = {
         "fresh": 1,                    # never checked
-        "pipeline_corpus_build": 2,    # green but changed since (r5 list)
+        "pipeline_corpus_build": 2,    # green in r1, changed in r5
         "redq": 3,                     # standing red
     }
     got = _order(out, {1: {"pipeline_corpus_build": GREEN, "redq": RED}})
     assert got == ["redq", "pipeline_corpus_build", "fresh"]
+
+
+def test_changed_since_green_pin_self_retires():
+    """Once a green row from >= the change round lands, the stale-green
+    pin retires and the query settles behind never-checked names."""
+    out = {"fresh": 1, "pipeline_corpus_build": 2}
+    got = _order(out, {5: {"pipeline_corpus_build": GREEN}})
+    assert got == ["fresh", "pipeline_corpus_build"]

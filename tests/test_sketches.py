@@ -184,3 +184,30 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     merged = m1.union(m2).distinct()
     direct = {r.bit for r in SK.bloom_bits(members, "k", m=512).collect()}
     assert {r.bit for r in merged.collect()} == direct
+
+
+def test_bloom_duplicate_and_null_probes(spark):
+    """The review-found edge cases: duplicate probe keys must not turn
+    members into false negatives, duplicate bits rows must not either,
+    and NULL probe keys come back with might_contain=false instead of
+    vanishing."""
+    from solar_logger_spark.operators import sketches as SK
+
+    members = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    bits = SK.bloom_bits(members, "k", m=512, k=3)
+    probe = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k long"
+    )
+    out = SK.bloom_might_contain(probe, bits, "k", m=512, k=3).collect()
+    assert len(out) == 5  # every probe row survives, including NULL
+    got = {}
+    for r in out:
+        got.setdefault(r.k, set()).add(r.might_contain)
+    assert got[1] == {True} and got[2] == {True}
+    assert got[None] == {False}
+    # duplicated bits side (plain union instead of union-distinct)
+    out2 = SK.bloom_might_contain(
+        spark.createDataFrame([(1,)], "k long"), bits.union(bits),
+        "k", m=512, k=3,
+    ).collect()
+    assert out2[0].might_contain is True
