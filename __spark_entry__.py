@@ -1100,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_winnow_fingerprints": sca.text_winnow_fingerprints,
             "text_vocab_encode_docs": sca.text_vocab_encode_docs,
             "sketch_bloom_user_filter": sca.sketch_bloom_user_filter,
+            "ts_autocorrelation_events": sca.ts_autocorrelation_events,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
@@ -1481,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
             "text_winnow_fingerprints": sca.WINNOW_SQL,
             "text_vocab_encode_docs": sca.VOCAB_ENCODE_SQL,
             "sketch_bloom_user_filter": sca.BLOOM_FILTER_SQL,
+            "ts_autocorrelation_events": sca.ACF_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,

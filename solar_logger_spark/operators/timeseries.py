@@ -818,3 +818,69 @@ def rolling_median_despike(
     return df.withColumn("rolling_med", med).withColumn(
         "is_spike", F.abs(F.col(value_col) - F.col("rolling_med")) > threshold
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    lags: Sequence[int] = (1, 2, 3, 4, 5),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    series: Sequence[str] = ("event_type",),
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Per-series autocorrelation function: Pearson r between the
+    series and its row-lagged self at each of ``lags`` — the
+    seasonality/persistence diagnostic that tells you WHICH lag a
+    seasonal model (Holt-Winters period, rolling-window width) should
+    use.
+
+    Shape: ONE analytic window pass builds all lag pairs (lead per
+    lag), one explode fans out (lag, x, y) rows, one hash aggregate
+    per (series, lag) computes exact DECIMAL(18,6) moments cast to
+    double ONCE, then the textbook r formula in IEEE order — the
+    ab_welch recipe, so every float is oracle-bit-identical. Cost is
+    |lags| copies of the value column through one shuffle on the
+    series key; nothing quadratic, nothing Python.
+    """
+    if not lags or any(lag < 1 for lag in lags):
+        raise ValueError(f"lags must be positive: {lags}")
+    w = _series_window(series, ts_col, tiebreak)
+    dec = F.col(value_col).cast("decimal(18,6)")
+    pairs = df.select(
+        *series,
+        dec.alias("_x"),
+        *[F.lead(dec, lag).over(w).alias(f"_y{lag}") for lag in lags],
+    ).select(
+        *series,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lag).alias("lag"),
+                        F.col("_x").alias("x"),
+                        F.col(f"_y{lag}").alias("y"),
+                    )
+                    for lag in lags
+                ]
+            )
+        ).alias("_p"),
+    ).select(*series, "_p.lag", "_p.x", "_p.y").filter(
+        F.col("y").isNotNull()
+    )
+    m = pairs.groupBy(*series, "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.select(
+        *series,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(den != 0, num / den).alias("acf"),
+    )

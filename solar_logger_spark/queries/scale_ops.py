@@ -3760,3 +3760,59 @@ BLOOM_FILTER_SQL = """
            (h.might_contain AND m.user_id IS NULL) AS is_false_positive
     FROM hits h LEFT JOIN members m ON h.user_id = m.user_id
 """
+
+
+def ts_autocorrelation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per event_type at row lags 1..5
+    (operators/timeseries.autocorrelation): the seasonality diagnostic
+    feeding period choices for Holt-Winters / rolling windows. Exact
+    decimal moments -> one double cast -> textbook r in identical IEEE
+    order (the ab_welch recipe)."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    return T.autocorrelation(events, lags=(1, 2, 3, 4, 5))
+
+
+def _acf_oracle_sql() -> str:
+    per_lag = "\n        UNION ALL\n".join(
+        f"""        SELECT event_type, {lag} AS lag, x,
+               lead(x, {lag}) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS y
+        FROM base"""
+        for lag in (1, 2, 3, 4, 5)
+    )
+    return f"""
+    WITH base AS (
+        SELECT event_type, event_id, ts,
+               CAST(value AS DECIMAL(18,6)) AS x
+        FROM events
+    ),
+    pairs AS (
+{per_lag}
+    ),
+    m AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               -- scale-12 decimal sums take the VARCHAR hop (DuckDB's
+               -- wide-decimal->DOUBLE cast mis-rounds by one ulp)
+               CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM pairs WHERE y IS NOT NULL
+        GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+                     != 0
+                THEN (n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS acf
+    FROM m
+    """
+
+
+ACF_SQL = _acf_oracle_sql()

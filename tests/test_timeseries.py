@@ -740,3 +740,32 @@ def test_seasonal_decompose_components_sum(spark, tmp_path):
     assert by_hour[10.0] == -10.0
     assert by_hour[20.0] == 0.0
     assert by_hour[30.0] == 10.0
+
+
+def test_autocorrelation_matches_numpy(spark):
+    """ACF == numpy Pearson of (x, x shifted by lag) on a seeded
+    series, including the sinusoid's expected sign structure."""
+    import math
+    import numpy as np
+    from pyspark.sql import Row
+    from solar_logger_spark.operators import timeseries as T
+
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    vals = [math.sin(i / 3.0) * 10 + (i % 7) * 0.25 for i in range(200)]
+    df = spark.createDataFrame(
+        [Row(event_type="a", event_id=i, ts=t0 + timedelta(minutes=i),
+             value=round(v, 6)) for i, v in enumerate(vals)]
+    )
+    out = {r.lag: r for r in T.autocorrelation(df, lags=(1, 5, 9)).collect()}
+    x = np.array([round(v, 6) for v in vals])
+    for lag in (1, 5, 9):
+        ref = np.corrcoef(x[:-lag], x[lag:])[0, 1]
+        assert out[lag].n_pairs == 200 - lag
+        assert abs(out[lag].acf - ref) < 1e-9, (lag, out[lag].acf, ref)
+    # sin(i/3): strong positive at small lag, negative near half period
+    assert out[1].acf > 0.9 and out[9].acf < 0
+    import pytest
+    with pytest.raises(ValueError, match="lags"):
+        T.autocorrelation(df, lags=(0,))
