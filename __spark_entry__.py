@@ -1101,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_vocab_encode_docs": sca.text_vocab_encode_docs,
             "sketch_bloom_user_filter": sca.sketch_bloom_user_filter,
             "ts_autocorrelation_events": sca.ts_autocorrelation_events,
+            "corpus_drift_chisquare": sca.corpus_drift_chisquare,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
@@ -1483,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
             "text_vocab_encode_docs": sca.VOCAB_ENCODE_SQL,
             "sketch_bloom_user_filter": sca.BLOOM_FILTER_SQL,
             "ts_autocorrelation_events": sca.ACF_SQL,
+            "corpus_drift_chisquare": sca.CORPUS_DRIFT_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,

@@ -3816,3 +3816,139 @@ def _acf_oracle_sql() -> str:
 
 
 ACF_SQL = _acf_oracle_sql()
+
+
+def corpus_drift_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: a chi-square homogeneity test of the
+    quality-score histogram between two corpus halves (doc_id parity
+    stands in for old/new delivery), per source. The statistic uses
+    only integer bin counts and IEEE-exact divisions — no
+    transcendentals — so it hash-compares cross-engine exactly.
+
+    Output per source: both sample sizes, the chi-square statistic,
+    degrees of freedom (occupied bins - 1), and a drift flag at the
+    rough 3.84-per-dof critical value. Everything after the one
+    (source, bin, side) hash aggregate runs on a |sources| x 11 x 2
+    bounded table — free at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    binned = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .select(
+            "source",
+            F.floor(F.col("quality_score") * 10).cast("int").alias("bin"),
+            (F.col("doc_id") % 2 == 0).alias("side_a"),
+        )
+    )
+    counts = binned.groupBy("source", "bin").agg(
+        F.count_if(F.col("side_a")).alias("o_a"),
+        F.count_if(~F.col("side_a")).alias("o_b"),
+    )
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("source")
+    tot_a = F.sum("o_a").over(ws)
+    tot_b = F.sum("o_b").over(ws)
+    tot = (tot_a + tot_b).cast("double")
+    bin_tot = (F.col("o_a") + F.col("o_b")).cast("double")
+    e_a = bin_tot * tot_a.cast("double") / tot
+    e_b = bin_tot * tot_b.cast("double") / tot
+    term = (
+        F.when(e_a > 0, (F.col("o_a") - e_a) * (F.col("o_a") - e_a) / e_a)
+        .otherwise(F.lit(0.0))
+        + F.when(e_b > 0, (F.col("o_b") - e_b) * (F.col("o_b") - e_b) / e_b)
+        .otherwise(F.lit(0.0))
+    )
+    per_bin = counts.select(
+        "source",
+        "bin",
+        tot_a.alias("_na"),
+        tot_b.alias("_nb"),
+        term.alias("_t"),
+    )
+    # a plain sum() of doubles is association-sensitive (partial-agg
+    # order differs between engines); fold the bin-sorted terms
+    # left-to-right so the addition order is pinned on both sides
+    out = per_bin.groupBy("source").agg(
+        F.first("_na").cast("long").alias("n_a"),
+        F.first("_nb").cast("long").alias("n_b"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bin", "_t"))),
+                lambda s: s["_t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+    )
+    return out.select(
+        "source", "n_a", "n_b", "chi2", "dof",
+        (F.col("chi2") > 3.84 * F.col("dof")).alias("drift_flag"),
+    )
+
+
+CORPUS_DRIFT_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               {_QUALITY_BASE_COLS_SQL}
+        FROM documents
+    ),
+    binned AS (
+        SELECT source,
+               CAST(floor(({_QUALITY_SCORE_EXPR_SQL}) * 10) AS INT) AS bin,
+               doc_id % 2 = 0 AS side_a
+        FROM base
+    ),
+    counts AS (
+        SELECT source, bin,
+               count(CASE WHEN side_a THEN 1 END) AS o_a,
+               count(CASE WHEN NOT side_a THEN 1 END) AS o_b
+        FROM binned GROUP BY source, bin
+    ),
+    w AS (
+        SELECT source, bin, o_a, o_b,
+               sum(o_a) OVER (PARTITION BY source) AS na,
+               sum(o_b) OVER (PARTITION BY source) AS nb
+        FROM counts
+    ),
+    t AS (
+        SELECT source, bin, na, nb,
+               (CASE WHEN CAST(o_a + o_b AS DOUBLE) * CAST(na AS DOUBLE)
+                          / CAST(na + nb AS DOUBLE) > 0
+                     THEN (o_a - CAST(o_a + o_b AS DOUBLE)
+                                 * CAST(na AS DOUBLE)
+                                 / CAST(na + nb AS DOUBLE))
+                          * (o_a - CAST(o_a + o_b AS DOUBLE)
+                                   * CAST(na AS DOUBLE)
+                                   / CAST(na + nb AS DOUBLE))
+                          / (CAST(o_a + o_b AS DOUBLE) * CAST(na AS DOUBLE)
+                             / CAST(na + nb AS DOUBLE))
+                     ELSE 0.0 END)
+               + (CASE WHEN CAST(o_a + o_b AS DOUBLE) * CAST(nb AS DOUBLE)
+                            / CAST(na + nb AS DOUBLE) > 0
+                       THEN (o_b - CAST(o_a + o_b AS DOUBLE)
+                                   * CAST(nb AS DOUBLE)
+                                   / CAST(na + nb AS DOUBLE))
+                            * (o_b - CAST(o_a + o_b AS DOUBLE)
+                                     * CAST(nb AS DOUBLE)
+                                     / CAST(na + nb AS DOUBLE))
+                            / (CAST(o_a + o_b AS DOUBLE)
+                               * CAST(nb AS DOUBLE)
+                               / CAST(na + nb AS DOUBLE))
+                       ELSE 0.0 END) AS term
+        FROM w
+    )
+    SELECT source, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           -- left fold in bin order: pinned addition order matches the
+           -- Spark side's aggregate() over the bin-sorted term array
+           list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+                       (a, b) -> a + b) AS chi2,
+           CAST(count(*) - 1 AS INT) AS dof,
+           list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+                       (a, b) -> a + b) > 3.84 * (count(*) - 1)
+               AS drift_flag
+    FROM t
+    GROUP BY source, na, nb
+"""
