@@ -3952,3 +3952,54 @@ CORPUS_DRIFT_SQL = f"""
     FROM t
     GROUP BY source, na, nb
 """
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types per user (ordered by ts with the event_id
+    tiebreak): the sequence-mining staple behind funnel hypotheses and
+    session simulators. One analytic window on the user key + one
+    bounded (|types|^2) hash agg; probability is a single exact
+    int/int division."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wrow).cast("double")
+        ).alias("p"),
+    )
+
+
+TRANSITION_MATRIX_SQL = """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+           / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM counts
+"""
