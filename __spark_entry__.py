@@ -1103,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_autocorrelation_events": sca.ts_autocorrelation_events,
             "corpus_drift_chisquare": sca.corpus_drift_chisquare,
             "events_transition_matrix": sca.events_transition_matrix,
+            "join_bloom_prefilter_lineitem": sca.join_bloom_prefilter_lineitem,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
@@ -1487,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_autocorrelation_events": sca.ACF_SQL,
             "corpus_drift_chisquare": sca.CORPUS_DRIFT_SQL,
             "events_transition_matrix": sca.TRANSITION_MATRIX_SQL,
+            "join_bloom_prefilter_lineitem": sca.JOIN_BLOOM_PREFILTER_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,

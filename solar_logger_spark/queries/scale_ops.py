@@ -4003,3 +4003,54 @@ TRANSITION_MATRIX_SQL = """
            / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
     FROM counts
 """
+
+
+def join_bloom_prefilter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join — the runtime-filter pattern spelled out
+    as an operator: build a Bloom filter over the (small) filtered
+    dimension's keys, pre-filter the (huge) fact side with a map-only
+    broadcast probe BEFORE the shuffle join, then join exactly. False
+    positives are eliminated by the real join, so the RESULT equals
+    the plain join — which is exactly what the oracle asserts (plain
+    SQL join; the bloom stage must be invisible in the output). At
+    100 TB the win is shuffle volume: only fact rows that might match
+    get exchanged. Spark's own AQE runtime filters do a form of this
+    automatically; the explicit operator makes the pattern available
+    to any join and any persisted filter artifact."""
+    from solar_logger_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    line = load_table(spark, sf_dir, "lineitem")
+    bits = sketches.bloom_bits(
+        orders.select(F.col("o_orderkey").alias("k")), "k",
+        m=1 << 17, k=3,
+    )
+    pre = sketches.bloom_might_contain(
+        line.select(
+            F.col("l_orderkey").alias("k"), "l_quantity",
+            "l_extendedprice",
+        ),
+        bits, "k", m=1 << 17, k=3,
+    ).filter(F.col("might_contain"))
+    joined = pre.join(
+        orders.select(F.col("o_orderkey").alias("k"), "o_orderpriority"),
+        "k",
+    )
+    dec = F.col("l_quantity").cast("decimal(18,6)")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(dec).cast("double").alias("sum_qty"),
+    )
+
+
+JOIN_BLOOM_PREFILTER_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+"""
