@@ -210,11 +210,15 @@ def bloom_might_contain(
     m: int = 8192,
     k: int = 3,
 ) -> DataFrame:
-    """Membership test against a row-form Bloom filter: appends
+    """Membership REPORT against a row-form Bloom filter: appends
     ``might_contain`` to ``probe`` — true iff all ``k`` positions of
     the key are set. No false negatives ever; false-positive rate
-    ~(1 - e^(-k·n/m))^k. The filter side is broadcast (<= m rows by
-    construction) so probing 100 TB of keys is one map-side join.
+    ~(1 - e^(-k·n/m))^k. The bits side broadcasts (<= m rows by
+    construction), but the per-key verdict is an aggregate over the
+    DISTINCT probe keys, so the probe key set is shuffled once — this
+    is the audit/report shape. When you only need to PRUNE a fact
+    table before a join, use :func:`bloom_prefilter` (below), which
+    stays map-only.
 
     Robust to the messy-probe realities: the hit count is computed
     over DISTINCT probe keys (duplicate probe rows would otherwise
@@ -244,3 +248,36 @@ def bloom_might_contain(
         F.coalesce(F.col("might_contain"), F.lit(False))
         .alias("might_contain"),
     )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """MAP-ONLY Bloom pre-filter: keep the rows of ``df`` whose key
+    might be in the filter — the runtime-filter shape for protecting a
+    shuffle join. Implemented as ``k`` successive BROADCAST hash
+    joins on the per-row position columns (the <= m-row bits side is
+    always broadcastable), so ``df`` itself is never exchanged: the
+    whole pre-filter runs inside the fact scan's stage, which is the
+    entire point at 100 TB. Rows with NULL keys are dropped (NULL
+    cannot match an equi-join afterwards anyway).
+
+    Contrast :func:`bloom_might_contain`, which REPORTS membership per
+    key (an aggregate over distinct probe keys — it shuffles the key
+    set and keeps non-members); this one only prunes, and prunes
+    cheaply."""
+    b = bits.select("bit").distinct()
+    pos = _bloom_positions(F.col(key_col), m, k)
+    out = df.select(
+        *df.columns, *[pos[s].alias(f"_bp{s}") for s in range(k)]
+    )
+    for s in range(k):
+        out = out.join(
+            F.broadcast(b.select(F.col("bit").alias(f"_bp{s}"))),
+            f"_bp{s}",
+        )
+    return out.drop(*[f"_bp{s}" for s in range(k)])

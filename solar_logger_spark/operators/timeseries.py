@@ -844,6 +844,8 @@ def autocorrelation(
     """
     if not lags or any(lag < 1 for lag in lags):
         raise ValueError(f"lags must be positive: {lags}")
+    if len(set(lags)) != len(lags):
+        raise ValueError(f"lags must be distinct: {lags}")
     w = _series_window(series, ts_col, tiebreak)
     dec = F.col(value_col).cast("decimal(18,6)")
     pairs = df.select(
@@ -876,11 +878,17 @@ def autocorrelation(
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # guard the RADICANDS, not just the product: a zero-variance
+    # series can round n*sxx - sx^2 to a small NEGATIVE double, where
+    # Spark sqrt yields NaN (and NaN != 0 is true) while DuckDB sqrt
+    # hard-errors — both sides must emit NULL before any sqrt runs
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     return m.select(
         *series,
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("long").alias("n_pairs"),
-        F.when(den != 0, num / den).alias("acf"),
+        F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        ).alias("acf"),
     )

@@ -3592,6 +3592,19 @@ DEDUP_LEAKAGE_SQL = f"""
 """
 
 
+def _quality_binned(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bin) with bin = floor(quality_score * 10) —
+    the one Spark copy of the decile binning shared by the histogram
+    and drift queries (the SQL twins likewise share
+    _QUALITY_BASE_COLS_SQL / _QUALITY_SCORE_EXPR_SQL)."""
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    return docs.select("doc_id", "source").join(scored, "doc_id").select(
+        "doc_id",
+        "source",
+        F.floor(F.col("quality_score") * 10).cast("int").alias("bin"),
+    )
+
+
 def corpus_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-score histogram (decile-width bins): the
     distribution audit behind threshold choices — a source whose mass
@@ -3599,12 +3612,7 @@ def corpus_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this is the query that shows it before it happens. One hash
     agg on a (sources x 11)-bounded key."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.quality_score(docs).select("doc_id", "quality_score")
-    binned = docs.select("doc_id", "source").join(scored, "doc_id").select(
-        "source",
-        F.floor(F.col("quality_score") * 10).cast("int").alias("bin"),
-    )
-    return binned.groupBy("source", "bin").agg(
+    return _quality_binned(docs).groupBy("source", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
 
@@ -3806,8 +3814,10 @@ def _acf_oracle_sql() -> str:
     )
     SELECT event_type, CAST(lag AS INT) AS lag,
            CAST(n AS BIGINT) AS n_pairs,
-           CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
-                     != 0
+           -- guard the radicands BEFORE sqrt: a zero-variance series
+           -- rounds n*sxx - sx^2 to a small negative double, which
+           -- DuckDB sqrt() hard-errors on (Spark would emit NaN)
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
                 THEN (n * sxy - sx * sy)
                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
            END AS acf
@@ -3831,13 +3841,16 @@ def corpus_drift_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, bin, side) hash aggregate runs on a |sources| x 11 x 2
     bounded table — free at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    # NULL bins (empty-text docs -> NULL quality score) are excluded:
+    # the pinned-order fold sorts by bin, and Spark's array_sort puts
+    # a null-keyed struct FIRST while DuckDB's ORDER BY puts NULLs
+    # LAST — the one place the engines' orderings disagree
     binned = (
-        docs.select("doc_id", "source")
-        .join(scored, "doc_id")
+        _quality_binned(docs)
+        .filter(F.col("bin").isNotNull())
         .select(
             "source",
-            F.floor(F.col("quality_score") * 10).cast("int").alias("bin"),
+            "bin",
             (F.col("doc_id") % 2 == 0).alias("side_a"),
         )
     )
@@ -3900,6 +3913,9 @@ CORPUS_DRIFT_SQL = f"""
                CAST(floor(({_QUALITY_SCORE_EXPR_SQL}) * 10) AS INT) AS bin,
                doc_id % 2 = 0 AS side_a
         FROM base
+        -- NULL bins excluded: engines order NULL sort keys
+        -- differently, which would unpin the chi2 fold order
+        WHERE floor(({_QUALITY_SCORE_EXPR_SQL}) * 10) IS NOT NULL
     ),
     counts AS (
         SELECT source, bin,
@@ -4008,8 +4024,10 @@ TRANSITION_MATRIX_SQL = """
 def join_bloom_prefilter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered join — the runtime-filter pattern spelled out
     as an operator: build a Bloom filter over the (small) filtered
-    dimension's keys, pre-filter the (huge) fact side with a map-only
-    broadcast probe BEFORE the shuffle join, then join exactly. False
+    dimension's keys, prune the (huge) fact side with the MAP-ONLY
+    broadcast probe (sketches.bloom_prefilter — k broadcast hash
+    joins inside the fact scan's own stage, the fact side is never
+    exchanged) BEFORE the shuffle join, then join exactly. False
     positives are eliminated by the real join, so the RESULT equals
     the plain join — which is exactly what the oracle asserts (plain
     SQL join; the bloom stage must be invisible in the output). At
@@ -4027,13 +4045,10 @@ def join_bloom_prefilter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         orders.select(F.col("o_orderkey").alias("k")), "k",
         m=1 << 17, k=3,
     )
-    pre = sketches.bloom_might_contain(
-        line.select(
-            F.col("l_orderkey").alias("k"), "l_quantity",
-            "l_extendedprice",
-        ),
+    pre = sketches.bloom_prefilter(
+        line.select(F.col("l_orderkey").alias("k"), "l_quantity"),
         bits, "k", m=1 << 17, k=3,
-    ).filter(F.col("might_contain"))
+    )
     joined = pre.join(
         orders.select(F.col("o_orderkey").alias("k"), "o_orderpriority"),
         "k",

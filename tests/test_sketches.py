@@ -211,3 +211,28 @@ def test_bloom_duplicate_and_null_probes(spark):
         "k", m=512, k=3,
     ).collect()
     assert out2[0].might_contain is True
+
+
+def test_bloom_prefilter_map_only_and_complete(spark):
+    """bloom_prefilter keeps every true member (no false negatives),
+    prunes most non-members, and its physical plan contains no
+    shuffle of the probe side (broadcast joins only)."""
+    from solar_logger_spark.operators import sketches as SK
+
+    members = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    bits = SK.bloom_bits(members, "k", m=4096, k=3)
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(1000)] + [(None, -1)], "k long, v long"
+    )
+    kept = SK.bloom_prefilter(fact, bits, "k", m=4096, k=3)
+    rows = kept.collect()
+    got = {r.k for r in rows}
+    assert set(range(100)) <= got          # all members survive
+    assert len(got) < 400                  # most non-members pruned
+    assert None not in got                 # NULL keys dropped
+    assert kept.columns == ["k", "v"]      # helper columns removed
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # the probe side must not be exchanged: broadcast joins only
+    import re
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Exchange hashpartitioning.*\bk\b", plan)

@@ -769,3 +769,24 @@ def test_autocorrelation_matches_numpy(spark):
     import pytest
     with pytest.raises(ValueError, match="lags"):
         T.autocorrelation(df, lags=(0,))
+
+
+def test_autocorrelation_zero_variance_and_dup_lags(spark):
+    """Zero-variance series yield NULL acf (not NaN, and the oracle's
+    sqrt must never see a negative radicand); duplicate lags are
+    rejected up front."""
+    import pytest
+    from datetime import datetime, timedelta
+    from pyspark.sql import Row
+    from solar_logger_spark.operators import timeseries as T
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(event_type="c", event_id=i, ts=t0 + timedelta(minutes=i),
+             value=623347.347958) for i in range(50)]
+    )
+    out = T.autocorrelation(df, lags=(1, 2)).collect()
+    assert len(out) == 2
+    assert all(r.acf is None for r in out)
+    with pytest.raises(ValueError, match="distinct"):
+        T.autocorrelation(df, lags=(2, 2))
