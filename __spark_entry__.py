@@ -1104,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_drift_chisquare": sca.corpus_drift_chisquare,
             "events_transition_matrix": sca.events_transition_matrix,
             "join_bloom_prefilter_lineitem": sca.join_bloom_prefilter_lineitem,
+            "funnel_windowed_events": sca.funnel_windowed_events,
+            "events_rfm_segments": sca.events_rfm_segments,
             "ts_rolling_median_events": sca.ts_rolling_median_events,
             "layout_zorder_events": sca.layout_zorder_events,
             "ab_welch_value_click_view": sca.ab_welch_value_click_view,
@@ -1489,6 +1491,8 @@ def oracle_sql() -> dict[str, str]:
             "corpus_drift_chisquare": sca.CORPUS_DRIFT_SQL,
             "events_transition_matrix": sca.TRANSITION_MATRIX_SQL,
             "join_bloom_prefilter_lineitem": sca.JOIN_BLOOM_PREFILTER_SQL,
+            "funnel_windowed_events": sca.FUNNEL_WINDOWED_SQL,
+            "events_rfm_segments": sca.RFM_SEGMENTS_SQL,
             "ts_rolling_median_events": sca.ROLLING_MEDIAN_SQL,
             "layout_zorder_events": sca.ZORDER_SQL,
             "ab_welch_value_click_view": sca.AB_WELCH_SQL,

@@ -4069,3 +4069,188 @@ JOIN_BLOOM_PREFILTER_SQL = """
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY o_orderpriority
 """
+
+
+def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel with EXISTS semantics: a user converts a stage
+    if ANY qualifying chain exists (view -> click within 30 min ->
+    purchase within 30 min of that click) — not just the greedy
+    first-event chain (funnel_conversion_events), which can miss a
+    later successful path. Per-user boolean flags, one row per active
+    user.
+
+    Shape: stage frames join per user with band predicates, then
+    dedupe to reachable-event sets before the next stage — each join
+    is user-keyed (co-partitioned after the first shuffle) and the
+    intermediate "reachable clicks" table is bounded by the click
+    count, never a cross-product materialization; the final flags are
+    two semi-join-shaped distincts."""
+    events = load_table(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    reach_c = (
+        v.join(c, "user_id")
+        .filter(
+            (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + half_hour)
+        )
+        .select("user_id", "c_ts")
+        .distinct()
+    )
+    full = (
+        reach_c.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + half_hour)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_full", F.lit(1))
+    )
+    vc_users = reach_c.select("user_id").distinct().withColumn(
+        "_vc", F.lit(1)
+    )
+    v_users = v.select("user_id").distinct().withColumn("_v", F.lit(1))
+    users = events.select("user_id").distinct()
+    return (
+        users.join(v_users, "user_id", "left")
+        .join(vc_users, "user_id", "left")
+        .join(full, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("_v").isNotNull().alias("viewed"),
+            F.col("_vc").isNotNull().alias("clicked_within_30m"),
+            F.col("_full").isNotNull().alias("purchased_within_30m"),
+        )
+    )
+
+
+FUNNEL_WINDOWED_SQL = """
+    SELECT u.user_id,
+           EXISTS (SELECT 1 FROM events v
+                   WHERE v.user_id = u.user_id
+                     AND v.event_type = 'view') AS viewed,
+           EXISTS (SELECT 1 FROM events v JOIN events c
+                       ON c.user_id = v.user_id
+                   WHERE v.user_id = u.user_id
+                     AND v.event_type = 'view' AND c.event_type = 'click'
+                     AND c.ts > v.ts
+                     AND c.ts <= v.ts + INTERVAL 30 MINUTE)
+               AS clicked_within_30m,
+           EXISTS (SELECT 1 FROM events v
+                   JOIN events c ON c.user_id = v.user_id
+                   JOIN events p ON p.user_id = v.user_id
+                   WHERE v.user_id = u.user_id
+                     AND v.event_type = 'view' AND c.event_type = 'click'
+                     AND p.event_type = 'purchase'
+                     AND c.ts > v.ts
+                     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+                     AND p.ts > c.ts
+                     AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+               AS purchased_within_30m
+    FROM (SELECT DISTINCT user_id FROM events) u
+"""
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasing users: recency (whole days since
+    the user's last purchase, against the corpus max ts), frequency
+    (purchase count), monetary (exact DECIMAL revenue sum), each
+    classified 1-3 by exact tercile thresholds computed over the user
+    table. Threshold comparison uses the same interpolated-percentile
+    doubles on both engines (the corpus_length_quantiles precedent),
+    so the classes hash-compare exactly.
+
+    Shape: one user-keyed hash agg over purchases; the 1-row threshold
+    frame crossJoins (broadcast of one row — the tpch_q11 pattern);
+    classification is a map. Scales as a plain grouped aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    buys = events.filter(F.col("event_type") == "purchase")
+    anchor = buys.agg(F.max("ts").alias("_t0"))
+    per_user = (
+        buys.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    epoch_us(F.first("_t0"))
+                    - epoch_us(F.max("ts"))
+                )
+                / F.lit(86_400_000_000)
+            ).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    th = per_user.agg(
+        F.expr("percentile(recency_days, 0.33)").alias("r33"),
+        F.expr("percentile(recency_days, 0.66)").alias("r66"),
+        F.expr("percentile(frequency, 0.33)").alias("f33"),
+        F.expr("percentile(frequency, 0.66)").alias("f66"),
+        F.expr("percentile(monetary, 0.33)").alias("m33"),
+        F.expr("percentile(monetary, 0.66)").alias("m66"),
+    )
+
+    def cls(col, lo, hi, invert=False):
+        # class 3 is "best": low recency, high frequency/monetary
+        first = F.when(F.col(col) <= F.col(lo), 3 if invert else 1)
+        second = first.when(F.col(col) <= F.col(hi), 2)
+        return second.otherwise(1 if invert else 3).cast("int")
+
+    return per_user.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        cls("recency_days", "r33", "r66", invert=True).alias("r_class"),
+        cls("frequency", "f33", "f66").alias("f_class"),
+        cls("monetary", "m33", "m66").alias("m_class"),
+    )
+
+
+RFM_SEGMENTS_SQL = """
+    WITH buys AS (
+        SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT max(ts) AS t0 FROM buys),
+    per_user AS (
+        SELECT user_id,
+               CAST(floor(CAST(epoch_us(t0) - epoch_us(max(ts)) AS DOUBLE)
+                          / 86400000000) AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(v) AS DOUBLE) AS monetary
+        FROM buys, anchor
+        GROUP BY user_id, t0
+    ),
+    th AS (
+        SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.33) AS r33,
+               quantile_cont(CAST(recency_days AS DOUBLE), 0.66) AS r66,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.33) AS f33,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.66) AS f66,
+               quantile_cont(monetary, 0.33) AS m33,
+               quantile_cont(monetary, 0.66) AS m66
+        FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(CASE WHEN recency_days <= r33 THEN 3
+                     WHEN recency_days <= r66 THEN 2
+                     ELSE 1 END AS INT) AS r_class,
+           CAST(CASE WHEN frequency <= f33 THEN 1
+                     WHEN frequency <= f66 THEN 2
+                     ELSE 3 END AS INT) AS f_class,
+           CAST(CASE WHEN monetary <= m33 THEN 1
+                     WHEN monetary <= m66 THEN 2
+                     ELSE 3 END AS INT) AS m_class
+    FROM per_user, th
+"""
