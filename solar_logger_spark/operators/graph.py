@@ -239,8 +239,9 @@ def pagerank(
     graphs where a round does real work.
 
     Ranks are doubles accumulated with ``sum`` — association-sensitive
-    across partitionings, so this operator is NOT oracle-exact
-    (declared rows-only); the invariant that IS deterministic — total
+    across partitionings, so this operator has no cross-engine oracle
+    and is not in the declared-query registry; the invariant that IS
+    deterministic — total
     rank mass == |nodes| to float tolerance — ships as a
     ``mass_conserved`` self-check column, and pytest pins values
     against a pure-python reference.
@@ -252,9 +253,12 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1): {damping}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1: {iters}")
+    # the loop invariants are checkpointed ONCE: every round runs two
+    # actions (dm collect + rank checkpoint), and without the cut each
+    # would re-shuffle the distinct edge set from source per round
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -262,8 +266,17 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(None).cast("double").alias("rank"),
+            F.lit(None).cast("boolean").alias("mass_conserved"),
+        )
+    deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
     out_edges = e.withColumnRenamed("src", "node")
     ranks = nodes.select("node", F.lit(1.0).alias("rank")) \
         .localCheckpoint(eager=True)

@@ -4073,8 +4073,8 @@ JOIN_BLOOM_PREFILTER_SQL = """
 
 def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel with EXISTS semantics: a user converts a stage
-    if ANY qualifying chain exists (view -> click within 30 min ->
-    purchase within 30 min of that click) — not just the greedy
+    if ANY qualifying chain exists (view -> click within 12 h ->
+    purchase within 12 h of that click) — not just the greedy
     first-event chain (funnel_conversion_events), which can miss a
     later successful path. Per-user boolean flags, one row per active
     user.
@@ -4084,9 +4084,13 @@ def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is user-keyed (co-partitioned after the first shuffle) and the
     intermediate "reachable clicks" table is bounded by the click
     count, never a cross-product materialization; the final flags are
-    two semi-join-shaped distincts."""
+    two semi-join-shaped distincts. The 12-hour width is chosen so
+    every stage has BOTH positives and negatives at every verify
+    scale (a 30-min window left stage 3 all-false at sf<=0.01 — an
+    unexercised oracle gate); boundary semantics are pinned by a
+    constructed-data pytest."""
     events = load_table(spark, sf_dir, "events")
-    half_hour = F.expr("INTERVAL 30 MINUTES")
+    half_day = F.expr("INTERVAL 12 HOURS")
     v = events.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("v_ts")
     )
@@ -4100,7 +4104,7 @@ def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.join(c, "user_id")
         .filter(
             (F.col("c_ts") > F.col("v_ts"))
-            & (F.col("c_ts") <= F.col("v_ts") + half_hour)
+            & (F.col("c_ts") <= F.col("v_ts") + half_day)
         )
         .select("user_id", "c_ts")
         .distinct()
@@ -4109,7 +4113,7 @@ def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         reach_c.join(p, "user_id")
         .filter(
             (F.col("p_ts") > F.col("c_ts"))
-            & (F.col("p_ts") <= F.col("c_ts") + half_hour)
+            & (F.col("p_ts") <= F.col("c_ts") + half_day)
         )
         .select("user_id")
         .distinct()
@@ -4127,8 +4131,8 @@ def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("_v").isNotNull().alias("viewed"),
-            F.col("_vc").isNotNull().alias("clicked_within_30m"),
-            F.col("_full").isNotNull().alias("purchased_within_30m"),
+            F.col("_vc").isNotNull().alias("clicked_within_12h"),
+            F.col("_full").isNotNull().alias("purchased_within_12h"),
         )
     )
 
@@ -4143,8 +4147,8 @@ FUNNEL_WINDOWED_SQL = """
                    WHERE v.user_id = u.user_id
                      AND v.event_type = 'view' AND c.event_type = 'click'
                      AND c.ts > v.ts
-                     AND c.ts <= v.ts + INTERVAL 30 MINUTE)
-               AS clicked_within_30m,
+                     AND c.ts <= v.ts + INTERVAL 12 HOUR)
+               AS clicked_within_12h,
            EXISTS (SELECT 1 FROM events v
                    JOIN events c ON c.user_id = v.user_id
                    JOIN events p ON p.user_id = v.user_id
@@ -4152,10 +4156,10 @@ FUNNEL_WINDOWED_SQL = """
                      AND v.event_type = 'view' AND c.event_type = 'click'
                      AND p.event_type = 'purchase'
                      AND c.ts > v.ts
-                     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+                     AND c.ts <= v.ts + INTERVAL 12 HOUR
                      AND p.ts > c.ts
-                     AND p.ts <= c.ts + INTERVAL 30 MINUTE)
-               AS purchased_within_30m
+                     AND p.ts <= c.ts + INTERVAL 12 HOUR)
+               AS purchased_within_12h
     FROM (SELECT DISTINCT user_id FROM events) u
 """
 

@@ -104,3 +104,53 @@ def test_staged_pipeline_matches_one_shot(spark, sf_dir, tmp_path):
         assert M.read_table_snapshot(
             spark, str(tmp_path / "store" / stage)
         ).count() > 0
+
+
+def test_windowed_funnel_boundary_semantics(spark, monkeypatch):
+    """Pins the chain rule of funnel_windowed_events on constructed
+    data: strict lower bound (same-instant events do not chain),
+    inclusive upper bound, the purchase window anchored on the CLICK
+    (not the view), and EXISTS semantics (a later view can succeed
+    where the first view's chain fails)."""
+    from datetime import datetime, timedelta
+    from solar_logger_spark.queries import scale_ops
+    from solar_logger_spark.io import tables as T
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, u, typ, minutes):
+        return (i, u, typ, t0 + timedelta(minutes=minutes), 1.0)
+
+    H12 = 12 * 60
+    rows = [
+        # u1: full chain, upper bounds hit EXACTLY (inclusive)
+        ev(1, 1, "view", 0), ev(2, 1, "click", H12),
+        ev(3, 1, "purchase", H12 + H12),
+        # u2: click at the same instant as view -> strict '>' fails
+        ev(4, 2, "view", 0), ev(5, 2, "click", 0),
+        # u3: purchase within 12h of the VIEW but NOT of the click
+        ev(6, 3, "view", 0), ev(7, 3, "click", 10),
+        ev(8, 3, "purchase", 10 + H12 + 1),
+        # u4: first view's chain dead, later view's chain works
+        ev(9, 4, "view", 0),
+        ev(10, 4, "view", 5000), ev(11, 4, "click", 5010),
+        ev(12, 4, "purchase", 5020),
+        # u5: click outside the view window
+        ev(13, 5, "view", 0), ev(14, 5, "click", H12 + 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double"
+    )
+    monkeypatch.setattr(
+        scale_ops, "load_table", lambda _s, _d, _t: df
+    )
+    got = {
+        r.user_id: (r.viewed, r.clicked_within_12h, r.purchased_within_12h)
+        for r in scale_ops.funnel_windowed_events(spark, "ignored").collect()
+    }
+    assert got[1] == (True, True, True)     # inclusive upper bounds
+    assert got[2] == (True, False, False)   # same-instant: strict >
+    assert got[3] == (True, True, False)    # purchase anchored on click
+    assert got[4] == (True, True, True)     # EXISTS: later view wins
+    assert got[5] == (True, False, False)   # click window exceeded

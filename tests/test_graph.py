@@ -130,7 +130,6 @@ def test_pagerank_matches_python_reference(spark):
     rng = random.Random(13)
     n = 40
     edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(120)}
-    edges = {(a, b) for a, b in edges}
     df = spark.createDataFrame(sorted(edges), "src long, dst long")
 
     nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
@@ -164,3 +163,7 @@ def test_pagerank_matches_python_reference(spark):
         pagerank(df, damping=1.5)
     with pytest.raises(ValueError, match="iters"):
         pagerank(df, iters=0)
+    # empty graph: empty typed result, no ZeroDivisionError
+    empty = pagerank(spark.createDataFrame([], "src long, dst long"))
+    assert empty.count() == 0
+    assert empty.columns == ["node", "rank", "mass_conserved"]
