@@ -78,6 +78,8 @@ def parse_duration(text: str) -> Duration:
     if not isinstance(text, str) or not text:
         raise ValueError(f"not a duration literal: {text!r}")
     body = text.strip()
+    if not body:  # whitespace-only input (hypothesis-found: "\r")
+        raise ValueError(f"not a duration literal: {text!r}")
     sign = 1
     if body[0] in "+-":
         sign = -1 if body[0] == "-" else 1
