@@ -1170,6 +1170,7 @@ def _registry_order(
 
     ever_green: dict[str, bool] = {}
     latest: dict[str, tuple[int, bool]] = {}
+    latest_row: dict[str, dict] = {}
     for rnd in sorted(records):
         for name, row in records[rnd].items():
             ok = (
@@ -1181,6 +1182,7 @@ def _registry_order(
             )
             ever_green[name] = ever_green.get(name, False) or ok
             latest[name] = (rnd, ok)
+            latest_row[name] = row if isinstance(row, dict) else {}
 
     oracle_backed = set(oracle_sql())
 
@@ -1197,6 +1199,19 @@ def _registry_order(
         "pipeline_corpus_build": 5,
         # r5: oracle join made NULL-safe (same results on current data)
         "dedup_editdistance_docs": 5,
+        # r5: ANN query batch changed from emb.limit(10) to the
+        # deterministic vec_id < 10 — records predating r5 describe a
+        # possibly-different row set (ADVICE r5); the r5 driver rows
+        # themselves ran at post-change HEAD and satisfy the pin
+        "similarity_ann_ivf": 5,
+        "similarity_ann_pq": 5,
+        "similarity_ann_ivfpq": 5,
+        # r6: similarity_ann_lsh gained a DuckDB oracle (deterministic
+        # md5 hyperplanes); embedding_pca_project's declared output
+        # reshaped to scalar pc0..pc7 columns after its array column
+        # crashed the driver canonicalizer in r5
+        "similarity_ann_lsh": 6,
+        "embedding_pca_project": 6,
     }
     latest_green_round: dict[str, int] = {}
     for rnd in sorted(records):
@@ -1217,6 +1232,28 @@ def _registry_order(
             return False
         return latest_green_round.get(name, -1) < rnd
 
+    def _settled_rows_only(name: str) -> bool:
+        # A rows-only-BY-DESIGN query (absent from oracle_sql()) whose
+        # latest record is the driver's expected "no_oracle" row with a
+        # recorded row count is SETTLED, not red: it can never produce
+        # a hash-green row, so classifying it red would park it at the
+        # head of the budget forever, displacing real checks every
+        # round (the r5 lesson — 5 permanently-red head entries). If
+        # the query later GAINS an oracle it leaves this class and the
+        # standing no_oracle record correctly reads as "re-check".
+        if name in oracle_backed:
+            return False
+        row = latest_row.get(name, {})
+        if not (
+            row.get("err") == "no_oracle"
+            and row.get("spark_rows") is not None
+        ):
+            return False
+        # the record must postdate any declared implementation change:
+        # a rows-only row taken against the OLD shape must re-verify
+        rnd = changed_in_round.get(name)
+        return rnd is None or latest[name][0] >= rnd
+
     def _prio(name: str) -> int:
         # 0: latest committed record is RED (regardless of history) —
         #    a standing red row on since-fixed code reads as a live
@@ -1224,15 +1261,17 @@ def _registry_order(
         #    driver's ~50-row budget these re-checks must never be
         #    starved by a stream of new additions (the flux_agg_integral
         #    lesson: its r2 red sat outside the checked window for two
-        #    rounds under never-checked-first ordering)
+        #    rounds under never-checked-first ordering). EXCEPTION:
+        #    rows-only-by-design queries whose latest record is the
+        #    expected no_oracle row are settled (see _settled_rows_only)
         # 1: green record exists but the query changed since (stale
         #    green must re-verify the NEW shape before settling;
         #    self-retires once a green row from the change round lands)
         # 2: oracle-backed, never checked — the hard hash-compare signal
         # 3: rows-only, never checked — weak rows+schema signal
-        # 4: green and current
+        # 4: green and current / settled rows-only
         if name in latest and not latest[name][1]:
-            return 0
+            return 4 if _settled_rows_only(name) else 0
         if _stale_green(name):
             return 1
         if not ever_green.get(name, False):

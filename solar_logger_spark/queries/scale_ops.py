@@ -1713,7 +1713,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/PQ indexing. Rows-only (eigendecomposition is not SQL); the
     output self-reports the fitted subspace's total explained-variance
     ratio per row, and tests/test_pca.py pins exact parity with
-    single-node numpy PCA."""
+    single-node numpy PCA. Declared output is SCALAR columns
+    (pc0..pc7, not an array) — the driver's canonicalizer sorts a
+    pandas frame over all columns and array cells are unhashable
+    (r5 lesson)."""
     from solar_logger_spark.operators import pca
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1721,7 +1724,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = pca.pca_project(emb, mean, comps)
     return proj.select(
         "vec_id",
-        "proj",
+        *[F.element_at("proj", i + 1).alias(f"pc{i}") for i in range(8)],
         F.lit(float(ratio.sum())).alias("explained_ratio"),
     )
 

@@ -107,3 +107,62 @@ def test_changed_since_green_pin_self_retires():
     out = {"fresh": 1, "pipeline_corpus_build": 2}
     got = _order(out, {5: {"pipeline_corpus_build": GREEN}})
     assert got == ["fresh", "pipeline_corpus_build"]
+
+
+NO_ORACLE = {
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "spark_rows": 50,
+    "err": "no_oracle",
+}
+NO_ORACLE_CRASH = {
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "spark_rows": None,
+    "err": "TypeError: unhashable type: 'list'",
+}
+
+
+def test_rows_only_no_oracle_record_is_settled():
+    """A rows-only-by-design query (absent from oracle_sql()) whose
+    latest record is the expected no_oracle row with a recorded row
+    count can never self-retire via a hash-green row — it must read
+    as settled (priority 4), not red, or it permanently occupies the
+    head of the driver budget (the r5 lesson)."""
+    out = {"ann_like": 1, "fresh": 2}
+    got = _order(out, {5: {"ann_like": NO_ORACLE}})
+    # settled behind the never-checked addition
+    assert got == ["fresh", "ann_like"]
+
+
+def test_rows_only_crash_record_stays_red():
+    """A rows-only query whose record shows a real failure (no row
+    count recorded — e.g. the r5 PCA canonicalizer crash) is a live
+    defect and must stay at the head."""
+    out = {"fresh": 1, "pca_like": 2}
+    got = _order(out, {5: {"pca_like": NO_ORACLE_CRASH}})
+    assert got == ["pca_like", "fresh"]
+
+
+def test_no_oracle_record_on_oracle_backed_query_rechecks():
+    """If a query GAINS an oracle, its standing no_oracle record
+    correctly reads as 'never verified against the new oracle' — it
+    re-checks at the head rather than settling."""
+    out = {"fresh": 1, "tpch_q1_pricing_summary": 2}
+    got = _order(out, {5: {"tpch_q1_pricing_summary": NO_ORACLE}})
+    assert got == ["tpch_q1_pricing_summary", "fresh"]
+
+
+def test_rows_only_record_predating_change_rechecks():
+    """A rows-only record taken BEFORE the round its query changed in
+    (changed_in_round) describes the old shape — it must re-verify;
+    one taken at/after the change round settles."""
+    out = {"similarity_ann_ivf": 1, "fresh": 2}
+    # record from r4, but the query changed in r5 -> re-check first
+    got = _order(out, {4: {"similarity_ann_ivf": NO_ORACLE}})
+    assert got == ["similarity_ann_ivf", "fresh"]
+    # record from r5 (the change round) -> settled
+    got = _order(out, {5: {"similarity_ann_ivf": NO_ORACLE}})
+    assert got == ["fresh", "similarity_ann_ivf"]
