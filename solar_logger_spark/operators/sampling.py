@@ -46,7 +46,10 @@ def sample_fraction(
     group-level sampling)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1]: {fraction}")
-    cut = int(fraction * _BUCKETS)
+    # round, don't truncate: 0.00397 * 1e6 is 3969.9999... in binary
+    # and int() would silently shift the cut by one bucket vs the round
+    # constant a hand-written SQL oracle uses (ADVICE r5)
+    cut = round(fraction * _BUCKETS)
     return df.filter(hash_bucket(list(key_cols), seed) < cut)
 
 
@@ -67,7 +70,7 @@ def split_assign(
     expr = None
     lo = 0
     for name, frac in splits.items():
-        hi = lo + int(frac * _BUCKETS)
+        hi = lo + round(frac * _BUCKETS)
         cond = (bucket >= lo) & (bucket < hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
@@ -100,10 +103,12 @@ def stratified_sample_rates(
             raise ValueError(f"rate for {s!r} must be in [0, 1]: {frac}")
     if not 0.0 <= default <= 1.0:
         raise ValueError(f"default rate must be in [0, 1]: {default}")
-    cut = F.lit(int(default * _BUCKETS))
+    # round() mirrors the literal bucket constants oracles use;
+    # int() truncates rates not exactly representable in binary
+    cut = F.lit(round(default * _BUCKETS))
     for s, frac in rates.items():
         cut = F.when(
-            F.col(stratum_col) == s, F.lit(int(frac * _BUCKETS))
+            F.col(stratum_col) == s, F.lit(round(frac * _BUCKETS))
         ).otherwise(cut)
     return df.filter(hash_bucket(list(key_cols), seed) < cut)
 

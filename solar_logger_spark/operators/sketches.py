@@ -270,6 +270,12 @@ def bloom_prefilter(
     key (an aggregate over distinct probe keys — it shuffles the key
     set and keeps non-members); this one only prunes, and prunes
     cheaply."""
+    clash = {f"_bp{s}" for s in range(k)} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "bloom_prefilter: input already carries reserved helper "
+            f"column(s) {sorted(clash)}; rename them before filtering"
+        )
     b = bits.select("bit").distinct()
     pos = _bloom_positions(F.col(key_col), m, k)
     out = df.select(

@@ -234,8 +234,36 @@ NEARDUP_PAIRS_SQL = """
 _EXACT_TOPK_MEMO: dict = {}
 
 
+def _table_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Cheap content fingerprint for a testdata table: (mtime_ns, size)
+    of the parquet file, or of every part file when it is a directory.
+    Keys the exact-top-k memo so an in-session rewrite of the table
+    (e.g. a tool regenerating testdata) invalidates the cached
+    brute-force answer instead of silently replaying stale neighbors
+    into every ANN recall column (ADVICE r5)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        parts = []
+        for name in sorted(os.listdir(path)):
+            ps = os.stat(os.path.join(path, name))
+            parts.append((name, ps.st_mtime_ns, ps.st_size))
+        return tuple(parts)
+    except OSError:
+        return ("missing",)
+
+
 def _exact_topk_shared(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, k)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        k,
+        _table_fingerprint(sf_dir, "embeddings"),
+    )
     if key not in _EXACT_TOPK_MEMO:
         if len(_EXACT_TOPK_MEMO) > 16:  # stale sessions / sf dirs
             _EXACT_TOPK_MEMO.clear()

@@ -100,3 +100,11 @@ def test_stratified_rate_sample(spark):
     assert a == b and a != c
     with pytest.raises(ValueError, match="rate"):
         sampling.stratified_sample_rates(df, {"s0": 1.5}, "source", ["doc_id"])
+
+
+def test_rate_cut_rounds_not_truncates():
+    """0.00397 * 1e6 is 3969.9999999999995 in binary; the cut must
+    round to 3970 so hand-written SQL oracles using the round constant
+    agree (ADVICE r5)."""
+    assert round(0.00397 * sampling._BUCKETS) == 3970
+    assert int(0.00397 * sampling._BUCKETS) == 3969  # the trap round() avoids

@@ -236,3 +236,16 @@ def test_bloom_prefilter_map_only_and_complete(spark):
     import re
     assert "BroadcastHashJoin" in plan
     assert not re.search(r"Exchange hashpartitioning.*\bk\b", plan)
+
+
+def test_bloom_prefilter_rejects_reserved_column_clash(spark):
+    """An input already carrying a _bp0 column would ambiguate the
+    positional helper joins; the guard must refuse loudly."""
+    import pytest
+    from solar_logger_spark.operators import sketches as SK
+
+    members = spark.createDataFrame([(1,)], "k long")
+    bits = SK.bloom_bits(members, "k", m=64, k=2)
+    fact = spark.createDataFrame([(1, 9)], "k long, _bp0 long")
+    with pytest.raises(ValueError, match="_bp0"):
+        SK.bloom_prefilter(fact, bits, "k", m=64, k=2)
