@@ -1454,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
             "text_quality_score_docs": sca.QUALITY_SCORE_SQL,
             "text_lang_id_docs": lang_id_oracle_sql(),
             "similarity_cosine_topk": sca.COSINE_TOPK_SQL,
+            "similarity_ann_lsh": sca.ANN_LSH_SQL,
             "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
             # similarity_ann_* stay rows-only (plane/codebook literals
             # live Spark-side); the stub-codec multimodal queries are

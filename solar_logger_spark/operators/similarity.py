@@ -331,10 +331,27 @@ def _ltr_norms(mat: "np.ndarray") -> "np.ndarray":
 
 
 def _plane_literals(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
-    """Fixed pseudo-random hyperplanes — seeded, so every run/session
-    derives identical buckets."""
-    rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).round(6).tolist()
+    """Fixed pseudo-random hyperplanes derived from md5 — the repo's
+    reproducible-hash discipline (cf. sketches.bloom_bits, winnowing).
+    Coefficient (p, d) is uniform in [-1, 1): the top 60 bits of
+    md5('plane|seed|p|d') scaled by ``h / 2^60 * 2 - 1``. Every step is
+    either IEEE-exact (power-of-two divide, *2) or identically rounded
+    (int→double) across engines, so a DuckDB oracle re-derives the SAME
+    doubles from the same md5 strings — what makes ``topk_lsh``'s
+    declared query hash-comparable instead of rows-only. Uniform-cube
+    (not Gaussian) directions change nothing for sign-LSH recall here;
+    tests/test_ann_recall.py re-pins recall@k ≥ 0.8."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            key = f"plane|{seed}|{p}|{d}".encode()
+            h = int(hashlib.md5(key).hexdigest()[:15], 16)
+            row.append(h / 2.0**60 * 2.0 - 1.0)
+        planes.append(row)
+    return planes
 
 
 def hyperplane_buckets(
@@ -394,7 +411,15 @@ def _table_buckets(
             a = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            bits = (a @ planes.T) >= 0  # (n, T·b)
+            # dimension-order accumulation (NOT a BLAS matmul, whose
+            # association is unspecified): each sign bit's dot product
+            # is the same left-to-right 0+Σ v_d·w_d fold the SQL
+            # oracle's list_sum computes, so buckets — and therefore
+            # the candidate set — agree bit-for-bit across engines
+            acc = np.zeros((len(a), planes.shape[0]))
+            for d in range(planes.shape[1]):
+                acc += a[:, d, None] * planes[None, :, d]
+            bits = acc >= 0  # (n, T·b)
             bits = bits.reshape(len(a), n_tables, n_planes)
             buckets = (bits * weights).sum(axis=2)  # (n, T)
             yield pd.DataFrame(

@@ -298,15 +298,106 @@ def _attach_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via multi-table multiprobe sign-LSH (rows-only
-    check: bucketing depends on Spark-side plane literals; the
-    ``recall_at_k`` column self-checks vs brute force)."""
+    """Approximate top-k via multi-table multiprobe sign-LSH — ORACLE-
+    BACKED since r6: hyperplanes are md5-derived doubles both engines
+    re-compute identically, and every dot product (bucket sign bits and
+    the exact re-score) is a left-to-right fold, so the candidate set,
+    cosines, ranks, and the ``recall_at_k`` self-check all hash-compare
+    against the DuckDB twin. IVF/PQ stay rows-only (k-means training is
+    legitimately engine-bound)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     ann = similarity.topk_lsh(
         emb, queries, k=5, n_planes=8, n_tables=8, multiprobe=2
     )
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
+
+
+# The SQL twin of the full LSH pipeline: md5-derived plane coefficients
+# (h/2^60*2-1 — power-of-two steps are IEEE-exact, int→double rounding
+# is identical across engines), sign-bit buckets per (vector, table),
+# Hamming-radius-2 multiprobe via XOR masks, candidate join, exact
+# cosine re-score, and the recall-vs-brute-force column. list_sum is
+# DuckDB's left-to-right fold — the same association as the Spark
+# side's F.aggregate HOF and the dimension-order numpy accumulation in
+# similarity._table_buckets.
+ANN_LSH_SQL = """
+    WITH planes AS (
+        SELECT t, p,
+               [CAST(('0x' || substring(md5('plane|'
+                       || CAST(7 + 7919 * t AS VARCHAR)
+                       || '|' || CAST(p AS VARCHAR)
+                       || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 * 2.0 - 1.0
+                FOR d IN range(0, 64)] AS w
+        FROM range(0, 8) tt(t), range(0, 8) pp(p)
+    ),
+    vecs AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    buckets AS (
+        SELECT vecs.vec_id, pl.t,
+               CAST(sum(CASE WHEN list_sum([vecs.v[i] * pl.w[i]
+                                            FOR i IN range(1, 65)]) >= 0
+                             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM vecs, planes pl
+        GROUP BY vecs.vec_id, pl.t
+    ),
+    masks AS (SELECT m FROM range(0, 256) rm(m)
+              WHERE bit_count(CAST(m AS BIGINT)) <= 2),
+    qprobe AS (
+        SELECT DISTINCT b.vec_id AS query_id, b.t,
+               xor(b.bucket, CAST(m.m AS BIGINT)) AS bucket
+        FROM buckets b, masks m WHERE b.vec_id < 10
+    ),
+    cand AS (
+        SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+        FROM qprobe qp
+        JOIN buckets cb ON cb.t = qp.t AND cb.bucket = qp.bucket
+        WHERE cb.vec_id <> qp.query_id
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(list_sum([v[i] * v[i] FOR i IN range(1, 65)])) AS nrm,
+               v
+        FROM vecs
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_sum([q.v[i] * n.v[i] FOR i IN range(1, 65)])
+                 / (q.nrm * n.nrm) AS cos_sim
+        FROM cand c
+        JOIN norms q ON q.vec_id = c.query_id
+        JOIN norms n ON n.vec_id = c.neighbor_id
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        FROM norms q, norms n
+        WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_sum([q.v[i] * n.v[i] FOR i IN range(1, 65)])
+                           / (q.nrm * n.nrm) DESC,
+                         n.vec_id ASC) <= 5
+    ),
+    recall AS (
+        SELECT a.query_id, count(*) / 5.0 AS recall_at_k
+        FROM ann a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT a.query_id, a.neighbor_id, a.cos_sim, a.rank,
+           coalesce(r.recall_at_k, 0.0) AS recall_at_k
+    FROM ann a LEFT JOIN recall r ON a.query_id = r.query_id
+"""
 
 
 # -- multimodal ---------------------------------------------------------------
