@@ -394,6 +394,121 @@ def vocab_encode(
     )
 
 
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list — the ENCODE side completing
+    the tokenizer story whose training statistic is
+    ``text_bpe_merge_candidates`` (Sennrich et al. 2016, public).
+
+    One greedy left-to-right merge round per whitespace word: scanning
+    characters, if the pair starting at the cursor is in ``merges``
+    emit the merged token and advance 2, else emit the single char and
+    advance 1. The sequential scan has a closed form — within each
+    maximal run of consecutive merge-candidate positions, merges start
+    at the run head and every 2 after — so the whole encode is JVM
+    array expressions (no fold, no UDF, no Python).
+
+    Output: ``(id, pos, token, token_id)`` with ``pos`` the 1-based
+    token position across the document and ``token_id`` = 256 + 1-based
+    merge rank for merged pairs, the character code for singles (the
+    byte-vocab + merge-table id layout GPT-style tokenizers use).
+
+    Plan shape: the per-character work runs once per DISTINCT word,
+    then a broadcast join replays token arrays onto the corpus word
+    stream (a natural-language vocabulary is tiny next to 100 TB of
+    text — same argument as ``vocab_encode``'s join path); the only
+    corpus-sized shuffle is the per-document position window, which
+    any packer downstream needs anyway."""
+    merges = list(merges)
+    if any(len(m) != 2 for m in merges):
+        raise ValueError("merges must be 2-character pairs")
+    if len(set(merges)) != len(merges):
+        raise ValueError("merge entries must be unique")
+    from pyspark.sql import Window
+
+    merge_arr = F.array(*[F.lit(m) for m in merges])
+    words = df.select(
+        F.col(id_col), F.posexplode(_toks(text_col)).alias("word_idx", "word")
+    ).filter(F.length("word") >= 1)
+
+    L = F.length("word")
+    # m[i] (1-based): the pair starting at char i is a merge candidate;
+    # position L is always false (a pair cannot extend past the word)
+    m = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: (i < L)
+        & F.array_contains(merge_arr, F.col("word").substr(i, F.lit(2))),
+    )
+    # ms[i]: the greedy scan MERGES at i. Closed form: i is a candidate
+    # and its distance from the last non-candidate position before it
+    # is odd (run head = distance 1, then every second position).
+    # F.get is 0-based and null-safe — no sequence(1,0) descent trap,
+    # no ANSI index-0 error (both documented Spark pitfalls).
+    ms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.get(F.col("m"), i - 1)
+        & (
+            (
+                (
+                    i
+                    - F.coalesce(
+                        F.array_max(
+                            F.filter(
+                                F.sequence(F.lit(1), F.length("word")),
+                                lambda j: (j < i) & ~F.get(F.col("m"), j - 1),
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                )
+                % 2
+            )
+            == 1
+        ),
+    )
+    toks0 = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.when(
+            F.get(F.col("ms"), i - 1), F.col("word").substr(i, F.lit(2))
+        )
+        .when(
+            # consumed as the second char of the previous merge;
+            # F.get(ms, -1) at i=1 is NULL -> coalesce false
+            F.coalesce(F.get(F.col("ms"), i - 2), F.lit(False)),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("word").substr(i, F.lit(1))),
+    )
+    wtoks = (
+        words.select("word")
+        .distinct()
+        .withColumn("m", m)
+        .withColumn("ms", ms)
+        .withColumn("toks", F.filter(toks0, lambda t: t.isNotNull()))
+        .select("word", "toks")
+    )
+    stream = words.join(F.broadcast(wtoks), "word").select(
+        id_col, "word_idx", F.posexplode("toks").alias("tok_idx", "token")
+    )
+    win = Window.partitionBy(id_col).orderBy("word_idx", "tok_idx")
+    return stream.select(
+        F.col(id_col),
+        F.row_number().over(win).cast("long").alias("pos"),
+        "token",
+        F.when(
+            F.length("token") == 2,
+            F.lit(256) + F.array_position(merge_arr, F.col("token")).cast("int"),
+        )
+        .otherwise(F.ascii("token"))
+        .cast("int")
+        .alias("token_id"),
+    )
+
+
 def bpe_ish_token_count(text_col: str = "text") -> Column:
     """Sub-word-ish token count, JVM regexp — a closer proxy for LLM
     token budgets than whitespace words (punctuation and digit runs

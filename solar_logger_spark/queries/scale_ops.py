@@ -1779,6 +1779,105 @@ BPE_MERGE_SQL = """
 """
 
 
+def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the BPE story: learn the top-20 merge list (the
+    same statistic text_bpe_merge_candidates declares) and apply it to
+    every document with operators.text.bpe_apply_merges — producing the
+    ``(doc_id, pos, token, token_id)`` integer stream a training
+    pipeline packs. The merge list is a 20-row bounded collect
+    (ordered n DESC, pair ASC — deterministic), the encode itself is
+    JVM array expressions per DISTINCT word + a broadcast replay onto
+    the corpus, and the oracle re-derives the merge list and replays
+    the same greedy closed form via list comprehensions."""
+    docs = load_table(spark, sf_dir, "documents")
+    word_counts = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(dedup.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = word_counts.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+        .collect()  # 20 rows, bounded by construction
+    )
+    merges = [r["pair"] for r in top]
+    return text.bpe_apply_merges(docs, merges)
+
+
+BPE_ENCODE_SQL = """
+    WITH word_counts AS (
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ), pairstats AS (
+        SELECT unnest([substr(word, i, 2) FOR i IN range(1, len(word))])
+                   AS pair,
+               n
+        FROM word_counts
+    ), top AS (
+        SELECT pair, sum(n) AS n FROM pairstats GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 20
+    ), merges AS (
+        SELECT list(pair ORDER BY n DESC, pair ASC) AS ml FROM top
+    ), words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS wi
+        FROM documents
+    ), wm AS (
+        -- m[i]: the 2-char slice starting at i is in the merge list
+        SELECT doc_id, wi, word,
+               [i < len(word) AND list_contains(ml, substr(word, i, 2))
+                FOR i IN range(1, len(word) + 1)] AS m
+        FROM words, merges
+        WHERE len(word) >= 1
+    ), wms AS (
+        -- greedy closed form: merge at i iff candidate and the
+        -- distance from the last non-candidate before i is odd
+        SELECT doc_id, wi, word,
+               [m[i] AND (i - coalesce(list_max(
+                    [j FOR j IN range(1, len(word) + 1)
+                       IF j < i AND NOT m[j]]), 0)) % 2 = 1
+                FOR i IN range(1, len(word) + 1)] AS ms
+        FROM wm
+    ), wtok AS (
+        SELECT doc_id, wi,
+               list_filter(
+                   [CASE WHEN ms[i] THEN substr(word, i, 2)
+                         WHEN i > 1 AND ms[i - 1] THEN NULL
+                         ELSE substr(word, i, 1) END
+                    FOR i IN range(1, len(word) + 1)],
+                   t -> t IS NOT NULL) AS toks
+        FROM wms
+    ), flat AS (
+        SELECT doc_id, wi,
+               unnest(toks) AS token,
+               generate_subscripts(toks, 1) AS ti
+        FROM wtok
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti)
+                AS BIGINT) AS pos,
+           token,
+           CAST(CASE WHEN length(token) = 2
+                     THEN 256 + list_position(ml, token)
+                     ELSE ascii(token) END AS INT) AS token_id
+    FROM flat, merges
+"""
+
+
 def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END REAL media decode with a SQL oracle: each document
     gets a valid PPM (P6) image payload built JVM-side (dimensions

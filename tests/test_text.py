@@ -419,3 +419,56 @@ def test_vocab_encode_methods_agree(spark):
         text.vocab_encode(df, ["a", "a"])
     with pytest.raises(ValueError, match="method"):
         text.vocab_encode(df, vocab, method="nope")
+
+
+def test_bpe_apply_merges_matches_greedy_scan(spark):
+    """The closed-form array encode must equal the sequential greedy
+    left-to-right merge scan token for token, including run parity
+    (ababab), overlap suppression (aaabbb with ab), empty words, and
+    the 256+rank / ascii id layout."""
+    merges = ["ab", "ba", "cc", "xy"]
+
+    def ref(word):
+        out, i = [], 0
+        while i < len(word):
+            if i + 1 < len(word) and word[i:i + 2] in merges:
+                out.append(word[i:i + 2])
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        return out
+
+    docs = [
+        (1, "ababab abc cccc xyxy a"),
+        (2, "aaabbb  bab abab"),      # double space -> empty word dropped
+        (3, "z"),
+        (4, "ccc ababa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.pos, r.token, r.token_id)
+        for r in text.bpe_apply_merges(df, merges)
+        .orderBy("doc_id", "pos").collect()
+    ]
+    exp = []
+    for did, txt in docs:
+        pos = 0
+        for w in txt.split(" "):
+            if not w:
+                continue
+            for t in ref(w):
+                pos += 1
+                tid = 256 + merges.index(t) + 1 if len(t) == 2 else ord(t)
+                exp.append((did, pos, t, tid))
+    assert got == exp
+
+
+def test_bpe_apply_merges_validates_input(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="2-character"):
+        text.bpe_apply_merges(df, ["abc"])
+    with pytest.raises(ValueError, match="unique"):
+        text.bpe_apply_merges(df, ["ab", "ab"])
