@@ -424,20 +424,63 @@ def incremental_lsh_pairs(
     (exact verification via the same inverted-index count join as
     minhash_lsh_pairs).
     """
+    sh_i, bk_i = index_artifacts(
+        index_df, id_col, text_col, n, num_hashes, bands
+    )
+    sh_b, bk_b = index_artifacts(
+        batch_df, id_col, text_col, n, num_hashes, bands
+    )
+    return incremental_pairs_from_artifacts(
+        sh_i, bk_i, sh_b, bk_b, id_col=id_col, threshold=threshold
+    )
+
+
+def index_artifacts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """The two persistable artifacts of a near-dup index: hashed
+    shingles ``(id, h)`` (exact-verification side) and LSH band-bucket
+    rows ``(id, band, bucket)`` (candidate-generation side). In the
+    production crawl loop these are MATERIALIZED once per document into
+    the io/merge snapshot store and only the (small) incoming delivery
+    recomputes — see streaming.dedup_ingest.incremental_dedup_sink."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    sh_i = _hashed_shingles(index_df, id_col, text_col, n)
-    sh_b = _hashed_shingles(batch_df, id_col, text_col, n)
-    bk_i = _band_bucket_rows(
-        _rowwise_signatures(sh_i, id_col, num_hashes),
+    sh = _hashed_shingles(df, id_col, text_col, n)
+    bk = _band_bucket_rows(
+        _rowwise_signatures(sh, id_col, num_hashes),
         id_col, F.col("sig"), num_hashes, bands,
-    ).select(F.col(id_col).alias("index_id"), "band", "bucket")
-    bk_b = _band_bucket_rows(
-        _rowwise_signatures(sh_b, id_col, num_hashes),
-        id_col, F.col("sig"), num_hashes, bands,
-    ).select(F.col(id_col).alias("batch_id"), "band", "bucket")
+    )
+    return sh, bk
+
+
+def incremental_pairs_from_artifacts(
+    index_shingles: DataFrame,
+    index_buckets: DataFrame,
+    batch_shingles: DataFrame,
+    batch_buckets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The artifact-side core of :func:`incremental_lsh_pairs`: both
+    sides arrive as prebuilt ``index_artifacts`` frames (the index side
+    typically read back from the snapshot store), so per delivery only
+    the bipartite bucket join + exact verification runs."""
+    sh_i = index_shingles
+    sh_b = batch_shingles
+    bk_i = index_buckets.select(
+        F.col(id_col).alias("index_id"), "band", "bucket"
+    )
+    bk_b = batch_buckets.select(
+        F.col(id_col).alias("batch_id"), "band", "bucket"
+    )
     cands = (
         bk_b.join(bk_i, ["band", "bucket"])
         .select("batch_id", "index_id")

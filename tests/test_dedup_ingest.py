@@ -1,0 +1,139 @@
+"""Streaming incremental near-dup loop == one-shot bipartite results.
+
+The crawl-ingest composition (streaming/dedup_ingest.py): each
+micro-batch pairs against the PERSISTED index artifacts and then merges
+itself in. The differential: streaming three deliveries through
+foreachBatch must produce exactly the union of the one-shot
+``incremental_lsh_pairs(prefix, delivery)`` calls on the same corpus —
+canonicalized to unordered pairs, since the file source's batch order
+is a scheduling detail and each cross-delivery pair is emitted exactly
+once whatever the order.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from solar_logger_spark.io import merge as M
+from solar_logger_spark.operators import dedup
+from solar_logger_spark.streaming import dedup_ingest as DI
+
+THRESHOLD = 0.5
+
+
+def _corpus():
+    """Three deliveries with planted cross-delivery near-dups."""
+    rng = random.Random(97)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {}
+    for i in range(36):
+        docs[i] = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(10, 28))
+        )
+    # plant near-dups across deliveries: doc 12+i edits doc i, doc 24+i
+    # edits doc 12+i (one word each) -> pairs in (d1,d2), (d2,d3), (d1,d3)
+    for base, dup in [(0, 12), (1, 13), (12, 24), (2, 25)]:
+        ws = docs[base].split(" ")
+        ws[len(ws) // 2] = "EDIT"
+        docs[dup] = " ".join(ws)
+    deliveries = [
+        [Row(doc_id=i, text=docs[i]) for i in range(0, 12)],
+        [Row(doc_id=i, text=docs[i]) for i in range(12, 24)],
+        [Row(doc_id=i, text=docs[i]) for i in range(24, 36)],
+    ]
+    return deliveries
+
+
+def _canon(rows):
+    return {
+        (min(r.batch_id, r.index_id), max(r.batch_id, r.index_id)):
+            pytest.approx(r.jaccard)
+        for r in rows
+    }
+
+
+def test_streamed_batches_equal_one_shot_bipartite(spark, tmp_path):
+    deliveries = _corpus()
+    input_dir = tmp_path / "in"
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    for i, rows in enumerate(deliveries):
+        spark.createDataFrame(rows).coalesce(1).write.parquet(
+            str(input_dir / f"f{i}")
+        )
+
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir) + "/*")
+    )
+    q = (
+        raw.writeStream.foreachBatch(
+            DI.incremental_dedup_sink(
+                index_dir, pairs_dir, threshold=THRESHOLD
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # one-shot comparator: delivery i vs the union of deliveries < i
+    expected = {}
+    for i in range(1, len(deliveries)):
+        prefix = spark.createDataFrame(
+            [r for d in deliveries[:i] for r in d]
+        )
+        batch = spark.createDataFrame(deliveries[i])
+        expected.update(
+            _canon(
+                dedup.incremental_lsh_pairs(
+                    prefix, batch, threshold=THRESHOLD
+                ).collect()
+            )
+        )
+    assert expected, "corpus must plant at least one near-dup pair"
+
+    got = _canon(
+        M.read_table_snapshot(spark, pairs_dir).collect()
+    )
+    assert got == expected
+
+    # index growth: after the stream, the artifacts hold every doc once
+    sh, bk = DI.read_index(spark, index_dir)
+    all_ids = {r.doc_id for d in deliveries for r in d}
+    assert {r.doc_id for r in sh.select("doc_id").distinct().collect()} \
+        == all_ids
+    assert {r.doc_id for r in bk.select("doc_id").distinct().collect()} \
+        == all_ids
+    # 32 bands -> exactly 32 bucket rows per doc
+    n_bk = bk.count()
+    assert n_bk == 32 * len(all_ids)
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Re-running a delivery through the sink (foreachBatch crash
+    replay) must not emit self-pairs, must not duplicate pairs, and
+    must leave the index artifacts unchanged in size."""
+    deliveries = _corpus()
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = DI.incremental_dedup_sink(index_dir, pairs_dir,
+                                     threshold=THRESHOLD)
+    d1 = spark.createDataFrame(deliveries[0])
+    d2 = spark.createDataFrame(deliveries[1])
+    sink(d1, 0)
+    sink(d2, 1)
+    pairs_once = _canon(M.read_table_snapshot(spark, pairs_dir).collect())
+    sh_once = M.read_table_snapshot(spark, index_dir + "/shingles").count()
+    # replay delivery 2: its docs are already merged into the index
+    sink(d2, 1)
+    pairs_again = _canon(M.read_table_snapshot(spark, pairs_dir).collect())
+    sh_again = M.read_table_snapshot(spark, index_dir + "/shingles").count()
+    assert pairs_again == pairs_once
+    assert sh_again == sh_once
+    assert all(a != b for (a, b) in pairs_again)
