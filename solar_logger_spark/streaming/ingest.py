@@ -199,6 +199,57 @@ def ingest_query(
     return writer.start()
 
 
+def status_dimension_sink(table_dir: str, keep_snapshots: int = 2):
+    """S3 as a MAINTAINED dimension: a ``foreachBatch`` function that
+    folds each micro-batch's status messages into a latest-per-device
+    table in the io/merge snapshot store (MERGE keyed by device,
+    ``ts``-guarded so a late redelivery of an OLD status can never
+    regress a newer one — at-least-once transports redeliver, T6).
+
+    This closes the loop between the streaming status branch and the
+    snapshot store: ``status_gate`` recomputes latest-per-key per query
+    (fine at any scale — the status side broadcasts), while this sink
+    materializes the same reduction once as queryable table state,
+    which is what a fleet dashboard or an external gate consumer reads.
+    Differential-pinned in tests: streamed upserts == batch
+    ``latest_per_key`` over the full status history.
+
+    Usage::
+
+        q = (raw.writeStream
+             .foreachBatch(status_dimension_sink(dim_dir))
+             .option("checkpointLocation", ckpt).start())
+    """
+    from solar_logger_spark.io.merge import upsert_sink
+
+    inner = upsert_sink(
+        table_dir, keys=["device"], order_col="ts",
+        keep_snapshots=keep_snapshots,
+    )
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        inner(status_updates(batch), epoch_id)
+
+    return _write
+
+
+def gated_batch_from_dimension(
+    raw: DataFrame, dimension: DataFrame
+) -> DataFrame:
+    """The online gate evaluated against a MAINTAINED status dimension
+    (see :func:`status_dimension_sink`) instead of re-reducing the raw
+    status stream: decode the batch's data messages and keep devices
+    whose dimension row says online. The dimension is one row per
+    device — always broadcastable, so the point stream never shuffles
+    (same plan shape as :func:`gated_batch`)."""
+    online = dimension.filter(F.col("status") == "online").select("device")
+    points = data_points(raw).withColumnRenamed("measurement", "device")
+    return (
+        points.join(F.broadcast(online), "device", "left_semi")
+        .withColumnRenamed("device", "measurement")
+    )
+
+
 def dedup_stream(
     points: DataFrame,
     keys: Sequence[str] = ("measurement", "field", "ts"),

@@ -975,3 +975,78 @@ def test_attribution_join_stream_equals_batch(spark, sf_dir, tmp_path):
     expected = {(r.cid, r.bid) for r in batch.select("cid", "bid").collect()}
     assert streamed == expected
     assert len(expected) > 0  # the corpus genuinely exercises the band
+
+
+# ---------------------------------------------------------------------------
+# maintained latest-status dimension (S3 x io/merge)
+
+
+def test_status_dimension_stream_equals_batch_latest(spark, tmp_path):
+    """Streamed status upserts through status_dimension_sink == batch
+    latest_per_key over the full status history — including a later
+    batch redelivering a STALE status, which must not regress the
+    dimension (the order_col guard)."""
+    from solar_logger_spark.io import merge as M
+    from solar_logger_spark.operators.asof import latest_per_key
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    batches = [
+        [
+            ("mate/dc-1/status", b"online", t(1)),
+            ("mate/fx-1/status", b"online", t(2)),
+            ("mate/dc-1/status", b"offline", t(3)),
+            ("mate/dc-1/1-data", b"junk", t(3)),        # non-status: ignored
+        ],
+        [
+            ("mate/fx-1/status", b"offline", t(10)),
+            ("mate/mx-1/status", b"online", t(11)),
+        ],
+        [
+            # stale redelivery: dc-1's old t(1) 'online' arrives AFTER
+            # the t(3) 'offline' was persisted — must not win
+            ("mate/dc-1/status", b"online", t(1)),
+            ("mate/fx-1/status", b"online", t(12)),
+        ],
+    ]
+    input_dir = tmp_path / "in"
+    dim_dir = str(tmp_path / "dim")
+    for i, rows in enumerate(batches):
+        _raw_df(spark, rows).coalesce(1).write.parquet(
+            str(input_dir / f"f{i}")
+        )
+    raw = (
+        spark.readStream.schema(I.RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir) + "/*")
+    )
+    q = (
+        raw.writeStream.foreachBatch(I.status_dimension_sink(dim_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.device: (r.status, r.ts)
+        for r in M.read_table_snapshot(spark, dim_dir).collect()
+    }
+    all_raw = _raw_df(spark, [r for b in batches for r in b])
+    want = {
+        r.device: (r.status, r.ts)
+        for r in latest_per_key(
+            I.status_updates(all_raw), ["device"], payload_cols=["status"]
+        ).collect()
+    }
+    assert got == want
+    assert got["dc-1"] == ("offline", t(3))  # the stale replay lost
+
+    # the maintained dimension gates a batch exactly like gated_batch
+    data_raw = _raw_df(
+        spark,
+        [("mate/dc-1/1-data", b"x", t(20)), ("mate/mx-1/1-data", b"x", t(20))],
+    )
+    dim = M.read_table_snapshot(spark, dim_dir)
+    gated = I.gated_batch_from_dimension(data_raw, dim)
+    # dc-1 offline -> dropped before decode; mx-1 online -> decode path
+    assert {r.measurement for r in gated.collect()} <= {"mx-1"}
