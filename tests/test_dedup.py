@@ -519,3 +519,50 @@ def test_incremental_lsh_random_differential(spark):
     # on a short doc can legitimately drop below it)
     assert len(want) >= 4
     assert all(b >= 100 > a for (b, a) in got)
+
+
+def test_shingle_df_guard_keeps_true_neardups_and_prunes_collisions(spark):
+    """max_shingle_df engaged at ~1% of docs must report the SAME true
+    near-dup pairs as the unguarded run (their signal lives in rare
+    shingles) while collapsing the boilerplate-driven pair blow-up:
+    docs sharing only corpus-common shingles stop pairing at all."""
+    n_docs = 120
+    boiler = "subscribe to our newsletter today for updates"
+    docs = {}
+    for i in range(n_docs):
+        body = " ".join(f"u{i}w{j}" for j in range(25))
+        docs[i] = body + " " + boiler
+    for i in range(5):  # planted near-dups: one-word edits
+        ws = docs[i].split(" ")
+        ws[5] = "EDIT"
+        docs[1000 + i] = " ".join(ws)
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in docs.items()]
+    )
+    planted = {(i, 1000 + i) for i in range(5)}
+    guard = max(2, int(0.01 * len(docs)))  # df > ~1% of docs is stop-shingle
+
+    got_un = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    got_gd = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.5, max_shingle_df=guard
+        ).collect()
+    }
+    assert got_un == planted
+    assert got_gd == planted  # zero recall cost on the true near-dups
+
+    # pair-generation blow-up, thresholds out of the way: the unguarded
+    # inverted index pairs EVERY doc with EVERY doc through the 5
+    # boilerplate shingles; the guard leaves only the planted
+    # neighborhoods (their shared shingles have df = 2)
+    n = len(docs)
+    all_un = dedup.ngram_jaccard_pairs(df, threshold=0.0).count()
+    all_gd = dedup.ngram_jaccard_pairs(
+        df, threshold=0.0, max_shingle_df=guard
+    ).count()
+    assert all_un == n * (n - 1) // 2
+    assert all_gd == len(planted)
