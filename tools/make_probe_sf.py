@@ -144,20 +144,61 @@ def main() -> int:
     )
     pq.write_table(vtbl, f"{out_dir}/events.parquet")
 
-    # ---- lineitem: resample 10x for the profiling growth probe.
-    # Distributional realism per column (value ranges, null-ness,
-    # cardinality growth for key-like columns) is what a profile
-    # measures, so keys are resampled over a 10x-wider id space while
-    # value-like columns bootstrap the sf0.1 marginals.
+    # ---- TPC-H family: orders + the dimensions, join-consistent.
+    # Fact/bridge FOREIGN KEYS draw from the widened PRIMARY key spaces
+    # (every l_orderkey exists in orders, every o_custkey in customer,
+    # ...), so the join/TPC-H probe queries exercise real 10x join
+    # cardinalities instead of half-dangling keys; value-like columns
+    # bootstrap the sf0.1 marginals, which preserves every filter's
+    # selectivity. nation/region are FIXED dimensions (25/5 rows) and
+    # copy through unscaled, like real reference data.
+    def _scaled_table(name: str, pk: str, fks: dict[str, int]) -> int:
+        base_tbl = pq.read_table(f"{SRC}/{name}.parquet").to_pandas()
+        n = len(base_tbl) * args.mult
+        cols = {}
+        for c in base_tbl.columns:
+            base = base_tbl[c].to_numpy()
+            if c == pk:
+                cols[c] = pa.array(np.arange(1, n + 1), pa.int64())
+            elif c in fks:
+                cols[c] = pa.array(
+                    rng.integers(1, fks[c] + 1, size=n), pa.int64()
+                )
+            elif str(base_tbl[c].dtype) == "int32":
+                cols[c] = pa.array(
+                    rng.choice(base, size=n).astype("int32"), pa.int32()
+                )
+            else:
+                cols[c] = pa.array(rng.choice(base, size=n))
+        pq.write_table(pa.table(cols), f"{out_dir}/{name}.parquet")
+        return n
+
+    n_cust = _scaled_table("customer", "c_custkey", {})
+    n_supp = _scaled_table("supplier", "s_suppkey", {})
+    n_part = _scaled_table("part", "p_partkey", {})
+    n_ord = _scaled_table("orders", "o_orderkey", {"o_custkey": n_cust})
+    for fixed in ("nation", "region"):
+        pq.write_table(
+            pq.read_table(f"{SRC}/{fixed}.parquet"),
+            f"{out_dir}/{fixed}.parquet",
+        )
+
+    # ---- lineitem: resample 10x for the profiling + join growth
+    # probes. Keys draw from the scaled PK spaces above; value-like
+    # columns bootstrap the sf0.1 marginals (what a profile measures).
     li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
     n_li = len(li) * args.mult
+    fk_hi = {
+        "l_orderkey": n_ord,
+        "l_partkey": n_part,
+        "l_suppkey": n_supp,
+    }
     cols = {}
     for c in li.columns:
         base = li[c].to_numpy()
-        if c in ("l_orderkey", "l_partkey", "l_suppkey"):
-            hi = int(base.max()) * args.mult + 1
+        if c in fk_hi:
             cols[c] = pa.array(
-                rng.integers(1, hi, size=n_li), pa.int64()
+                rng.integers(1, fk_hi[c] + 1, size=n_li), pa.int64()
             )
         elif c == "l_linenumber":
             cols[c] = pa.array(
@@ -169,7 +210,8 @@ def main() -> int:
 
     print(
         f"wrote {n_docs} docs, {n_vec} embeddings, {n_ev} events, "
-        f"{n_li} lineitem -> {out_dir}"
+        f"{n_li} lineitem, {n_ord} orders, {n_cust} customer, "
+        f"{n_part} part, {n_supp} supplier -> {out_dir}"
     )
     return 0
 
