@@ -1071,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_length_quantiles": sca.corpus_length_quantiles,
             "text_bpe_merge_candidates": sca.text_bpe_merge_candidates,
             "text_bpe_encode_docs": sca.text_bpe_encode_docs,
+            "basket_affinity_parts": sca.basket_affinity_parts,
             "multimodal_decode_ppm": sca.multimodal_decode_ppm,
             "embedding_pca_project": sca.embedding_pca_project,
             "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
@@ -1498,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus_length_quantiles": sca.LENGTH_QUANTILES_SQL,
             "text_bpe_merge_candidates": sca.BPE_MERGE_SQL,
             "text_bpe_encode_docs": sca.BPE_ENCODE_SQL,
+            "basket_affinity_parts": sca.BASKET_AFFINITY_SQL,
             "multimodal_decode_ppm": sca.DECODE_PPM_SQL,
             "multimodal_decode_features": sca.MULTIMODAL_FEATURES_SQL,
             "multimodal_frame_sample": sca.FRAME_SAMPLE_SQL,

@@ -1,0 +1,111 @@
+"""Market-basket association mining: pairwise co-occurrence with
+support / confidence / lift (Agrawal & Srikant, VLDB'94 apriori
+family), Spark-first.
+
+Shape: one ``groupBy(basket)`` collects each basket's distinct items
+into a sorted array (a single shuffle — no self-join of the item table
+against itself), pair generation is a JVM higher-order ``transform`` /
+``flatten`` over that array (fan-out bounded by basket size squared,
+never by corpus size), and the support filter prunes before the
+per-item count joins. Item counts are derived from the same arrays, so
+the raw table is scanned once.
+
+100 TB notes: the expensive object is the pair-count aggregate, whose
+key space is bounded by sum(|basket| choose 2) — linear in data volume
+for bounded baskets (retail orders, session item sets). For unbounded
+baskets (a crawl session touching 1e5 items) prefilter items against a
+broadcast frequent-item list first (classic apriori pruning) so the
+quadratic term only sees frequent items; that prefilter composes as
+``df.join(broadcast(frequent), item)`` before this operator. Item
+counts are ``|items|``-bounded and broadcast into the final join; the
+basket total is a 1-row broadcast.
+
+Float discipline (see scale_ops oracle notes): ``confidence`` and
+``lift`` are each a single IEEE division of exactly-representable
+integer-valued doubles (counts and count products < 2^53), so both
+engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _pair_structs(items: Column) -> Column:
+    """All ordered pairs (a < b) from a sorted distinct-item array,
+    generated JVM-side: for the i-th element, pair it with every later
+    element. ``slice`` is 1-indexed; ``transform``'s index is 0-based."""
+    return F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Pairwise association rules over baskets.
+
+    Returns one row per unordered item pair with ``pair_count >=
+    min_support``: ``(item_a, item_b, pair_count, a_count, b_count,
+    n_baskets, confidence, lift)`` where ``confidence`` is directional
+    a→b (``pair/a_count``) and ``lift = pair·n / (a_count·b_count)``.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+
+    baskets = df.groupBy(F.col(basket_col).alias("basket")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("items")
+    )
+    # One cached logical subtree, three consumers (pairs, item counts,
+    # basket total). Catalyst reuses the exchange under AQE; the agg
+    # itself is recomputed per consumer, which is the cheap part.
+    pairs = (
+        baskets.select(F.explode(_pair_structs(F.col("items"))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_support)
+    )
+    item_counts = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("item_count"))
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+
+    a = item_counts.select(
+        F.col("item").alias("item_a"), F.col("item_count").alias("a_count")
+    )
+    b = item_counts.select(
+        F.col("item").alias("item_b"), F.col("item_count").alias("b_count")
+    )
+    out = (
+        pairs.join(F.broadcast(a), "item_a")
+        .join(F.broadcast(b), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        "a_count",
+        "b_count",
+        "n_baskets",
+        (
+            F.col("pair_count").cast("double")
+            / F.col("a_count").cast("double")
+        ).alias("confidence"),
+        (
+            (F.col("pair_count") * F.col("n_baskets")).cast("double")
+            / (F.col("a_count") * F.col("b_count")).cast("double")
+        ).alias("lift"),
+    )
