@@ -94,6 +94,13 @@ def main() -> int:
         "passes": PASSES,
         "timing": "min_per_query",
         "queries": per_query,
+        # Re-stated AFTER the queries map: the driver keeps only a
+        # 2000-char tail of this line, so the leading "value" total is
+        # truncated away every round. These trailing keys keep the
+        # committed record self-describing.
+        "total": round(total, 3),
+        "n_queries": len(per_query),
+        "n_failed": len(failed),
         "sf": _sf_of(sf_dir),
     }
     print(json.dumps(result))

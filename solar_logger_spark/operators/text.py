@@ -428,6 +428,18 @@ def bpe_apply_merges(
         raise ValueError("merges must be 2-character pairs")
     if len(set(merges)) != len(merges):
         raise ValueError("merge entries must be unique")
+    # Byte-level (ASCII) vocab contract: single-char token_ids are the
+    # character code, merged pairs are 256 + rank. A codepoint >= 257
+    # would collide with the merge-id space (and Spark/DuckDB ascii()
+    # disagree on multibyte chars), so reject non-ASCII merges here and
+    # document that input text is assumed byte-level — real BPE
+    # byte-encodes the corpus first, which this operator models.
+    if any(ord(c) > 127 for m in merges for c in m):
+        raise ValueError(
+            "merges must be ASCII pairs: token_id packs single chars as "
+            "their codepoint and merges as 256+rank; codepoints >= 257 "
+            "would collide (byte-level BPE assumes byte-encoded input)"
+        )
     from pyspark.sql import Window
 
     merge_arr = F.array(*[F.lit(m) for m in merges])
@@ -491,6 +503,16 @@ def bpe_apply_merges(
         .withColumn("toks", F.filter(toks0, lambda t: t.isNotNull()))
         .select("word", "toks")
     )
+    # Lineage barrier, NOT an optimization knob: the downstream
+    # posexplode lets Catalyst infer `size(toks) > 0`, and because
+    # `toks` is a deterministic function of the grouping key `word`
+    # the optimizer pushes that predicate — carrying the ENTIRE
+    # inlined O(L^2) interpreted HOF expression above — below the
+    # distinct onto the full corpus word stream, silently defeating
+    # the once-per-distinct-word design (42 s -> ~1 s at sf0.1).
+    # localCheckpoint() on the tiny vocab frame cuts the lineage so
+    # the expression is evaluated exactly once per distinct word.
+    wtoks = wtoks.localCheckpoint(eager=False)
     stream = words.join(F.broadcast(wtoks), "word").select(
         id_col, "word_idx", F.posexplode("toks").alias("tok_idx", "token")
     )

@@ -472,3 +472,32 @@ def test_bpe_apply_merges_validates_input(spark):
         text.bpe_apply_merges(df, ["abc"])
     with pytest.raises(ValueError, match="unique"):
         text.bpe_apply_merges(df, ["ab", "ab"])
+    with pytest.raises(ValueError, match="ASCII"):
+        text.bpe_apply_merges(df, ["é."])
+
+
+def test_bpe_apply_merges_plan_keeps_hof_off_corpus_side(spark):
+    """Regression pin for the round-6 scale killer: Catalyst inferred
+    `size(toks) > 0` from the downstream posexplode and — because
+    `toks` is a deterministic function of the grouping key — pushed the
+    filter, carrying the ENTIRE inlined O(L^2) HOF expression, below
+    the distinct onto the full corpus word stream (42 s instead of
+    ~1 s at sf0.1). The localCheckpoint barrier on the vocab frame must
+    keep the optimized plan free of any corpus-side `array_contains`
+    filter: after the barrier the only place the merge-candidate
+    expressions may appear is nowhere at all (the checkpoint has
+    materialized them away)."""
+    df = spark.createDataFrame(
+        [(i, "ababab abc cccc") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = text.bpe_apply_merges(df, ["ab", "cc"])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "extended"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    optimized = plan.split("== Optimized Logical Plan ==")[-1]
+    assert "array_contains" not in optimized, (
+        "merge-candidate HOF expression leaked back into the optimized "
+        "plan — the distinct-word barrier is not cutting lineage"
+    )
