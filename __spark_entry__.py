@@ -1214,6 +1214,13 @@ def _registry_order(
         # crashed the driver canonicalizer in r5
         "similarity_ann_lsh": 6,
         "embedding_pca_project": 6,
+        # r7: NULL-basket/item filter added to operator AND oracle
+        # (same results on lineitem, where keys are non-null) plus the
+        # apriori min_item_support prefilter (output-invariant by
+        # construction); BPE encode gained the vocab-frame lineage
+        # barrier (plan-only change, output identical)
+        "basket_affinity_parts": 7,
+        "text_bpe_encode_docs": 7,
     }
     latest_green_round: dict[str, int] = {}
     for rnd in sorted(records):

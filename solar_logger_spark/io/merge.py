@@ -67,11 +67,35 @@ def read_table_snapshot(
     return spark.read.parquet(path)
 
 
-def init_table(df: DataFrame, table_dir: str) -> str:
-    """Create snapshot 0 from ``df``; returns the snapshot name."""
+def init_table(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: Sequence[str] | None = None,
+) -> str:
+    """Create snapshot 0 from ``df``; returns the snapshot name.
+
+    ``partition_by``: hive-layout partition columns for the snapshot
+    files; readers filtering on them prune file reads (the point of
+    the partitioned artifact layout — see streaming.dedup_ingest).
+
+    Crash-idempotent: a previous attempt that died between writing
+    ``snap-000000`` and the pointer swap leaves an orphan dir that was
+    never referenced; it is removed and rewritten (same rule as
+    :func:`_write_next_snapshot`'s orphan cleanup), so a replayed
+    bootstrap completes instead of colliding on ``errorifexists``."""
     os.makedirs(table_dir, exist_ok=True)
+    if current_snapshot(table_dir) is not None:
+        raise FileExistsError(
+            f"{table_dir} already initialized; use upsert/replace_table"
+        )
     name = _snap_name(0)
-    df.write.mode("errorifexists").parquet(os.path.join(table_dir, name))
+    path = os.path.join(table_dir, name)
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # dead orphan from a crashed bootstrap
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
     _swap_pointer(table_dir, name)
     return name
 
@@ -84,6 +108,7 @@ def upsert(
     delete_filter: Column | None = None,
     order_col: str | None = None,
     keep_snapshots: int = 2,
+    partition_by: Sequence[str] | None = None,
 ) -> str:
     """MERGE ``updates`` into the table by ``keys``: matched base rows
     are replaced, unmatched update rows are inserted, and rows matching
@@ -129,11 +154,17 @@ def upsert(
     kept = base.join(upd_keys, keys, "left_anti")
     merged = kept.unionByName(updates.select(*base.columns))
 
-    return _write_next_snapshot(merged, table_dir, snap, keep_snapshots)
+    return _write_next_snapshot(
+        merged, table_dir, snap, keep_snapshots, partition_by
+    )
 
 
 def _write_next_snapshot(
-    df: DataFrame, table_dir: str, live_snap: str, keep_snapshots: int
+    df: DataFrame,
+    table_dir: str,
+    live_snap: str,
+    keep_snapshots: int,
+    partition_by: Sequence[str] | None = None,
 ) -> str:
     """The one copy of the commit sequence shared by upsert and
     replace_table: clean dead orphans, write the next snapshot dir,
@@ -150,16 +181,20 @@ def _write_next_snapshot(
         if d.startswith("snap-") and int(d.split("-")[1]) > live_idx:
             shutil.rmtree(os.path.join(table_dir, d))
     new_name = _snap_name(live_idx + 1)
-    df.write.mode("errorifexists").parquet(
-        os.path.join(table_dir, new_name)
-    )
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(os.path.join(table_dir, new_name))
     _swap_pointer(table_dir, new_name)
     _prune(table_dir, keep=keep_snapshots)
     return new_name
 
 
 def replace_table(
-    df: DataFrame, table_dir: str, keep_snapshots: int = 2
+    df: DataFrame,
+    table_dir: str,
+    keep_snapshots: int = 2,
+    partition_by: Sequence[str] | None = None,
 ) -> str:
     """Full-refresh write: replace the table's contents with ``df`` as
     a NEW snapshot and swap ``_CURRENT`` atomically — the rebuild
@@ -171,8 +206,10 @@ def replace_table(
     are removed before writing."""
     snap = current_snapshot(table_dir)
     if snap is None:
-        return init_table(df, table_dir)
-    return _write_next_snapshot(df, table_dir, snap, keep_snapshots)
+        return init_table(df, table_dir, partition_by=partition_by)
+    return _write_next_snapshot(
+        df, table_dir, snap, keep_snapshots, partition_by
+    )
 
 
 def upsert_sink(

@@ -51,6 +51,7 @@ def frequent_pairs(
     basket_col: str,
     item_col: str,
     min_support: int,
+    min_item_support: int | None = None,
 ) -> DataFrame:
     """Pairwise association rules over baskets.
 
@@ -58,29 +59,64 @@ def frequent_pairs(
     min_support``: ``(item_a, item_b, pair_count, a_count, b_count,
     n_baskets, confidence, lift)`` where ``confidence`` is directional
     a→b (``pair/a_count``) and ``lift = pair·n / (a_count·b_count)``.
+
+    ``min_item_support`` enables the classic apriori item prefilter:
+    items appearing in fewer baskets are dropped from the pair fan-out
+    (an item in a frequent pair must itself be at least as frequent, so
+    any ``min_item_support <= min_support`` leaves the output exactly
+    unchanged while cutting the quadratic term on heavy baskets).
+    ``a_count``/``b_count``/``n_baskets`` are computed from the
+    unfiltered stream, so the reported statistics are unaffected.
+
+    NULL basket keys and NULL items are dropped up front: SQL engines
+    disagree on whether NULL groups count as baskets and whether
+    DISTINCT keeps NULL items, so the operator's contract is
+    NULL-free on both axes (engine-independent).
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
+    if min_item_support is not None and min_item_support > min_support:
+        raise ValueError(
+            "min_item_support must be <= min_support to leave the "
+            f"output unchanged, got {min_item_support} > {min_support}"
+        )
 
-    baskets = df.groupBy(F.col(basket_col).alias("basket")).agg(
+    rows = df.filter(
+        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+    )
+    baskets = rows.groupBy(F.col(basket_col).alias("basket")).agg(
         F.array_sort(F.collect_set(F.col(item_col))).alias("items")
     )
     # One cached logical subtree, three consumers (pairs, item counts,
     # basket total). Catalyst reuses the exchange under AQE; the agg
     # itself is recomputed per consumer, which is the cheap part.
-    pairs = (
-        baskets.select(F.explode(_pair_structs(F.col("items"))).alias("p"))
-        .select("p.item_a", "p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .filter(F.col("pair_count") >= min_support)
-    )
     item_counts = (
         baskets.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("item_count"))
     )
     n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+
+    pair_src = baskets
+    if min_item_support is not None:
+        # Apriori pruning: intersect each basket with the broadcast
+        # frequent-item array BEFORE pair fan-out. array_intersect
+        # preserves the (sorted) order of its first argument, so the
+        # pair generator's a < b invariant survives.
+        frequent = item_counts.filter(
+            F.col("item_count") >= min_item_support
+        ).agg(F.array_sort(F.collect_list("item")).alias("_frequent"))
+        pair_src = baskets.crossJoin(F.broadcast(frequent)).select(
+            "basket",
+            F.array_intersect("items", "_frequent").alias("items"),
+        )
+    pairs = (
+        pair_src.select(F.explode(_pair_structs(F.col("items"))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_support)
+    )
 
     a = item_counts.select(
         F.col("item").alias("item_a"), F.col("item_count").alias("a_count")

@@ -461,6 +461,30 @@ def index_artifacts(
     return sh, bk
 
 
+def bipartite_candidates(
+    index_buckets: DataFrame,
+    batch_buckets: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (batch_id, index_id) pairs sharing at least one LSH
+    band bucket — the bucket-join half of the bipartite check, exposed
+    separately so a caller holding a PARTITIONED index can compute
+    candidates from a pruned bucket scan first and then prune the
+    (much larger) shingle scan to just the candidates' partitions
+    (streaming.dedup_ingest does exactly this)."""
+    bk_i = index_buckets.select(
+        F.col(id_col).alias("index_id"), "band", "bucket"
+    )
+    bk_b = batch_buckets.select(
+        F.col(id_col).alias("batch_id"), "band", "bucket"
+    )
+    return (
+        bk_b.join(bk_i, ["band", "bucket"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+
+
 def incremental_pairs_from_artifacts(
     index_shingles: DataFrame,
     index_buckets: DataFrame,
@@ -468,23 +492,24 @@ def incremental_pairs_from_artifacts(
     batch_buckets: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The artifact-side core of :func:`incremental_lsh_pairs`: both
     sides arrive as prebuilt ``index_artifacts`` frames (the index side
     typically read back from the snapshot store), so per delivery only
-    the bipartite bucket join + exact verification runs."""
+    the bipartite bucket join + exact verification runs.
+
+    ``candidates``: precomputed :func:`bipartite_candidates` output
+    (columns ``batch_id, index_id``); when given, the bucket frames are
+    not consulted — the partition-pruning path in dedup_ingest computes
+    candidates once, collects their partition values, and feeds the
+    same frame back here."""
     sh_i = index_shingles
     sh_b = batch_shingles
-    bk_i = index_buckets.select(
-        F.col(id_col).alias("index_id"), "band", "bucket"
-    )
-    bk_b = batch_buckets.select(
-        F.col(id_col).alias("batch_id"), "band", "bucket"
-    )
     cands = (
-        bk_b.join(bk_i, ["band", "bucket"])
-        .select("batch_id", "index_id")
-        .distinct()
+        candidates
+        if candidates is not None
+        else bipartite_candidates(index_buckets, batch_buckets, id_col)
     )
     inter = (
         cands.join(sh_b.select(F.col(id_col).alias("batch_id"), "h"), "batch_id")

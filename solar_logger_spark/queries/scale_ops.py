@@ -4493,7 +4493,8 @@ def basket_affinity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales (433 rows at sf0.001, 63 at sf0.01 — measured)."""
     li = load_table(spark, sf_dir, "lineitem")
     return basket.frequent_pairs(
-        li, basket_col="l_orderkey", item_col="l_partkey", min_support=3
+        li, basket_col="l_orderkey", item_col="l_partkey", min_support=3,
+        min_item_support=3,
     )
 
 
@@ -4501,6 +4502,7 @@ BASKET_AFFINITY_SQL = """
     WITH items AS (
         SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
         FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ),
     baskets AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
     pair AS (

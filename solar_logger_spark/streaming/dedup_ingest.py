@@ -14,11 +14,20 @@ newly crawled documents is
 
 Scale shape: the index side is NEVER recomputed — per delivery the
 work is the batch's own (map-side, linear) shingling/signatures plus
-the bipartite bucket join, i.e. O(batch + matching buckets) however
-large the accumulated corpus grows. That is the whole point of the
-bipartite design at 100 TB: the crawl index's signatures are artifacts,
-not a per-run computation. (Reference scope: the reference has no
-dedup/streaming-analytics surface at all — MQTT->InfluxDB client,
+the bipartite bucket join. The index artifacts are written in a
+hive-partitioned layout (buckets by ``_pb = pmod(hash(band, bucket),
+N)``, shingles by ``_ps = pmod(hash(doc_id), N)``) and every read in
+the delivery path carries a partition filter: the bucket scan is
+pruned to the partitions the batch's own buckets hash into, and the
+shingle scan to the partitions of the (few) candidate index ids — so a
+delivery READS O(batch-touched partitions + candidate partitions) of
+the index, not the whole thing, and recomputes none of it. The one
+remaining O(index) term is the copy-on-write artifact MERGE itself
+(io/merge rewrites the table per snapshot — the documented cost of a
+log-less COW store; a production deployment amortizes it by batching
+deliveries per merge or graduating to a log-based table format).
+(Reference scope: the reference has no dedup/streaming-analytics
+surface at all — MQTT->InfluxDB client,
 ``src/classes/py_functions.py`` — this is the beyond-reference
 LLM-pipeline family.)
 
@@ -39,18 +48,30 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from solar_logger_spark.io import merge as M
 from solar_logger_spark.operators import dedup as D
 
 SHINGLES = "shingles"
 BUCKETS = "buckets"
+PB = "_pb"  # buckets partition column: pmod(hash(band, bucket), N)
+PS = "_ps"  # shingles partition column: pmod(hash(doc_id), N)
+
+
+def _bucket_part(n_parts: int):
+    return F.pmod(F.hash("band", "bucket"), F.lit(n_parts)).alias(PB)
+
+
+def _shingle_part(id_col: str, n_parts: int):
+    return F.pmod(F.hash(id_col), F.lit(n_parts)).alias(PS)
 
 
 def read_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     """The live (shingles, buckets) artifact frames, or raises
-    FileNotFoundError when the index has never been initialized."""
+    FileNotFoundError when the index has never been initialized.
+    Frames include the partition columns (``_ps`` / ``_pb``); callers
+    filtering on them get partition-pruned file reads."""
     return (
         M.read_table_snapshot(spark, os.path.join(index_dir, SHINGLES)),
         M.read_table_snapshot(spark, os.path.join(index_dir, BUCKETS)),
@@ -67,10 +88,20 @@ def incremental_dedup_sink(
     num_hashes: int = 64,
     bands: int = 32,
     keep_snapshots: int = 2,
+    index_partitions: int = 32,
 ):
     """``foreachBatch`` function: near-dup-check each micro-batch of
     documents against the persisted index, append verified pairs, then
     merge the batch's artifacts into the index.
+
+    ``index_partitions`` (N): both artifact tables are written
+    hive-partitioned (buckets by ``pmod(hash(band, bucket), N)``,
+    shingles by ``pmod(hash(doc_id), N)``) and the delivery path reads
+    them through IN-list partition filters — the batch's own bucket
+    partitions, then the candidates' shingle partitions — so file reads
+    prune to the partitions that can match instead of scanning the
+    whole index. Size N so one partition of the production index is a
+    few hundred MB; the two driver-side IN-lists are bounded by N.
 
     Usage::
 
@@ -93,22 +124,53 @@ def incremental_dedup_sink(
         sh_b, bk_b = D.index_artifacts(
             batch_df, id_col, text_col, n, num_hashes, bands
         )
-        sh_b = sh_b.localCheckpoint()
-        bk_b = bk_b.localCheckpoint()
-        if M.current_snapshot(sh_dir) is None:
-            # first delivery bootstraps the index; nothing to pair
-            M.init_table(sh_b, sh_dir)
-            M.init_table(bk_b, bk_dir)
+        sh_b = sh_b.withColumn(
+            PS, _shingle_part(id_col, index_partitions)
+        ).localCheckpoint()
+        bk_b = bk_b.withColumn(
+            PB, _bucket_part(index_partitions)
+        ).localCheckpoint()
+        sh_missing = M.current_snapshot(sh_dir) is None
+        bk_missing = M.current_snapshot(bk_dir) is None
+        if sh_missing or bk_missing:
+            # First delivery bootstraps the index; nothing to pair.
+            # Each table is checked INDEPENDENTLY: a crash between the
+            # two inits leaves one initialized, and the foreachBatch
+            # replay of the same delivery must complete the other half
+            # instead of failing on the existing one forever.
+            if sh_missing:
+                M.init_table(sh_b, sh_dir, partition_by=[PS])
+            if bk_missing:
+                M.init_table(bk_b, bk_dir, partition_by=[PB])
             return
         sh_i, bk_i = read_index(spark, index_dir)
         # replay guard: a previous half-committed attempt may have
         # already merged this delivery — never pair the batch against
         # its own documents
         batch_ids = sh_b.select(id_col).distinct()
-        sh_i = sh_i.join(batch_ids, id_col, "left_anti")
-        bk_i = bk_i.join(batch_ids, id_col, "left_anti")
+        # partition-pruned candidate generation: only index bucket
+        # partitions the batch's buckets hash into can match (same
+        # Murmur3 pmod on both sides). The IN-list is <= N values.
+        pbs = [r[0] for r in bk_b.select(PB).distinct().collect()]
+        bk_i = bk_i.filter(F.col(PB).isin(pbs)).join(
+            batch_ids, id_col, "left_anti"
+        )
+        cands = D.bipartite_candidates(bk_i, bk_b, id_col=id_col)
+        cands = cands.localCheckpoint()  # reused: prune-list + verify
+        # shingle scan pruned to the candidates' partitions — all
+        # shingle rows of an id live in its pmod(hash(id), N) partition
+        pss = [
+            r[0]
+            for r in cands.select(
+                F.pmod(F.hash("index_id"), F.lit(index_partitions))
+            ).distinct().collect()
+        ]
+        sh_i = sh_i.filter(F.col(PS).isin(pss)).join(
+            batch_ids, id_col, "left_anti"
+        )
         pairs = D.incremental_pairs_from_artifacts(
-            sh_i, bk_i, sh_b, bk_b, id_col=id_col, threshold=threshold
+            sh_i, bk_i, sh_b, bk_b, id_col=id_col, threshold=threshold,
+            candidates=cands,
         )
         if M.current_snapshot(pairs_dir) is None:
             M.init_table(pairs, pairs_dir)
@@ -121,8 +183,8 @@ def incremental_dedup_sink(
         # replace-per-doc: all artifact rows of a redelivered id are
         # swapped for the fresh ones
         M.upsert(spark, sh_dir, sh_b, keys=[id_col],
-                 keep_snapshots=keep_snapshots)
+                 keep_snapshots=keep_snapshots, partition_by=[PS])
         M.upsert(spark, bk_dir, bk_b, keys=[id_col],
-                 keep_snapshots=keep_snapshots)
+                 keep_snapshots=keep_snapshots, partition_by=[PB])
 
     return _write

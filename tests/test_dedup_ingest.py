@@ -137,3 +137,76 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert pairs_again == pairs_once
     assert sh_again == sh_once
     assert all(a != b for (a, b) in pairs_again)
+
+
+def test_half_finished_bootstrap_completes_on_replay(spark, tmp_path):
+    """A crash between the two bootstrap init_table calls leaves the
+    shingles table initialized and buckets missing; the foreachBatch
+    replay of the same delivery must complete the bucket half (and a
+    dead orphan snap dir without a pointer must be rewritten, not
+    collide on errorifexists)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    deliveries = _corpus()
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = DI.incremental_dedup_sink(index_dir, pairs_dir,
+                                     threshold=THRESHOLD)
+    d1 = spark.createDataFrame(deliveries[0])
+    # simulate the crash: only the shingles half of the bootstrap ran
+    sh_b, _bk_b = dedup.index_artifacts(d1)
+    sh_b = sh_b.withColumn("_ps", F.pmod(F.hash("doc_id"), F.lit(32)))
+    M.init_table(sh_b, index_dir + "/shingles", partition_by=["_ps"])
+    # ... plus a dead orphan buckets snapshot dir with no _CURRENT
+    orphan = os.path.join(index_dir, "buckets", "snap-000000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "_half_written.parquet"), "w") as fh:
+        fh.write("junk")
+
+    sink(d1, 0)  # replay: must not raise, must finish the bootstrap
+    sh, bk = DI.read_index(spark, index_dir)
+    ids = {r.doc_id for r in d1.select("doc_id").distinct().collect()}
+    assert {r.doc_id for r in bk.select("doc_id").distinct().collect()} \
+        == ids
+    assert {r.doc_id for r in sh.select("doc_id").distinct().collect()} \
+        == ids
+    # and the loop keeps working: delivery 2 pairs against delivery 1
+    sink(spark.createDataFrame(deliveries[1]), 1)
+    assert _canon(M.read_table_snapshot(spark, pairs_dir).collect())
+
+
+def test_delivery_reads_are_partition_pruned(spark, tmp_path):
+    """The artifact tables are written hive-partitioned and the
+    delivery path reads them through IN-list partition filters: an
+    equivalent pruned read must show partition filters in the scan and
+    touch strictly fewer files than the table holds."""
+    deliveries = _corpus()
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = DI.incremental_dedup_sink(index_dir, pairs_dir,
+                                     threshold=THRESHOLD)
+    sink(spark.createDataFrame(deliveries[0]), 0)
+    sink(spark.createDataFrame(deliveries[1]), 1)
+
+    sh, bk = DI.read_index(spark, index_dir)
+    assert DI.PS in sh.columns and DI.PB in bk.columns
+
+    pruned = bk.filter(bk[DI.PB].isin([0, 1, 2]))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    scan = plan[plan.index("PartitionFilters"):]
+    assert DI.PB in scan[:scan.index("]")], (
+        "partition filter on _pb missing from the bucket scan"
+    )
+    # inputFiles() is not filter-aware; count the files the pruned scan
+    # actually touches at execution time instead
+    from pyspark.sql import functions as F
+
+    touched = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert touched < len(bk.inputFiles())
