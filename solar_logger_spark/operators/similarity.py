@@ -381,6 +381,7 @@ def _table_buckets(
     dim: int,
     n_tables: int,
     seed: int,
+    exact_fold: bool = True,
 ) -> DataFrame:
     """(id, tbl, bucket) rows for ``n_tables`` independent sign-LSH
     tables, computed in ONE scan: a single Arrow-batched matmul against
@@ -411,14 +412,21 @@ def _table_buckets(
             a = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            # dimension-order accumulation (NOT a BLAS matmul, whose
-            # association is unspecified): each sign bit's dot product
-            # is the same left-to-right 0+Σ v_d·w_d fold the SQL
-            # oracle's list_sum computes, so buckets — and therefore
-            # the candidate set — agree bit-for-bit across engines
-            acc = np.zeros((len(a), planes.shape[0]))
-            for d in range(planes.shape[1]):
-                acc += a[:, d, None] * planes[None, :, d]
+            if exact_fold:
+                # dimension-order accumulation (NOT a BLAS matmul,
+                # whose association is unspecified): each sign bit's
+                # dot product is the same left-to-right 0+Σ v_d·w_d
+                # fold the SQL oracle's list_sum computes, so buckets —
+                # and therefore the candidate set — agree bit-for-bit
+                # across engines. Pay this ONLY where a hash-compared
+                # oracle needs it (the declared similarity_ann_lsh
+                # query); production recall does not depend on which
+                # side of zero a ~1-ulp-ambiguous dot product lands.
+                acc = np.zeros((len(a), planes.shape[0]))
+                for d in range(planes.shape[1]):
+                    acc += a[:, d, None] * planes[None, :, d]
+            else:
+                acc = a @ planes.T  # BLAS fast path
             bits = acc >= 0  # (n, T·b)
             bits = bits.reshape(len(a), n_tables, n_planes)
             buckets = (bits * weights).sum(axis=2)  # (n, T)
@@ -449,6 +457,7 @@ def topk_lsh(
     n_tables: int = 1,
     multiprobe: int = 0,
     seed: int = 7,
+    exact_fold: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors that collide with
     the query in at least one LSH table. Same output shape as
@@ -464,12 +473,21 @@ def topk_lsh(
     radius 0 this is the classic single-bucket probe. Corpus buckets for
     all tables are computed in one scan; candidates dedupe before the
     exact-cosine re-score, so the output is exact ranking over the
-    candidate set."""
+    candidate set.
+
+    ``exact_fold``: True keeps bucket dot products in dimension-order
+    accumulation so a SQL oracle re-derives identical buckets (the
+    declared hash-compared query's requirement); False takes the BLAS
+    matmul fast path — same recall contract (tests/test_ann_recall.py
+    covers both) — use it everywhere a bit-identical candidate set is
+    not being audited."""
     cb = _table_buckets(
-        corpus, "neighbor_id", id_col, vec_col, n_planes, dim, n_tables, seed
+        corpus, "neighbor_id", id_col, vec_col, n_planes, dim, n_tables,
+        seed, exact_fold,
     )
     qb = _table_buckets(
-        queries, "query_id", id_col, vec_col, n_planes, dim, n_tables, seed
+        queries, "query_id", id_col, vec_col, n_planes, dim, n_tables,
+        seed, exact_fold,
     )
     if multiprobe > 0:
         masks = [

@@ -116,11 +116,22 @@ class IngestBatchProcessor:
     commit protocol; this is the same idea scaled down.)
     """
 
-    def __init__(self, output_dir: str, gate_online: bool = True) -> None:
+    def __init__(
+        self,
+        output_dir: str,
+        gate_online: bool = True,
+        gate_mode: str = "batch",
+    ) -> None:
+        if gate_mode not in ("batch", "dimension"):
+            raise ValueError(
+                f"gate_mode must be 'batch' or 'dimension', got {gate_mode!r}"
+            )
         self.status_path = os.path.join(output_dir, "_status")
+        self.dim_path = os.path.join(output_dir, "_status_dim")
         self.points_path = os.path.join(output_dir, "points")
         self.commits_path = os.path.join(output_dir, "_commits")
         self.gate_online = gate_online
+        self.gate_mode = gate_mode
 
     def _commit_marker(self, epoch_id: int) -> str:
         return os.path.join(self.commits_path, f"epoch-{epoch_id}")
@@ -128,6 +139,25 @@ class IngestBatchProcessor:
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         if os.path.exists(self._commit_marker(epoch_id)):
             return  # crash-replay of an already-committed batch
+        if self.gate_mode == "dimension":
+            points = self._dimension_gated_points(batch, epoch_id)
+        else:
+            points = self._batch_gated_points(batch)
+        (
+            points.withColumn("date", F.to_date("ts"))
+            # time-sorted within each written file → tight per-row-group
+            # ts min/max stats, so time-range scans skip row groups even
+            # inside a partition
+            .sortWithinPartitions("measurement", "date", "ts")
+            .write.mode("append")
+            .partitionBy("measurement", "date")
+            .parquet(self.points_path)
+        )
+        os.makedirs(self.commits_path, exist_ok=True)
+        with open(self._commit_marker(epoch_id), "w"):
+            pass
+
+    def _batch_gated_points(self, batch: DataFrame) -> DataFrame:
         spark_b = batch.sparkSession
         # 1. fold this batch's status updates into the persisted
         #    latest-per-device table (the reference's ``self._status``
@@ -150,23 +180,31 @@ class IngestBatchProcessor:
                 latest_df,
                 keys=["device"],
             ).withColumnRenamed("device", "measurement")
-        (
-            points.withColumn("date", F.to_date("ts"))
-            # time-sorted within each written file → tight per-row-group
-            # ts min/max stats, so time-range scans skip row groups even
-            # inside a partition
-            .sortWithinPartitions("measurement", "date", "ts")
-            .write.mode("append")
-            .partitionBy("measurement", "date")
-            .parquet(self.points_path)
-        )
         if latest_rows:
             spark_b.createDataFrame(latest_rows, latest.schema).write.mode(
                 "overwrite"
             ).parquet(self.status_path)
-        os.makedirs(self.commits_path, exist_ok=True)
-        with open(self._commit_marker(epoch_id), "w"):
-            pass
+        return points
+
+    def _dimension_gated_points(
+        self, batch: DataFrame, epoch_id: int
+    ) -> DataFrame:
+        """The composed dimension path: fold the batch's status
+        messages into the MAINTAINED snapshot-store dimension
+        (:func:`status_dimension_sink` — ts-guarded MERGE, so a crash
+        replay re-upserting the same rows is a no-op), then gate the
+        batch's points against the refreshed dimension. The per-batch
+        latest-status reduction of the default path disappears: the
+        dimension already IS that reduction, maintained incrementally."""
+        from solar_logger_spark.io import merge as M
+
+        status_dimension_sink(self.dim_path)(batch, epoch_id)
+        if not self.gate_online:
+            return data_points(batch)
+        if M.current_snapshot(self.dim_path) is None:
+            return data_points(batch)  # no status seen yet: ungated
+        dim = M.read_table_snapshot(batch.sparkSession, self.dim_path)
+        return gated_batch_from_dimension(batch, dim)
 
 
 def ingest_query(
@@ -176,6 +214,7 @@ def ingest_query(
     checkpoint_dir: str,
     gate_online: bool = True,
     available_now: bool = True,
+    gate_mode: str = "batch",
 ) -> StreamingQuery:
     """End-to-end ingest: parquet-file message stream → decoded gated
     points → parquet append sink partitioned by (measurement, date).
@@ -185,6 +224,14 @@ def ingest_query(
     read-your-latest-status semantics as the reference's in-memory
     ``self._status`` dict, but restart-safe (status survives in the sink
     directory's ``_status`` subtable).
+
+    ``gate_mode``: ``"batch"`` re-reduces latest-per-device from the
+    raw status history each delivery (the original path);
+    ``"dimension"`` maintains the :func:`status_dimension_sink`
+    snapshot-store dimension incrementally (ts-guarded MERGE) and
+    gates via :func:`gated_batch_from_dimension` — same gate
+    semantics, but the status reduction is table state instead of a
+    per-batch recompute, and the dimension is independently queryable.
     """
     raw = (
         spark.readStream.schema(RAW_SCHEMA)
@@ -192,7 +239,9 @@ def ingest_query(
         .parquet(input_dir)
     )
     writer = raw.writeStream.foreachBatch(
-        IngestBatchProcessor(output_dir, gate_online=gate_online)
+        IngestBatchProcessor(
+            output_dir, gate_online=gate_online, gate_mode=gate_mode
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

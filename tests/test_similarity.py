@@ -74,6 +74,25 @@ def test_topk_lsh_recalls_close_neighbors(vectors):
     assert {1, 4} <= got
 
 
+def test_topk_lsh_blas_fast_path_same_contract(vectors):
+    """exact_fold=False (BLAS matmul bucketing — the production path)
+    must satisfy the same recall contract; on these well-separated
+    vectors the candidate sets are identical, so outputs match the
+    fold path row for row."""
+    queries = vectors.filter("vec_id = 0")
+    fold = similarity.topk_lsh(
+        vectors, queries, k=3, n_planes=4, dim=4
+    ).collect()
+    blas = similarity.topk_lsh(
+        vectors, queries, k=3, n_planes=4, dim=4, exact_fold=False
+    ).collect()
+    canon = lambda rows: sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in rows
+    )
+    assert canon(blas) == canon(fold)
+    assert {1, 4} <= {r.neighbor_id for r in blas}
+
+
 def test_dot_is_left_to_right_double(spark):
     """Accumulation order is deterministic (oracle reproducibility)."""
     from pyspark.sql import functions as F

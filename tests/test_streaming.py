@@ -209,6 +209,77 @@ def test_ingest_query_end_to_end(spark, tmp_path):
     assert len(rows2) == len(D.DC_FIELDS) + len(D.MX_FIELDS)
 
 
+def test_ingest_query_dimension_gate_end_to_end(spark, tmp_path):
+    """The composed loop (VERDICT r6 #7): status sink → maintained
+    snapshot-store dimension → dimension-gated points → parquet. Same
+    scenario as the batch-mode e2e, so the two gate modes must agree:
+    offline devices gated out, later online status re-admits them, and
+    the dimension itself is a queryable latest-per-device table."""
+    from solar_logger_spark.io import merge as M
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ts = datetime(2024, 1, 1)
+    dc_pkt, dc_values = _packet("dc-1", 1704067200, 7.0)
+    mx_pkt, _ = _packet("mx-1", 1704153600, 8.0)
+    _raw_df(
+        spark,
+        [
+            ("mate/dc-1/status", b"online", ts),
+            ("mate/mx-1/status", b"offline", ts),
+            ("mate/dc-1/dc-status", dc_pkt, ts),
+            ("mate/mx-1/mx-status", mx_pkt, ts),
+        ],
+    ).write.parquet(input_dir)
+
+    q = I.ingest_query(spark, input_dir, out_dir, ckpt,
+                       gate_mode="dimension")
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir + "/points").collect()
+    assert {r.measurement for r in rows} == {"dc-1"}
+    assert len(rows) == len(D.DC_FIELDS)
+    got = {r.field: r.value for r in rows}
+    for f, v in dc_values.items():
+        assert got[f] == pytest.approx(v)
+    # the maintained dimension is independently queryable table state
+    dim = {
+        r.device: r.status
+        for r in M.read_table_snapshot(
+            spark, out_dir + "/_status_dim"
+        ).collect()
+    }
+    assert dim == {"dc-1": "online", "mx-1": "offline"}
+
+    # second delivery: mx-1 comes online — the ts-guarded MERGE
+    # advances the dimension and its packets now pass the gate
+    _raw_df(
+        spark,
+        [
+            ("mate/mx-1/status", b"online", datetime(2024, 1, 2)),
+            ("mate/mx-1/mx-status", mx_pkt, datetime(2024, 1, 2)),
+        ],
+    ).write.mode("append").parquet(input_dir)
+    q2 = I.ingest_query(spark, input_dir, out_dir, ckpt,
+                        gate_mode="dimension")
+    q2.awaitTermination(120)
+    rows2 = spark.read.parquet(out_dir + "/points").collect()
+    assert {r.measurement for r in rows2} == {"dc-1", "mx-1"}
+    assert len(rows2) == len(D.DC_FIELDS) + len(D.MX_FIELDS)
+    dim2 = {
+        r.device: r.status
+        for r in M.read_table_snapshot(
+            spark, out_dir + "/_status_dim"
+        ).collect()
+    }
+    assert dim2 == {"dc-1": "online", "mx-1": "online"}
+
+    with pytest.raises(ValueError, match="gate_mode"):
+        I.IngestBatchProcessor(out_dir, gate_mode="nope")
+
+
 def test_windowed_rollup_stream(spark, tmp_path):
     input_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
