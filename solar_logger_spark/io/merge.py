@@ -109,11 +109,26 @@ def upsert(
     order_col: str | None = None,
     keep_snapshots: int = 2,
     partition_by: Sequence[str] | None = None,
+    partition_scoped: bool = False,
 ) -> str:
     """MERGE ``updates`` into the table by ``keys``: matched base rows
     are replaced, unmatched update rows are inserted, and rows matching
     ``delete_filter`` (evaluated on the base) are dropped. Writes a new
     snapshot and swaps ``_CURRENT``; returns the new snapshot name.
+
+    ``partition_scoped=True`` (requires ``partition_by``) rewrites ONLY
+    the partitions the updates touch: base partitions without any
+    update row are HARDLINKED from the live snapshot into the new one
+    (immutable files, so links are safe; pruning a snapshot removes
+    links, never shared data). This turns the COW merge cost from
+    O(table) into O(touched partitions) — the difference between a
+    workable and an unworkable per-delivery merge on a 100 TB index.
+    CONTRACT: every partition column must be a deterministic function
+    of the merge ``keys`` (a key's old and new rows then live in the
+    same partition, so untouched partitions cannot hold stale rows for
+    updated keys) — the caller owns that guarantee; ``delete_filter``
+    is rejected here because it may select rows in untouched
+    partitions.
 
     ``order_col``: a monotonic version/event-time column. When given, an
     update only replaces a base row if its ``order_col`` is >= the base
@@ -130,7 +145,41 @@ def upsert(
     snap = current_snapshot(table_dir)
     if snap is None:
         raise FileNotFoundError(f"no _CURRENT snapshot in {table_dir}")
+    if partition_scoped:
+        if not partition_by:
+            raise ValueError("partition_scoped requires partition_by")
+        if delete_filter is not None:
+            raise ValueError(
+                "delete_filter may select rows in partitions the updates "
+                "never touch; partition_scoped cannot honor it"
+            )
     base = spark.read.parquet(os.path.join(table_dir, snap))
+    touched: list[tuple] | None = None
+    if partition_scoped:
+        # the partition value list is bounded by the layout's partition
+        # count (the caller sized it, e.g. pmod(hash(key), N)) — a tiny
+        # driver-side collect that buys pruned reads AND linked writes
+        touched = [
+            tuple(r) for r in
+            updates.select(*partition_by).distinct().collect()
+        ]
+        import functools
+        import operator
+
+        pred = functools.reduce(
+            operator.or_,
+            [
+                functools.reduce(
+                    operator.and_,
+                    [
+                        F.col(c).eqNullSafe(F.lit(v))
+                        for c, v in zip(partition_by, t)
+                    ],
+                )
+                for t in touched
+            ],
+        )
+        base = base.filter(pred)
     if delete_filter is not None:
         # NULL predicate means "not deleted" — coalesce before negating,
         # else three-valued logic silently drops NULL-predicate rows
@@ -154,9 +203,78 @@ def upsert(
     kept = base.join(upd_keys, keys, "left_anti")
     merged = kept.unionByName(updates.select(*base.columns))
 
+    if partition_scoped:
+        new_name = _prepare_next_snapshot(table_dir, snap)
+        new_path = os.path.join(table_dir, new_name)
+        merged.write.mode("errorifexists").partitionBy(
+            *partition_by
+        ).parquet(new_path)
+        _link_untouched_partitions(
+            os.path.join(table_dir, snap), new_path,
+            list(partition_by), touched,
+        )
+        _swap_pointer(table_dir, new_name)
+        _prune(table_dir, keep=keep_snapshots)
+        return new_name
     return _write_next_snapshot(
         merged, table_dir, snap, keep_snapshots, partition_by
     )
+
+
+def _prepare_next_snapshot(table_dir: str, live_snap: str) -> str:
+    """Orphan cleanup + next snapshot name. Next index = live pointer
+    + 1 AFTER removing orphans: a crash between a snapshot write and
+    the pointer swap leaves an orphan dir, and writing into it would
+    collide forever (errorifexists). Orphans newer than the live
+    pointer are dead (never referenced) — removed first so a
+    half-written directory can't be confused for data."""
+    live_idx = int(live_snap.split("-")[1])
+    for d in sorted(os.listdir(table_dir)):
+        if d.startswith("snap-") and int(d.split("-")[1]) > live_idx:
+            shutil.rmtree(os.path.join(table_dir, d))
+    return _snap_name(live_idx + 1)
+
+
+def _link_untouched_partitions(
+    old_path: str,
+    new_path: str,
+    partition_by: list[str],
+    touched: list[tuple],
+) -> None:
+    """Hardlink every leaf partition dir of the live snapshot whose
+    partition values are NOT in ``touched`` into the new snapshot —
+    snapshot files are immutable, so links are safe, and pruning an old
+    snapshot unlinks names without affecting shared data. Hive dir
+    values are compared by string form (the partition columns under
+    this contract are non-null ints, where str() round-trips)."""
+    touched_strs = {tuple(str(v) for v in t) for t in touched}
+
+    def _walk(old_dir: str, new_dir: str, depth: int, vals: tuple) -> None:
+        for entry in os.listdir(old_dir):
+            src = os.path.join(old_dir, entry)
+            if depth == 0:
+                # snapshot-level bookkeeping files (_SUCCESS): the new
+                # write already produced its own
+                if not os.path.isdir(src):
+                    continue
+            if os.path.isdir(src) and entry.startswith(
+                partition_by[depth] + "="
+            ):
+                v = entry.split("=", 1)[1]
+                if depth + 1 == len(partition_by):
+                    if vals + (v,) in touched_strs:
+                        continue  # rewritten by the scoped write
+                    dst = os.path.join(new_dir, entry)
+                    os.makedirs(dst, exist_ok=True)
+                    for f in os.listdir(src):
+                        sf = os.path.join(src, f)
+                        if os.path.isfile(sf):
+                            os.link(sf, os.path.join(dst, f))
+                else:
+                    _walk(src, os.path.join(new_dir, entry),
+                          depth + 1, vals + (v,))
+
+    _walk(old_path, new_path, 0, ())
 
 
 def _write_next_snapshot(
@@ -166,21 +284,10 @@ def _write_next_snapshot(
     keep_snapshots: int,
     partition_by: Sequence[str] | None = None,
 ) -> str:
-    """The one copy of the commit sequence shared by upsert and
-    replace_table: clean dead orphans, write the next snapshot dir,
-    swap the pointer atomically, prune.
-
-    Next index = live pointer + 1 AFTER removing orphans: a crash
-    between a snapshot write and the pointer swap leaves an orphan
-    dir, and writing into it would collide forever (errorifexists).
-    Orphans newer than the live pointer are dead (never referenced) —
-    removed first so a half-written directory can't be confused for
-    data."""
-    live_idx = int(live_snap.split("-")[1])
-    for d in sorted(os.listdir(table_dir)):
-        if d.startswith("snap-") and int(d.split("-")[1]) > live_idx:
-            shutil.rmtree(os.path.join(table_dir, d))
-    new_name = _snap_name(live_idx + 1)
+    """The one copy of the full-rewrite commit sequence shared by
+    upsert and replace_table: clean dead orphans, write the next
+    snapshot dir, swap the pointer atomically, prune."""
+    new_name = _prepare_next_snapshot(table_dir, live_snap)
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -4492,9 +4492,13 @@ def basket_affinity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Support threshold 3 keeps the output discriminating at both verify
     scales (433 rows at sf0.001, 63 at sf0.01 — measured)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # min_item_support deliberately OFF: lineitem baskets are bounded
+    # (<= 7 items), so the apriori prefilter's extra broadcast +
+    # re-collect costs more than the fan-out it prunes (measured 1.7s
+    # vs 2.4s steady-state at sf0.1). The prefilter is for heavy-basket
+    # corpora — see operators/basket.py and its fan-out pytest.
     return basket.frequent_pairs(
-        li, basket_col="l_orderkey", item_col="l_partkey", min_support=3,
-        min_item_support=3,
+        li, basket_col="l_orderkey", item_col="l_partkey", min_support=3
     )
 
 

@@ -78,6 +78,73 @@ def read_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def pair_batch_against_index(
+    spark,
+    index_dir: str,
+    sh_b: DataFrame,
+    bk_b: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    index_partitions: int = 32,
+) -> DataFrame:
+    """The read-side half of a delivery: partition-pruned candidate
+    generation + exact verification of batch artifacts against the
+    persisted index. Exposed separately from the sink so its cost can
+    be probed independently of the COW artifact merge (SCALING), and
+    so batch jobs can pair without mutating the index. Batch frames
+    must carry the ``_pb``/``_ps`` partition columns the sink adds."""
+    sh_i, bk_i = read_index(spark, index_dir)
+    batch_ids = sh_b.select(id_col).distinct()
+    # only index bucket partitions the batch's buckets hash into can
+    # match (same Murmur3 pmod on both sides); the IN-list is <= N
+    pbs = [r[0] for r in bk_b.select(PB).distinct().collect()]
+    bk_i = bk_i.filter(F.col(PB).isin(pbs)).join(
+        batch_ids, id_col, "left_anti"
+    )
+    cands = D.bipartite_candidates(bk_i, bk_b, id_col=id_col)
+    cands = cands.localCheckpoint()  # reused: prune-list + verify
+    # shingle scan pruned to the candidates' partitions — all shingle
+    # rows of an id live in its pmod(hash(id), N) partition
+    pss = [
+        r[0]
+        for r in cands.select(
+            F.pmod(F.hash("index_id"), F.lit(index_partitions))
+        ).distinct().collect()
+    ]
+    sh_i = sh_i.filter(F.col(PS).isin(pss)).join(
+        batch_ids, id_col, "left_anti"
+    )
+    return D.incremental_pairs_from_artifacts(
+        sh_i, bk_i, sh_b, bk_b, id_col=id_col, threshold=threshold,
+        candidates=cands,
+    )
+
+
+def batch_artifacts(
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    index_partitions: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """One pass over a delivery builds both artifact frames WITH the
+    partition columns, lineage-cut once (they feed the pair check AND
+    the index merge; blocks are freed by the context cleaner when the
+    batch's RDDs go out of scope — the graph.py pattern)."""
+    sh_b, bk_b = D.index_artifacts(
+        batch_df, id_col, text_col, n, num_hashes, bands
+    )
+    sh_b = sh_b.withColumn(
+        PS, _shingle_part(id_col, index_partitions)
+    ).localCheckpoint()
+    bk_b = bk_b.withColumn(
+        PB, _bucket_part(index_partitions)
+    ).localCheckpoint()
+    return sh_b, bk_b
+
+
 def incremental_dedup_sink(
     index_dir: str,
     pairs_dir: str,
@@ -117,19 +184,10 @@ def incremental_dedup_sink(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        # one pass over the delivery builds both artifact frames; they
-        # feed the pair check AND the index merge, so cut lineage once
-        # (blocks are freed by the context cleaner when the batch's
-        # RDDs go out of scope — the graph.py pattern)
-        sh_b, bk_b = D.index_artifacts(
-            batch_df, id_col, text_col, n, num_hashes, bands
+        sh_b, bk_b = batch_artifacts(
+            batch_df, id_col, text_col, n, num_hashes, bands,
+            index_partitions,
         )
-        sh_b = sh_b.withColumn(
-            PS, _shingle_part(id_col, index_partitions)
-        ).localCheckpoint()
-        bk_b = bk_b.withColumn(
-            PB, _bucket_part(index_partitions)
-        ).localCheckpoint()
         sh_missing = M.current_snapshot(sh_dir) is None
         bk_missing = M.current_snapshot(bk_dir) is None
         if sh_missing or bk_missing:
@@ -143,34 +201,13 @@ def incremental_dedup_sink(
             if bk_missing:
                 M.init_table(bk_b, bk_dir, partition_by=[PB])
             return
-        sh_i, bk_i = read_index(spark, index_dir)
-        # replay guard: a previous half-committed attempt may have
-        # already merged this delivery — never pair the batch against
-        # its own documents
-        batch_ids = sh_b.select(id_col).distinct()
-        # partition-pruned candidate generation: only index bucket
-        # partitions the batch's buckets hash into can match (same
-        # Murmur3 pmod on both sides). The IN-list is <= N values.
-        pbs = [r[0] for r in bk_b.select(PB).distinct().collect()]
-        bk_i = bk_i.filter(F.col(PB).isin(pbs)).join(
-            batch_ids, id_col, "left_anti"
-        )
-        cands = D.bipartite_candidates(bk_i, bk_b, id_col=id_col)
-        cands = cands.localCheckpoint()  # reused: prune-list + verify
-        # shingle scan pruned to the candidates' partitions — all
-        # shingle rows of an id live in its pmod(hash(id), N) partition
-        pss = [
-            r[0]
-            for r in cands.select(
-                F.pmod(F.hash("index_id"), F.lit(index_partitions))
-            ).distinct().collect()
-        ]
-        sh_i = sh_i.filter(F.col(PS).isin(pss)).join(
-            batch_ids, id_col, "left_anti"
-        )
-        pairs = D.incremental_pairs_from_artifacts(
-            sh_i, bk_i, sh_b, bk_b, id_col=id_col, threshold=threshold,
-            candidates=cands,
+        # replay guard (inside pair_batch_against_index): a previous
+        # half-committed attempt may have already merged this delivery
+        # — the batch's own ids are anti-joined out of the index side
+        pairs = pair_batch_against_index(
+            spark, index_dir, sh_b, bk_b,
+            id_col=id_col, threshold=threshold,
+            index_partitions=index_partitions,
         )
         if M.current_snapshot(pairs_dir) is None:
             M.init_table(pairs, pairs_dir)
@@ -181,9 +218,18 @@ def incremental_dedup_sink(
                 keep_snapshots=keep_snapshots,
             )
         # replace-per-doc: all artifact rows of a redelivered id are
-        # swapped for the fresh ones
+        # swapped for the fresh ones. The shingles table (the big one)
+        # merges partition-SCOPED: _ps is a function of the merge key,
+        # so only the batch's partitions are rewritten and the rest of
+        # the index is hardlinked into the new snapshot — per-delivery
+        # merge cost is O(batch-touched partitions), not O(index).
+        # The buckets table keeps the full rewrite (its _pb layout is a
+        # function of bucket contents, not of the key, which the read
+        # path needs for candidate pruning; it is the 32-rows-per-doc
+        # small side).
         M.upsert(spark, sh_dir, sh_b, keys=[id_col],
-                 keep_snapshots=keep_snapshots, partition_by=[PS])
+                 keep_snapshots=keep_snapshots, partition_by=[PS],
+                 partition_scoped=True)
         M.upsert(spark, bk_dir, bk_b, keys=[id_col],
                  keep_snapshots=keep_snapshots, partition_by=[PB])
 

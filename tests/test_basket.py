@@ -109,19 +109,21 @@ def test_apriori_prefilter_cuts_heavy_basket_fanout(spark):
     )
     got = {(r.item_a, r.item_b): r.pair_count for r in out.collect()}
     assert got == {(900, 901): 3}
-    # the guarded pair source really is pruned: count exploded pairs
+    # the guarded pair source really is pruned: replicate the
+    # operator's semi-join shape and count the surviving fan-out
     from pyspark.sql import functions as F
 
-    baskets = df.filter(
-        F.col("b").isNotNull() & F.col("i").isNotNull()
-    ).groupBy("b").agg(F.array_sort(F.collect_set("i")).alias("items"))
-    ic = baskets.select(F.explode("items").alias("item")).groupBy(
-        "item"
-    ).count().filter(F.col("count") >= 3)
-    frequent = ic.agg(F.array_sort(F.collect_list("item")).alias("fr"))
+    rows_df = df.filter(F.col("b").isNotNull() & F.col("i").isNotNull())
+    baskets = rows_df.groupBy("b").agg(
+        F.array_sort(F.collect_set("i")).alias("items")
+    )
+    frequent = (
+        baskets.select(F.explode("items").alias("i"))
+        .groupBy("i").count().filter(F.col("count") >= 3).select("i")
+    )
     pruned_fanout = (
-        baskets.crossJoin(F.broadcast(frequent))
-        .select(F.size(F.array_intersect("items", "fr")).alias("k"))
+        rows_df.join(F.broadcast(frequent), "i", "left_semi")
+        .groupBy("b").agg(F.size(F.collect_set("i")).alias("k"))
         .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2))
         .collect()[0][0]
     )

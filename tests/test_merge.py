@@ -232,3 +232,80 @@ def test_replace_table_full_refresh_and_time_travel(spark, tmp_path):
     # the previous snapshot stays time-travelable
     assert [r.k for r in
             M.read_table_snapshot(spark, tdir, at=s0).collect()] == [1]
+
+
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    """A partitioned table: key k, partition p = k % 4 (a function of
+    the key — the partition-scoped contract)."""
+    rows = [Row(k=i, p=i % 4, v=f"v{i}") for i in range(20)]
+    d = str(tmp_path / "ptab")
+    M.init_table(spark.createDataFrame(rows), d, partition_by=["p"])
+    return d
+
+
+def test_partition_scoped_upsert_matches_full_rewrite(spark, ptable):
+    upd = spark.createDataFrame(
+        [Row(k=1, p=1, v="NEW"), Row(k=100, p=0, v="INS")]
+    )
+    M.upsert(spark, ptable, upd, keys=["k"], partition_by=["p"],
+             partition_scoped=True)
+    got = {
+        (r.k, r.p, r.v)
+        for r in M.read_table_snapshot(spark, ptable).collect()
+    }
+    exp = {
+        (i, i % 4, f"v{i}") for i in range(20) if i != 1
+    } | {(1, 1, "NEW"), (100, 0, "INS")}
+    assert got == exp
+
+
+def test_partition_scoped_upsert_links_untouched_partitions(spark, ptable):
+    """Partitions without update rows must be HARDLINKED from the live
+    snapshot (same inode), not rewritten; touched partitions must be
+    new files."""
+    upd = spark.createDataFrame([Row(k=2, p=2, v="NEW")])
+    old = M.current_snapshot(ptable)
+    new = M.upsert(spark, ptable, upd, keys=["k"], partition_by=["p"],
+                   partition_scoped=True, keep_snapshots=5)
+
+    def inodes(snap, part):
+        d = os.path.join(ptable, snap, f"p={part}")
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    for part in (0, 1, 3):  # untouched: shared inodes
+        assert inodes(new, part) == inodes(old, part)
+    assert inodes(new, 2).isdisjoint(inodes(old, 2))  # rewritten
+    # pruning the old snapshot must not damage the linked data
+    M._prune(ptable, keep=1)
+    assert not os.path.isdir(os.path.join(ptable, old))
+    got = {r.k for r in M.read_table_snapshot(spark, ptable).collect()}
+    assert got == set(range(20))
+
+
+def test_partition_scoped_upsert_respects_order_col(spark, ptable):
+    # make rows versioned: add ts via a full replace first
+    base = M.read_table_snapshot(spark, ptable).withColumn(
+        "ts", F.lit(10)
+    )
+    M.replace_table(base, ptable, partition_by=["p"])
+    stale = spark.createDataFrame([Row(k=3, p=3, v="STALE", ts=5)])
+    fresh = spark.createDataFrame([Row(k=4, p=0, v="FRESH", ts=20)])
+    M.upsert(spark, ptable, stale.unionByName(fresh), keys=["k"],
+             order_col="ts", partition_by=["p"], partition_scoped=True)
+    got = {r.k: r.v for r in M.read_table_snapshot(spark, ptable).collect()}
+    assert got[3] == "v3"      # stale redelivery cannot regress
+    assert got[4] == "FRESH"
+
+
+def test_partition_scoped_upsert_validations(spark, ptable):
+    upd = spark.createDataFrame([Row(k=1, p=1, v="x")])
+    with pytest.raises(ValueError, match="partition_by"):
+        M.upsert(spark, ptable, upd, keys=["k"], partition_scoped=True)
+    with pytest.raises(ValueError, match="delete_filter"):
+        M.upsert(spark, ptable, upd, keys=["k"], partition_by=["p"],
+                 partition_scoped=True, delete_filter=F.lit(True))
