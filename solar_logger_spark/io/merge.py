@@ -67,10 +67,41 @@ def read_table_snapshot(
     return spark.read.parquet(path)
 
 
+def read_sidecar(
+    table_dir: str, fname: str, at: str | None = None
+) -> str | None:
+    """Read a sidecar file committed with a snapshot (``None`` when the
+    snapshot or file does not exist). Sidecars are how table metadata
+    commits ATOMICALLY with data: they are written into the snapshot
+    directory BEFORE the pointer swap, so a reader resolving
+    ``_CURRENT`` sees data and metadata from the same commit — the
+    poor man's transaction-log entry (what streaming.rollup_ingest
+    uses to make additive merges replay-exact)."""
+    snap = at or current_snapshot(table_dir)
+    if snap is None:
+        return None
+    path = os.path.join(table_dir, snap, fname)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return fh.read()
+
+
+def _write_sidecars(snap_path: str, sidecar: dict[str, str] | None) -> None:
+    for fname, content in (sidecar or {}).items():
+        if not fname.startswith("_"):
+            # Spark/parquet readers skip underscore-prefixed files; any
+            # other name would be read as table data
+            raise ValueError(f"sidecar names must start with '_': {fname!r}")
+        with open(os.path.join(snap_path, fname), "w") as fh:
+            fh.write(content)
+
+
 def init_table(
     df: DataFrame,
     table_dir: str,
     partition_by: Sequence[str] | None = None,
+    sidecar: dict[str, str] | None = None,
 ) -> str:
     """Create snapshot 0 from ``df``; returns the snapshot name.
 
@@ -96,6 +127,7 @@ def init_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    _write_sidecars(path, sidecar)
     _swap_pointer(table_dir, name)
     return name
 
@@ -110,6 +142,7 @@ def upsert(
     keep_snapshots: int = 2,
     partition_by: Sequence[str] | None = None,
     partition_scoped: bool = False,
+    sidecar: dict[str, str] | None = None,
 ) -> str:
     """MERGE ``updates`` into the table by ``keys``: matched base rows
     are replaced, unmatched update rows are inserted, and rows matching
@@ -213,11 +246,12 @@ def upsert(
             os.path.join(table_dir, snap), new_path,
             list(partition_by), touched,
         )
+        _write_sidecars(new_path, sidecar)
         _swap_pointer(table_dir, new_name)
         _prune(table_dir, keep=keep_snapshots)
         return new_name
     return _write_next_snapshot(
-        merged, table_dir, snap, keep_snapshots, partition_by
+        merged, table_dir, snap, keep_snapshots, partition_by, sidecar
     )
 
 
@@ -283,15 +317,18 @@ def _write_next_snapshot(
     live_snap: str,
     keep_snapshots: int,
     partition_by: Sequence[str] | None = None,
+    sidecar: dict[str, str] | None = None,
 ) -> str:
     """The one copy of the full-rewrite commit sequence shared by
     upsert and replace_table: clean dead orphans, write the next
     snapshot dir, swap the pointer atomically, prune."""
     new_name = _prepare_next_snapshot(table_dir, live_snap)
+    path = os.path.join(table_dir, new_name)
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(os.path.join(table_dir, new_name))
+    w.parquet(path)
+    _write_sidecars(path, sidecar)
     _swap_pointer(table_dir, new_name)
     _prune(table_dir, keep=keep_snapshots)
     return new_name
