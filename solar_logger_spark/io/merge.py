@@ -23,8 +23,10 @@ last ``keep_snapshots``).
 Scale shape: one anti-join on the merge key (shuffle-or-broadcast as
 sizes dictate — updates are usually tiny and broadcast) + one full
 rewrite of the base. Cost is O(table) per merge like every
-copy-on-write store; partition-scoped merges (pass ``subset_filter``)
-rewrite only the partitions that can contain the keys.
+copy-on-write store — unless the layout is keyed: partition-scoped
+merges (``upsert(..., partition_by=[...], partition_scoped=True)``)
+rewrite only the partitions that can contain the keys and hardlink
+the rest.
 """
 
 from __future__ import annotations
@@ -87,12 +89,19 @@ def read_sidecar(
         return fh.read()
 
 
-def _write_sidecars(snap_path: str, sidecar: dict[str, str] | None) -> None:
-    for fname, content in (sidecar or {}).items():
+def _validate_sidecar_names(sidecar: dict[str, str] | None) -> None:
+    """Called BEFORE the snapshot data write: an invalid name must fail
+    cheaply, not after an O(table) parquet write."""
+    for fname in sidecar or {}:
         if not fname.startswith("_"):
             # Spark/parquet readers skip underscore-prefixed files; any
             # other name would be read as table data
             raise ValueError(f"sidecar names must start with '_': {fname!r}")
+
+
+def _write_sidecars(snap_path: str, sidecar: dict[str, str] | None) -> None:
+    _validate_sidecar_names(sidecar)
+    for fname, content in (sidecar or {}).items():
         with open(os.path.join(snap_path, fname), "w") as fh:
             fh.write(content)
 
@@ -115,6 +124,7 @@ def init_table(
     :func:`_write_next_snapshot`'s orphan cleanup), so a replayed
     bootstrap completes instead of colliding on ``errorifexists``."""
     os.makedirs(table_dir, exist_ok=True)
+    _validate_sidecar_names(sidecar)
     if current_snapshot(table_dir) is not None:
         raise FileExistsError(
             f"{table_dir} already initialized; use upsert/replace_table"
@@ -178,6 +188,7 @@ def upsert(
     snap = current_snapshot(table_dir)
     if snap is None:
         raise FileNotFoundError(f"no _CURRENT snapshot in {table_dir}")
+    _validate_sidecar_names(sidecar)
     if partition_scoped:
         if not partition_by:
             raise ValueError("partition_scoped requires partition_by")
@@ -196,6 +207,26 @@ def upsert(
             tuple(r) for r in
             updates.select(*partition_by).distinct().collect()
         ]
+        if not touched:
+            # empty updates touch nothing: the live snapshot IS the
+            # merge result (the non-scoped path would rewrite an
+            # identical table; a reduce over zero predicates would
+            # crash) — e.g. a crawl delivery whose docs all shingle
+            # to nothing
+            return snap
+        for t in touched:
+            for c, v in zip(partition_by, t):
+                # the hardlink step compares hive dir values by str(v);
+                # only types whose hive encoding round-trips through
+                # str() are safe — anything else risks silently linking
+                # a partition the scoped write also rewrote (duplicates)
+                if not isinstance(v, int) or isinstance(v, bool):
+                    raise ValueError(
+                        "partition_scoped requires non-null int "
+                        f"partition values; {c}={v!r} "
+                        f"({type(v).__name__}) does not round-trip "
+                        "through hive dir names safely"
+                    )
         import functools
         import operator
 
@@ -322,6 +353,7 @@ def _write_next_snapshot(
     """The one copy of the full-rewrite commit sequence shared by
     upsert and replace_table: clean dead orphans, write the next
     snapshot dir, swap the pointer atomically, prune."""
+    _validate_sidecar_names(sidecar)
     new_name = _prepare_next_snapshot(table_dir, live_snap)
     path = os.path.join(table_dir, new_name)
     w = df.write.mode("errorifexists")

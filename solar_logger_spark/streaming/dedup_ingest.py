@@ -57,6 +57,21 @@ SHINGLES = "shingles"
 BUCKETS = "buckets"
 PB = "_pb"  # buckets partition column: pmod(hash(band, bucket), N)
 PS = "_ps"  # shingles partition column: pmod(hash(doc_id), N)
+PARTS_SIDECAR = "_index_partitions"
+
+
+def stored_partitions(index_dir: str) -> int | None:
+    """The N the persisted index was laid out with, pinned as an
+    io/merge sidecar at bootstrap and re-pinned on every merge. An N
+    mismatch between layout and reader silently prunes to the WRONG
+    partitions (missed near-dups) and mis-scopes the shingle merge —
+    so the stored value, not the caller's argument, is authoritative;
+    ``None`` only for an uninitialized index."""
+    for table in (BUCKETS, SHINGLES):
+        v = M.read_sidecar(os.path.join(index_dir, table), PARTS_SIDECAR)
+        if v is not None:
+            return int(v)
+    return None
 
 
 def _bucket_part(n_parts: int):
@@ -92,7 +107,17 @@ def pair_batch_against_index(
     persisted index. Exposed separately from the sink so its cost can
     be probed independently of the COW artifact merge (SCALING), and
     so batch jobs can pair without mutating the index. Batch frames
-    must carry the ``_pb``/``_ps`` partition columns the sink adds."""
+    must carry the ``_pb``/``_ps`` partition columns the sink adds —
+    computed with the index's OWN stored N (a mismatch raises here
+    rather than silently missing pairs)."""
+    stored = stored_partitions(index_dir)
+    if stored is not None and stored != index_partitions:
+        raise ValueError(
+            f"index at {index_dir} is laid out with N={stored} "
+            f"partitions but the batch artifacts use N={index_partitions}"
+            " — rebuild the batch frames with the stored N "
+            "(stored_partitions(index_dir))"
+        )
     sh_i, bk_i = read_index(spark, index_dir)
     batch_ids = sh_b.select(id_col).distinct()
     # only index bucket partitions the batch's buckets hash into can
@@ -184,9 +209,16 @@ def incremental_dedup_sink(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+        # the PERSISTED layout's N is authoritative (pinned as a
+        # sidecar at bootstrap): a caller reconfigured to a different
+        # index_partitions would otherwise prune the wrong partitions
+        # (silent missed pairs) and mis-scope the shingle merge
+        n_parts = stored_partitions(index_dir)
+        if n_parts is None:
+            n_parts = index_partitions
+        parts_sidecar = {PARTS_SIDECAR: str(n_parts)}
         sh_b, bk_b = batch_artifacts(
-            batch_df, id_col, text_col, n, num_hashes, bands,
-            index_partitions,
+            batch_df, id_col, text_col, n, num_hashes, bands, n_parts
         )
         sh_missing = M.current_snapshot(sh_dir) is None
         bk_missing = M.current_snapshot(bk_dir) is None
@@ -197,9 +229,11 @@ def incremental_dedup_sink(
             # replay of the same delivery must complete the other half
             # instead of failing on the existing one forever.
             if sh_missing:
-                M.init_table(sh_b, sh_dir, partition_by=[PS])
+                M.init_table(sh_b, sh_dir, partition_by=[PS],
+                             sidecar=parts_sidecar)
             if bk_missing:
-                M.init_table(bk_b, bk_dir, partition_by=[PB])
+                M.init_table(bk_b, bk_dir, partition_by=[PB],
+                             sidecar=parts_sidecar)
             return
         # replay guard (inside pair_batch_against_index): a previous
         # half-committed attempt may have already merged this delivery
@@ -207,7 +241,7 @@ def incremental_dedup_sink(
         pairs = pair_batch_against_index(
             spark, index_dir, sh_b, bk_b,
             id_col=id_col, threshold=threshold,
-            index_partitions=index_partitions,
+            index_partitions=n_parts,
         )
         if M.current_snapshot(pairs_dir) is None:
             M.init_table(pairs, pairs_dir)
@@ -229,8 +263,9 @@ def incremental_dedup_sink(
         # small side).
         M.upsert(spark, sh_dir, sh_b, keys=[id_col],
                  keep_snapshots=keep_snapshots, partition_by=[PS],
-                 partition_scoped=True)
+                 partition_scoped=True, sidecar=parts_sidecar)
         M.upsert(spark, bk_dir, bk_b, keys=[id_col],
-                 keep_snapshots=keep_snapshots, partition_by=[PB])
+                 keep_snapshots=keep_snapshots, partition_by=[PB],
+                 sidecar=parts_sidecar)
 
     return _write

@@ -195,9 +195,25 @@ class IngestBatchProcessor:
         replay re-upserting the same rows is a no-op), then gate the
         batch's points against the refreshed dimension. The per-batch
         latest-status reduction of the default path disappears: the
-        dimension already IS that reduction, maintained incrementally."""
+        dimension already IS that reduction, maintained incrementally.
+
+        Mode migration: a deployment switching from ``gate_mode=
+        'batch'`` (state in ``_status``) must not forget its learned
+        statuses, so an absent dimension is seeded ONCE from the
+        persisted ``_status`` table before the first fold —
+        previously-offline devices stay gated across the switch. (The
+        reverse switch needs no seed: batch mode re-reduces from its
+        own ``_status``, which dimension mode never modifies.)"""
         from solar_logger_spark.io import merge as M
 
+        if (
+            M.current_snapshot(self.dim_path) is None
+            and os.path.exists(self.status_path)
+        ):
+            M.init_table(
+                batch.sparkSession.read.parquet(self.status_path),
+                self.dim_path,
+            )
         status_dimension_sink(self.dim_path)(batch, epoch_id)
         if not self.gate_online:
             return data_points(batch)

@@ -60,7 +60,17 @@ def partial_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """One batch's mergeable partial aggregates per (keys, window)."""
+    """One batch's mergeable partial aggregates per (keys, window).
+
+    Rows with a NULL timestamp or NULL key are dropped up front: the
+    maintenance joins (touched semi-join, MERGE anti-join) use
+    null-unsafe equality, so a NULL group would never match its
+    existing row and the table would grow one junk (keys, NULL) row
+    per delivery forever."""
+    cond = F.col(ts_col).isNotNull()
+    for k in keys:
+        cond = cond & F.col(k).isNotNull()
+    df = df.filter(cond)
     return (
         df.groupBy(
             *keys,
@@ -108,10 +118,24 @@ def rollup_maintenance_sink(
         if not batch.take(1):
             return
         applied = M.read_sidecar(table_dir, EPOCH_SIDECAR)
-        if applied is not None and int(applied) >= epoch_id:
-            return  # replay of an epoch the live snapshot already holds
+        if applied is not None and int(applied) == epoch_id:
+            return  # crash replay of the epoch the live snapshot holds
+        if applied is not None and int(applied) > epoch_id:
+            # foreachBatch only ever replays the LATEST epoch, so a
+            # lower id means a NEW query (fresh checkpoint) is writing
+            # to an old table — silently skipping would discard every
+            # delivery until the new query catches up. Fail loud; the
+            # operator either restores the checkpoint or starts a new
+            # table.
+            raise ValueError(
+                f"epoch {epoch_id} is behind the table's applied epoch "
+                f"{applied} in {table_dir}: a query with a fresh "
+                "checkpoint must not write to an existing rollup table"
+            )
         spark = batch.sparkSession
         partial = partial_rollup(batch, every, keys, ts_col, value_col)
+        if not partial.take(1):
+            return  # every row had a NULL key/ts: nothing to fold
         sidecar = {EPOCH_SIDECAR: str(epoch_id)}
         if M.current_snapshot(table_dir) is None:
             M.init_table(partial, table_dir, sidecar=sidecar)

@@ -210,3 +210,29 @@ def test_delivery_reads_are_partition_pruned(spark, tmp_path):
         pruned.select(F.input_file_name().alias("f")).distinct().count()
     )
     assert touched < len(bk.inputFiles())
+
+
+def test_stored_partition_layout_is_authoritative(spark, tmp_path):
+    """The index pins its partition count N as a snapshot sidecar: a
+    sink reconfigured with a different index_partitions must keep
+    using the stored layout (not silently prune wrong partitions), and
+    the raw pair API must reject mismatched batch artifacts."""
+    deliveries = _corpus()
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    DI.incremental_dedup_sink(index_dir, pairs_dir, threshold=THRESHOLD,
+                              index_partitions=8)(
+        spark.createDataFrame(deliveries[0]), 0)
+    assert DI.stored_partitions(index_dir) == 8
+    # reconfigured sink: stored N=8 wins; pairs still found
+    DI.incremental_dedup_sink(index_dir, pairs_dir, threshold=THRESHOLD,
+                              index_partitions=64)(
+        spark.createDataFrame(deliveries[1]), 1)
+    assert DI.stored_partitions(index_dir) == 8  # re-pinned, unchanged
+    assert _canon(M.read_table_snapshot(spark, pairs_dir).collect())
+    # raw API with artifacts built under the wrong N fails loud
+    sh_b, bk_b = DI.batch_artifacts(
+        spark.createDataFrame(deliveries[2]), index_partitions=64)
+    with pytest.raises(ValueError, match="laid out with N=8"):
+        DI.pair_batch_against_index(spark, index_dir, sh_b, bk_b,
+                                    index_partitions=64)

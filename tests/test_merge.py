@@ -309,3 +309,37 @@ def test_partition_scoped_upsert_validations(spark, ptable):
     with pytest.raises(ValueError, match="delete_filter"):
         M.upsert(spark, ptable, upd, keys=["k"], partition_by=["p"],
                  partition_scoped=True, delete_filter=F.lit(True))
+
+
+def test_partition_scoped_upsert_empty_updates_is_noop(spark, ptable):
+    before = M.current_snapshot(ptable)
+    upd = spark.createDataFrame([], "k long, p int, v string")
+    out = M.upsert(spark, ptable, upd, keys=["k"], partition_by=["p"],
+                   partition_scoped=True)
+    assert out == before  # no new snapshot, no crash
+    assert M.read_table_snapshot(spark, ptable).count() == 20
+
+
+def test_partition_scoped_upsert_rejects_nonint_partition_values(
+    spark, tmp_path
+):
+    d = str(tmp_path / "strpart")
+    M.init_table(
+        spark.createDataFrame([Row(k=1, p="a:b", v="x")]), d,
+        partition_by=["p"],
+    )
+    upd = spark.createDataFrame([Row(k=1, p="a:b", v="y")])
+    with pytest.raises(ValueError, match="int"):
+        M.upsert(spark, d, upd, keys=["k"], partition_by=["p"],
+                 partition_scoped=True)
+
+
+def test_sidecar_invalid_name_fails_before_data_write(spark, tmp_path):
+    # upsert with a bad sidecar name must not leave an orphan snapshot
+    d = str(tmp_path / "t")
+    M.init_table(spark.createDataFrame([Row(k=1)]), d)
+    with pytest.raises(ValueError, match="sidecar"):
+        M.upsert(spark, d, spark.createDataFrame([Row(k=2)]),
+                 keys=["k"], sidecar={"meta": "x"})
+    snaps = [s for s in os.listdir(d) if s.startswith("snap-")]
+    assert snaps == ["snap-000000"]  # no orphan written

@@ -125,3 +125,28 @@ def test_sidecar_requires_underscore_prefix(spark, tmp_path):
     df = spark.createDataFrame([Row(k=1)])
     with pytest.raises(ValueError, match="sidecar"):
         M.init_table(df, str(tmp_path / "t"), sidecar={"meta": "x"})
+
+
+def test_null_ts_and_key_rows_are_dropped(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    sink = R.rollup_maintenance_sink(d)
+    good = _points(10, 0)
+    nulls = [
+        Row(measurement="dc-1", field="bat_v", ts=None, value=1.0),
+        Row(measurement=None, field="bat_v",
+            ts=datetime(2024, 1, 1), value=2.0),
+    ]
+    schema = "measurement string, field string, ts timestamp, value double"
+    sink(spark.createDataFrame(good + nulls, schema), 0)
+    sink(spark.createDataFrame(nulls, schema), 1)  # all-null delivery
+    got = _finalized(spark, d)
+    assert got == _batch_expected(spark, good)
+    assert all(w is not None for (_, _, w) in got)
+
+
+def test_fresh_checkpoint_against_old_table_fails_loud(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    sink = R.rollup_maintenance_sink(d)
+    sink(spark.createDataFrame(_points(10, 0)), 7)
+    with pytest.raises(ValueError, match="fresh"):
+        sink(spark.createDataFrame(_points(10, 1)), 0)

@@ -1121,3 +1121,33 @@ def test_status_dimension_stream_equals_batch_latest(spark, tmp_path):
     gated = I.gated_batch_from_dimension(data_raw, dim)
     # dc-1 offline -> dropped before decode; mx-1 online -> decode path
     assert {r.measurement for r in gated.collect()} <= {"mx-1"}
+
+
+def test_gate_mode_switch_seeds_dimension_from_status(spark, tmp_path):
+    """Switching a deployment from gate_mode='batch' to 'dimension'
+    must not forget learned statuses: the first dimension-mode batch
+    seeds the dimension from the persisted _status table, so a device
+    the batch-mode run learned was offline stays gated even when the
+    new delivery carries no status messages at all."""
+    out_dir = str(tmp_path / "out")
+    ts = datetime(2024, 1, 1)
+    dc_pkt, _ = _packet("dc-1", 1704067200, 7.0)
+    mx_pkt, _ = _packet("mx-1", 1704153600, 8.0)
+    batch_proc = I.IngestBatchProcessor(out_dir, gate_mode="batch")
+    batch_proc(
+        _raw_df(spark, [
+            ("mate/dc-1/status", b"online", ts),
+            ("mate/mx-1/status", b"offline", ts),
+        ]),
+        0,
+    )
+    dim_proc = I.IngestBatchProcessor(out_dir, gate_mode="dimension")
+    dim_proc(
+        _raw_df(spark, [
+            ("mate/dc-1/dc-status", dc_pkt, ts),
+            ("mate/mx-1/mx-status", mx_pkt, ts),  # no status rows here
+        ]),
+        1,
+    )
+    rows = spark.read.parquet(out_dir + "/points").collect()
+    assert {r.measurement for r in rows} == {"dc-1"}  # mx-1 stayed gated
