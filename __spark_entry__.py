@@ -1221,6 +1221,9 @@ def _registry_order(
         # barrier (plan-only change, output identical)
         "basket_affinity_parts": 7,
         "text_bpe_encode_docs": 7,
+        # r7: lineage barriers on the kept frames (plan-only, output
+        # identical — verified sf0.001 + vanilla sf0.01)
+        "pipeline_corpus_build": 7,
     }
     latest_green_round: dict[str, int] = {}
     for rnd in sorted(records):

@@ -2389,15 +2389,18 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack are map+window, the prune inherits the inverted-index join);
     the funnel counts are per-source hash aggs joined on the
     |sources|-bounded key. In production the inter-stage frames would
-    be persisted tables; as a declared query the lineage recomputes,
-    which only re-reads the (columnar, pruned) corpus scans."""
+    be persisted tables; as a declared query, lineage barriers on the
+    two kept frames stand in for those tables (keptl feeds 2 consumers
+    and keptq 4 — without the cut, Catalyst re-evaluates the n-gram
+    language scoring once per consumer: measured 4.5s -> 2.9s
+    steady-state at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    keptl = cleaning.lang_keep_filter(docs)
+    keptl = cleaning.lang_keep_filter(docs).localCheckpoint(eager=False)
     scored = text.quality_score(keptl).select("doc_id", "quality_score")
     keptq = keptl.join(
         scored.filter(F.col("quality_score") >= 0.62).select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=False)
     pairs = dedup.ngram_jaccard_pairs(keptq, threshold=0.5)
     surv = keptq.join(
         pairs.select(F.col("b_id").alias("doc_id")).distinct(),
