@@ -150,3 +150,50 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         _proj, f"{id_col} {id_type}, {out_col} array<double>"
     )
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 31,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection — the training-free
+    sibling of :func:`pca_project` (JL 1984; dense sub-Gaussian
+    variant, Achlioptas JCSS 2003): project each embedding onto
+    ``out_dim`` fixed random directions, scaled by ``sqrt(3/out_dim)``
+    so uniform[-1,1) coefficients (variance 1/3) preserve expected
+    squared norms. The standard cheap pre-ANN compression when no
+    training pass is wanted.
+
+    Unlike PCA (eigendecomposition — engine-bound, rows-only oracle),
+    this is FULLY hash-comparable: the projection matrix is the same
+    md5-derived coefficient grid as ``similarity._plane_literals``
+    (every derivation step IEEE-exact or identically rounded across
+    engines), and each output coordinate is a left-to-right
+    ``zip_with``/``aggregate`` fold — the association DuckDB's
+    ``list_sum`` replays. Output is scalar ``jl0..jl{k-1}`` columns
+    (the PCA r5 lesson: array outputs crash the driver canonicalizer).
+
+    Scale shape: map-only JVM expressions, no shuffle, no Python; the
+    matrix is out_dim x dim literals folded into the plan."""
+    from solar_logger_spark.operators.similarity import _plane_literals
+
+    planes = _plane_literals(out_dim, dim, seed)
+    scale = F.sqrt(F.lit(3.0) / F.lit(float(out_dim)))
+    cols = [F.col(id_col)]
+    for j, w in enumerate(planes):
+        warr = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                warr,
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append((dot * scale).alias(f"jl{j}"))
+    return df.select(*cols)

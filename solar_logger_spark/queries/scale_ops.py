@@ -1948,6 +1948,53 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-free random projection of the
+    embedding table to 8 dims (operators.pca.jl_project) — the
+    training-free compression step before ANN indexing, and the
+    HASH-COMPARABLE counterpart of the rows-only PCA query: the md5
+    coefficient grid and the left-fold dot products are re-derived
+    identically by the DuckDB twin (the similarity_ann_lsh recipe)."""
+    from solar_logger_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca.jl_project(emb, out_dim=8, dim=64, seed=31)
+
+
+JL_PROJECT_SQL = """
+    WITH w AS (
+        SELECT j,
+               [CAST(('0x' || substring(md5('plane|31|'
+                       || CAST(j AS VARCHAR)
+                       || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 * 2.0 - 1.0
+                FOR d IN range(0, 64)] AS w
+        FROM range(0, 8) tj(j)
+    ),
+    vecs AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vecs.vec_id, w.j,
+               list_sum([vecs.v[i] * w.w[i] FOR i IN range(1, 65)])
+                   * sqrt(3.0 / 8.0) AS p
+        FROM vecs, w
+    )
+    SELECT vec_id,
+           max(CASE WHEN j = 0 THEN p END) AS jl0,
+           max(CASE WHEN j = 1 THEN p END) AS jl1,
+           max(CASE WHEN j = 2 THEN p END) AS jl2,
+           max(CASE WHEN j = 3 THEN p END) AS jl3,
+           max(CASE WHEN j = 4 THEN p END) AS jl4,
+           max(CASE WHEN j = 5 THEN p END) AS jl5,
+           max(CASE WHEN j = 6 THEN p END) AS jl6,
+           max(CASE WHEN j = 7 THEN p END) AS jl7
+    FROM proj
+    GROUP BY vec_id
+"""
+
+
 def ts_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection (trailing 25 points per
     event_type series, |z| > 3): operators.timeseries.anomaly_zscore —

@@ -80,3 +80,40 @@ def test_degenerate_inputs(spark):
         pca.pca_fit(
             spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
         )
+
+
+def test_jl_project_matches_numpy_fold_and_preserves_geometry(spark):
+    """The JL projection must replay the md5 coefficient grid exactly
+    (bitwise vs a python re-derivation with left-to-right folds) and,
+    statistically, preserve expected squared norms (the sqrt(3/k)
+    scaling contract for uniform[-1,1) entries)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators.similarity import _plane_literals
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(64, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)]
+    )
+    out = pca.jl_project(df, out_dim=4, dim=16, seed=31)
+    got = {
+        r.vec_id: [r.jl0, r.jl1, r.jl2, r.jl3]
+        for r in out.collect()
+    }
+    planes = _plane_literals(4, 16, 31)
+    scale = float(np.sqrt(np.float64(3.0) / np.float64(4.0)))
+    for i, v in enumerate(vecs):
+        for j, w in enumerate(planes):
+            acc = 0.0
+            for d in range(16):
+                acc = acc + v[d] * w[d]  # left-to-right, like the fold
+            assert got[i][j] == acc * scale, (i, j)
+    # norm preservation in expectation: mean ratio near 1 over 64 vecs
+    ratios = [
+        sum(x * x for x in got[i]) / float(vecs[i] @ vecs[i])
+        for i in range(64)
+    ]
+    assert 0.5 < sum(ratios) / len(ratios) < 1.5
