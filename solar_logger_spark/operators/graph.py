@@ -323,3 +323,134 @@ def pagerank(
             < 1e-9
         ).alias("mass_conserved"),
     )
+
+
+def incremental_components(
+    spark,
+    comp_dir: str,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    keep_snapshots: int = 2,
+    max_driver_edges: int = 1_000_000,
+) -> None:
+    """Maintain a connected-components labeling INCREMENTALLY as edges
+    arrive — the cluster-assignment companion of the streaming dedup
+    loop (each delivery's verified near-dup pairs merge into persisted
+    min-id component labels, instead of re-running CC over the full
+    pair history).
+
+    Table: ``(node, component)`` in the io/merge snapshot store, one
+    row per node that has ever appeared in an edge; component = the
+    min node id of its component, exactly matching a batch
+    :func:`connected_components` over the union of all deliveries
+    (differential-pinned in tests). Singletons are implicit (readers
+    coalesce a missing node to itself — the ``dedup_cluster_assignments``
+    convention).
+
+    Per-delivery algorithm (the standard contracted-graph trick):
+    every edge endpoint is mapped to its CURRENT label (a broadcast-
+    sized join against the labels of just the touched nodes), giving a
+    contracted edge list bounded by the DELIVERY's size, never the
+    accumulated graph. Union-find over those contracted edges runs on
+    the driver (``max_driver_edges`` guards the collect — a delivery
+    producing more pairs than that should run the distributed
+    :func:`connected_components` on its own pairs first and feed the
+    result here), and the relabel map fans back out as one MERGE:
+    rows of merged components get their new min label, new nodes are
+    inserted. Work per delivery is O(delivery + nodes-of-merged-
+    components); the accumulated graph is never rescanned.
+
+    Replay-safe: labels are a pure function of the edge set, and
+    re-merging an already-applied delivery recomputes the identical
+    labels (MERGE by node) — idempotent without any epoch machinery.
+    """
+    from solar_logger_spark.io import merge as M
+
+    edges = new_edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    edges = edges.filter(F.col("src") != F.col("dst")).distinct()
+
+    if M.current_snapshot(comp_dir) is None:
+        comps = connected_components(edges)
+        M.init_table(comps, comp_dir)
+        return
+
+    comp = M.read_table_snapshot(spark, comp_dir)
+    endpoints = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # current label of each touched endpoint (itself when unseen); the
+    # endpoint set is delivery-bounded, so the semi-joined label read
+    # stays small however large the accumulated table grows
+    lab = comp.join(endpoints, "node", "left_semi")
+    lmap = endpoints.join(lab, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("cur")
+    )
+    contracted = (
+        edges.join(
+            lmap.withColumnRenamed("node", "src").withColumnRenamed(
+                "cur", "src_l"
+            ),
+            "src",
+        )
+        .join(
+            lmap.withColumnRenamed("node", "dst").withColumnRenamed(
+                "cur", "dst_l"
+            ),
+            "dst",
+        )
+        .select("src_l", "dst_l")
+        .filter(F.col("src_l") != F.col("dst_l"))
+        .distinct()
+    )
+    rows = contracted.limit(max_driver_edges + 1).collect()
+    if len(rows) > max_driver_edges:
+        raise ValueError(
+            f"delivery contracts to more than {max_driver_edges} edges; "
+            "pre-reduce it with connected_components(new_edges) and "
+            "feed the (component, member) rows here instead"
+        )
+    # driver union-find over the contracted (label/new-node) graph —
+    # bounded by the delivery, independent of the accumulated graph
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r.src_l), find(r.dst_l)
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo  # min-id wins: labels stay component minima
+    changed = [
+        (x, find(x)) for x in list(parent) if x != find(x)
+    ]
+
+    if changed:
+        rl = F.broadcast(
+            spark.createDataFrame(changed, "old long, new long")
+        )
+        # touched endpoints take their (possibly re-mapped) label ...
+        updates = lmap.join(rl, lmap.cur == rl.old, "left").select(
+            "node", F.coalesce("new", "cur").alias("component")
+        )
+        # ... and every node of a merged OLD component is re-labeled to
+        # the new minimum (an inner join touches only merged components)
+        moved = comp.join(rl, comp.component == rl.old).select(
+            comp.node, F.col("new").alias("component")
+        )
+        updates = updates.unionByName(moved).dropDuplicates(["node"])
+    else:
+        updates = lmap.select("node", F.col("cur").alias("component"))
+    M.upsert(spark, comp_dir, updates, keys=["node"],
+             keep_snapshots=keep_snapshots)

@@ -181,10 +181,17 @@ def incremental_dedup_sink(
     bands: int = 32,
     keep_snapshots: int = 2,
     index_partitions: int = 32,
+    components_dir: str | None = None,
 ):
     """``foreachBatch`` function: near-dup-check each micro-batch of
     documents against the persisted index, append verified pairs, then
     merge the batch's artifacts into the index.
+
+    ``components_dir``: when set, each delivery's verified pairs also
+    fold into a MAINTAINED connected-components labeling
+    (``operators.graph.incremental_components``) — the cluster
+    assignment a keep-one-per-cluster dedup policy reads, kept current
+    without ever re-running CC over the accumulated pair history.
 
     ``index_partitions`` (N): both artifact tables are written
     hive-partitioned (buckets by ``pmod(hash(band, bucket), N)``,
@@ -243,6 +250,19 @@ def incremental_dedup_sink(
             id_col=id_col, threshold=threshold,
             index_partitions=n_parts,
         )
+        if components_dir is not None:
+            pairs = pairs.localCheckpoint()  # consumed twice below
+            edges = pairs.select("batch_id", "index_id")
+            if edges.take(1):
+                from solar_logger_spark.operators.graph import (
+                    incremental_components,
+                )
+
+                incremental_components(
+                    spark, components_dir, edges,
+                    src="batch_id", dst="index_id",
+                    keep_snapshots=keep_snapshots,
+                )
         if M.current_snapshot(pairs_dir) is None:
             M.init_table(pairs, pairs_dir)
         else:

@@ -236,3 +236,33 @@ def test_stored_partition_layout_is_authoritative(spark, tmp_path):
     with pytest.raises(ValueError, match="laid out with N=8"):
         DI.pair_batch_against_index(spark, index_dir, sh_b, bk_b,
                                     index_partitions=64)
+
+
+def test_sink_maintains_component_labels(spark, tmp_path):
+    """With components_dir set, the streamed deliveries' labels must
+    equal batch connected_components over the final pairs table."""
+    from solar_logger_spark.operators.graph import connected_components
+
+    deliveries = _corpus()
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    comp_dir = str(tmp_path / "comps")
+    sink = DI.incremental_dedup_sink(
+        index_dir, pairs_dir, threshold=THRESHOLD,
+        components_dir=comp_dir,
+    )
+    for i, rows in enumerate(deliveries):
+        sink(spark.createDataFrame(rows), i)
+    all_pairs = M.read_table_snapshot(spark, pairs_dir)
+    assert all_pairs.count() > 1
+    exp = {
+        r.node: r.component
+        for r in connected_components(
+            all_pairs, src="batch_id", dst="index_id"
+        ).collect()
+    }
+    got = {
+        r.node: r.component
+        for r in M.read_table_snapshot(spark, comp_dir).collect()
+    }
+    assert got == exp

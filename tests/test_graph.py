@@ -167,3 +167,73 @@ def test_pagerank_matches_python_reference(spark):
     empty = pagerank(spark.createDataFrame([], "src long, dst long"))
     assert empty.count() == 0
     assert empty.columns == ["node", "rank", "mass_conserved"]
+
+
+def test_incremental_components_equals_batch(spark, tmp_path):
+    """Streaming label maintenance == one-shot CC over the union of all
+    deliveries, including the hard cases: a later edge MERGING two
+    existing components, and a new node with a smaller id than every
+    existing label (the component minimum must move down to it)."""
+    import itertools
+
+    from solar_logger_spark.operators.graph import incremental_components
+
+    rng = random.Random(11)
+    deliveries = [
+        [(10, 20), (20, 30), (100, 110)],
+        [(200, 210), (30, 40)],
+        [(110, 200), (20, 100)],   # merges {10..40},{100,110},{200,210}
+        [(5, 40)],                 # new global minimum 5
+        [(300, 310)],              # untouched separate component
+    ]
+    # plus a random layer to exercise non-hand-picked shapes
+    deliveries.append(
+        [(rng.randrange(400, 440), rng.randrange(400, 440))
+         for _ in range(30)]
+    )
+    d = str(tmp_path / "comps")
+    for e in deliveries:
+        df = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in e if a != b]
+        )
+        incremental_components(spark, d, df)
+
+    from solar_logger_spark.io import merge as M
+
+    got = {
+        r.node: r.component
+        for r in M.read_table_snapshot(spark, d).collect()
+    }
+    all_edges = [e for dl in deliveries for e in dl if e[0] != e[1]]
+    exp = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame([Row(src=a, dst=b) for a, b in all_edges])
+        ).collect()
+    }
+    assert got == exp
+    assert got[40] == 5 and got[210] == 5  # the merge chain reached min
+
+    # replay idempotency: labels are a pure function of the edge set
+    incremental_components(
+        spark, d,
+        spark.createDataFrame([Row(src=a, dst=b) for a, b in deliveries[2]]),
+    )
+    again = {
+        r.node: r.component
+        for r in M.read_table_snapshot(spark, d).collect()
+    }
+    assert again == exp
+
+
+def test_incremental_components_driver_guard(spark, tmp_path):
+    import pytest
+
+    from solar_logger_spark.operators.graph import incremental_components
+
+    d = str(tmp_path / "comps")
+    df1 = spark.createDataFrame([Row(src=1, dst=2)])
+    incremental_components(spark, d, df1)
+    df2 = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(3, 9)])
+    with pytest.raises(ValueError, match="pre-reduce"):
+        incremental_components(spark, d, df2, max_driver_edges=2)
