@@ -1199,7 +1199,6 @@ def _registry_order(
     changed_in_round = {
         # r5: schema changed (new columns) — old green rows are stale
         "profile_columns_lineitem": 5,
-        "pipeline_corpus_build": 5,
         # r5: oracle join made NULL-safe (same results on current data)
         "dedup_editdistance_docs": 5,
         # r5: ANN query batch changed from emb.limit(10) to the
@@ -1223,7 +1222,8 @@ def _registry_order(
         "basket_affinity_parts": 7,
         "text_bpe_encode_docs": 7,
         # r7: lineage barriers on the kept frames (plan-only, output
-        # identical — verified sf0.001 + vanilla sf0.01)
+        # identical — verified sf0.001 + vanilla sf0.01); supersedes
+        # the r5 schema-change pin (one key, latest round)
         "pipeline_corpus_build": 7,
     }
     latest_green_round: dict[str, int] = {}

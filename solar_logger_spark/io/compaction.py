@@ -18,10 +18,19 @@ table scan never sees half state):
 
 Each step is a single POSIX rename/delete; a crash after any step
 leaves either a stale hidden dir (harmless, cleaned on rerun) or the
-partition parked in trash with the tmp fully written — a state the
-next :func:`compact_partition` call detects and completes before
-doing anything else. At no point can readers observe a missing or
-doubled partition.
+partition parked in trash with the tmp fully written — states the
+next :func:`compact_partition` call on that partition, or a
+:func:`recover_table` sweep over the whole table, detects and
+completes before doing anything else. Honest limits of a log-less
+store: between steps 2 and 3 (two renames — microseconds, but real)
+the partition is ABSENT from listings, so a reader racing that window
+or scanning after a crash inside it sees the table without that
+partition until recovery runs; data is never lost (it is parked in
+trash), and a partition can never appear doubled. Run
+``recover_table`` at maintenance-job startup so crash states heal
+before the next reader, and schedule compaction on partitions no
+reader scans (closed dates), as the module contract already says. A
+transactional table format turns this into a real atomic commit.
 """
 
 from __future__ import annotations
@@ -34,7 +43,12 @@ from pyspark.sql import SparkSession
 
 
 def _staging_paths(table_path: str, partition_subdir: str) -> tuple[str, str, str]:
-    part_dir = os.path.join(table_path, partition_subdir.rstrip("/"))
+    # normpath: a "" / trailing-slash subdir (compact a whole
+    # unpartitioned table) must resolve to the table dir itself so the
+    # staging dirs land BESIDE it — os.path.split of a trailing-slash
+    # path yields an empty leaf and would nest them inside the dir
+    # being renamed (EINVAL)
+    part_dir = os.path.normpath(os.path.join(table_path, partition_subdir))
     parent, leaf = os.path.split(part_dir)
     # "." prefix: hidden from Spark/Hadoop file listings, so neither a
     # concurrent reader nor a post-crash scan treats staging dirs as a
@@ -64,6 +78,29 @@ def _recover(part_dir: str, tmp: str, trash: str) -> None:
     for stale in (tmp, trash):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
+
+
+def recover_table(table_path: str) -> list[str]:
+    """Heal every crashed compaction swap under ``table_path``: any
+    ``.compact-trash-*`` / ``.compact-tmp-*`` staging dir is completed
+    or rolled back via :func:`_recover`. Run at maintenance-job
+    startup so a crash inside the two-rename window (partition parked
+    in trash) is repaired before the next reader scans the table.
+    Returns the partition leaves that needed recovery."""
+    healed: list[str] = []
+    for root, dirs, _files in os.walk(table_path):
+        for d in list(dirs):
+            for prefix in (".compact-trash-", ".compact-tmp-"):
+                if d.startswith(prefix):
+                    leaf = d[len(prefix):]
+                    part_dir = os.path.join(root, leaf)
+                    tmp = os.path.join(root, f".compact-tmp-{leaf}")
+                    trash = os.path.join(root, f".compact-trash-{leaf}")
+                    _recover(part_dir, tmp, trash)
+                    healed.append(os.path.relpath(part_dir, table_path))
+        # never descend into staging dirs (being renamed/deleted)
+        dirs[:] = [d for d in dirs if not d.startswith(".compact-")]
+    return sorted(set(healed))
 
 
 def compact_partition(

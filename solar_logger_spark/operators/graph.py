@@ -333,6 +333,7 @@ def incremental_components(
     dst: str = "dst",
     keep_snapshots: int = 2,
     max_driver_edges: int = 1_000_000,
+    n_partitions: int = 32,
 ) -> None:
     """Maintain a connected-components labeling INCREMENTALLY as edges
     arrive — the cluster-assignment companion of the streaming dedup
@@ -358,8 +359,21 @@ def incremental_components(
     :func:`connected_components` on its own pairs first and feed the
     result here), and the relabel map fans back out as one MERGE:
     rows of merged components get their new min label, new nodes are
-    inserted. Work per delivery is O(delivery + nodes-of-merged-
-    components); the accumulated graph is never rescanned.
+    inserted.
+
+    Cost per delivery, honestly: the labels table is hive-partitioned
+    by ``pmod(hash(node), n_partitions)`` and the MERGE is
+    partition-SCOPED, so the label READ prunes to the endpoints'
+    partitions and the WRITE rewrites only partitions holding updated
+    rows (the rest hardlink). The one full-table term left is the
+    relabel SCAN when a delivery merges existing components (finding
+    every row of the merged components is a scan-shaped inner join
+    against the broadcast relabel map) — a read, not a rewrite, and
+    only on merging deliveries.
+
+    Ids may be any orderable type (min-id semantics follow the id
+    type's ordering, like :func:`connected_components`); NULL-id edges
+    are rejected rather than silently dropped.
 
     Replay-safe: labels are a pure function of the edge set, and
     re-merging an already-applied delivery recomputes the identical
@@ -367,15 +381,28 @@ def incremental_components(
     """
     from solar_logger_spark.io import merge as M
 
+    PC = "_pc"
+    id_type = new_edges.schema[src].dataType
+
+    def _pc(col):
+        return F.pmod(F.hash(col), F.lit(n_partitions)).alias(PC)
+
     edges = new_edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    n_null = edges.filter(
+        F.col("src").isNull() | F.col("dst").isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"{n_null} edge(s) with NULL endpoint ids — a NULL cannot "
+            "label a component; filter upstream if intended"
+        )
     edges = edges.filter(F.col("src") != F.col("dst")).distinct()
 
     if M.current_snapshot(comp_dir) is None:
-        comps = connected_components(edges)
-        M.init_table(comps, comp_dir)
+        comps = connected_components(edges).withColumn(PC, _pc("node"))
+        M.init_table(comps, comp_dir, partition_by=[PC])
         return
 
     comp = M.read_table_snapshot(spark, comp_dir)
@@ -384,13 +411,15 @@ def incremental_components(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # current label of each touched endpoint (itself when unseen); the
-    # endpoint set is delivery-bounded, so the semi-joined label read
-    # stays small however large the accumulated table grows
-    lab = comp.join(endpoints, "node", "left_semi")
-    lmap = endpoints.join(lab, "node", "left").select(
-        "node", F.coalesce("component", "node").alias("cur")
-    )
+    # current label of each touched endpoint (itself when unseen): one
+    # left join, with the comp scan pruned to the endpoints' <= N
+    # partitions — delivery-bounded however large the table grows
+    pcs = [r[0] for r in endpoints.select(_pc("node")).distinct().collect()]
+    lmap = endpoints.join(
+        comp.filter(F.col(PC).isin(pcs)).select("node", "component"),
+        "node",
+        "left",
+    ).select("node", F.coalesce("component", "node").alias("cur"))
     contracted = (
         edges.join(
             lmap.withColumnRenamed("node", "src").withColumnRenamed(
@@ -416,10 +445,11 @@ def incremental_components(
             "feed the (component, member) rows here instead"
         )
     # driver union-find over the contracted (label/new-node) graph —
-    # bounded by the delivery, independent of the accumulated graph
-    parent: dict[int, int] = {}
+    # bounded by the delivery, independent of the accumulated graph;
+    # ids are whatever orderable type the edges carry
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         r = x
         while parent.get(r, r) != r:
             r = parent[r]
@@ -437,20 +467,35 @@ def incremental_components(
     ]
 
     if changed:
+        from pyspark.sql.types import StructField, StructType
+
         rl = F.broadcast(
-            spark.createDataFrame(changed, "old long, new long")
+            spark.createDataFrame(
+                changed,
+                StructType(
+                    [
+                        StructField("old", id_type),
+                        StructField("new", id_type),
+                    ]
+                ),
+            )
         )
         # touched endpoints take their (possibly re-mapped) label ...
         updates = lmap.join(rl, lmap.cur == rl.old, "left").select(
             "node", F.coalesce("new", "cur").alias("component")
         )
         # ... and every node of a merged OLD component is re-labeled to
-        # the new minimum (an inner join touches only merged components)
+        # the new minimum (the one full-scan term: an inner join
+        # against the broadcast relabel map — a read, only on merging
+        # deliveries, never a rewrite)
         moved = comp.join(rl, comp.component == rl.old).select(
             comp.node, F.col("new").alias("component")
         )
         updates = updates.unionByName(moved).dropDuplicates(["node"])
     else:
         updates = lmap.select("node", F.col("cur").alias("component"))
-    M.upsert(spark, comp_dir, updates, keys=["node"],
-             keep_snapshots=keep_snapshots)
+    M.upsert(
+        spark, comp_dir, updates.withColumn(PC, _pc("node")),
+        keys=["node"], keep_snapshots=keep_snapshots,
+        partition_by=[PC], partition_scoped=True,
+    )

@@ -183,15 +183,23 @@ def jl_project(
 
     planes = _plane_literals(out_dim, dim, seed)
     scale = F.sqrt(F.lit(3.0) / F.lit(float(out_dim)))
+    # fail fast on a length mismatch: zip_with pads the shorter array
+    # with nulls, which would silently poison every fold to NULL
+    vec = F.when(
+        F.size(vec_col) == dim, F.col(vec_col).cast("array<double>")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"jl_project: expected {dim}-dim embeddings, got "),
+                F.size(vec_col).cast("string"),
+            )
+        )
+    )
     cols = [F.col(id_col)]
     for j, w in enumerate(planes):
         warr = F.array(*[F.lit(x) for x in w])
         dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                warr,
-                lambda x, s: x * s,
-            ),
+            F.zip_with(vec, warr, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

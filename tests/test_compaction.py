@@ -118,3 +118,53 @@ def test_verify_rows_aborts_without_touching_live(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert sorted(g.glob(store + "/date=2024-01-03/*.parquet")) == live
     assert spark.read.parquet(store + "/date=2024-01-03").count() == 300
+
+
+def test_recover_table_heals_all_crashed_swaps(spark, tmp_path):
+    import os
+
+    from solar_logger_spark.io.compaction import (
+        _staging_paths, recover_table,
+    )
+
+    store = str(tmp_path / "points")
+    for date in ("2024-01-01", "2024-01-02"):
+        spark.range(100).select(F.col("id").alias("value")).coalesce(
+            1
+        ).write.parquet(store + f"/date={date}")
+    # crash state A: parked in trash with tmp complete
+    p1, t1, tr1 = _staging_paths(store, "date=2024-01-01")
+    spark.read.parquet(p1).coalesce(1).write.parquet(t1)
+    os.rename(p1, tr1)
+    # crash state B: stale tmp only, live intact
+    p2, t2, _ = _staging_paths(store, "date=2024-01-02")
+    spark.read.parquet(p2).coalesce(1).write.parquet(t2)
+
+    healed = recover_table(store)
+    assert healed == ["date=2024-01-01", "date=2024-01-02"]
+    df = spark.read.parquet(store)
+    assert df.count() == 200
+    assert not any(
+        d.startswith(".compact-") for d in os.listdir(store)
+    )
+
+
+def test_compact_whole_unpartitioned_table(spark, tmp_path):
+    import glob as g
+
+    from solar_logger_spark.io.compaction import compact_partition
+
+    store = str(tmp_path / "flat")
+    for batch in range(5):
+        spark.range(batch * 20, (batch + 1) * 20).coalesce(
+            1
+        ).write.mode("append").parquet(store)
+    assert len(g.glob(store + "/*.parquet")) >= 5
+    n = compact_partition(spark, str(tmp_path), "flat")
+    assert n == 1
+    assert spark.read.parquet(store).count() == 100
+    # and the ""-subdir spelling resolves identically (staging lands
+    # beside the table, not inside it)
+    n2 = compact_partition(spark, store, "")
+    assert n2 == 1
+    assert spark.read.parquet(store).count() == 100

@@ -237,3 +237,34 @@ def test_incremental_components_driver_guard(spark, tmp_path):
     df2 = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(3, 9)])
     with pytest.raises(ValueError, match="pre-reduce"):
         incremental_components(spark, d, df2, max_driver_edges=2)
+
+
+def test_incremental_components_string_ids(spark, tmp_path):
+    """Ids keep their natural type: string doc ids must label by
+    string ordering, exactly like batch CC — not be silently dropped
+    by a numeric cast."""
+    from solar_logger_spark.io import merge as M
+    from solar_logger_spark.operators.graph import incremental_components
+
+    d = str(tmp_path / "comps")
+    d1 = spark.createDataFrame([Row(src="doc-b", dst="doc-c")])
+    d2 = spark.createDataFrame([Row(src="doc-a", dst="doc-c")])
+    incremental_components(spark, d, d1)
+    incremental_components(spark, d, d2)
+    got = {
+        r.node: r.component
+        for r in M.read_table_snapshot(spark, d)
+        .select("node", "component").collect()
+    }
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL"):
+        incremental_components(
+            spark, d,
+            spark.createDataFrame(
+                [Row(src="doc-a", dst=None)], "src string, dst string"
+            ),
+        )

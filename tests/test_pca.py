@@ -117,3 +117,12 @@ def test_jl_project_matches_numpy_fold_and_preserves_geometry(spark):
         for i in range(64)
     ]
     assert 0.5 < sum(ratios) / len(ratios) < 1.5
+
+
+def test_jl_project_rejects_dim_mismatch(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
+    out = pca.jl_project(df, out_dim=2, dim=16)
+    with pytest.raises(Exception, match="expected 16-dim"):
+        out.collect()
