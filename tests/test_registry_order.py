@@ -94,7 +94,7 @@ def test_changed_since_green_outranks_never_checked():
     the OLD shape), but after any standing red."""
     out = {
         "fresh": 1,                    # never checked
-        "pipeline_corpus_build": 2,    # green in r1, changed in r5
+        "pipeline_corpus_build": 2,    # green in r1, changed later
         "redq": 3,                     # standing red
     }
     got = _order(out, {1: {"pipeline_corpus_build": GREEN, "redq": RED}})
@@ -103,9 +103,12 @@ def test_changed_since_green_outranks_never_checked():
 
 def test_changed_since_green_pin_self_retires():
     """Once a green row from >= the change round lands, the stale-green
-    pin retires and the query settles behind never-checked names."""
+    pin retires and the query settles behind never-checked names.
+    (Round 99 stands in for 'any round at or after the pin' so the
+    test survives future pin bumps — the r7 bump of the
+    pipeline_corpus_build pin broke the hard-coded round here once.)"""
     out = {"fresh": 1, "pipeline_corpus_build": 2}
-    got = _order(out, {5: {"pipeline_corpus_build": GREEN}})
+    got = _order(out, {99: {"pipeline_corpus_build": GREEN}})
     assert got == ["fresh", "pipeline_corpus_build"]
 
 
