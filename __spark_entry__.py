@@ -1075,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_decode_ppm": sca.multimodal_decode_ppm,
             "embedding_pca_project": sca.embedding_pca_project,
             "embedding_jl_project": sca.embedding_jl_project,
+            "text_length_bucketed_batches": sca.text_length_bucketed_batches,
             "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
             "ts_interpolate_linear_events": sca.ts_interpolate_linear_events,
             "flux_correlation_click_view": sca.flux_correlation_click_view,
@@ -1469,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
             "similarity_cosine_topk": sca.COSINE_TOPK_SQL,
             "similarity_ann_lsh": sca.ANN_LSH_SQL,
             "embedding_jl_project": sca.JL_PROJECT_SQL,
+            "text_length_bucketed_batches": sca.LENGTH_BUCKETED_SQL,
             "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
             # similarity_ann_* stay rows-only (plane/codebook literals
             # live Spark-side); the stub-codec multimodal queries are

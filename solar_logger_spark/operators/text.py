@@ -1001,3 +1001,80 @@ def hashed_classifier_score(
             ).alias("score"),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 8,
+    bands: Sequence[int] = (16, 32, 64, 128, 256),
+    n_shards: int = 4,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Dynamic-padding batch assignment: group documents of similar
+    token length into fixed-size training batches so each batch pads
+    only to ITS longest member, not the corpus maximum — the standard
+    length-bucketing trick behind efficient LLM fine-tuning loaders.
+
+    Each document gets ``(bucket, shard, batch_idx, pad_to,
+    pad_waste)``: ``bucket`` is the smallest band >= its whitespace
+    token count (the last band for longer docs), ``shard`` spreads a
+    bucket across ``pmod(hash(id), n_shards)`` so batch assignment
+    parallelizes however few bands exist (training does not need a
+    global batch order — shard-local batches are the production
+    semantics), ``batch_idx`` fills batches in deterministic
+    (token count, id) order, ``pad_to`` is the batch's max length and
+    ``pad_waste`` the per-doc padding cost. The final (possibly
+    partial) batch per (bucket, shard) is kept and marked via
+    ``is_full``.
+
+    Shapes: one shuffle to (bucket, shard) for the two windows (rank,
+    batch max) — parallelism = |bands| x n_shards; raise ``n_shards``
+    with cluster size. Everything is JVM window/expression work,
+    deterministic; integer counts and maxima, no floats anywhere.
+
+    ``shard_col``: override the shard expression. The default Murmur3
+    ``pmod(hash(id), n_shards)`` is deterministic across Spark runs but
+    NOT re-derivable in other engines — a cross-engine-audited caller
+    (the declared oracle query) passes an md5-derived shard instead
+    (the ``token_hash`` recipe)."""
+    from pyspark.sql import Window
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    bands = sorted(set(bands))
+    if not bands:
+        raise ValueError("bands must be non-empty")
+    from solar_logger_spark.operators import dedup as _dedup
+
+    n = F.size(_dedup.tokens(text_col))
+    bucket = F.lit(bands[-1])
+    for b in reversed(bands[:-1]):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    if shard_col is None:
+        shard_col = F.pmod(F.hash(F.col(id_col)), F.lit(n_shards))
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        bucket.alias("bucket"),
+        shard_col.cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        "n_tokens", id_col
+    )
+    out = out.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    wb = Window.partitionBy("bucket", "shard", "batch_idx")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        "shard",
+        "batch_idx",
+        F.max("n_tokens").over(wb).alias("pad_to"),
+        (F.max("n_tokens").over(wb) - F.col("n_tokens")).alias("pad_waste"),
+        (F.count(F.lit(1)).over(wb) == batch_size).alias("is_full"),
+    )

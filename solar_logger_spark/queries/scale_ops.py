@@ -1948,6 +1948,65 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_length_bucketed_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic-padding batch assignment over the documents table
+    (operators.text.length_bucketed_batches): length bands 16/32/64/
+    128/256 tokens, batch size 8, 4 shards. The shard hash is the
+    md5-prefix recipe so the DuckDB twin re-derives identical shards,
+    ranks, pad targets, and waste — every column integer/bool, so the
+    comparison is exact by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(4),
+    )
+    return text.length_bucketed_batches(
+        docs, batch_size=8, bands=(16, 32, 64, 128, 256), n_shards=4,
+        shard_col=shard,
+    )
+
+
+LENGTH_BUCKETED_SQL = """
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(
+                   CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 4 AS INT) AS shard
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens, shard,
+               CASE WHEN n_tokens <= 16 THEN 16
+                    WHEN n_tokens <= 32 THEN 32
+                    WHEN n_tokens <= 64 THEN 64
+                    WHEN n_tokens <= 128 THEN 128
+                    ELSE 256 END AS bucket
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, bucket, shard,
+               CAST(floor((row_number() OVER (
+                   PARTITION BY bucket, shard
+                   ORDER BY n_tokens, doc_id) - 1) / 8) AS BIGINT)
+                   AS batch_idx
+        FROM b
+    )
+    SELECT doc_id, n_tokens, bucket, shard, batch_idx,
+           max(n_tokens) OVER wb AS pad_to,
+           max(n_tokens) OVER wb - n_tokens AS pad_waste,
+           (count(*) OVER wb = 8) AS is_full
+    FROM r
+    WINDOW wb AS (PARTITION BY bucket, shard, batch_idx)
+"""
+
+
 def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss sign-free random projection of the
     embedding table to 8 dims (operators.pca.jl_project) — the

@@ -501,3 +501,38 @@ def test_bpe_apply_merges_plan_keeps_hof_off_corpus_side(spark):
         "merge-candidate HOF expression leaked back into the optimized "
         "plan — the distinct-word barrier is not cutting lineage"
     )
+
+
+def test_length_bucketed_batches_contract(spark):
+    """Hand-checkable contract: docs land in the smallest band that
+    fits, batches fill in (n_tokens, id) order within (bucket, shard),
+    pad_to is the batch max, the final partial batch is kept and
+    marked, and batch_size/band validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = [
+        (i, " ".join(["w"] * n))
+        for i, n in enumerate([3, 5, 5, 9, 20, 21, 22, 40, 70])
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.length_bucketed_batches(
+        df, batch_size=2, bands=(8, 32, 64),
+        n_shards=1, shard_col=F.lit(0),
+    ).orderBy("bucket", "batch_idx", "n_tokens", "doc_id").collect()
+    got = [
+        (r.doc_id, r.n_tokens, r.bucket, r.batch_idx, r.pad_to,
+         r.pad_waste, r.is_full)
+        for r in out
+    ]
+    assert got == [
+        (0, 3, 8, 0, 5, 2, True), (1, 5, 8, 0, 5, 0, True),
+        (2, 5, 8, 1, 5, 0, False),
+        (3, 9, 32, 0, 20, 11, True), (4, 20, 32, 0, 20, 0, True),
+        (5, 21, 32, 1, 22, 1, True), (6, 22, 32, 1, 22, 0, True),
+        (7, 40, 64, 0, 70, 30, True), (8, 70, 64, 0, 70, 0, True),
+    ]
+    with pytest.raises(ValueError, match="batch_size"):
+        text.length_bucketed_batches(df, batch_size=0)
+    with pytest.raises(ValueError, match="bands"):
+        text.length_bucketed_batches(df, bands=())
