@@ -268,3 +268,53 @@ def test_incremental_components_string_ids(spark, tmp_path):
                 [Row(src="doc-a", dst=None)], "src string, dst string"
             ),
         )
+
+
+def test_incremental_components_random_deliveries_with_replays(
+    spark, tmp_path
+):
+    """Randomized differential: many random deliveries (with a replay
+    interleaved) must leave the maintained labels equal to batch CC
+    over the union — broad insurance on the contracted-graph +
+    relabel logic."""
+    from solar_logger_spark.io import merge as M
+    from solar_logger_spark.operators.graph import incremental_components
+
+    rng = random.Random(41)
+    d = str(tmp_path / "comps")
+    deliveries = [
+        [
+            (rng.randrange(100), rng.randrange(100))
+            for _ in range(rng.randint(2, 12))
+        ]
+        for _ in range(6)
+    ]
+    applied = []
+    for i, e in enumerate(deliveries):
+        edges = [(a, b) for a, b in e if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+        incremental_components(spark, d, df)
+        applied.extend(edges)
+        if i == 3:  # replay an earlier delivery mid-stream
+            incremental_components(
+                spark, d,
+                spark.createDataFrame(
+                    [Row(src=a, dst=b) for a, b in deliveries[1] if a != b]
+                ),
+            )
+    got = {
+        r.node: r.component
+        for r in M.read_table_snapshot(spark, d)
+        .select("node", "component").collect()
+    }
+    exp = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame(
+                [Row(src=a, dst=b) for a, b in applied]
+            )
+        ).collect()
+    }
+    assert got == exp
