@@ -371,6 +371,7 @@ def replace_table(
     table_dir: str,
     keep_snapshots: int = 2,
     partition_by: Sequence[str] | None = None,
+    sidecar: dict[str, str] | None = None,
 ) -> str:
     """Full-refresh write: replace the table's contents with ``df`` as
     a NEW snapshot and swap ``_CURRENT`` atomically — the rebuild
@@ -382,9 +383,11 @@ def replace_table(
     are removed before writing."""
     snap = current_snapshot(table_dir)
     if snap is None:
-        return init_table(df, table_dir, partition_by=partition_by)
+        return init_table(
+            df, table_dir, partition_by=partition_by, sidecar=sidecar
+        )
     return _write_next_snapshot(
-        df, table_dir, snap, keep_snapshots, partition_by
+        df, table_dir, snap, keep_snapshots, partition_by, sidecar
     )
 
 

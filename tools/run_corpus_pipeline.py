@@ -38,14 +38,29 @@ from solar_logger_spark.io.tables import load_table        # noqa: E402
 from solar_logger_spark.operators import cleaning, dedup, text  # noqa: E402
 
 
-def _store(df: DataFrame, work_dir: str, name: str) -> DataFrame:
+STAGES = [
+    "stage_lang", "stage_quality", "stage_dedup",
+    "stage_chunks", "stage_packed",
+]
+
+
+def _store(
+    df: DataFrame, work_dir: str, name: str,
+    config: dict | None = None,
+) -> DataFrame:
     """Materialize ``df`` as a new snapshot of a store table and read
     it back — the stage boundary. Everything downstream sees the
     table, not the lineage; re-running against the same work_dir
-    writes the next snapshot (previous runs stay time-travelable)."""
+    writes the next snapshot (previous runs stay time-travelable).
+    Each snapshot carries its MANIFEST card (rows, content
+    fingerprint, schema, stage config) as an atomically-committed
+    sidecar — the dataset-card trail an auditable corpus build owes
+    its consumers (io/manifest.py)."""
+    from solar_logger_spark.io import manifest as MF
+
     spark = df.sparkSession
     tdir = os.path.join(work_dir, name)
-    M.replace_table(df, tdir)
+    MF.write_stage(df, tdir, config=config)
     return M.read_table_snapshot(spark, tdir)
 
 
@@ -55,7 +70,8 @@ def run_staged(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     one-shot ``pipeline_corpus_build`` declared query)."""
     docs = load_table(spark, sf_dir, "documents")
 
-    keptl = _store(cleaning.lang_keep_filter(docs), work_dir, "stage_lang")
+    keptl = _store(cleaning.lang_keep_filter(docs), work_dir, "stage_lang",
+                   config={"rule": "lang-confidence cutoff"})
 
     scored = text.quality_score(keptl).select("doc_id", "quality_score")
     keptq = _store(
@@ -65,6 +81,7 @@ def run_staged(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
         ),
         work_dir,
         "stage_quality",
+        config={"min_quality_score": 0.62},
     )
 
     pairs = dedup.ngram_jaccard_pairs(keptq, threshold=0.5)
@@ -76,6 +93,7 @@ def run_staged(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
         ),
         work_dir,
         "stage_dedup",
+        config={"jaccard_threshold": 0.5, "rule": "drop lower-id partner"},
     )
 
     chunks = _store(
@@ -84,12 +102,14 @@ def run_staged(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
         .select("doc_id", "chunk_index", "source", "n_tokens"),
         work_dir,
         "stage_chunks",
+        config={"chunk_tokens": 128, "overlap": 0},
     )
 
     packed = _store(
         text.pack_training_sequences(chunks, max_tokens=512, part_col="source"),
         work_dir,
         "stage_packed",
+        config={"max_tokens": 512, "part_col": "source"},
     )
 
     f_in = docs.groupBy("source").agg(
@@ -139,6 +159,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for r in run_staged(spark, sf_dir, work_dir).collect():
         print(r.asDict())
+    import json
+
+    from solar_logger_spark.io import manifest as MF
+
+    print(json.dumps(MF.dataset_card(spark, work_dir, STAGES), indent=2))
 
 
 if __name__ == "__main__":
