@@ -1076,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_pca_project": sca.embedding_pca_project,
             "embedding_jl_project": sca.embedding_jl_project,
             "text_length_bucketed_batches": sca.text_length_bucketed_batches,
+            "corpus_content_fingerprints": sca.corpus_content_fingerprints,
             "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
             "ts_interpolate_linear_events": sca.ts_interpolate_linear_events,
             "flux_correlation_click_view": sca.flux_correlation_click_view,
@@ -1471,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
             "similarity_ann_lsh": sca.ANN_LSH_SQL,
             "embedding_jl_project": sca.JL_PROJECT_SQL,
             "text_length_bucketed_batches": sca.LENGTH_BUCKETED_SQL,
+            "corpus_content_fingerprints": sca.CORPUS_FINGERPRINTS_SQL,
             "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
             # similarity_ann_* stay rows-only (plane/codebook literals
             # live Spark-side); the stub-codec multimodal queries are

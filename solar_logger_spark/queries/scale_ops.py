@@ -2007,6 +2007,51 @@ LENGTH_BUCKETED_SQL = """
 """
 
 
+def corpus_content_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source dataset-card rows over the documents table: row
+    count plus the io/manifest content fingerprint (order-independent
+    exact-DECIMAL sum of 60-bit md5 prefixes of each row's canonical
+    JSON) — the audit query a consumer runs to verify a shipped corpus
+    slice against its manifest, declared so the driver hash-compares
+    the recipe itself. The JSON is built from ASCII-safe columns
+    (doc_id/source/text carry no quotes or escapes in this corpus), so
+    the DuckDB twin's string concat reproduces Spark's to_json byte
+    for byte; the fingerprint is emitted as a VARCHAR (sums exceed
+    int64 range)."""
+    docs = load_table(spark, sf_dir, "documents")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.to_json(F.struct("doc_id", "source", "text"))), 1, 15
+        ),
+        16, 10,
+    ).cast("decimal(38,0)")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(row_hash).cast("decimal(38,0)").cast("string")
+            .alias("fingerprint"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_FINGERPRINTS_SQL = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(CAST(('0x' || substring(md5(
+                   '{"doc_id":' || CAST(doc_id AS VARCHAR)
+                   || ',"source":"' || source
+                   || '","text":"' || text || '"}'), 1, 15)) AS BIGINT)
+               AS HUGEINT)) AS VARCHAR) AS fingerprint
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss sign-free random projection of the
     embedding table to 8 dims (operators.pca.jl_project) — the
