@@ -1077,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_jl_project": sca.embedding_jl_project,
             "text_length_bucketed_batches": sca.text_length_bucketed_batches,
             "corpus_content_fingerprints": sca.corpus_content_fingerprints,
+            "join_salted_brand_volume": sca.join_salted_brand_volume,
+            "agg_two_phase_event_value": sca.agg_two_phase_event_value,
             "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
             "ts_interpolate_linear_events": sca.ts_interpolate_linear_events,
             "flux_correlation_click_view": sca.flux_correlation_click_view,
@@ -1473,6 +1475,8 @@ def oracle_sql() -> dict[str, str]:
             "embedding_jl_project": sca.JL_PROJECT_SQL,
             "text_length_bucketed_batches": sca.LENGTH_BUCKETED_SQL,
             "corpus_content_fingerprints": sca.CORPUS_FINGERPRINTS_SQL,
+            "join_salted_brand_volume": sca.JOIN_SALTED_BRAND_SQL,
+            "agg_two_phase_event_value": sca.AGG_TWO_PHASE_SQL,
             "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
             # similarity_ann_* stay rows-only (plane/codebook literals
             # live Spark-side); the stub-codec multimodal queries are

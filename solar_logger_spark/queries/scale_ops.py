@@ -4684,3 +4684,95 @@ BASKET_AFFINITY_SQL = """
     JOIN ic ib ON ib.item = pair.item_b
     CROSS JOIN baskets
 """
+
+
+# -- skew mitigation (operators/skew.py), declared with oracle-equality
+# proofs: the salt must be INVISIBLE in the result -------------------------
+
+def join_salted_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dimension join declared as a query: the
+    lineitem fact side is salted (operators.skew.salted_join, 8 salts
+    hash-derived from l_orderkey — NOT the join key, or a hot key's
+    rows would all land in one salt bucket), the part dimension is
+    exploded 8x so every (key, salt) pair finds its match, and the
+    join shuffles on (p_partkey, _salt) so one hot part spreads over 8
+    reducers instead of serializing on one. The oracle is the PLAIN
+    join + aggregate — what the driver hash-checks is precisely the
+    operator's contract, that salting changes the schedule and never
+    the result. Sums are exact DECIMAL(18,6) cast to double once
+    (quantities/prices have <= 2 dp; sums stay far below 2^53 units),
+    so the equality is bitwise, not approximate. At 100 TB this is the
+    posture for a shuffle join whose dimension exceeds the broadcast
+    threshold but whose fact keys are power-law."""
+    from solar_logger_spark.operators import skew
+
+    line = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_orderkey", "l_quantity", "l_extendedprice",
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = skew.salted_join(
+        line, part, ["p_partkey"], n_salt=8, salt_from=["l_orderkey"]
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double").alias("sum_price"),
+    )
+
+
+JOIN_SALTED_BRAND_SQL = """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""
+
+
+def agg_two_phase_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation declared as a query: sum and
+    count of events.value per event_type run as groupBy(key, salt)
+    partials then a final groupBy(key) combine
+    (operators.skew.two_phase_agg, 16 salts from event_id), so a
+    dominant event_type never serializes on a single reducer. The
+    value is cast to DECIMAL(18,6) BEFORE the partial phase — decimal
+    addition is associative, so splitting the sum across salt buckets
+    cannot change the result the way reordered double addition would;
+    the oracle is the plain one-phase aggregate. (Spark's own partial
+    aggregation already map-side-combines; the explicit salted phase
+    is for the reduce-side hot key, and the declared proof is that it
+    is result-invisible.)"""
+    from solar_logger_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    sums = skew.two_phase_agg(
+        ev, ["event_type"], "value_dec", fn="sum", n_salt=16,
+        salt_from=["event_id"], alias="sum_dec",
+    )
+    counts = skew.two_phase_agg(
+        ev, ["event_type"], "event_id", fn="count", n_salt=16,
+        salt_from=["event_id"], alias="n_events",
+    )
+    return sums.join(counts, "event_type").select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+AGG_TWO_PHASE_SQL = """
+    SELECT event_type,
+           CAST(count(event_id) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+"""

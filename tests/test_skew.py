@@ -75,3 +75,39 @@ def test_two_phase_count_combines_by_sum(spark, sf_dir):
 def test_two_phase_rejects_non_decomposable():
     with pytest.raises(ValueError, match="two-phase"):
         two_phase_agg(None, ["k"], "v", fn="median")
+
+
+def test_declared_salted_queries_match_plain_equivalents(spark, sf_dir):
+    """The registry queries built on skew ops must equal their
+    unsalted formulations row-for-row (salt invisible in the result)."""
+    from solar_logger_spark.queries import scale_ops as sca
+
+    got = sca.join_salted_brand_volume(spark, sf_dir)
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    plain = (
+        line.join(part, line.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double").alias("sum_price"),
+        )
+    )
+    cols = ["p_brand", "n_items", "sum_qty", "sum_price"]
+    assert _sorted_rows(got, cols) == _sorted_rows(plain, cols)
+
+    got2 = sca.agg_two_phase_event_value(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    plain2 = ev.groupBy("event_type").agg(
+        F.count("event_id").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double").alias("sum_value"),
+    )
+    cols2 = ["event_type", "n_events", "sum_value"]
+    assert _sorted_rows(got2, cols2) == _sorted_rows(plain2, cols2)
+    # discrimination: multiple groups, non-degenerate values
+    rows = _sorted_rows(got2, cols2)
+    assert len(rows) >= 3 and len({r[2] for r in rows}) >= 3
