@@ -4776,3 +4776,98 @@ AGG_TWO_PHASE_SQL = """
     FROM events
     GROUP BY event_type
 """
+
+
+# -- declarative data-quality gate (operators/expectations.py) -------------
+
+def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over events + documents — the
+    dbt-test-style gate a training pipeline runs before shipping a
+    corpus slice: one report row per check with exact violation
+    counts. All events row-predicates share ONE aggregate scan; the
+    uniqueness check is its own aggregation (the profile.py
+    multi-distinct lesson); the FK check is a left join against
+    distinct customer keys folded into one aggregate — no crossJoin.
+    The suite is chosen to DISCRIMINATE: accepted_values and in_range
+    fail on real rows at every verify scale (event_type has
+    signup/error outside the declared set; value's p99 exceeds the
+    200 cap), while not_null / unique / referential pass — so both
+    branches of `passed` and nonzero violation counts are exercised.
+    Counts are integers and `passed` a boolean: exact by
+    construction."""
+    from solar_logger_spark.operators import expectations as ex
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    customer = load_table(spark, sf_dir, "customer")
+    ev_report = ex.run_suite(
+        events,
+        [
+            ex.not_null("user_id"),
+            ex.unique("event_id"),
+            ex.accepted_values("event_type", ["view", "click", "purchase"]),
+            ex.in_range("value", 0, 200),
+            ex.referential("user_id", customer, "c_custkey"),
+        ],
+        table="events",
+    )
+    doc_report = ex.run_suite(
+        docs,
+        [
+            ex.not_null("text"),
+            ex.accepted_values("lang", ["en", "de", "fr", "es"]),
+        ],
+        table="documents",
+    )
+    return ev_report.unionByName(doc_report).orderBy("check_name")
+
+
+EXPECTATION_SUITE_SQL = """
+    WITH rep AS (
+        SELECT 'events.not_null.user_id' AS check_name,
+               'not_null' AS check_type, 'user_id' AS column_name,
+               count(*) AS n_rows,
+               count(*) FILTER (user_id IS NULL) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'events.unique.event_id', 'unique', 'event_id',
+               count(*),
+               count(event_id) - count(DISTINCT event_id)
+        FROM events
+        UNION ALL
+        SELECT 'events.accepted_values.event_type', 'accepted_values',
+               'event_type', count(*),
+               count(*) FILTER (event_type IS NOT NULL AND
+                   event_type NOT IN ('view', 'click', 'purchase'))
+        FROM events
+        UNION ALL
+        SELECT 'events.in_range.value', 'in_range', 'value',
+               count(*),
+               count(*) FILTER (value IS NOT NULL AND
+                   (value < 0 OR value > 200))
+        FROM events
+        UNION ALL
+        SELECT 'events.referential.user_id', 'referential', 'user_id',
+               count(*),
+               count(*) FILTER (user_id IS NOT NULL AND user_id NOT IN
+                   (SELECT c_custkey FROM customer))
+        FROM events
+        UNION ALL
+        SELECT 'documents.not_null.text', 'not_null', 'text',
+               count(*),
+               count(*) FILTER (text IS NULL)
+        FROM documents
+        UNION ALL
+        SELECT 'documents.accepted_values.lang', 'accepted_values',
+               'lang', count(*),
+               count(*) FILTER (lang IS NOT NULL AND
+                   lang NOT IN ('en', 'de', 'fr', 'es'))
+        FROM documents
+    )
+    SELECT check_name, check_type, column_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           (n_violations = 0) AS passed
+    FROM rep
+    ORDER BY check_name
+"""
