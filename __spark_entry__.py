@@ -1080,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "join_salted_brand_volume": sca.join_salted_brand_volume,
             "agg_two_phase_event_value": sca.agg_two_phase_event_value,
             "quality_expectation_suite": sca.quality_expectation_suite,
+            "text_trigram_lm_quality": sca.text_trigram_lm_quality,
             "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
             "ts_interpolate_linear_events": sca.ts_interpolate_linear_events,
             "flux_correlation_click_view": sca.flux_correlation_click_view,
@@ -1479,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
             "join_salted_brand_volume": sca.JOIN_SALTED_BRAND_SQL,
             "agg_two_phase_event_value": sca.AGG_TWO_PHASE_SQL,
             "quality_expectation_suite": sca.EXPECTATION_SUITE_SQL,
+            "text_trigram_lm_quality": sca.TRIGRAM_LM_SQL,
             "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
             # similarity_ann_* stay rows-only (plane/codebook literals
             # live Spark-side); the stub-codec multimodal queries are

@@ -1078,3 +1078,115 @@ def length_bucketed_batches(
         (F.max("n_tokens").over(wb) - F.col("n_tokens")).alias("pad_waste"),
         (F.count(F.lit(1)).over(wb) == batch_size).alias("is_full"),
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """N-gram language-model fluency scoring — the CCNet-style quality
+    filter: train add-one-smoothed conditional n-gram probabilities on
+    a reference corpus (``train_df``, default: ``df`` itself) and score
+    every document by its mean in-context probability. Kept LOG-FREE
+    (no perplexity exponent) so each probability is one IEEE divide of
+    exact integers and the per-doc mean is a position-pinned left fold
+    — bit-reproducible in plain SQL, unlike a log-likelihood sum
+    (transcendentals diverge across engines; same discipline as
+    unigram_rarity / bm25_topk).
+
+    Per document (documents shorter than ``n`` tokens have no n-grams
+    and drop out): ``n_ngrams``; ``lm_score`` = mean over the doc's
+    n-grams, in token order, of p(w_n | w_1..w_{n-1}) =
+    (count(gram)+1) / (count(context)+V) with V the training unigram
+    vocabulary size; ``unseen_frac`` = share of n-grams never seen in
+    training (the out-of-domain signal — a doc from another
+    distribution scores high here even when its vocabulary overlaps).
+
+    Spark shape: gram arrays are built per row with zero-shuffle
+    higher-order functions; the model is TWO aggregations over the
+    training gram stream (full-gram counts, then context counts derived
+    from them — never a second corpus scan); scoring is a broadcast
+    join of the model onto the target gram stream plus one per-doc
+    aggregation. A natural-language n-gram model from a held-out
+    training sample is Zipf-bounded and broadcastable; pass
+    ``broadcast_model=False`` to let the join shuffle when the model
+    genuinely outgrows executors. V is one bounded scalar collect
+    (vocabulary-sized aggregate), the repo's standard for model
+    constants (cf. bpe merge table).
+    """
+    if n < 2:
+        raise ValueError("ngram_lm_score needs n >= 2")
+    train_df = train_df if train_df is not None else df
+    ws = F.split(F.col(text_col), " ")
+    gram_fields = [f"w{k}" for k in range(n)]
+
+    def grams(with_pos: bool) -> Column:
+        def mk(i: Column) -> Column:
+            parts = ([i.alias("pos")] if with_pos else []) + [
+                F.element_at(ws, i + k).alias(gram_fields[k])
+                for k in range(n)
+            ]
+            return F.struct(*parts)
+
+        # sequence(1, 0) is DESCENDING, not empty — guard short docs
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), mk),
+        ).otherwise(F.array().cast(
+            f"array<struct<{'pos:int,' if with_pos else ''}"
+            + ",".join(f"{g}:string" for g in gram_fields) + ">>"
+        ))
+
+    train_grams = train_df.select(
+        F.explode(grams(with_pos=False)).alias("g")
+    ).select("g.*")
+    c_full = train_grams.groupBy(*gram_fields).agg(
+        F.count(F.lit(1)).alias("c_full")
+    )
+    c_ctx = c_full.groupBy(*gram_fields[:-1]).agg(
+        F.sum("c_full").alias("c_ctx")
+    )
+    vocab_size = (
+        train_df.select(F.explode(ws).alias("w"))
+        .agg(F.count_distinct("w"))
+        .collect()[0][0]
+    )
+
+    model_full = F.broadcast(c_full) if broadcast_model else c_full
+    model_ctx = F.broadcast(c_ctx) if broadcast_model else c_ctx
+    scored = (
+        df.select(F.col(id_col), F.explode(grams(with_pos=True)).alias("g"))
+        .select(id_col, "g.*")
+        .join(model_full, on=gram_fields, how="left")
+        .join(model_ctx, on=gram_fields[:-1], how="left")
+        .withColumn(
+            "p",
+            (F.coalesce(F.col("c_full"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("c_ctx"), F.lit(0))
+               + F.lit(int(vocab_size))).cast("double"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum_p"),
+        F.sum(F.col("c_full").isNull().cast("long")).alias("_unseen"),
+    )
+    return agg.select(
+        id_col,
+        "n_ngrams",
+        (F.col("_sum_p") / F.col("n_ngrams").cast("double"))
+        .alias("lm_score"),
+        (F.col("_unseen").cast("double") / F.col("n_ngrams").cast("double"))
+        .alias("unseen_frac"),
+    )

@@ -4871,3 +4871,74 @@ EXPECTATION_SUITE_SQL = """
     FROM rep
     ORDER BY check_name
 """
+
+
+def text_trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM fluency scoring of the whole corpus against a model
+    trained on the lang='en' slice (operators.text.ngram_lm_score) —
+    the CCNet-style "score target data with a reference-corpus LM"
+    quality filter. On this corpus the languages share one vocabulary
+    but differ in word ORDER, which is exactly what an n-gram LM
+    detects: en docs score unseen_frac = 0 while other langs sit near
+    0.65 (measured at sf0.001 AND sf0.01 — both classes present at
+    every verify scale, ~300/500 docs nonzero), and lm_score varies
+    continuously. Log-free by design: each probability is one IEEE
+    divide of exact integer counts and the per-doc mean is a
+    position-pinned left fold, so the DuckDB twin is bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("lang") == "en")
+    return text.ngram_lm_score(docs, train_df=train, n=3)
+
+
+TRIGRAM_LM_SQL = """
+    WITH tr AS (
+        SELECT string_split(text, ' ') AS ws FROM documents
+        WHERE lang = 'en'
+    ),
+    trg AS (
+        SELECT unnest([{'w0': ws[i], 'w1': ws[i+1], 'w2': ws[i+2]}
+                       for i in range(1, greatest(len(ws) - 1, 1))]) AS g
+        FROM tr WHERE len(ws) >= 3
+    ),
+    c3 AS (
+        SELECT g.w0 AS w0, g.w1 AS w1, g.w2 AS w2, count(*) AS c_full
+        FROM trg GROUP BY 1, 2, 3
+    ),
+    c2 AS (
+        SELECT w0, w1, sum(c_full) AS c_ctx FROM c3 GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT count(DISTINCT w) AS vsize
+        FROM (SELECT unnest(ws) AS w FROM tr)
+    ),
+    sc AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    scg AS (
+        SELECT doc_id,
+               unnest([{'pos': i, 'w0': ws[i], 'w1': ws[i+1],
+                        'w2': ws[i+2]}
+                       for i in range(1, greatest(len(ws) - 1, 1))]) AS g
+        FROM sc WHERE len(ws) >= 3
+    ),
+    p AS (
+        SELECT scg.doc_id, scg.g.pos AS pos,
+               CAST(coalesce(c3.c_full, 0) + 1 AS DOUBLE)
+               / CAST(coalesce(c2.c_ctx, 0) + (SELECT vsize FROM v)
+                      AS DOUBLE) AS p,
+               (c3.c_full IS NULL) AS unseen
+        FROM scg
+        LEFT JOIN c3 ON scg.g.w0 = c3.w0 AND scg.g.w1 = c3.w1
+                    AND scg.g.w2 = c3.w2
+        LEFT JOIN c2 ON scg.g.w0 = c2.w0 AND scg.g.w1 = c2.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                       (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE) AS lm_score,
+           CAST(count(*) FILTER (unseen) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS unseen_frac
+    FROM p
+    GROUP BY doc_id
+"""

@@ -536,3 +536,41 @@ def test_length_bucketed_batches_contract(spark):
         text.length_bucketed_batches(df, batch_size=0)
     with pytest.raises(ValueError, match="bands"):
         text.length_bucketed_batches(df, bands=())
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Add-one-smoothed trigram math pinned by hand: train = score
+    corpus; 'a b c d a b c' has grams abc(x2) bcd cda dab; contexts
+    ab=2 bc=1 cd=1 da=1; vocab {a,b,c,d,x} so V=5."""
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c"), (2, "x"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = text.ngram_lm_score(df, n=3).collect()
+    # docs shorter than n drop out
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert r["n_ngrams"] == 5
+    expected = (3 / 7 + 2 / 6 + 2 / 6 + 2 / 6 + 3 / 7) / 5
+    assert r["lm_score"] == pytest.approx(expected, abs=0)
+    assert r["unseen_frac"] == 0.0
+
+
+def test_ngram_lm_cross_corpus_unseen(spark):
+    """Scoring against a foreign training corpus: every gram unseen,
+    p = 1/V everywhere."""
+    train = spark.createDataFrame([(1, "p q r p q r")], "doc_id long, text string")
+    target = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    r = text.ngram_lm_score(target, train_df=train, n=3).collect()[0]
+    assert r["unseen_frac"] == 1.0
+    assert r["lm_score"] == pytest.approx(1 / 3, abs=0)  # V=3 (p,q,r)
+
+
+def test_ngram_lm_bigram_order_and_validation(spark):
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    r = text.ngram_lm_score(df, n=2).collect()[0]
+    # bigrams ab(x2) ba; ctx a=2 b=1; V=2
+    assert r["n_ngrams"] == 3
+    assert r["lm_score"] == pytest.approx((3 / 4 + 2 / 3 + 3 / 4) / 3, abs=0)
+    with pytest.raises(ValueError, match="n >= 2"):
+        text.ngram_lm_score(df, n=1)
