@@ -1121,6 +1121,12 @@ def ngram_lm_score(
     if n < 2:
         raise ValueError("ngram_lm_score needs n >= 2")
     train_df = train_df if train_df is not None else df
+    # A small corpus often arrives as one parquet file -> one input
+    # partition, and the interpreted gram-builder HOF below would run
+    # serially; spread rows first (cheap: pre-explode row count).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par)
+    train_df = train_df.repartition(par)
     ws = F.split(F.col(text_col), " ")
     gram_fields = [f"w{k}" for k in range(n)]
 
@@ -1147,6 +1153,12 @@ def ngram_lm_score(
     c_full = train_grams.groupBy(*gram_fields).agg(
         F.count(F.lit(1)).alias("c_full")
     )
+    # Barrier: c_full feeds BOTH the gram-probability join and the
+    # context-count derivation, and Catalyst does not dedupe identical
+    # aggregate subplans — without the lineage cut the training gram
+    # aggregation (a full explode of the training corpus) executes
+    # twice, once per consumer.
+    c_full = c_full.localCheckpoint(eager=False)
     c_ctx = c_full.groupBy(*gram_fields[:-1]).agg(
         F.sum("c_full").alias("c_ctx")
     )
