@@ -11,12 +11,17 @@ describes and time travel shows the card of every retained snapshot.
 The fingerprint is engine-reproducible by the repo's usual md5
 discipline: per row, the first 15 hex digits of ``md5(to_json(
 struct(*columns)))`` as a 60-bit integer, summed as DECIMAL (exact,
-order-independent — commutative integer addition), then rendered in
-hex. Any engine that can md5 a canonical JSON row derives the same
-value; row order, partitioning, and file layout do not matter.
-(Caveat, documented not hidden: to_json of MAP columns is
-order-sensitive; stages with map columns should project a canonical
-form first.)
+order-independent — commutative integer addition), then rendered as
+the decimal-digit string (NOT hex: digits are what both engines can
+emit in-query — ``CAST(decimal AS VARCHAR)`` — so audit queries like
+``corpus_content_fingerprints`` can hash-compare the recipe itself).
+Any engine that can md5 a canonical JSON row derives the same value;
+row order, partitioning, and file layout do not matter. Decimal
+addition also makes the fingerprint PARTITIONABLE: per-slice
+fingerprints (per source, per shard) sum as integers to the
+whole-table card value. (Caveat, documented not hidden: to_json of
+MAP columns is order-sensitive; stages with map columns should
+project a canonical form first.)
 """
 
 from __future__ import annotations
@@ -24,30 +29,41 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from solar_logger_spark.io import merge as M
 
 MANIFEST_SIDECAR = "_manifest"
 
 
-def content_fingerprint(df: DataFrame) -> tuple[int, str]:
-    """(row_count, hex fingerprint) of a DataFrame's full contents.
-    One pass: count + an order-independent DECIMAL sum of per-row
-    60-bit md5 prefixes over the canonical JSON of all columns."""
-    row_hash = F.conv(
+def row_hash_expr(columns: list[str]) -> Column:
+    """The per-row 60-bit hash the manifest fingerprint sums: first 15
+    hex digits of md5 over the row's canonical JSON (field order =
+    ``columns`` order, NULL fields omitted — to_json semantics), as a
+    DECIMAL(38,0). Shared by ``content_fingerprint`` and the declared
+    audit query so the two recipes cannot drift."""
+    return F.conv(
         F.substring(
-            F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns]))),
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in columns]))),
             1, 15,
         ),
         16, 10,
     ).cast("decimal(38,0)")
+
+
+def content_fingerprint(df: DataFrame) -> tuple[int, str]:
+    """(row_count, decimal-digit fingerprint) of a DataFrame's full
+    contents. One pass: count + an order-independent DECIMAL sum of
+    per-row 60-bit md5 prefixes over the canonical JSON of all
+    columns."""
     agg = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)"))
-        .alias("h"),
+        F.coalesce(
+            F.sum(row_hash_expr(df.columns)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
     ).collect()[0]
-    return int(agg["n"]), format(int(agg["h"]), "x")
+    return int(agg["n"]), str(int(agg["h"]))
 
 
 def write_stage(

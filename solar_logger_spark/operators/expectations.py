@@ -52,33 +52,52 @@ from pyspark.sql import Column, DataFrame, functions as F
 _ROW_PREDICATE = {"not_null", "accepted_values", "in_range", "matches_regex"}
 
 
-def not_null(col: str) -> dict:
-    return {"type": "not_null", "col": col}
+def not_null(col: str, name: str | None = None) -> dict:
+    return {"type": "not_null", "col": col, "name": name}
 
 
-def unique(col: str) -> dict:
-    return {"type": "unique", "col": col}
+def unique(col: str, name: str | None = None) -> dict:
+    return {"type": "unique", "col": col, "name": name}
 
 
-def accepted_values(col: str, values: Sequence) -> dict:
-    return {"type": "accepted_values", "col": col, "values": list(values)}
+def accepted_values(
+    col: str, values: Sequence, name: str | None = None
+) -> dict:
+    return {"type": "accepted_values", "col": col, "values": list(values),
+            "name": name}
 
 
-def in_range(col: str, lo, hi) -> dict:
-    return {"type": "in_range", "col": col, "lo": lo, "hi": hi}
+def in_range(col: str, lo, hi, name: str | None = None) -> dict:
+    return {"type": "in_range", "col": col, "lo": lo, "hi": hi,
+            "name": name}
 
 
-def matches_regex(col: str, pattern: str) -> dict:
-    return {"type": "matches_regex", "col": col, "pattern": pattern}
+def matches_regex(col: str, pattern: str, name: str | None = None) -> dict:
+    return {"type": "matches_regex", "col": col, "pattern": pattern,
+            "name": name}
 
 
-def referential(col: str, ref_df: DataFrame, ref_col: str) -> dict:
+def referential(
+    col: str, ref_df: DataFrame, ref_col: str, name: str | None = None
+) -> dict:
     return {"type": "referential", "col": col, "ref_df": ref_df,
-            "ref_col": ref_col}
+            "ref_col": ref_col, "name": name}
 
 
 def _check_name(table: str, chk: dict) -> str:
-    return f"{table}.{chk['type']}.{chk['col']}"
+    """Default report name. Parameterized checks carry their
+    parameterization so two checks of the same (type, col) — two
+    range bands, FKs into two reference tables — stay distinguishable
+    in a name-keyed report; ``name=`` overrides when that's not
+    enough (e.g. same ref_col name in two reference tables)."""
+    if chk.get("name"):
+        return f"{table}.{chk['name']}"
+    base = f"{table}.{chk['type']}.{chk['col']}"
+    if chk["type"] == "in_range":
+        return f"{base}[{chk['lo']},{chk['hi']}]"
+    if chk["type"] == "referential":
+        return f"{base}->{chk['ref_col']}"
+    return base
 
 
 def _violation_indicator(chk: dict) -> Column:
@@ -119,6 +138,13 @@ def run_suite(df: DataFrame, checks: Sequence[dict],
     ordered by check_name. Row-predicate checks share a single scan."""
     if not checks:
         raise ValueError("empty expectation suite")
+    names = [_check_name(table, c) for c in checks]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate check names {sorted(dupes)}; pass name= to "
+            "disambiguate"
+        )
     frames: list[DataFrame] = []
 
     predicates = [c for c in checks if c["type"] in _ROW_PREDICATE]

@@ -78,17 +78,42 @@ def two_phase_agg(
 ) -> DataFrame:
     """Aggregate with an intermediate salted phase so one dominant key
     doesn't serialize on a single reducer."""
-    try:
-        partial_fn, final_fn = _TWO_PHASE[fn]
-    except KeyError:
-        raise ValueError(
-            f"two-phase decomposition not defined for {fn!r}; "
-            f"supported: {sorted(_TWO_PHASE)}"
-        ) from None
     alias = alias or f"{fn}_{value_col}"
+    return two_phase_agg_multi(
+        df, keys, [(fn, value_col, alias)], n_salt=n_salt,
+        salt_from=salt_from,
+    )
+
+
+def two_phase_agg_multi(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    n_salt: int = 32,
+    salt_from: Sequence[str] | None = None,
+) -> DataFrame:
+    """Salted two-phase aggregation of SEVERAL ``(fn, value_col,
+    alias)`` measures in one pass: one scan of the fact table, one
+    salted partial shuffle, one final combine — never one whole-table
+    pass per measure, and no per-measure result join (an inner join on
+    the group keys would also silently drop a NULL group, which the
+    single groupBy keeps)."""
+    if not aggs:
+        raise ValueError("two_phase_agg_multi needs at least one aggregate")
+    partial_cols, final_cols = [], []
+    for i, (fn, value_col, alias) in enumerate(aggs):
+        try:
+            partial_fn, final_fn = _TWO_PHASE[fn]
+        except KeyError:
+            raise ValueError(
+                f"two-phase decomposition not defined for {fn!r}; "
+                f"supported: {sorted(_TWO_PHASE)}"
+            ) from None
+        partial_cols.append(partial_fn(F.col(value_col)).alias(f"_p{i}"))
+        final_cols.append(final_fn(F.col(f"_p{i}")).alias(alias))
     partial = (
         df.withColumn("_salt", salt_col(n_salt, salt_from))
         .groupBy(*keys, "_salt")
-        .agg(partial_fn(F.col(value_col)).alias("_partial"))
+        .agg(*partial_cols)
     )
-    return partial.groupBy(*keys).agg(final_fn(F.col("_partial")).alias(alias))
+    return partial.groupBy(*keys).agg(*final_cols)

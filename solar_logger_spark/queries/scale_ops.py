@@ -2011,28 +2011,27 @@ def corpus_content_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Per-source dataset-card rows over the documents table: row
-    count plus the io/manifest content fingerprint (order-independent
-    exact-DECIMAL sum of 60-bit md5 prefixes of each row's canonical
-    JSON) — the audit query a consumer runs to verify a shipped corpus
-    slice against its manifest, declared so the driver hash-compares
-    the recipe itself. The JSON is built from ASCII-safe columns
-    (doc_id/source/text carry no quotes or escapes in this corpus), so
-    the DuckDB twin's string concat reproduces Spark's to_json byte
-    for byte; the fingerprint is emitted as a VARCHAR (sums exceed
-    int64 range)."""
+    count plus the io/manifest content fingerprint — the EXACT recipe
+    ``manifest.content_fingerprint`` writes into each snapshot's card
+    (shared ``manifest.row_hash_expr`` over ALL table columns, so the
+    two cannot drift), declared so the driver hash-compares the recipe
+    itself. Because the fingerprint is an exact DECIMAL sum, the
+    per-source values here sum (as integers) to the whole-table card
+    value — the audit a consumer runs on a shipped slice
+    (pytest-pinned in test_manifest). The DuckDB twin reproduces
+    Spark's to_json byte for byte, including NULL-field omission
+    (concat_ws skips the CASE-null fragments); strings are ASCII-safe
+    in this corpus (no quotes/escapes), the documented to_json
+    assumption."""
+    from solar_logger_spark.io import manifest as MF
+
     docs = load_table(spark, sf_dir, "documents")
-    row_hash = F.conv(
-        F.substring(
-            F.md5(F.to_json(F.struct("doc_id", "source", "text"))), 1, 15
-        ),
-        16, 10,
-    ).cast("decimal(38,0)")
     return (
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(row_hash).cast("decimal(38,0)").cast("string")
-            .alias("fingerprint"),
+            F.sum(MF.row_hash_expr(docs.columns))
+            .cast("decimal(38,0)").cast("string").alias("fingerprint"),
         )
         .orderBy("source")
     )
@@ -2042,9 +2041,20 @@ CORPUS_FINGERPRINTS_SQL = """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CAST(CAST(('0x' || substring(md5(
-                   '{"doc_id":' || CAST(doc_id AS VARCHAR)
-                   || ',"source":"' || source
-                   || '","text":"' || text || '"}'), 1, 15)) AS BIGINT)
+                   '{' || concat_ws(',',
+                       CASE WHEN doc_id IS NOT NULL
+                            THEN '"doc_id":' || CAST(doc_id AS VARCHAR)
+                            END,
+                       CASE WHEN text IS NOT NULL
+                            THEN '"text":"' || text || '"' END,
+                       CASE WHEN lang IS NOT NULL
+                            THEN '"lang":"' || lang || '"' END,
+                       CASE WHEN source IS NOT NULL
+                            THEN '"source":"' || source || '"' END,
+                       CASE WHEN n_chars IS NOT NULL
+                            THEN '"n_chars":' || CAST(n_chars AS VARCHAR)
+                            END
+                   ) || '}'), 1, 15)) AS BIGINT)
                AS HUGEINT)) AS VARCHAR) AS fingerprint
     FROM documents
     GROUP BY source
@@ -4739,8 +4749,11 @@ def agg_two_phase_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) aggregation declared as a query: sum and
     count of events.value per event_type run as groupBy(key, salt)
     partials then a final groupBy(key) combine
-    (operators.skew.two_phase_agg, 16 salts from event_id), so a
-    dominant event_type never serializes on a single reducer. The
+    (operators.skew.two_phase_agg_multi, 16 salts from event_id) — both
+    measures in ONE fact-table pass and no per-measure result join (an
+    inner join on event_type would drop a NULL group the groupBy
+    keeps) — so a dominant event_type never serializes on a single
+    reducer. The
     value is cast to DECIMAL(18,6) BEFORE the partial phase — decimal
     addition is associative, so splitting the sum across salt buckets
     cannot change the result the way reordered double addition would;
@@ -4753,15 +4766,13 @@ def agg_two_phase_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "value_dec", F.col("value").cast("decimal(18,6)")
     )
-    sums = skew.two_phase_agg(
-        ev, ["event_type"], "value_dec", fn="sum", n_salt=16,
-        salt_from=["event_id"], alias="sum_dec",
+    both = skew.two_phase_agg_multi(
+        ev, ["event_type"],
+        [("sum", "value_dec", "sum_dec"),
+         ("count", "event_id", "n_events")],
+        n_salt=16, salt_from=["event_id"],
     )
-    counts = skew.two_phase_agg(
-        ev, ["event_type"], "event_id", fn="count", n_salt=16,
-        salt_from=["event_id"], alias="n_events",
-    )
-    return sums.join(counts, "event_type").select(
+    return both.select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_dec").cast("double").alias("sum_value"),
@@ -4841,13 +4852,14 @@ EXPECTATION_SUITE_SQL = """
                    event_type NOT IN ('view', 'click', 'purchase'))
         FROM events
         UNION ALL
-        SELECT 'events.in_range.value', 'in_range', 'value',
+        SELECT 'events.in_range.value[0,200]', 'in_range', 'value',
                count(*),
                count(*) FILTER (value IS NOT NULL AND
                    (value < 0 OR value > 200))
         FROM events
         UNION ALL
-        SELECT 'events.referential.user_id', 'referential', 'user_id',
+        SELECT 'events.referential.user_id->c_custkey', 'referential',
+               'user_id',
                count(*),
                count(*) FILTER (user_id IS NOT NULL AND user_id NOT IN
                    (SELECT c_custkey FROM customer))

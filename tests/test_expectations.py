@@ -59,12 +59,12 @@ def test_each_check_type_counts_violations_exactly(spark, dirty, ref):
     # 'bogus' violates; NULL kind passes accepted_values
     assert rep["t.accepted_values.kind"] == (5, 1, False)
     # 150 over, -1 under; NULL passes
-    assert rep["t.in_range.score"] == (5, 2, False)
+    assert rep["t.in_range.score[0,100]"] == (5, 2, False)
     # 'ABC' and 'a1' fail; NULL passes
     assert rep["t.matches_regex.code"] == (5, 2, False)
     # fk=99 absent from ref; NULL fk passes; duplicate ref keys don't
     # inflate n_rows (left join against DISTINCT keys)
-    assert rep["t.referential.fk"] == (5, 1, False)
+    assert rep["t.referential.fk->key"] == (5, 1, False)
 
 
 def test_clean_table_passes_everything(spark, ref):
@@ -121,3 +121,34 @@ def test_single_scan_for_row_predicates(spark, dirty):
     assert plan.lower().count("localtablescan") + plan.lower().count(
         "logicalrdd"
     ) == 1
+
+
+def test_parameterized_names_and_duplicate_guard(spark, ref):
+    """Two checks of the same (type, col) with different parameters
+    get distinguishable names; truly colliding checks are rejected
+    rather than silently collapsing in a name-keyed report."""
+    df = spark.createDataFrame([(1, 5)], "fk long, score long")
+    rep = _report(ex.run_suite(
+        df,
+        [ex.in_range("score", 0, 10), ex.in_range("score", 100, 200),
+         ex.referential("fk", ref, "key")],
+        table="t",
+    ))
+    assert set(rep) == {
+        "t.in_range.score[0,10]", "t.in_range.score[100,200]",
+        "t.referential.fk->key",
+    }
+    assert rep["t.in_range.score[0,10]"][2] is True
+    assert rep["t.in_range.score[100,200]"][2] is False
+    # explicit name= disambiguates otherwise-identical checks
+    rep2 = _report(ex.run_suite(
+        df,
+        [ex.referential("fk", ref, "key", name="fk_vs_a"),
+         ex.referential("fk", ref, "key", name="fk_vs_b")],
+        table="t",
+    ))
+    assert set(rep2) == {"t.fk_vs_a", "t.fk_vs_b"}
+    with pytest.raises(ValueError, match="duplicate check names"):
+        ex.run_suite(
+            df, [ex.not_null("fk"), ex.not_null("fk")], table="t"
+        )

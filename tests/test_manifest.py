@@ -49,7 +49,59 @@ def test_fingerprint_reproducible_in_duckdb(spark):
         """
     ).fetchone()
     assert got[0] == n
-    assert format(int(got[1]), "x") == fp
+    assert str(int(got[1])) == fp
+
+
+def test_audit_query_recipe_matches_card(spark):
+    """The declared corpus_content_fingerprints audit contract: its
+    per-slice DECIMAL fingerprints sum, as plain integers, to the
+    whole-table manifest card value — same row_hash_expr, same
+    rendering, so a consumer can verify a shipped slice against the
+    card it rode in on."""
+    from pyspark.sql import functions as F
+
+    rows = [Row(k=i, v=f"v{i}", grp=("a" if i % 3 else "b"))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v string, grp string")
+    _, card_fp = MF.content_fingerprint(df)
+    per_slice = (
+        df.groupBy("grp")
+        .agg(F.sum(MF.row_hash_expr(df.columns))
+             .cast("decimal(38,0)").cast("string").alias("fp"))
+        .collect()
+    )
+    assert sum(int(r["fp"]) for r in per_slice) == int(card_fp)
+
+
+def test_fingerprint_null_fields_match_duckdb(spark):
+    """to_json omits NULL fields; the oracle's concat_ws(CASE...) form
+    must reproduce that byte-for-byte, so rows with NULLs neither
+    diverge nor silently drop out of the sum (a NULL-poisoned plain
+    concat would make md5 NULL and sum() skip the row)."""
+    rows = [Row(k=1, v="x"), Row(k=2, v=None), Row(k=None, v="y")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    n, fp = MF.content_fingerprint(df)
+    assert n == 3
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(k BIGINT, v VARCHAR); "
+        "INSERT INTO t VALUES (1,'x'), (2,NULL), (NULL,'y')"
+    )
+    got = con.execute(
+        """
+        SELECT count(*),
+               sum(CAST(CAST(('0x' || substring(md5(
+                   '{' || concat_ws(',',
+                       CASE WHEN k IS NOT NULL
+                            THEN '"k":' || CAST(k AS VARCHAR) END,
+                       CASE WHEN v IS NOT NULL
+                            THEN '"v":"' || v || '"' END
+                   ) || '}'), 1, 15)) AS BIGINT) AS HUGEINT))
+        FROM t
+        """
+    ).fetchone()
+    assert got[0] == n
+    assert str(int(got[1])) == fp
 
 
 def test_write_stage_card_rides_snapshot_and_time_travels(spark, tmp_path):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from solar_logger_spark.io.tables import load_table
 from solar_logger_spark.operators.skew import salted_join, two_phase_agg
+from solar_logger_spark.operators import skew
 
 
 def _sorted_rows(df, cols):
@@ -111,3 +112,28 @@ def test_declared_salted_queries_match_plain_equivalents(spark, sf_dir):
     # discrimination: multiple groups, non-degenerate values
     rows = _sorted_rows(got2, cols2)
     assert len(rows) >= 3 and len({r[2] for r in rows}) >= 3
+
+
+def test_two_phase_agg_multi_one_pass_and_null_group(spark):
+    """Multiple measures combine in ONE pass (one scan of the input in
+    the optimized plan) and a NULL grouping key survives — the
+    per-measure-join form silently dropped it (inner equi-join never
+    matches NULL keys)."""
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), (None, 3, 5.0), ("b", 4, 1.0)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = skew.two_phase_agg_multi(
+        df, ["k"], [("sum", "v", "s"), ("count", "id", "n")],
+        n_salt=4, salt_from=["id"],
+    )
+    by_k = {r["k"]: (r["s"], r["n"]) for r in got.collect()}
+    assert by_k == {"a": (30.0, 2), None: (5.0, 1), "b": (1.0, 1)}
+    plan = got._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert plan.count("localtablescan") + plan.count("logicalrdd") == 1
+
+
+def test_two_phase_agg_multi_validates(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="at least one"):
+        skew.two_phase_agg_multi(df, ["k"], [])
+    with pytest.raises(ValueError, match="not defined"):
+        skew.two_phase_agg_multi(df, ["k"], [("avg", "v", "a")])
