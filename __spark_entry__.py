@@ -1081,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "agg_two_phase_event_value": sca.agg_two_phase_event_value,
             "quality_expectation_suite": sca.quality_expectation_suite,
             "text_trigram_lm_quality": sca.text_trigram_lm_quality,
+            "er_fuzzy_match_parts": sca.er_fuzzy_match_parts,
             "ts_anomaly_zscore_events": sca.ts_anomaly_zscore_events,
             "ts_interpolate_linear_events": sca.ts_interpolate_linear_events,
             "flux_correlation_click_view": sca.flux_correlation_click_view,
@@ -1481,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
             "agg_two_phase_event_value": sca.AGG_TWO_PHASE_SQL,
             "quality_expectation_suite": sca.EXPECTATION_SUITE_SQL,
             "text_trigram_lm_quality": sca.TRIGRAM_LM_SQL,
+            "er_fuzzy_match_parts": sca.ER_FUZZY_MATCH_SQL,
             "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
             # similarity_ann_* stay rows-only (plane/codebook literals
             # live Spark-side); the stub-codec multimodal queries are

@@ -4954,3 +4954,92 @@ TRIGRAM_LM_SQL = """
     FROM p
     GROUP BY doc_id
 """
+
+
+# -- record linkage (operators/linkage.py) ---------------------------------
+
+def er_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join declared as a query: a noisy
+    "vendor feed" is derived from the part catalog in-query by four
+    deterministic md5-parity corruption classes (0: exact copy, 1:
+    last char dropped, 2: first two chars -> 'xx' — noise landing in
+    the blocking-favorite first token, 3: gibberish beyond the edit
+    threshold), then matched back to the catalog with
+    operators.linkage.fuzzy_join (FastSS deletion-neighborhood
+    candidates — token blocking OOMs on this tiny-vocabulary corpus's
+    giant blocks — thresholded levenshtein verification, deterministic
+    best-match, unmatched rows kept as NULLs). Every class is present
+    at every verify scale (md5-uniform), so the output exercises
+    exact, near, and unmatched branches; distances and keys are exact
+    integers, engine-independent. The oracle is deliberately DUMBER
+    than the operator: a length-banded brute-force cross join is
+    exhaustive for the same threshold at oracle scale, so it checks
+    the deletes strategy's completeness, not a re-implementation of
+    it."""
+    from solar_logger_spark.operators import linkage
+
+    part = load_table(spark, sf_dir, "part")
+    cls = F.pmod(
+        F.conv(F.substring(F.md5("p_name"), 1, 15), 16, 10).cast("long"),
+        F.lit(4),
+    )
+    feed = part.select(
+        F.col("p_partkey").alias("feed_id"),
+        cls.cast("long").alias("corruption"),
+        F.when(cls == 0, F.col("p_name"))
+        .when(cls == 1, F.expr("substring(p_name, 1, length(p_name) - 1)"))
+        .when(cls == 2, F.concat(F.lit("xx"), F.expr("substring(p_name, 3)")))
+        .otherwise(F.concat(F.lit("zz"), F.substring(F.md5("p_name"), 1, 8)))
+        .alias("feed_name"),
+    )
+    matched = linkage.fuzzy_join(
+        feed, part, "feed_id", "feed_name", "p_partkey", "p_name",
+        max_dist=2, broadcast_right=True,
+    )
+    return (
+        matched.join(feed.select("feed_id", "corruption"), "feed_id")
+        .select(
+            "feed_id", "feed_name", "corruption",
+            "match_p_partkey", "match_p_name", "dist",
+        )
+        .orderBy("feed_id")
+    )
+
+
+ER_FUZZY_MATCH_SQL = """
+    WITH feed AS (
+        SELECT p_partkey AS feed_id,
+               CAST(('0x' || substring(md5(p_name), 1, 15)) AS BIGINT)
+                   % 4 AS corruption,
+               CASE CAST(('0x' || substring(md5(p_name), 1, 15))
+                        AS BIGINT) % 4
+                    WHEN 0 THEN p_name
+                    WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+                    WHEN 2 THEN 'xx' || substring(p_name, 3)
+                    ELSE 'zz' || substring(md5(p_name), 1, 8)
+               END AS feed_name
+        FROM part
+    ),
+    cand AS (
+        SELECT f.feed_id, f.feed_name, p.p_partkey, p.p_name,
+               levenshtein(f.feed_name, p.p_name) AS dist
+        FROM feed f
+        JOIN part p
+          ON abs(length(f.feed_name) - length(p.p_name)) <= 2
+        WHERE levenshtein(f.feed_name, p.p_name) <= 2
+    ),
+    best AS (
+        SELECT feed_id, p_partkey, p_name, dist,
+               row_number() OVER (PARTITION BY feed_id
+                                  ORDER BY dist, p_partkey) AS rn
+        FROM cand
+    )
+    SELECT f.feed_id, f.feed_name,
+           CAST(f.corruption AS BIGINT) AS corruption,
+           b.p_partkey AS match_p_partkey,
+           b.p_name AS match_p_name,
+           CAST(b.dist AS BIGINT) AS dist
+    FROM feed f
+    LEFT JOIN best b ON b.feed_id = f.feed_id AND b.rn = 1
+    ORDER BY f.feed_id
+"""
