@@ -1025,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_quality_score_docs": sca.text_quality_score_docs,
             "text_lang_id_docs": sca.text_lang_id_docs,
             "similarity_cosine_topk": sca.similarity_cosine_topk,
+            "contrastive_hard_negatives": sca.contrastive_hard_negatives,
             "embedding_neardup_pairs": sca.embedding_neardup_pairs,
             "similarity_ann_lsh": sca.similarity_ann_lsh,
             "similarity_ann_ivf": sca.similarity_ann_ivf,
@@ -1483,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
             "quality_expectation_suite": sca.EXPECTATION_SUITE_SQL,
             "text_trigram_lm_quality": sca.TRIGRAM_LM_SQL,
             "er_fuzzy_match_parts": sca.ER_FUZZY_MATCH_SQL,
+            "contrastive_hard_negatives": sca.HARD_NEGATIVES_SQL,
             "embedding_neardup_pairs": sca.NEARDUP_PAIRS_SQL,
             # similarity_ann_* stay rows-only (plane/codebook literals
             # live Spark-side); the stub-codec multimodal queries are

@@ -46,6 +46,7 @@ def topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (cosine), deterministic
     tiebreak on neighbor id. Queries are broadcast; the corpus never
@@ -77,6 +78,16 @@ def topk_bruteforce(
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
+    if band is not None:
+        # half-open [lo, hi): both engines derive bit-identical cos_sim
+        # (pinned fold order), so boundary decisions cannot diverge.
+        lo, hi = band
+        if not lo < hi:
+            raise ValueError(f"empty similarity band [{lo}, {hi})")
+        scored = scored.filter(
+            (F.col("cos_sim") >= F.lit(float(lo)))
+            & (F.col("cos_sim") < F.lit(float(hi)))
+        )
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     part_schema = (
@@ -124,6 +135,31 @@ def topk_bruteforce(
         part.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    floor: float = 0.30,
+    ceiling: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor (query), the top-k
+    corpus vectors whose cosine lies in the half-open band
+    ``[floor, ceiling)`` — similar enough to be hard for a contrastive
+    objective, but below the near-duplicate ceiling that would make
+    them FALSE negatives (``ceiling`` should match the corpus's dedup
+    threshold, cf. ``neardup_pairs``). Anchors with fewer than k
+    in-band candidates return what exists; anchors with none drop out.
+    Same exact kernel and scale shape as ``topk_bruteforce`` (banded
+    selection happens map-side before the partial top-k), so results
+    stay bit-reproducible against a plain SQL twin."""
+    return topk_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        band=(floor, ceiling),
     )
 
 

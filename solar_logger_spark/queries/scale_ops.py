@@ -200,6 +200,52 @@ COSINE_TOPK_SQL = """
 """
 
 
+def contrastive_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators.similarity.hard_negatives): per anchor (the standard
+    vec_id < 10 query batch), the top-5 corpus vectors with cosine in
+    [0.30, 0.45) — the band between "uninformative" and this corpus's
+    near-duplicate threshold (embedding_neardup_pairs uses 0.45, so a
+    mined negative can never be a known near-dup = false negative).
+    Anchors mine 1..7 in-band negatives at sf0.001 (measured), so both
+    the under-k and the full-k branches are exercised at every verify
+    scale. Bit-reproducible: same pinned cosine fold as
+    similarity_cosine_topk; the band filter happens map-side before
+    the partial top-k, so the selection never shuffles out-of-band
+    scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(
+        emb, anchors, k=5, floor=0.30, ceiling=0.45
+    )
+
+
+HARD_NEGATIVES_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_sum([CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                         for i in range(1, len(q.q_vec) + 1)])
+               / (sqrt(list_sum([CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)
+                                 for i in range(1, len(q.q_vec) + 1)]))
+                  * sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                                   for i in range(1, len(c.embedding) + 1)])))
+               AS cos_sim
+        FROM embeddings c, q
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    WHERE cos_sim >= 0.30 AND cos_sim < 0.45
+    QUALIFY rank <= 5
+"""
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs(emb, threshold=0.45)

@@ -203,3 +203,25 @@ def test_neardup_blocked_matches_broadcast(spark):
     }
     assert blocked == exact
     assert len(exact) > 0
+
+
+def test_hard_negatives_band_and_underfill(vectors):
+    """Mined negatives sit strictly inside [floor, ceiling): near-dups
+    above the ceiling are excluded (false-negative guard) and anchors
+    whose in-band candidates number fewer than k return what exists."""
+    anchors = vectors.filter("vec_id = 0")
+    allk = similarity.topk_bruteforce(vectors, anchors, k=10).collect()
+    sims = {r.neighbor_id: r.cos_sim for r in allk}
+    floor, ceiling = 0.05, 0.99
+    out = similarity.hard_negatives(
+        vectors, anchors, k=10, floor=floor, ceiling=ceiling
+    ).collect()
+    got = {r.neighbor_id: r.cos_sim for r in out}
+    expect = {n: s for n, s in sims.items() if floor <= s < ceiling}
+    assert got == expect                      # exact same scores, banded
+    assert len(got) < len(sims)               # ceiling really excluded
+    # ranks are dense and ordered within the band
+    ranks = [r.rank for r in sorted(out, key=lambda r: -r.cos_sim)]
+    assert ranks == list(range(1, len(out) + 1))
+    with pytest.raises(ValueError, match="empty similarity band"):
+        similarity.topk_bruteforce(vectors, anchors, band=(0.5, 0.5))
