@@ -214,19 +214,7 @@ def upsert(
             # crash) — e.g. a crawl delivery whose docs all shingle
             # to nothing
             return snap
-        for t in touched:
-            for c, v in zip(partition_by, t):
-                # the hardlink step compares hive dir values by str(v);
-                # only types whose hive encoding round-trips through
-                # str() are safe — anything else risks silently linking
-                # a partition the scoped write also rewrote (duplicates)
-                if not isinstance(v, int) or isinstance(v, bool):
-                    raise ValueError(
-                        "partition_scoped requires non-null int "
-                        f"partition values; {c}={v!r} "
-                        f"({type(v).__name__}) does not round-trip "
-                        "through hive dir names safely"
-                    )
+        _validate_scoped_values(partition_by, touched)
         import functools
         import operator
 
@@ -283,6 +271,110 @@ def upsert(
         return new_name
     return _write_next_snapshot(
         merged, table_dir, snap, keep_snapshots, partition_by, sidecar
+    )
+
+
+def _validate_scoped_values(
+    partition_by: Sequence[str], touched: list[tuple]
+) -> None:
+    """The hardlink step compares hive dir values by str(v); only types
+    whose hive encoding round-trips through str() are safe — anything
+    else risks silently linking a partition the scoped write also
+    rewrote (duplicates)."""
+    for t in touched:
+        for c, v in zip(partition_by, t):
+            if not isinstance(v, int) or isinstance(v, bool):
+                raise ValueError(
+                    "partition_scoped requires non-null int "
+                    f"partition values; {c}={v!r} "
+                    f"({type(v).__name__}) does not round-trip "
+                    "through hive dir names safely"
+                )
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    del_keys: DataFrame,
+    keys: list[str],
+    partition_by: Sequence[str] | None = None,
+    partition_scoped: bool = False,
+    keep_snapshots: int = 2,
+    sidecar: dict[str, str] | None = None,
+) -> str:
+    """Targeted delete: drop EVERY base row whose ``keys`` match a row
+    of ``del_keys`` (anti-join — multi-row keys all go), as a new
+    snapshot. The deletion primitive behind right-to-be-forgotten
+    sweeps over pipeline artifact tables.
+
+    ``partition_scoped=True`` rewrites only the partitions holding the
+    deleted keys' rows and HARDLINKS the rest (the upsert mechanism).
+    ``del_keys`` must then CARRY the ``partition_by`` columns, and the
+    caller owns this contract: the distinct partition values in
+    ``del_keys`` must cover every partition holding rows of those keys
+    — true when the partition columns are deterministic functions of
+    the keys (the upsert contract), or when ``del_keys`` was projected
+    from the table itself (enumerating exactly where the rows live).
+    A missed partition silently RETAINS supposedly-deleted rows, which
+    in a forget flow is a privacy bug, not a perf bug.
+
+    Unlike ``upsert(delete_filter=...)`` (rejected under scoping
+    because an arbitrary predicate may select rows anywhere), a
+    key-set delete can honor scoping under the contract above."""
+    snap = current_snapshot(table_dir)
+    if snap is None:
+        raise FileNotFoundError(f"no _CURRENT snapshot in {table_dir}")
+    _validate_sidecar_names(sidecar)
+    if partition_scoped and not partition_by:
+        raise ValueError("partition_scoped requires partition_by")
+    base = spark.read.parquet(os.path.join(table_dir, snap))
+    cols = list(keys)
+    if partition_scoped:
+        cols += [c for c in partition_by if c not in cols]
+    key_set = del_keys.select(*cols).distinct()
+    if partition_scoped:
+        touched = [
+            tuple(r) for r in
+            key_set.select(*partition_by).distinct().collect()
+        ]
+        if not touched:
+            return snap  # nothing to delete
+        _validate_scoped_values(partition_by, touched)
+        import functools
+        import operator
+
+        pred = functools.reduce(
+            operator.or_,
+            [
+                functools.reduce(
+                    operator.and_,
+                    [
+                        F.col(c).eqNullSafe(F.lit(v))
+                        for c, v in zip(partition_by, t)
+                    ],
+                )
+                for t in touched
+            ],
+        )
+        kept = base.filter(pred).join(
+            key_set.select(*keys).distinct(), keys, "left_anti"
+        )
+        new_name = _prepare_next_snapshot(table_dir, snap)
+        new_path = os.path.join(table_dir, new_name)
+        kept.write.mode("errorifexists").partitionBy(
+            *partition_by
+        ).parquet(new_path)
+        _link_untouched_partitions(
+            os.path.join(table_dir, snap), new_path,
+            list(partition_by), touched,
+        )
+        _write_sidecars(new_path, sidecar)
+        _swap_pointer(table_dir, new_name)
+        _prune(table_dir, keep=keep_snapshots)
+        return new_name
+    kept = base.join(key_set, keys, "left_anti")
+    return _write_next_snapshot(
+        kept, table_dir, snap, keep_snapshots, partition_by, sidecar
     )
 
 

@@ -28,6 +28,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# hive-partition column of the maintained component-labels table
+# (incremental_components): pmod(hash(node), n_partitions)
+PC = "_pc"
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Undirected edge list → canonical (src < dst) pairs, deduped,
@@ -381,7 +385,6 @@ def incremental_components(
     """
     from solar_logger_spark.io import merge as M
 
-    PC = "_pc"
     id_type = new_edges.schema[src].dataType
 
     def _pc(col):

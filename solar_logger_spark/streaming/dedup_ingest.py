@@ -289,3 +289,111 @@ def incremental_dedup_sink(
                  sidecar=parts_sidecar)
 
     return _write
+
+
+def forget_docs(
+    spark,
+    index_dir: str,
+    doc_ids,
+    id_col: str = "doc_id",
+    pairs_dir: str | None = None,
+    components_dir: str | None = None,
+    keep_snapshots: int = 2,
+    components_partitions: int = 32,
+) -> dict[str, str]:
+    """Right-to-be-forgotten sweep over the crawl loop's persisted
+    state: remove every trace of ``doc_ids`` from the dedup index
+    (shingle rows, bucket rows) and, when given, the pairs table and
+    the maintained component labels — so a future delivery of an
+    identical document can neither pair against nor be suppressed by a
+    forgotten one. Returns ``{table: live snapshot after the sweep}``.
+
+    Scope of each delete (all go through ``io.merge.delete_keys``):
+
+    * **shingles** — partition-scoped: ``_ps = pmod(hash(id), N)`` is a
+      function of the key, so only the forgotten ids' partitions are
+      rewritten and the rest of the index is hardlinked.
+    * **buckets** — ``_pb`` is a function of bucket CONTENTS, not of
+      the id, so the ids' rows are first located with one pruned-
+      column scan of the live bucket table (doc_id + _pb only); the
+      delete then rewrites exactly those partitions. Read O(index),
+      write O(touched) — the read is the honest cost of not trusting
+      a re-derivation of the buckets from config (a config mismatch
+      there would silently RETAIN rows: a privacy bug).
+    * **pairs** — unpartitioned and small (verified near-dups only):
+      two key-deletes (either endpoint forgotten), full rewrites.
+    * **component labels** — partition-scoped by ``pmod(hash(node),
+      components_partitions)`` (pass the n_partitions the loop was run
+      with). NOTE, documented not hidden: a forgotten id may persist
+      as the LABEL VALUE of other nodes' component (labels are
+      component minima). The value is a pseudonymous cluster id, not
+      document content; a deployment that must purge even those
+      re-labels by rebuilding with ``connected_components`` over the
+      retained pairs.
+
+    Idempotent: re-running the same forget is a no-op sweep (anti-join
+    of absent keys). Single-writer with respect to the streaming sink,
+    like every io/merge mutation.
+    """
+    from pyspark.sql import Row
+
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [Row(**{id_col: v}) for v in doc_ids]
+        )
+    ids = doc_ids.select(id_col).distinct().localCheckpoint()
+
+    n_parts = stored_partitions(index_dir)
+    if n_parts is None:
+        raise FileNotFoundError(
+            f"no initialized dedup index at {index_dir}"
+        )
+    parts_sidecar = {PARTS_SIDECAR: str(n_parts)}
+    sh_dir = os.path.join(index_dir, SHINGLES)
+    bk_dir = os.path.join(index_dir, BUCKETS)
+    out: dict[str, str] = {}
+
+    sh_keys = ids.withColumn(PS, _shingle_part(id_col, n_parts))
+    out[SHINGLES] = M.delete_keys(
+        spark, sh_dir, sh_keys, keys=[id_col],
+        partition_by=[PS], partition_scoped=True,
+        keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
+    )
+
+    bk_live = M.read_table_snapshot(spark, bk_dir)
+    bk_keys = (
+        bk_live.join(ids, id_col, "left_semi")
+        .select(id_col, PB).distinct()
+    )
+    out[BUCKETS] = M.delete_keys(
+        spark, bk_dir, bk_keys, keys=[id_col],
+        partition_by=[PB], partition_scoped=True,
+        keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
+    )
+
+    if pairs_dir is not None and M.current_snapshot(pairs_dir) is not None:
+        for endpoint in ("batch_id", "index_id"):
+            out["pairs"] = M.delete_keys(
+                spark, pairs_dir,
+                ids.select(F.col(id_col).alias(endpoint)),
+                keys=[endpoint], keep_snapshots=keep_snapshots,
+            )
+
+    if (
+        components_dir is not None
+        and M.current_snapshot(components_dir) is not None
+    ):
+        from solar_logger_spark.operators import graph as G
+
+        node_keys = ids.select(
+            F.col(id_col).alias("node")
+        ).withColumn(
+            G.PC,
+            F.pmod(F.hash("node"), F.lit(components_partitions)),
+        )
+        out["components"] = M.delete_keys(
+            spark, components_dir, node_keys, keys=["node"],
+            partition_by=[G.PC], partition_scoped=True,
+            keep_snapshots=keep_snapshots,
+        )
+    return out

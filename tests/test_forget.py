@@ -1,0 +1,168 @@
+"""Right-to-be-forgotten: io.merge.delete_keys and the
+dedup_ingest.forget_docs cascade over the crawl loop's persisted state.
+
+The binding differential: forgetting delivery B's documents from an
+index built over A then B must leave the shingle and bucket artifacts
+EXACTLY equal to an index built over A alone (artifact rows are
+per-document, so equality is row-set equality) — and a re-delivery of
+a forgotten document must behave as if it had never been seen (no
+pairs against it, fresh ingestion)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from solar_logger_spark.io import merge as M
+from solar_logger_spark.streaming import dedup_ingest as DI
+
+THRESHOLD = 0.5
+NPARTS = 8
+
+
+def _docs(seed, ids):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    return [
+        Row(doc_id=i, text=" ".join(
+            rng.choice(vocab) for _ in range(rng.randint(10, 28))
+        ))
+        for i in ids
+    ]
+
+
+def _deliver(spark, index_dir, pairs_dir, rows, comp_dir=None):
+    sink = DI.incremental_dedup_sink(
+        index_dir, pairs_dir, threshold=THRESHOLD,
+        index_partitions=NPARTS, components_dir=comp_dir,
+    )
+    sink(spark.createDataFrame(rows), 0)
+
+
+def _rows(spark, table_dir):
+    df = M.read_table_snapshot(spark, table_dir)
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- merge unit
+
+def test_delete_keys_unscoped_and_multirow(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, v string"
+    )
+    M.init_table(df, d)
+    M.delete_keys(
+        spark, d, spark.createDataFrame([(1,)], "k long"), keys=["k"]
+    )
+    assert _rows(spark, d) == [(2, "c"), (3, "d")]
+    # idempotent: deleting absent keys is a no-op rewrite
+    M.delete_keys(
+        spark, d, spark.createDataFrame([(1,)], "k long"), keys=["k"]
+    )
+    assert _rows(spark, d) == [(2, "c"), (3, "d")]
+
+
+def test_delete_keys_scoped_prunes_and_links(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(16)], "k long, p int, v string"
+    )
+    M.init_table(df, d, partition_by=["p"])
+    dk = spark.createDataFrame([(5, 1), (9, 1)], "k long, p int")
+    snap = M.delete_keys(
+        spark, d, dk, keys=["k"], partition_by=["p"], partition_scoped=True
+    )
+    left = {r[0] for r in _rows(spark, d)}
+    assert left == set(range(16)) - {5, 9}
+    # untouched partitions are hardlinked, not rewritten: the same
+    # inode appears in old and new snapshots for p=0
+    old_dir = os.path.join(d, "snap-000000", "p=0")
+    new_dir = os.path.join(d, snap, "p=0")
+    old_inodes = {os.stat(os.path.join(old_dir, f)).st_ino
+                  for f in os.listdir(old_dir)
+                  if f.endswith(".parquet")}
+    new_inodes = {os.stat(os.path.join(new_dir, f)).st_ino
+                  for f in os.listdir(new_dir)
+                  if f.endswith(".parquet")}
+    assert old_inodes == new_inodes and old_inodes
+    with pytest.raises(ValueError, match="partition_scoped requires"):
+        M.delete_keys(spark, d, dk, keys=["k"], partition_scoped=True)
+
+
+# ------------------------------------------------------------- forget sweep
+
+def test_forget_equals_never_ingested(spark, tmp_path):
+    a_rows = _docs(1, range(0, 10))
+    b_rows = _docs(2, range(10, 20))
+    # planted near-dup across deliveries so the pairs table is nonempty
+    ws = a_rows[0].text.split(" ")
+    ws[len(ws) // 2] = "EDIT"
+    b_rows[0] = Row(doc_id=10, text=" ".join(ws))
+
+    both = str(tmp_path / "both")
+    only_a = str(tmp_path / "only_a")
+    for base in (both, only_a):
+        os.makedirs(base)
+    _deliver(spark, f"{both}/idx", f"{both}/pairs", a_rows,
+             comp_dir=f"{both}/comp")
+    _deliver(spark, f"{both}/idx", f"{both}/pairs", b_rows,
+             comp_dir=f"{both}/comp")
+    _deliver(spark, f"{only_a}/idx", f"{only_a}/pairs", a_rows,
+             comp_dir=f"{only_a}/comp")
+
+    # sanity: B really left traces everywhere before the sweep
+    pre_pairs = _rows(spark, f"{both}/pairs")
+    assert pre_pairs
+
+    DI.forget_docs(
+        spark, f"{both}/idx", [r.doc_id for r in b_rows],
+        pairs_dir=f"{both}/pairs", components_dir=f"{both}/comp",
+    )
+    for table in (DI.SHINGLES, DI.BUCKETS):
+        assert _rows(spark, f"{both}/idx/{table}") == \
+            _rows(spark, f"{only_a}/idx/{table}")
+    # pairs mentioning B are gone; components hold no B node
+    assert _rows(spark, f"{both}/pairs") == []
+    comp = M.read_table_snapshot(spark, f"{both}/comp")
+    assert comp.filter(F.col("node") >= 10).count() == 0
+
+    # idempotent: a second sweep changes nothing
+    DI.forget_docs(
+        spark, f"{both}/idx", [r.doc_id for r in b_rows],
+        pairs_dir=f"{both}/pairs", components_dir=f"{both}/comp",
+    )
+    for table in (DI.SHINGLES, DI.BUCKETS):
+        assert _rows(spark, f"{both}/idx/{table}") == \
+            _rows(spark, f"{only_a}/idx/{table}")
+
+
+def test_redelivery_of_forgotten_doc_is_fresh(spark, tmp_path):
+    """After forgetting, re-delivering an identical document must see
+    an index that never held it: no pair fires against the forgotten
+    copy (stale artifacts would emit one), and the doc re-ingests."""
+    rows = _docs(3, range(0, 8))
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    _deliver(spark, idx, pairs, rows)
+    DI.forget_docs(spark, idx, [7], pairs_dir=pairs)
+    sh = M.read_table_snapshot(spark, os.path.join(idx, DI.SHINGLES))
+    assert sh.filter(F.col("doc_id") == 7).count() == 0
+
+    clone = [Row(doc_id=99, text=rows[7].text)]
+    _deliver(spark, idx, pairs, clone)
+    got = M.read_table_snapshot(spark, pairs)
+    # identical text WOULD pair (jaccard 1.0) against a retained copy
+    assert got.filter(
+        (F.col("batch_id") == 99) | (F.col("index_id") == 99)
+    ).count() == 0
+    sh2 = M.read_table_snapshot(spark, os.path.join(idx, DI.SHINGLES))
+    assert sh2.filter(F.col("doc_id") == 99).count() > 0
+
+
+def test_forget_requires_initialized_index(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="initialized"):
+        DI.forget_docs(spark, str(tmp_path / "nope"), [1])
