@@ -7,7 +7,8 @@ Flags plan smells that matter at 100 TB:
     MapInPandas are the sanctioned Python paths)
 
 Queries that intentionally trip the join flag: similarity_cosine_topk
-(brute-force scorer: corpus × broadcast query set IS the algorithm);
+and contrastive_hard_negatives (brute-force scorer: corpus × broadcast
+query set IS the algorithm);
 text_tfidf_top_terms, tpch_q22_dormant_customers,
 tpch_q11_important_stock and corpus_mix_weights (cross join against a
 broadcast 1-row scalar — the plan Spark itself produces for an
