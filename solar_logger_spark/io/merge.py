@@ -215,23 +215,7 @@ def upsert(
             # to nothing
             return snap
         _validate_scoped_values(partition_by, touched)
-        import functools
-        import operator
-
-        pred = functools.reduce(
-            operator.or_,
-            [
-                functools.reduce(
-                    operator.and_,
-                    [
-                        F.col(c).eqNullSafe(F.lit(v))
-                        for c, v in zip(partition_by, t)
-                    ],
-                )
-                for t in touched
-            ],
-        )
-        base = base.filter(pred)
+        base = base.filter(_touched_predicate(partition_by, touched))
     if delete_filter is not None:
         # NULL predicate means "not deleted" — coalesce before negating,
         # else three-valued logic silently drops NULL-predicate rows
@@ -256,22 +240,77 @@ def upsert(
     merged = kept.unionByName(updates.select(*base.columns))
 
     if partition_scoped:
-        new_name = _prepare_next_snapshot(table_dir, snap)
-        new_path = os.path.join(table_dir, new_name)
-        merged.write.mode("errorifexists").partitionBy(
-            *partition_by
-        ).parquet(new_path)
-        _link_untouched_partitions(
-            os.path.join(table_dir, snap), new_path,
-            list(partition_by), touched,
+        return _scoped_commit(
+            merged, table_dir, snap, partition_by, touched,
+            sidecar, keep_snapshots,
         )
-        _write_sidecars(new_path, sidecar)
-        _swap_pointer(table_dir, new_name)
-        _prune(table_dir, keep=keep_snapshots)
-        return new_name
     return _write_next_snapshot(
         merged, table_dir, snap, keep_snapshots, partition_by, sidecar
     )
+
+
+def _touched_predicate(partition_by: Sequence[str], touched: list[tuple]):
+    """OR-of-ANDs membership predicate over the touched partition
+    values."""
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.or_,
+        [
+            functools.reduce(
+                operator.and_,
+                [
+                    F.col(c).eqNullSafe(F.lit(v))
+                    for c, v in zip(partition_by, t)
+                ],
+            )
+            for t in touched
+        ],
+    )
+
+
+def _scoped_commit(
+    df: DataFrame,
+    table_dir: str,
+    live_snap: str,
+    partition_by: Sequence[str],
+    touched: list[tuple],
+    sidecar: dict[str, str] | None,
+    keep_snapshots: int,
+) -> str:
+    """The one copy of the partition-scoped commit sequence shared by
+    upsert and delete_keys: write the touched partitions, hardlink the
+    untouched ones from the live snapshot, commit sidecars, swap the
+    pointer, prune.
+
+    Guards the empty-snapshot hole: a partitioned write of an empty
+    frame emits no schema-bearing file, so a delete that empties every
+    touched partition while touching ALL existing partitions would
+    leave an unreadable snapshot ("Unable to infer schema"). When the
+    commit produced no parquet file at all, the (empty) frame is
+    appended UNPARTITIONED — partition columns are ordinary columns of
+    ``df``, so readers see the same schema, and there are no hive dirs
+    left for the layouts to conflict with."""
+    new_name = _prepare_next_snapshot(table_dir, live_snap)
+    new_path = os.path.join(table_dir, new_name)
+    df.write.mode("errorifexists").partitionBy(
+        *partition_by
+    ).parquet(new_path)
+    _link_untouched_partitions(
+        os.path.join(table_dir, live_snap), new_path,
+        list(partition_by), touched,
+    )
+    has_parquet = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(new_path) for f in files
+    )
+    if not has_parquet:
+        df.limit(0).write.mode("append").parquet(new_path)
+    _write_sidecars(new_path, sidecar)
+    _swap_pointer(table_dir, new_name)
+    _prune(table_dir, keep=keep_snapshots)
+    return new_name
 
 
 def _validate_scoped_values(
@@ -340,38 +379,13 @@ def delete_keys(
         if not touched:
             return snap  # nothing to delete
         _validate_scoped_values(partition_by, touched)
-        import functools
-        import operator
-
-        pred = functools.reduce(
-            operator.or_,
-            [
-                functools.reduce(
-                    operator.and_,
-                    [
-                        F.col(c).eqNullSafe(F.lit(v))
-                        for c, v in zip(partition_by, t)
-                    ],
-                )
-                for t in touched
-            ],
+        kept = base.filter(
+            _touched_predicate(partition_by, touched)
+        ).join(key_set.select(*keys).distinct(), keys, "left_anti")
+        return _scoped_commit(
+            kept, table_dir, snap, partition_by, touched,
+            sidecar, keep_snapshots,
         )
-        kept = base.filter(pred).join(
-            key_set.select(*keys).distinct(), keys, "left_anti"
-        )
-        new_name = _prepare_next_snapshot(table_dir, snap)
-        new_path = os.path.join(table_dir, new_name)
-        kept.write.mode("errorifexists").partitionBy(
-            *partition_by
-        ).parquet(new_path)
-        _link_untouched_partitions(
-            os.path.join(table_dir, snap), new_path,
-            list(partition_by), touched,
-        )
-        _write_sidecars(new_path, sidecar)
-        _swap_pointer(table_dir, new_name)
-        _prune(table_dir, keep=keep_snapshots)
-        return new_name
     kept = base.join(key_set, keys, "left_anti")
     return _write_next_snapshot(
         kept, table_dir, snap, keep_snapshots, partition_by, sidecar

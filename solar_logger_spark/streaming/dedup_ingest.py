@@ -298,8 +298,7 @@ def forget_docs(
     id_col: str = "doc_id",
     pairs_dir: str | None = None,
     components_dir: str | None = None,
-    keep_snapshots: int = 2,
-    components_partitions: int = 32,
+    keep_snapshots: int = 1,
 ) -> dict[str, str]:
     """Right-to-be-forgotten sweep over the crawl loop's persisted
     state: remove every trace of ``doc_ids`` from the dedup index
@@ -308,40 +307,69 @@ def forget_docs(
     identical document can neither pair against nor be suppressed by a
     forgotten one. Returns ``{table: live snapshot after the sweep}``.
 
-    Scope of each delete (all go through ``io.merge.delete_keys``):
+    ``keep_snapshots`` defaults to **1**, unlike every other io/merge
+    mutation: retaining the pre-forget snapshot would retain the
+    forgotten rows — on disk and readable via time travel — so the
+    sweep rewinds retention to just the swept state. Raise it only
+    when a separate retention job owns the purge.
 
-    * **shingles** — partition-scoped: ``_ps = pmod(hash(id), N)`` is a
-      function of the key, so only the forgotten ids' partitions are
-      rewritten and the rest of the index is hardlinked.
-    * **buckets** — ``_pb`` is a function of bucket CONTENTS, not of
-      the id, so the ids' rows are first located with one pruned-
-      column scan of the live bucket table (doc_id + _pb only); the
-      delete then rewrites exactly those partitions. Read O(index),
-      write O(touched) — the read is the honest cost of not trusting
-      a re-derivation of the buckets from config (a config mismatch
-      there would silently RETAIN rows: a privacy bug).
-    * **pairs** — unpartitioned and small (verified near-dups only):
-      two key-deletes (either endpoint forgotten), full rewrites.
-    * **component labels** — partition-scoped by ``pmod(hash(node),
-      components_partitions)`` (pass the n_partitions the loop was run
-      with). NOTE, documented not hidden: a forgotten id may persist
-      as the LABEL VALUE of other nodes' component (labels are
-      component minima). The value is a pseudonymous cluster id, not
-      document content; a deployment that must purge even those
-      re-labels by rebuilding with ``connected_components`` over the
-      retained pairs.
+    Scope and order of each delete (the order makes a crash at any
+    point self-healing on re-run — see below):
 
-    Idempotent: re-running the same forget is a no-op sweep (anti-join
-    of absent keys). Single-writer with respect to the streaming sink,
-    like every io/merge mutation.
+    * **pairs** — both-endpoint anti-join written as ONE snapshot
+      (two sequential key-deletes would leave a half-forgotten state
+      between their commits).
+    * **component labels** — forgetting a node can leave RETAINED
+      nodes transitively merged through it (A—F, F—B: A and B share a
+      component only because of forgotten F), so the sweep recomputes
+      connectivity for every affected component from the retained
+      pairs: survivors are re-labeled first (scoped MERGE), then the
+      forgotten nodes and edge-less members are deleted. Partition
+      values come from the LIVE table rows, never from caller config —
+      a config mismatch would silently retain rows (this is the same
+      reason the bucket path scans instead of re-deriving). NOTE,
+      documented not hidden: a forgotten id may still persist as the
+      LABEL VALUE of a surviving component when it was the minimum id;
+      the value is a pseudonymous cluster id, not document content.
+    * **shingles** — partition-scoped: ``_ps = pmod(hash(id), N)`` is
+      a function of the key. The ids are CAST to the stored id type
+      first (Murmur3 hashes int and long differently — an uncast
+      Python int against an int32 table would scope to the wrong
+      partition and silently retain rows).
+    * **buckets** — ``_pb`` is a function of bucket CONTENTS, so the
+      ids' rows are located with one pruned-column scan of the live
+      table (id + ``_pb`` only); the delete rewrites exactly those
+      partitions. Read O(index), write O(touched).
+
+    Crash self-healing: pairs are swept first; component survivors are
+    re-labeled BEFORE any label row is deleted, so a re-run after a
+    crash still finds the forgotten ids in the labels table, recomputes
+    the same repair, and completes the remaining deletes. Re-running a
+    completed sweep is a no-op. Single-writer with respect to the
+    streaming sink, like every io/merge mutation.
     """
     from pyspark.sql import Row
 
     if not isinstance(doc_ids, DataFrame):
+        doc_ids = list(doc_ids)
+        if not doc_ids:
+            out = {
+                SHINGLES: M.current_snapshot(
+                    os.path.join(index_dir, SHINGLES)
+                ),
+                BUCKETS: M.current_snapshot(
+                    os.path.join(index_dir, BUCKETS)
+                ),
+            }
+            return {k: v for k, v in out.items() if v is not None}
         doc_ids = spark.createDataFrame(
             [Row(**{id_col: v}) for v in doc_ids]
         )
-    ids = doc_ids.select(id_col).distinct().localCheckpoint()
+    if components_dir is not None and pairs_dir is None:
+        raise ValueError(
+            "components repair needs the retained pairs: pass pairs_dir "
+            "whenever components_dir is given"
+        )
 
     n_parts = stored_partitions(index_dir)
     if n_parts is None:
@@ -353,6 +381,86 @@ def forget_docs(
     bk_dir = os.path.join(index_dir, BUCKETS)
     out: dict[str, str] = {}
 
+    # cast to the STORED id type before anything hashes or joins on it
+    sh_live = M.read_table_snapshot(spark, sh_dir)
+    id_type = sh_live.schema[id_col].dataType
+    ids = (
+        doc_ids.select(F.col(id_col).cast(id_type).alias(id_col))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # -- pairs: both endpoints, one commit --------------------------------
+    if pairs_dir is not None and M.current_snapshot(pairs_dir) is not None:
+        pr = M.read_table_snapshot(spark, pairs_dir)
+        kept = pr.join(
+            ids.select(F.col(id_col).alias("batch_id")),
+            "batch_id", "left_anti",
+        ).join(
+            ids.select(F.col(id_col).alias("index_id")),
+            "index_id", "left_anti",
+        )
+        out["pairs"] = M.replace_table(
+            kept, pairs_dir, keep_snapshots=keep_snapshots
+        )
+
+    # -- component labels: repair then delete ------------------------------
+    if (
+        components_dir is not None
+        and M.current_snapshot(components_dir) is not None
+    ):
+        from solar_logger_spark.operators import graph as G
+
+        comp = M.read_table_snapshot(spark, components_dir)
+        nodes = ids.select(F.col(id_col).alias("node"))
+        affected = [
+            r[0] for r in comp.join(nodes, "node", "left_semi")
+            .select("component").distinct().collect()
+        ]
+        if affected:
+            members = comp.filter(
+                F.col("component").isin(affected)
+            ).select("node", G.PC).localCheckpoint()
+            retained_nodes = members.join(nodes, "node", "left_anti")
+            pr = M.read_table_snapshot(spark, pairs_dir)
+            edges = (
+                pr.select("batch_id", "index_id")
+                .join(
+                    retained_nodes.select(
+                        F.col("node").alias("batch_id")
+                    ),
+                    "batch_id", "left_semi",
+                )
+                .join(
+                    retained_nodes.select(
+                        F.col("node").alias("index_id")
+                    ),
+                    "index_id", "left_semi",
+                )
+            )
+            relabeled = G.connected_components(
+                edges.toDF("src", "dst")
+            ).join(members, "node")
+            # survivors first (crash here leaves the forgotten rows in
+            # place, so a re-run repeats the repair)
+            if relabeled.take(1):
+                M.upsert(
+                    spark, components_dir, relabeled, keys=["node"],
+                    partition_by=[G.PC], partition_scoped=True,
+                    keep_snapshots=keep_snapshots,
+                )
+            dropped = members.join(
+                relabeled.select("node"), "node", "left_anti"
+            )
+            out["components"] = M.delete_keys(
+                spark, components_dir, dropped, keys=["node"],
+                partition_by=[G.PC], partition_scoped=True,
+                keep_snapshots=keep_snapshots,
+            )
+        else:
+            out["components"] = M.current_snapshot(components_dir)
+
+    # -- shingles: scoped by the key-derived partition ----------------------
     sh_keys = ids.withColumn(PS, _shingle_part(id_col, n_parts))
     out[SHINGLES] = M.delete_keys(
         spark, sh_dir, sh_keys, keys=[id_col],
@@ -360,6 +468,7 @@ def forget_docs(
         keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
     )
 
+    # -- buckets: locate rows in the live table, then scoped delete --------
     bk_live = M.read_table_snapshot(spark, bk_dir)
     bk_keys = (
         bk_live.join(ids, id_col, "left_semi")
@@ -370,30 +479,4 @@ def forget_docs(
         partition_by=[PB], partition_scoped=True,
         keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
     )
-
-    if pairs_dir is not None and M.current_snapshot(pairs_dir) is not None:
-        for endpoint in ("batch_id", "index_id"):
-            out["pairs"] = M.delete_keys(
-                spark, pairs_dir,
-                ids.select(F.col(id_col).alias(endpoint)),
-                keys=[endpoint], keep_snapshots=keep_snapshots,
-            )
-
-    if (
-        components_dir is not None
-        and M.current_snapshot(components_dir) is not None
-    ):
-        from solar_logger_spark.operators import graph as G
-
-        node_keys = ids.select(
-            F.col(id_col).alias("node")
-        ).withColumn(
-            G.PC,
-            F.pmod(F.hash("node"), F.lit(components_partitions)),
-        )
-        out["components"] = M.delete_keys(
-            spark, components_dir, node_keys, keys=["node"],
-            partition_by=[G.PC], partition_scoped=True,
-            keep_snapshots=keep_snapshots,
-        )
     return out

@@ -125,10 +125,17 @@ def test_forget_equals_never_ingested(spark, tmp_path):
     for table in (DI.SHINGLES, DI.BUCKETS):
         assert _rows(spark, f"{both}/idx/{table}") == \
             _rows(spark, f"{only_a}/idx/{table}")
-    # pairs mentioning B are gone; components hold no B node
+    # pairs mentioning B are gone; the one component existed only
+    # through the forgotten edge, so the repair drops BOTH endpoints
+    # (edge-less nodes are implicit singletons)
     assert _rows(spark, f"{both}/pairs") == []
     comp = M.read_table_snapshot(spark, f"{both}/comp")
-    assert comp.filter(F.col("node") >= 10).count() == 0
+    assert comp.count() == 0
+    # purge, not just delete: the pre-forget snapshot (holding the
+    # forgotten rows) is pruned from disk and not time-travelable
+    sh_dir = f"{both}/idx/{DI.SHINGLES}"
+    snaps = [d for d in os.listdir(sh_dir) if d.startswith("snap-")]
+    assert len(snaps) == 1
 
     # idempotent: a second sweep changes nothing
     DI.forget_docs(
@@ -166,3 +173,67 @@ def test_redelivery_of_forgotten_doc_is_fresh(spark, tmp_path):
 def test_forget_requires_initialized_index(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="initialized"):
         DI.forget_docs(spark, str(tmp_path / "nope"), [1])
+
+
+def test_forget_repairs_transitive_merges(spark, tmp_path):
+    """A~F and F~B merged A and B into one component; forgetting F must
+    SEPARATE them (recompute over retained pairs), not just drop F's
+    row — while an independent retained pair stays merged. Threshold
+    0.2 so the half-overlap chain texts qualify as near-dups."""
+    w = [f"w{i}" for i in range(20)]
+    v = [f"v{i}" for i in range(20)]
+    u = [f"u{i}" for i in range(20)]
+    a1 = " ".join(w)
+    b1 = " ".join(v)
+    f = " ".join(w[:10] + v[:10])          # bridges a1 and b1
+    a2 = " ".join(u)
+    b2 = " ".join(u[:19] + ["EDIT"])        # near-dup of a2, no bridge
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    comp = str(tmp_path / "comp")
+    sink = DI.incremental_dedup_sink(
+        idx, pairs, threshold=0.2, index_partitions=NPARTS,
+        components_dir=comp,
+    )
+    sink(spark.createDataFrame(
+        [Row(doc_id=1, text=a1), Row(doc_id=2, text=a2)]), 0)
+    sink(spark.createDataFrame(
+        [Row(doc_id=50, text=f), Row(doc_id=4, text=b2)]), 0)
+    sink(spark.createDataFrame([Row(doc_id=3, text=b1)]), 0)
+
+    labels = {r.node: r.component
+              for r in M.read_table_snapshot(spark, comp).collect()}
+    assert labels[1] == labels[3] == labels[50] == 1  # bridged chain
+    assert labels[2] == labels[4] == 2                # independent pair
+
+    DI.forget_docs(spark, idx, [50], pairs_dir=pairs,
+                   components_dir=comp)
+    labels2 = {r.node: r.component
+               for r in M.read_table_snapshot(spark, comp).collect()}
+    # chain endpoints are edge-less without the bridge -> dropped;
+    # the independent pair survives untouched
+    assert labels2 == {2: 2, 4: 2}
+    kept_pairs = _rows(spark, pairs)
+    assert {frozenset((r[0], r[1])) for r in kept_pairs} == {frozenset((2, 4))}
+
+
+def test_forget_empty_ids_is_noop(spark, tmp_path):
+    rows = _docs(5, range(0, 6))
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    _deliver(spark, idx, pairs, rows)
+    before = _rows(spark, os.path.join(idx, DI.SHINGLES))
+    out = DI.forget_docs(spark, idx, [])
+    assert out[DI.SHINGLES] == M.current_snapshot(
+        os.path.join(idx, DI.SHINGLES)
+    )
+    assert _rows(spark, os.path.join(idx, DI.SHINGLES)) == before
+
+
+def test_forget_components_requires_pairs(spark, tmp_path):
+    rows = _docs(6, range(0, 4))
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    _deliver(spark, idx, pairs, rows)
+    with pytest.raises(ValueError, match="pairs_dir"):
+        DI.forget_docs(spark, idx, [1], components_dir=str(tmp_path / "c"))

@@ -53,9 +53,15 @@ def test_second_block_key_recovers_first_token_corruption(spark, catalog):
         [(20, "xxall ring")], "fid long, fname string"
     )
     got = _match(linkage.fuzzy_join(
-        feed, catalog, "fid", "fname", "pk", "name", max_dist=2
+        feed, catalog, "fid", "fname", "pk", "name", max_dist=2,
+        blocks=linkage.DEFAULT_BLOCKS,
     ))
     assert got[20] == (4, 2)
+    # the deletes default finds it too
+    got_d = _match(linkage.fuzzy_join(
+        feed, catalog, "fid", "fname", "pk", "name", max_dist=2
+    ))
+    assert got_d[20] == (4, 2)
     # and with ONLY the first-token block it is honestly unmatched
     got1 = _match(linkage.fuzzy_join(
         feed, catalog, "fid", "fname", "pk", "name", max_dist=2,
@@ -85,11 +91,13 @@ def test_candidates_deduped_across_passes(spark, catalog):
     feed = spark.createDataFrame(
         [(40, "golden gear")], "fid long, fname string"
     )
-    out = linkage.fuzzy_join(
-        feed, catalog, "fid", "fname", "pk", "name", max_dist=1
-    ).collect()
-    assert len(out) == 1
-    assert out[0]["match_name"] == "golden gear"
+    for blocks in (None, linkage.DEFAULT_BLOCKS):
+        out = linkage.fuzzy_join(
+            feed, catalog, "fid", "fname", "pk", "name", max_dist=1,
+            blocks=blocks,
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["match_name"] == "golden gear"
 
 
 def test_validation(spark, catalog):

@@ -49,8 +49,15 @@ def main() -> int:
             sink = DI.incremental_dedup_sink(
                 idx, pairs, index_partitions=32
             )
+            # TWO deliveries: the first bootstraps the index and
+            # returns before pairs init — a one-delivery build would
+            # leave no pairs table and the probe would silently skip
+            # the pairs delete it claims to measure
+            half = docs.filter("doc_id % 2 = 0").localCheckpoint()
+            rest = docs.filter("doc_id % 2 = 1").localCheckpoint()
             t0 = time.time()
-            sink(docs, 0)
+            sink(half, 0)
+            sink(rest, 1)
             build = time.time() - t0
             ids = [r[0] for r in docs.select("doc_id").limit(20).collect()]
             t0 = time.time()
