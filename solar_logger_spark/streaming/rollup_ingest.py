@@ -59,8 +59,15 @@ def partial_rollup(
     keys: Sequence[str] = ("measurement", "field"),
     ts_col: str = "ts",
     value_col: str = "value",
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """One batch's mergeable partial aggregates per (keys, window).
+
+    ``distinct_col``: when given, each row also carries a Datasketches
+    HLL sketch (BINARY) of that column — register-max merge is
+    idempotent and order-independent, so approximate distinct counts
+    ride the same replay-exact maintenance as the exact aggregates
+    (streamed == one-shot, differential-pinned).
 
     Rows with a NULL timestamp or NULL key are dropped up front: the
     maintenance joins (touched semi-join, MERGE anti-join) use
@@ -71,28 +78,32 @@ def partial_rollup(
     for k in keys:
         cond = cond & F.col(k).isNotNull()
     df = df.filter(cond)
-    return (
-        df.groupBy(
-            *keys,
-            F.window(F.col(ts_col), every)["start"].alias("window_start"),
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(value_col).cast(_SUM_DEC)).alias("sum_dec"),
-            F.min(F.col(value_col)).alias("vmin"),
-            F.max(F.col(value_col)).alias("vmax"),
-        )
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast(_SUM_DEC)).alias("sum_dec"),
+        F.min(F.col(value_col)).alias("vmin"),
+        F.max(F.col(value_col)).alias("vmax"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
+    return df.groupBy(
+        *keys,
+        F.window(F.col(ts_col), every)["start"].alias("window_start"),
+    ).agg(*aggs)
 
 
 def merge_partials(combined: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Re-combine stacked partial rows (base ∪ batch) — every column
     merges associatively, which is the whole point of the layout."""
-    return combined.groupBy(*keys, "window_start").agg(
+    aggs = [
         F.sum("n").alias("n"),
         F.sum("sum_dec").cast(_SUM_DEC).alias("sum_dec"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
-    )
+    ]
+    if "hll" in combined.columns:
+        aggs.append(F.hll_union_agg(F.col("hll")).alias("hll"))
+    return combined.groupBy(*keys, "window_start").agg(*aggs)
 
 
 def rollup_maintenance_sink(
@@ -102,6 +113,7 @@ def rollup_maintenance_sink(
     ts_col: str = "ts",
     value_col: str = "value",
     keep_snapshots: int = 2,
+    distinct_col: str | None = None,
 ):
     """``foreachBatch`` function maintaining the rollup table.
 
@@ -133,7 +145,9 @@ def rollup_maintenance_sink(
                 "checkpoint must not write to an existing rollup table"
             )
         spark = batch.sparkSession
-        partial = partial_rollup(batch, every, keys, ts_col, value_col)
+        partial = partial_rollup(
+            batch, every, keys, ts_col, value_col, distinct_col
+        )
         if not partial.take(1):
             return  # every row had a NULL key/ts: nothing to fold
         sidecar = {EPOCH_SIDECAR: str(epoch_id)}
@@ -161,15 +175,19 @@ def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
     ``mean`` is one IEEE divide of an exactly-stored decimal sum by an
     integer count — engine-reproducible."""
     t = M.read_table_snapshot(spark, table_dir)
-    aux = {"n", "sum_dec", "vmin", "vmax", "window_start"}
+    aux = {"n", "sum_dec", "vmin", "vmax", "window_start", "hll"}
     keys = [c for c in t.columns if c not in aux]
-    return t.select(
-        *keys,
-        "window_start",
+    cols = [
         F.col("n").alias("count"),
         (F.col("sum_dec").cast("double") / F.col("n").cast("double")).alias(
             "mean"
         ),
         F.col("vmin").alias("min"),
         F.col("vmax").alias("max"),
-    )
+    ]
+    if "hll" in t.columns:
+        cols.append(
+            F.hll_sketch_estimate(F.col("hll")).cast("long")
+            .alias("approx_distinct")
+        )
+    return t.select(*keys, "window_start", *cols)

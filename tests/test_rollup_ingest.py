@@ -150,3 +150,52 @@ def test_fresh_checkpoint_against_old_table_fails_loud(spark, tmp_path):
     sink(spark.createDataFrame(_points(10, 0)), 7)
     with pytest.raises(ValueError, match="fresh"):
         sink(spark.createDataFrame(_points(10, 1)), 0)
+
+
+def test_rollup_with_hll_distinct_equals_batch(spark, tmp_path):
+    """approx_distinct rides the same maintenance: HLL register-max
+    merge is order-independent, so the streamed sketch equals a
+    one-shot sketch over the union — same estimate, exactly."""
+    d = str(tmp_path / "roll")
+    rows = _points(40)
+    # user column with within- and cross-window repeats
+    rows = [
+        Row(**{**r.asDict(), "user": f"u{i % 7}"})
+        for i, r in enumerate(rows)
+    ]
+    sink = R.rollup_maintenance_sink(d, distinct_col="user")
+    sink(spark.createDataFrame(rows[:15]), 0)
+    sink(spark.createDataFrame(rows[15:]), 1)
+    got = {
+        (r.measurement, r.field, r.window_start): r["approx_distinct"]
+        for r in R.read_rollup(spark, d).collect()
+    }
+    one_shot = R.partial_rollup(
+        spark.createDataFrame(rows), distinct_col="user"
+    )
+    exp = {
+        (r.measurement, r.field, r.window_start): r["approx_distinct"]
+        for r in one_shot.select(
+            "measurement", "field", "window_start",
+            F.hll_sketch_estimate("hll").cast("long")
+            .alias("approx_distinct"),
+        ).collect()
+    }
+    assert got == exp
+    # exact distincts are small here, so the estimate is exact too
+    df = spark.createDataFrame(rows)
+    truth = {
+        (r.measurement, r.field, r.w): r["nd"]
+        for r in df.groupBy(
+            "measurement", "field",
+            F.window("ts", "1 hour")["start"].alias("w"),
+        ).agg(F.count_distinct("user").alias("nd")).collect()
+    }
+    assert got == truth
+    # replaying the last epoch does not perturb the sketches
+    sink(spark.createDataFrame(rows[15:]), 1)
+    got2 = {
+        (r.measurement, r.field, r.window_start): r["approx_distinct"]
+        for r in R.read_rollup(spark, d).collect()
+    }
+    assert got2 == got
