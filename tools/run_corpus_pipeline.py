@@ -165,6 +165,27 @@ def main() -> None:
 
     print(json.dumps(MF.dataset_card(spark, work_dir, STAGES), indent=2))
 
+    if "--export-shards" in sys.argv:
+        # the last mile: ship the packed sequences as shuffled training
+        # shards with a shipped-bytes dataset card (io/export.py)
+        from solar_logger_spark.io import export as EX
+        from solar_logger_spark.io import merge as M
+
+        packed = M.read_table_snapshot(
+            spark, os.path.join(work_dir, "stage_packed")
+        )
+        out = os.path.join(work_dir, "shards")
+        card = EX.export_training_shards(
+            packed, out, n_shards=16, id_col="seq_id"
+        )
+        print(json.dumps(
+            {"shards_dir": out, "rows": card["rows"],
+             "tokens": card.get("tokens"),
+             "fingerprint": card["fingerprint"]},
+            indent=2,
+        ))
+        print(json.dumps(EX.verify_shards(spark, out)))
+
 
 if __name__ == "__main__":
     main()
