@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -74,26 +75,66 @@ def export_training_shards(
     id_col: str = "seq_id",
     token_col: str | None = "n_tokens",
     seed: int = 42,
+    order_cols: Sequence[str] = (),
 ) -> dict[str, Any]:
     """Write ``df`` as ``n_shards`` shuffled training shards under
     ``out_dir`` and return the dataset card (also committed as
     ``_dataset_card.json``). Adds ``shard`` and ``pos`` columns;
-    refuses to overwrite an already-carded export."""
+    refuses to overwrite an already-carded export.
+
+    Determinism contract, ENFORCED not assumed: ``pos`` comes from a
+    window ordered by ``(md5 key, id_col, *order_cols)``, so
+    ``(id_col, *order_cols)`` must uniquely identify a row — tied sort
+    keys would make ``row_number`` (and hence the fingerprint, which
+    hashes ``pos``) vary run to run. Rows sharing an ``id_col`` value
+    get the same shard and stay ADJACENT, ordered by ``order_cols`` —
+    the right granularity for multi-row units like packed sequences
+    (shuffle by sequence id, order chunks by offset)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    reserved = {"shard", "pos", "_k"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has reserved export column(s) {sorted(reserved)};"
+            " rename them first (they would be silently overwritten)"
+        )
     card_path = os.path.join(out_dir, DATASET_CARD)
     if os.path.exists(card_path):
         raise FileExistsError(
             f"{out_dir} already holds a carded export; write a new dir"
         )
+    if not df.take(1):
+        raise ValueError(
+            "refusing to export an empty dataset (a partitioned write of"
+            " zero rows leaves no schema-bearing file)"
+        )
+    sort_cols = [id_col, *order_cols]
+    uniq = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in sort_cols]).alias("d"),
+    ).collect()[0]
+    if uniq["n"] != uniq["d"]:
+        raise ValueError(
+            f"(id_col, *order_cols) = {sort_cols} does not uniquely "
+            f"identify rows ({uniq['n']} rows, {uniq['d']} distinct keys):"
+            " pos would be nondeterministic — pass order_cols that break"
+            " the ties"
+        )
     shard, key = shuffle_assignment(id_col, n_shards, seed)
-    keyed = df.withColumn("shard", shard).withColumn("_k", key)
-    w = Window.partitionBy("shard").orderBy("_k", F.col(id_col))
-    out = (
-        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("_k")
+    # repartition BEFORE the window: the window's ClusteredDistribution
+    # on shard is satisfied by the existing HashPartitioning, so the
+    # full dataset shuffles once, not twice
+    keyed = (
+        df.withColumn("shard", shard)
+        .withColumn("_k", key)
         .repartition(n_shards, "shard")
     )
+    w = Window.partitionBy("shard").orderBy(
+        "_k", *[F.col(c) for c in sort_cols]
+    )
+    out = keyed.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("_k")
     out.write.mode("errorifexists").partitionBy("shard").parquet(out_dir)
 
     # the card attests to the SHIPPED bytes: read back and fingerprint
@@ -105,7 +146,12 @@ def export_training_shards(
         .cast("decimal(38,0)").cast("string").alias("fingerprint"),
     ]
     if token_col is not None and token_col in shipped.columns:
-        aggs.append(F.sum(token_col).cast("long").alias("tokens"))
+        # coalesce: an all-NULL token column in a shard sums to NULL,
+        # and int(None) would crash AFTER the shards are on disk
+        aggs.append(
+            F.coalesce(F.sum(token_col), F.lit(0))
+            .cast("long").alias("tokens")
+        )
     per_shard = {
         int(r["shard"]): {
             k: (int(v) if k != "fingerprint" else v)
@@ -151,7 +197,12 @@ def verify_shards(spark: SparkSession, out_dir: str) -> dict[str, Any]:
     card = read_dataset_card(out_dir)
     if card is None:
         raise FileNotFoundError(f"no {DATASET_CARD} in {out_dir}")
-    shipped = spark.read.parquet(out_dir)
+    try:
+        shipped = spark.read.parquet(out_dir)
+    except Exception:
+        # every shard dir gone: nothing readable, everything carded is
+        # missing — report it, don't crash the audit
+        return {"ok": False, "mismatched": sorted(card["shards"])}
     got = {
         str(r["shard"]): (int(r["rows"]), r["fp"])
         for r in shipped.groupBy("shard").agg(

@@ -60,6 +60,7 @@ def partial_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     distinct_col: str | None = None,
+    lg_config_k: int = 12,
 ) -> DataFrame:
     """One batch's mergeable partial aggregates per (keys, window).
 
@@ -67,7 +68,11 @@ def partial_rollup(
     HLL sketch (BINARY) of that column — register-max merge is
     idempotent and order-independent, so approximate distinct counts
     ride the same replay-exact maintenance as the exact aggregates
-    (streamed == one-shot, differential-pinned).
+    (streamed == one-shot, differential-pinned). ``lg_config_k`` pins
+    the sketch precision EXPLICITLY (the operators/sketches.py
+    convention): hll_union_agg refuses to merge differing-precision
+    sketches, so the value is frozen at table creation — every later
+    delivery must build partials with the same one.
 
     Rows with a NULL timestamp or NULL key are dropped up front: the
     maintenance joins (touched semi-join, MERGE anti-join) use
@@ -85,7 +90,11 @@ def partial_rollup(
         F.max(F.col(value_col)).alias("vmax"),
     ]
     if distinct_col is not None:
-        aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
+        aggs.append(
+            F.hll_sketch_agg(
+                F.col(distinct_col), F.lit(lg_config_k)
+            ).alias("hll")
+        )
     return df.groupBy(
         *keys,
         F.window(F.col(ts_col), every)["start"].alias("window_start"),
@@ -114,6 +123,7 @@ def rollup_maintenance_sink(
     value_col: str = "value",
     keep_snapshots: int = 2,
     distinct_col: str | None = None,
+    lg_config_k: int = 12,
 ):
     """``foreachBatch`` function maintaining the rollup table.
 
@@ -146,7 +156,8 @@ def rollup_maintenance_sink(
             )
         spark = batch.sparkSession
         partial = partial_rollup(
-            batch, every, keys, ts_col, value_col, distinct_col
+            batch, every, keys, ts_col, value_col, distinct_col,
+            lg_config_k,
         )
         if not partial.take(1):
             return  # every row had a NULL key/ts: nothing to fold

@@ -101,3 +101,55 @@ def test_crashed_export_has_no_card(spark, seqs, tmp_path):
     assert E.read_dataset_card(d) is None
     with pytest.raises(FileNotFoundError):
         E.verify_shards(spark, d)
+
+
+def test_nonunique_id_rejected_and_order_cols_fix_it(spark, tmp_path):
+    """Tied (id, order) sort keys would make pos — and the fingerprint
+    that hashes it — nondeterministic; the export must refuse, and
+    order_cols that break the tie must restore determinism with the
+    unit's rows adjacent and in order."""
+    rows = [
+        Row(seq_id=i // 3, seq_offset=i % 3, text=f"c{i}", n_tokens=5)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="nondeterministic"):
+        E.export_training_shards(df, str(tmp_path / "bad"), n_shards=2)
+    c1 = E.export_training_shards(
+        df, str(tmp_path / "a"), n_shards=2, order_cols=["seq_offset"]
+    )
+    c2 = E.export_training_shards(
+        df, str(tmp_path / "b"), n_shards=2, order_cols=["seq_offset"]
+    )
+    assert c1["shards"] == c2["shards"]
+    # a multi-row unit ships adjacent and offset-ordered
+    shipped = spark.read.parquet(str(tmp_path / "a"))
+    one = sorted(
+        (r.pos, r.seq_offset)
+        for r in shipped.filter("seq_id = 4").collect()
+    )
+    ps = [p for p, _ in one]
+    assert ps == list(range(ps[0], ps[0] + 3))
+    assert [o for _, o in one] == [0, 1, 2]
+
+
+def test_export_guards(spark, tmp_path):
+    df = spark.createDataFrame([Row(seq_id=1, pos=9)])
+    with pytest.raises(ValueError, match="reserved"):
+        E.export_training_shards(df, str(tmp_path / "r"))
+    empty = spark.createDataFrame([], "seq_id long, n_tokens long")
+    with pytest.raises(ValueError, match="empty"):
+        E.export_training_shards(empty, str(tmp_path / "e"))
+
+
+def test_verify_survives_total_loss(spark, seqs, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "gone")
+    card = E.export_training_shards(seqs, d, n_shards=3)
+    for p in os.listdir(d):
+        if p.startswith("shard="):
+            shutil.rmtree(os.path.join(d, p))
+    res = E.verify_shards(spark, d)
+    assert not res["ok"]
+    assert res["mismatched"] == sorted(card["shards"])

@@ -146,8 +146,9 @@ def run_staged(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    work_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus_pipeline"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+    work_dir = pos[1] if len(pos) > 1 else "/tmp/corpus_pipeline"
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
@@ -167,17 +168,27 @@ def main() -> None:
 
     if "--export-shards" in sys.argv:
         # the last mile: ship the packed sequences as shuffled training
-        # shards with a shipped-bytes dataset card (io/export.py)
+        # shards with a shipped-bytes dataset card (io/export.py).
+        # seq_id restarts per source and repeats per chunk, so the
+        # export unit is the (source, seq_id) SEQUENCE — chunks stay
+        # adjacent, ordered by seq_offset — and the out dir is keyed by
+        # the packed snapshot, so re-running against the same work_dir
+        # is idempotent instead of dying on the existing card.
         from solar_logger_spark.io import export as EX
-        from solar_logger_spark.io import merge as M
 
-        packed = M.read_table_snapshot(
-            spark, os.path.join(work_dir, "stage_packed")
+        packed_dir = os.path.join(work_dir, "stage_packed")
+        snap = M.current_snapshot(packed_dir)
+        packed = M.read_table_snapshot(spark, packed_dir).withColumn(
+            "export_id",
+            F.concat_ws(":", F.col("source"), F.col("seq_id")),
         )
-        out = os.path.join(work_dir, "shards")
-        card = EX.export_training_shards(
-            packed, out, n_shards=16, id_col="seq_id"
-        )
+        out = os.path.join(work_dir, f"shards-{snap}")
+        card = EX.read_dataset_card(out)
+        if card is None:
+            card = EX.export_training_shards(
+                packed, out, n_shards=16, id_col="export_id",
+                order_cols=["seq_offset"],
+            )
         print(json.dumps(
             {"shards_dir": out, "rows": card["rows"],
              "tokens": card.get("tokens"),
