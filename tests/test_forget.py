@@ -237,3 +237,79 @@ def test_forget_components_requires_pairs(spark, tmp_path):
     _deliver(spark, idx, pairs, rows)
     with pytest.raises(ValueError, match="pairs_dir"):
         DI.forget_docs(spark, idx, [1], components_dir=str(tmp_path / "c"))
+
+
+def test_forget_randomized_differential(spark, tmp_path):
+    """Randomized end-to-end pin for the privacy contract: random
+    deliveries, a random forget set — shingles and buckets must equal
+    a never-ingested build EXACTLY, and the repaired labels must equal
+    a pure-Python union-find over the retained pair set (min-id
+    labels, edge-less nodes absent)."""
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = {}
+    for i in range(30):
+        docs[i] = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(10, 24))
+        )
+    # plant extra near-dups so pair structure is nontrivial
+    for base, dup in [(0, 11), (11, 21), (2, 13), (13, 23), (5, 25)]:
+        ws = docs[base].split(" ")
+        ws[rng.randrange(len(ws))] = "EDIT"
+        docs[dup] = " ".join(ws)
+    deliveries = [list(range(0, 10)), list(range(10, 20)),
+                  list(range(20, 30))]
+    forgotten = sorted(rng.sample(range(30), 9))
+    kept_ids = [i for i in range(30) if i not in forgotten]
+
+    both = str(tmp_path / "both")
+    clean = str(tmp_path / "clean")
+    for ids_per_delivery, base in (
+        (deliveries, both),
+        ([[i for i in d if i not in forgotten] for d in deliveries], clean),
+    ):
+        sink = DI.incremental_dedup_sink(
+            f"{base}/idx", f"{base}/pairs", threshold=THRESHOLD,
+            index_partitions=NPARTS, components_dir=f"{base}/comp",
+        )
+        for k, ids in enumerate(ids_per_delivery):
+            rows = [Row(doc_id=i, text=docs[i]) for i in ids]
+            if rows:
+                sink(spark.createDataFrame(rows), k)
+
+    pre_pairs = {
+        (min(r.batch_id, r.index_id), max(r.batch_id, r.index_id))
+        for r in M.read_table_snapshot(spark, f"{both}/pairs").collect()
+    }
+    DI.forget_docs(
+        spark, f"{both}/idx", forgotten,
+        pairs_dir=f"{both}/pairs", components_dir=f"{both}/comp",
+    )
+    for table in (DI.SHINGLES, DI.BUCKETS):
+        assert _rows(spark, f"{both}/idx/{table}") == \
+            _rows(spark, f"{clean}/idx/{table}"), table
+
+    # labels == python union-find over retained pairs
+    retained = {
+        p for p in pre_pairs
+        if p[0] not in forgotten and p[1] not in forgotten
+    }
+    parent = {i: i for i in kept_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in retained:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    has_edge = {n for p in retained for n in p}
+    expected = {n: find(n) for n in kept_ids if n in has_edge}
+    got = {
+        r.node: r.component
+        for r in M.read_table_snapshot(spark, f"{both}/comp").collect()
+    }
+    assert got == expected

@@ -110,3 +110,50 @@ def test_validation(spark, catalog):
         linkage.fuzzy_join(
             feed, catalog, "fid", "fname", "pk", "name", blocks=[]
         )
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_deletes_candidates_complete_randomized(spark):
+    """FastSS completeness, randomized: over small-alphabet strings
+    (near pairs common), the deletes-strategy best match must equal a
+    pure-Python brute force over ALL catalog rows for every feed row —
+    any missed candidate within the threshold shows up as a wrong or
+    missing winner."""
+    import random
+
+    rng = random.Random(2024)
+    alpha = "abc"
+
+    def word():
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(3, 8)))
+
+    catalog_rows = [(i, word()) for i in range(120)]
+    feed_rows = [(1000 + i, word()) for i in range(80)]
+    catalog = spark.createDataFrame(catalog_rows, "pk long, name string")
+    feed = spark.createDataFrame(feed_rows, "fid long, fname string")
+    got = {
+        r["fid"]: (r["match_pk"], r["dist"])
+        for r in linkage.fuzzy_join(
+            feed, catalog, "fid", "fname", "pk", "name", max_dist=2
+        ).collect()
+    }
+    for fid, fname in feed_rows:
+        best = min(
+            ((d, pk) for pk, name in catalog_rows
+             if (d := _lev(fname, name)) <= 2),
+            default=None,
+        )
+        exp = (best[1], best[0]) if best else (None, None)
+        assert got[fid] == exp, (fid, fname, got[fid], exp)
