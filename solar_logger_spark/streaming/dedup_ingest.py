@@ -480,3 +480,41 @@ def forget_docs(
         keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
     )
     return out
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    keep_snapshots: int = 2,
+) -> dict[str, str]:
+    """File-count maintenance for the index artifacts: every
+    partition-scoped merge and forget adds files to the partitions it
+    rewrites, and after thousands of deliveries a hot partition pays
+    per-file open/footer costs on every pruned read. For a SNAPSHOT
+    store the safe compaction is simply a fresh coalesced snapshot —
+    read the live table, cluster rows by the partition column so each
+    hive partition lands in one task (one output file), and commit via
+    ``replace_table``'s atomic pointer swap. No in-place rewrites, no
+    reader absence window (contrast io/compaction.py's staged-rename
+    dance for the NON-snapshot streaming sink dirs — the snapshot
+    layout is what buys the simpler story here). Cost is O(index),
+    the documented price of log-less COW maintenance; run it on the
+    maintenance cadence, not per delivery. Sidecars (the partition-N
+    pin) are re-committed with the new snapshot. Single-writer, like
+    every io/merge mutation."""
+    n_parts = stored_partitions(index_dir)
+    if n_parts is None:
+        raise FileNotFoundError(
+            f"no initialized dedup index at {index_dir}"
+        )
+    parts_sidecar = {PARTS_SIDECAR: str(n_parts)}
+    out: dict[str, str] = {}
+    for table, pcol in ((SHINGLES, PS), (BUCKETS, PB)):
+        tdir = os.path.join(index_dir, table)
+        live = M.read_table_snapshot(spark, tdir)
+        out[table] = M.replace_table(
+            live.repartition(n_parts, pcol), tdir,
+            keep_snapshots=keep_snapshots,
+            partition_by=[pcol], sidecar=parts_sidecar,
+        )
+    return out

@@ -313,3 +313,38 @@ def test_forget_randomized_differential(spark, tmp_path):
         for r in M.read_table_snapshot(spark, f"{both}/comp").collect()
     }
     assert got == expected
+
+
+def test_compact_index_preserves_contents_and_cuts_files(spark, tmp_path):
+    """Compaction = fresh coalesced snapshot: identical rows, the
+    partition-N sidecar re-pinned, and at most one data file per hive
+    partition afterwards (scoped merges had accumulated several)."""
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    for k in range(4):  # several deliveries -> several files/partition
+        _deliver(spark, idx, pairs, _docs(10 + k, range(k * 6, k * 6 + 6)))
+
+    def _files_per_part(table):
+        tdir = os.path.join(idx, table)
+        snap = os.path.join(tdir, M.current_snapshot(tdir))
+        counts = {}
+        for part in os.listdir(snap):
+            p = os.path.join(snap, part)
+            if os.path.isdir(p):
+                counts[part] = sum(
+                    1 for f in os.listdir(p) if f.endswith(".parquet")
+                )
+        return counts
+
+    before_rows = {
+        t: _rows(spark, os.path.join(idx, t))
+        for t in (DI.SHINGLES, DI.BUCKETS)
+    }
+    assert max(_files_per_part(DI.SHINGLES).values()) > 1
+    DI.compact_index(spark, idx)
+    for t in (DI.SHINGLES, DI.BUCKETS):
+        assert _rows(spark, os.path.join(idx, t)) == before_rows[t]
+    assert max(_files_per_part(DI.SHINGLES).values()) == 1
+    assert DI.stored_partitions(idx) == NPARTS
+    # the loop keeps working on the compacted index
+    _deliver(spark, idx, pairs, _docs(99, range(40, 46)))
