@@ -1213,7 +1213,9 @@ def _registry_order(
         # deterministic vec_id < 10 — records predating r5 describe a
         # possibly-different row set (ADVICE r5); the r5 driver rows
         # themselves ran at post-change HEAD and satisfy the pin
-        "similarity_ann_ivf": 5,
+        # r8: similarity_ann_ivf flipped rows-only -> oracle-backed
+        # (deterministic md5-seeded codebook + pinned-fold Lloyd sweep)
+        "similarity_ann_ivf": 8,
         "similarity_ann_pq": 5,
         "similarity_ann_ivfpq": 5,
         # r6: similarity_ann_lsh gained a DuckDB oracle (deterministic
@@ -1476,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
             "text_lang_id_docs": lang_id_oracle_sql(),
             "similarity_cosine_topk": sca.COSINE_TOPK_SQL,
             "similarity_ann_lsh": sca.ANN_LSH_SQL,
+            "similarity_ann_ivf": sca.ANN_IVF_SQL,
             "embedding_jl_project": sca.JL_PROJECT_SQL,
             "text_length_bucketed_batches": sca.LENGTH_BUCKETED_SQL,
             "corpus_content_fingerprints": sca.CORPUS_FINGERPRINTS_SQL,

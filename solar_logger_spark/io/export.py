@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from collections.abc import Sequence
 from typing import Any
 
@@ -103,6 +104,7 @@ def export_training_shards(
         raise FileExistsError(
             f"{out_dir} already holds a carded export; write a new dir"
         )
+    _clear_uncarded(out_dir)
     if not df.take(1):
         raise ValueError(
             "refusing to export an empty dataset (a partitioned write of"
@@ -172,11 +174,35 @@ def export_training_shards(
     }
     if token_col is not None and any("tokens" in s for s in per_shard.values()):
         card["tokens"] = sum(s.get("tokens", 0) for s in per_shard.values())
+        card["token_col"] = token_col  # forget_shards re-derives with it
     tmp = card_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(card, fh, sort_keys=True, indent=1)
     os.rename(tmp, card_path)
     return card
+
+
+def _clear_uncarded(out_dir: str) -> None:
+    """Make the documented crash-recovery state actually recoverable:
+    'no card' means unshipped, so shard dirs (and writer bookkeeping)
+    left by a crashed export are dead — remove them so a re-run
+    re-ships instead of failing on ``errorifexists``. Only the
+    export's own artifact names are touched (``shard=*``, underscore
+    bookkeeping); anything else in the directory is left alone and
+    will still make the rewrite fail loudly."""
+    if not os.path.isdir(out_dir):
+        return
+    for entry in os.listdir(out_dir):
+        p = os.path.join(out_dir, entry)
+        if entry.startswith("shard=") and os.path.isdir(p):
+            shutil.rmtree(p)
+        elif entry.startswith(("_", ".")) and entry != DATASET_CARD:
+            # writer bookkeeping: _SUCCESS, hadoop ._*.crc checksums
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    if not os.listdir(out_dir):
+        # errorifexists trips on the bare directory too; foreign files
+        # (not the export's artifacts) keep it in place and fail loudly
+        os.rmdir(out_dir)
 
 
 def read_dataset_card(out_dir: str) -> dict[str, Any] | None:
@@ -187,6 +213,206 @@ def read_dataset_card(out_dir: str) -> dict[str, Any] | None:
         return None
     with open(p) as fh:
         return json.load(fh)
+
+
+_FORGET_TMP = "_forget_tmp_shard_"
+_FORGET_OLD = "_forget_old_shard_"
+
+
+def _recover_forget_crash(out_dir: str) -> None:
+    """Self-heal a crashed :func:`forget_shards`: tmp dirs are always
+    dead (never referenced until renamed into place); an ``_OLD`` dir
+    with its ``shard=K`` present means the swap completed (old is
+    dead), without it the crash hit between the two renames — restore
+    the old dir so the re-run starts from the live state."""
+    for entry in os.listdir(out_dir):
+        p = os.path.join(out_dir, entry)
+        if entry.startswith(_FORGET_TMP):
+            shutil.rmtree(p)
+        elif entry.startswith(_FORGET_OLD):
+            k = entry[len(_FORGET_OLD):]
+            live = os.path.join(out_dir, f"shard={k}")
+            if os.path.isdir(live):
+                shutil.rmtree(p)
+            else:
+                os.rename(p, live)
+
+
+def forget_shards(
+    spark: SparkSession,
+    out_dir: str,
+    del_ids,
+    keep_card_backup: bool = False,
+) -> dict[str, Any]:
+    """Right-to-be-forgotten over SHIPPED training shards: remove every
+    row whose ``id_col`` (the card's) is in ``del_ids``, rewriting ONLY
+    the affected shard directories, and re-commit the dataset card from
+    the re-shipped bytes. The export-side completion of
+    ``streaming.dedup_ingest.forget_docs`` — without it a forget
+    request arriving after shards shipped leaves the forgotten
+    documents in the shipped bytes.
+
+    Which shards a given id lives in is DETERMINISTIC
+    (:func:`shuffle_assignment` with the card's seed/n_shards), so the
+    affected set is computed from the ids alone — cost is O(affected
+    shards' bytes), never O(dataset). Untouched shard dirs are not
+    opened, written, or relinked: byte-identical by construction.
+
+    Surviving rows keep their original ``pos`` (consumers order by
+    ``pos``; density was never the contract) — so a surviving row's
+    bytes are identical before and after, and the new fingerprints
+    attest to exactly "the old shard minus the forgotten rows".
+    A shard emptied entirely is REMOVED and its card entry dropped
+    (the same representation the original export gives a shard that
+    received zero rows). Per-shard fingerprints still sum to the
+    dataset fingerprint.
+
+    Crash-safe per shard: filtered rows land in a ``_forget_tmp`` dir
+    (underscore names are invisible to parquet discovery), then an
+    old→aside / tmp→live rename pair; every intermediate state is
+    restored or completed by the next call (:func:`_recover_forget_crash`).
+    The card is rewritten LAST — a crash mid-sweep leaves the old card
+    over partially swept shards, which ``verify_shards`` reports as
+    mismatched rather than silently passing. Re-running the same
+    forget converges (already-removed ids delete zero rows and the
+    recomputed card matches the bytes).
+
+    No record of the forgotten ids is kept anywhere in the layout —
+    writing them to an audit file would itself retain them.
+
+    ``del_ids``: iterable of id values or a single-column DataFrame.
+    Values are cast to the shipped id column's type before comparing
+    (and to string inside the md5 assignment, matching the export).
+    Returns ``{"deleted_rows": n, "affected_shards": [...], "card":
+    new_card}``.
+    """
+    card = read_dataset_card(out_dir)
+    if card is None:
+        raise FileNotFoundError(
+            f"no {DATASET_CARD} in {out_dir} — nothing shipped, "
+            "nothing to forget (a crashed export re-ships on rerun)"
+        )
+    _recover_forget_crash(out_dir)
+    id_col, n_shards, seed = card["id_col"], card["n_shards"], card["seed"]
+
+    if not isinstance(del_ids, DataFrame):
+        from pyspark.sql import Row
+
+        del_ids = list(del_ids)
+        if not del_ids:
+            return {"deleted_rows": 0, "affected_shards": [], "card": card}
+        del_ids = spark.createDataFrame(
+            [Row(**{id_col: v}) for v in del_ids]
+        )
+    else:
+        del_ids = del_ids.toDF(id_col)
+
+    shipped_schema = spark.read.parquet(out_dir).schema
+    id_type = shipped_schema[id_col].dataType
+    ids = (
+        del_ids.select(F.col(id_col).cast(id_type).alias(id_col))
+        .distinct().localCheckpoint()
+    )
+    shard_col, _ = shuffle_assignment(id_col, n_shards, seed)
+    # bounded collect: <= min(|del set|, n_shards) values
+    affected = sorted(
+        r[0] for r in ids.select(shard_col.alias("s")).distinct().collect()
+    )
+    # only shards that actually shipped rows can hold anything
+    affected = [k for k in affected if str(k) in card["shards"]]
+    if not affected:
+        return {"deleted_rows": 0, "affected_shards": [], "card": card}
+
+    deleted_total = 0
+    emptied: list[int] = []
+    rewritten: list[int] = []
+    for k in affected:
+        live = os.path.join(out_dir, f"shard={k}")
+        # reading the shard dir directly yields the DATA columns only
+        # (partition col lives in the dir name) — so the rewritten
+        # files carry the exact schema the originals do
+        kept = spark.read.parquet(live).join(
+            F.broadcast(ids), id_col, "left_anti"
+        )
+        tmp = os.path.join(out_dir, f"{_FORGET_TMP}{k}")
+        kept.write.mode("errorifexists").parquet(tmp)
+        # count from the WRITTEN bytes (one execution of the filter;
+        # no shard-sized checkpoint held in memory)
+        n_kept = spark.read.parquet(tmp).count()
+        n_del = card["shards"][str(k)]["rows"] - n_kept
+        if n_del == 0:
+            # the ids hash here but no row matched (already forgotten,
+            # or never shipped): keep the live bytes untouched
+            shutil.rmtree(tmp)
+            continue
+        deleted_total += n_del
+        old = os.path.join(out_dir, f"{_FORGET_OLD}{k}")
+        if n_kept == 0:
+            emptied.append(k)
+            shutil.rmtree(tmp)
+            os.rename(live, old)
+            shutil.rmtree(old)
+            continue
+        rewritten.append(k)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+
+    # re-derive the affected entries from the re-shipped bytes (same
+    # attestation discipline as the original export)
+    new_shards = dict(card["shards"])
+    for k in emptied:
+        new_shards.pop(str(k), None)
+    if rewritten:
+        shipped = spark.read.parquet(out_dir).filter(
+            F.col("shard").isin(rewritten)
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(row_hash_expr(shipped.columns))
+            .cast("decimal(38,0)").cast("string").alias("fingerprint"),
+        ]
+        has_tokens = any(
+            "tokens" in s for s in card["shards"].values()
+        )
+        if has_tokens:
+            tok = card.get("token_col", "n_tokens")
+            if tok in shipped.columns:
+                aggs.append(
+                    F.coalesce(F.sum(tok), F.lit(0))
+                    .cast("long").alias("tokens")
+                )
+        for r in shipped.groupBy("shard").agg(*aggs).collect():
+            new_shards[str(int(r["shard"]))] = {
+                k: (int(v) if k != "fingerprint" else v)
+                for k, v in r.asDict().items() if k != "shard"
+            }
+
+    new_card = dict(card)
+    new_card["shards"] = {
+        str(k): new_shards[str(k)]
+        for k in sorted(int(x) for x in new_shards)
+    }
+    new_card["rows"] = sum(s["rows"] for s in new_shards.values())
+    new_card["fingerprint"] = str(
+        sum(int(s["fingerprint"]) for s in new_shards.values())
+    )
+    if "tokens" in card:
+        new_card["tokens"] = sum(
+            s.get("tokens", 0) for s in new_shards.values()
+        )
+    card_path = os.path.join(out_dir, DATASET_CARD)
+    if keep_card_backup:
+        shutil.copy2(card_path, card_path + ".pre-forget")
+    tmp = card_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_card, fh, sort_keys=True, indent=1)
+    os.rename(tmp, card_path)
+    return {
+        "deleted_rows": deleted_total,
+        "affected_shards": sorted(rewritten + emptied),
+        "card": new_card,
+    }
 
 
 def verify_shards(spark: SparkSession, out_dir: str) -> dict[str, Any]:

@@ -137,9 +137,31 @@ def init_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    _guard_empty_partitioned(df, path, partition_by)
     _write_sidecars(path, sidecar)
     _swap_pointer(table_dir, name)
     return name
+
+
+def _guard_empty_partitioned(
+    df: DataFrame, snap_path: str, partition_by: Sequence[str] | None
+) -> None:
+    """A PARTITIONED write of an empty frame emits no schema-bearing
+    parquet file, committing a snapshot ``read_table_snapshot`` cannot
+    read ('Unable to infer schema') — e.g. a bootstrap from a
+    self-loop-only edge set, or a delete that empties the table. When
+    no parquet file landed, append the empty frame UNPARTITIONED:
+    partition columns are ordinary columns of ``df``, so readers see
+    the identical schema, and no hive dirs exist to conflict with.
+    (The same guard _scoped_commit has always had.)"""
+    if not partition_by:
+        return  # unpartitioned writes always emit a schema-bearing file
+    has_parquet = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(snap_path) for f in files
+    )
+    if not has_parquet:
+        df.limit(0).write.mode("append").parquet(snap_path)
 
 
 def upsert(
@@ -152,6 +174,7 @@ def upsert(
     keep_snapshots: int = 2,
     partition_by: Sequence[str] | None = None,
     partition_scoped: bool = False,
+    scope_from_base: bool = False,
     sidecar: dict[str, str] | None = None,
 ) -> str:
     """MERGE ``updates`` into the table by ``keys``: matched base rows
@@ -172,6 +195,17 @@ def upsert(
     updated keys) — the caller owns that guarantee; ``delete_filter``
     is rejected here because it may select rows in untouched
     partitions.
+
+    ``scope_from_base=True`` lifts that contract for layouts whose
+    partition columns are a function of row CONTENTS rather than of
+    the keys (e.g. the dedup index's buckets table, partitioned by
+    bucket hash for read-side pruning): the touched set becomes
+    ``partitions(updates) ∪ partitions(base rows matching the update
+    keys)``, found with one column-pruned scan of the base (keys +
+    partition columns only — a cheap read, vs. the full REWRITE this
+    mode replaces). Stale rows of an updated key then always live in
+    a rewritten partition, so the replace-per-key semantics hold
+    without the function-of-keys guarantee.
 
     ``order_col``: a monotonic version/event-time column. When given, an
     update only replaces a base row if its ``order_col`` is >= the base
@@ -197,16 +231,25 @@ def upsert(
                 "delete_filter may select rows in partitions the updates "
                 "never touch; partition_scoped cannot honor it"
             )
+    if scope_from_base and not partition_scoped:
+        raise ValueError("scope_from_base requires partition_scoped")
     base = spark.read.parquet(os.path.join(table_dir, snap))
     touched: list[tuple] | None = None
     if partition_scoped:
         # the partition value list is bounded by the layout's partition
         # count (the caller sized it, e.g. pmod(hash(key), N)) — a tiny
         # driver-side collect that buys pruned reads AND linked writes
-        touched = [
-            tuple(r) for r in
-            updates.select(*partition_by).distinct().collect()
-        ]
+        touched_df = updates.select(*partition_by).distinct()
+        if scope_from_base:
+            # partitions holding the updated keys' OLD rows: one
+            # column-pruned scan (keys + partition cols reach the
+            # parquet reader; nothing else is materialized)
+            touched_df = touched_df.union(
+                base.join(
+                    updates.select(*keys).distinct(), keys, "left_semi"
+                ).select(*partition_by)
+            ).distinct()
+        touched = [tuple(r) for r in touched_df.collect()]
         if not touched:
             # empty updates touch nothing: the live snapshot IS the
             # merge result (the non-scoped path would rewrite an
@@ -301,12 +344,7 @@ def _scoped_commit(
         os.path.join(table_dir, live_snap), new_path,
         list(partition_by), touched,
     )
-    has_parquet = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(new_path) for f in files
-    )
-    if not has_parquet:
-        df.limit(0).write.mode("append").parquet(new_path)
+    _guard_empty_partitioned(df, new_path, partition_by)
     _write_sidecars(new_path, sidecar)
     _swap_pointer(table_dir, new_name)
     _prune(table_dir, keep=keep_snapshots)
@@ -466,6 +504,7 @@ def _write_next_snapshot(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    _guard_empty_partitioned(df, path, partition_by)
     _write_sidecars(path, sidecar)
     _swap_pointer(table_dir, new_name)
     _prune(table_dir, keep=keep_snapshots)

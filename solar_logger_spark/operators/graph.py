@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 # hive-partition column of the maintained component-labels table
 # (incremental_components): pmod(hash(node), n_partitions)
 PC = "_pc"
+COMP_PARTS_SIDECAR = "_comp_partitions"
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -382,10 +383,28 @@ def incremental_components(
     Replay-safe: labels are a pure function of the edge set, and
     re-merging an already-applied delivery recomputes the identical
     labels (MERGE by node) — idempotent without any epoch machinery.
+
+    ``n_partitions`` is pinned as a snapshot sidecar at init time and
+    the STORED value is authoritative on every later call (a mismatch
+    raises): reading labels with a different N prunes the wrong
+    partitions (touched nodes silently treated as unseen → components
+    split), and the scoped upsert would write new ``_pc`` values while
+    stale rows survive in old partitions — the exact silent-corruption
+    class the dedup index's ``stored_partitions`` sidecar closes.
     """
     from solar_logger_spark.io import merge as M
 
     id_type = new_edges.schema[src].dataType
+
+    stored = M.read_sidecar(comp_dir, COMP_PARTS_SIDECAR)
+    if stored is not None and int(stored) != n_partitions:
+        raise ValueError(
+            f"labels table at {comp_dir} is laid out with "
+            f"n_partitions={stored} but this call passed "
+            f"{n_partitions} — a mismatch mis-prunes label reads and "
+            "mis-scopes the merge; pass the stored value"
+        )
+    parts_sidecar = {COMP_PARTS_SIDECAR: str(n_partitions)}
 
     def _pc(col):
         return F.pmod(F.hash(col), F.lit(n_partitions)).alias(PC)
@@ -405,7 +424,9 @@ def incremental_components(
 
     if M.current_snapshot(comp_dir) is None:
         comps = connected_components(edges).withColumn(PC, _pc("node"))
-        M.init_table(comps, comp_dir, partition_by=[PC])
+        M.init_table(
+            comps, comp_dir, partition_by=[PC], sidecar=parts_sidecar
+        )
         return
 
     comp = M.read_table_snapshot(spark, comp_dir)
@@ -501,4 +522,5 @@ def incremental_components(
         spark, comp_dir, updates.withColumn(PC, _pc("node")),
         keys=["node"], keep_snapshots=keep_snapshots,
         partition_by=[PC], partition_scoped=True,
+        sidecar=parts_sidecar,
     )

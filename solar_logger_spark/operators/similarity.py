@@ -793,3 +793,146 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _cos_d(a: Column, b: Column) -> Column:
+    """cosine over ALREADY-double arrays: the same dot/(norm·norm)
+    shape as :func:`cosine` without the redundant per-element cast."""
+    d = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+    return d / (na * nb)
+
+
+def topk_ivf_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    lloyd_rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k whose ENTIRE training pipeline is deterministic and
+    cross-engine re-derivable — the hash-verifiable sibling of
+    :func:`topk_ivf` (the JL-projection-vs-PCA precedent applied to
+    ANN): centroid INIT is the ``n_cells`` corpus vectors with the
+    lexicographically smallest ``md5('cent|' || id)`` (cell = hash
+    order), and each of the FIXED ``lloyd_rounds`` k-means sweeps
+    assigns by bit-pinned cosine (left-to-right folds) and recomputes
+    each cell's mean with the addition order pinned to member-id order
+    — so a DuckDB twin re-derives the identical codebook, cells,
+    candidates, cosines, and ranks, and the driver's value-hash gate
+    applies instead of a rows-only record.
+
+    Cost shape: assignment is a broadcast of ``n_cells`` centroid rows
+    against the corpus (map-only per round); the pinned mean
+    materializes each cell's member list in one task, which is the
+    determinism price — :func:`kmeans_refine` (partition-ordered numpy
+    partial sums, no member list) is the throughput trainer at corpus
+    scale, this is the reproducible-build/oracle trainer. Probing
+    broadcasts |queries|·n_probe rows; candidates re-score with the
+    same pinned cosine.
+
+    Ties (equal cosines) break to the LOWEST cell / neighbor id on
+    both engines, so bit-identical scores imply identical choices.
+    Empty cells keep their previous centroid. ``lloyd_rounds=0`` is
+    the pure hash-seeded codebook.
+    """
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    )
+    # init: bounded collect of n_cells rows (the codebook)
+    init_rows = (
+        vecs.withColumn(
+            "h", F.md5(F.concat(F.lit("cent|"), F.col("vid").cast("string")))
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["v"])) for i, r in enumerate(init_rows)
+    ]
+    dim = len(cents[0][1])
+
+    def _cdf(cs):
+        return F.broadcast(
+            spark.createDataFrame(cs, "cell int, c array<double>")
+        )
+
+    def _assign(cs):
+        w = Window.partitionBy("vid").orderBy(
+            F.col("cos").desc(), F.col("cell").asc()
+        )
+        return (
+            vecs.crossJoin(_cdf(cs))
+            .withColumn("cos", _cos_d(F.col("v"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "v", "cell")
+        )
+
+    for _ in range(lloyd_rounds):
+        members = _assign(cents).groupBy("cell").agg(
+            F.array_sort(F.collect_list(F.struct("vid", "v"))).alias("ms")
+        )
+        # per-dimension mean with the fold order pinned to vid order
+        mean_arr = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: F.aggregate(
+                F.transform("ms", lambda m: F.element_at(m["v"], d)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("ms"),
+        )
+        got = {
+            r["cell"]: list(r["c"])
+            for r in members.select("cell", mean_arr.alias("c")).collect()
+        }  # bounded: <= n_cells rows
+        cents = [(i, got.get(i, c)) for i, c in cents]
+
+    assigned = _assign(cents)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qv.crossJoin(_cdf(cents))
+        .withColumn("cos", _cos_d(F.col("qv"), F.col("c")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            _cos_d(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

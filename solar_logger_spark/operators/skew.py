@@ -28,13 +28,22 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 # (partial_fn, final_fn) per supported aggregate — the final must
-# combine partials correctly (count combines by summing).
+# combine partials correctly (count combines by summing). ``avg`` is
+# handled separately: it is not self-combinable (a mean of partial
+# means is wrong under uneven salt buckets) and decomposes as
+# (sum, count) partials with a final sum/sum divide.
 _TWO_PHASE = {
     "sum": (F.sum, F.sum),
     "count": (F.count, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
+
+# Join types under which replicating the dimension side n_salt× is
+# result-invariant: every dim row either matches (then exactly one salt
+# bucket carries each fact row) or is dropped. right/full would emit
+# each UNMATCHED dim row once per salt replica — silently wrong.
+_SALT_SAFE_JOINS = {"inner", "left", "leftouter", "left_outer"}
 
 
 def salt_col(n_salt: int, salt_from: Sequence[str] | None = None) -> Column:
@@ -60,6 +69,13 @@ def salted_join(
     must be small — that's also what makes it broadcastable; salting is
     for when the join must shuffle anyway, e.g. the dim exceeds the
     broadcast threshold but the fact's keys are skewed)."""
+    if how not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join(how={how!r}) would replicate every unmatched "
+            f"dimension row {n_salt}× (the dim side is exploded per "
+            f"salt); only {sorted(_SALT_SAFE_JOINS)} are result-"
+            "invariant under salting"
+        )
     f = facts.withColumn("_salt", salt_col(n_salt, salt_from))
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
@@ -102,12 +118,22 @@ def two_phase_agg_multi(
         raise ValueError("two_phase_agg_multi needs at least one aggregate")
     partial_cols, final_cols = [], []
     for i, (fn, value_col, alias) in enumerate(aggs):
+        if fn == "avg":
+            # Not self-combinable: (sum, count) partials, final divide.
+            # sum(x)/count(x) matches F.avg's null handling (count(col)
+            # skips nulls) and its double division exactly.
+            partial_cols.append(F.sum(F.col(value_col)).alias(f"_p{i}s"))
+            partial_cols.append(F.count(F.col(value_col)).alias(f"_p{i}c"))
+            final_cols.append(
+                (F.sum(F.col(f"_p{i}s")) / F.sum(F.col(f"_p{i}c"))).alias(alias)
+            )
+            continue
         try:
             partial_fn, final_fn = _TWO_PHASE[fn]
         except KeyError:
             raise ValueError(
                 f"two-phase decomposition not defined for {fn!r}; "
-                f"supported: {sorted(_TWO_PHASE)}"
+                f"supported: {sorted(_TWO_PHASE) + ['avg']}"
             ) from None
         partial_cols.append(partial_fn(F.col(value_col)).alias(f"_p{i}"))
         final_cols.append(final_fn(F.col(f"_p{i}")).alias(alias))

@@ -576,16 +576,134 @@ FRAME_SAMPLE_SQL = """
 
 
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k with one k-means codebook sweep (rows-only:
-    centroid assignment + probe ordering live in the numpy kernels; the
-    ``recall_at_k`` column self-checks vs brute force, and recall is
-    also pinned in tests/test_similarity.py)."""
+    """IVF approximate top-k — ORACLE-BACKED since r8 (was rows-only
+    r4–r7): the codebook now comes from
+    ``similarity.topk_ivf_deterministic`` — md5-seeded centroid init
+    (the k lexicographically-smallest ``md5('cent|'||id)`` corpus
+    vectors) plus ONE Lloyd sweep whose assignment cosines are
+    left-to-right folds and whose cell means pin the addition order to
+    member-id order — so DuckDB re-derives the identical codebook,
+    cells, candidates, cosines, ranks, and recall column, and the
+    driver's value-hash gate applies. ``similarity.topk_ivf`` /
+    ``kmeans_refine`` (numpy partial-sum trainer) remain the
+    throughput path at corpus scale; this is the reproducible-build
+    trainer (the JL-vs-PCA precedent)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = similarity.topk_ivf(
-        emb, queries, k=5, n_cells=16, n_probe=8, refine_iters=1
+    ann = similarity.topk_ivf_deterministic(
+        emb, queries, k=5, n_cells=16, n_probe=8, lloyd_rounds=1
     )
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
+
+
+# The SQL twin of the deterministic-IVF pipeline: md5-ordered centroid
+# init, one Lloyd sweep (fold-order cosines; per-cell means as
+# list_reduce folds over member-id-ordered lists), final assignment,
+# n_probe probing, exact cosine re-score, and the recall-vs-brute-force
+# column — every float bit-identical to the Spark side.
+ANN_IVF_SQL = """
+    WITH vecs AS (
+        SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    init AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5('cent|' || CAST(vid AS VARCHAR))) - 1
+               AS INT) AS cell, v AS c
+        FROM vecs ORDER BY md5('cent|' || CAST(vid AS VARCHAR)) LIMIT 16
+    ),
+    asg0 AS (
+        SELECT vid, v, cell FROM (
+            SELECT vecs.vid, vecs.v, i.cell,
+                   row_number() OVER (PARTITION BY vecs.vid ORDER BY
+                       list_sum([vecs.v[d] * i.c[d] FOR d IN range(1, 65)])
+                         / (sqrt(list_sum([vecs.v[d] * vecs.v[d]
+                                           FOR d IN range(1, 65)]))
+                            * sqrt(list_sum([i.c[d] * i.c[d]
+                                             FOR d IN range(1, 65)]))) DESC,
+                       i.cell ASC) AS rn
+            FROM vecs, init i) t
+        WHERE rn = 1
+    ),
+    cent1 AS (
+        SELECT g.cell,
+               [list_reduce(list_prepend(0.0, [x[d] FOR x IN g.ms]),
+                            (a, b) -> a + b) / g.n
+                FOR d IN range(1, 65)] AS c
+        FROM (SELECT cell, list(v ORDER BY vid) AS ms, count(*) AS n
+              FROM asg0 GROUP BY cell) g
+    ),
+    cents AS (  -- empty cells keep their init centroid
+        SELECT i.cell, coalesce(c1.c, i.c) AS c
+        FROM init i LEFT JOIN cent1 c1 ON i.cell = c1.cell
+    ),
+    asg AS (
+        SELECT vid, v, cell FROM (
+            SELECT vecs.vid, vecs.v, cs.cell,
+                   row_number() OVER (PARTITION BY vecs.vid ORDER BY
+                       list_sum([vecs.v[d] * cs.c[d] FOR d IN range(1, 65)])
+                         / (sqrt(list_sum([vecs.v[d] * vecs.v[d]
+                                           FOR d IN range(1, 65)]))
+                            * sqrt(list_sum([cs.c[d] * cs.c[d]
+                                             FOR d IN range(1, 65)]))) DESC,
+                       cs.cell ASC) AS rn
+            FROM vecs, cents cs) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vid AS query_id, v AS qv, cell FROM (
+            SELECT vecs.vid, vecs.v, cs.cell,
+                   row_number() OVER (PARTITION BY vecs.vid ORDER BY
+                       list_sum([vecs.v[d] * cs.c[d] FOR d IN range(1, 65)])
+                         / (sqrt(list_sum([vecs.v[d] * vecs.v[d]
+                                           FOR d IN range(1, 65)]))
+                            * sqrt(list_sum([cs.c[d] * cs.c[d]
+                                             FOR d IN range(1, 65)]))) DESC,
+                       cs.cell ASC) AS rn
+            FROM vecs, cents cs WHERE vecs.vid < 10) t
+        WHERE rn <= 8
+    ),
+    scored AS (
+        SELECT p.query_id, a.vid AS neighbor_id,
+               list_sum([p.qv[d] * a.v[d] FOR d IN range(1, 65)])
+                 / (sqrt(list_sum([p.qv[d] * p.qv[d]
+                                   FOR d IN range(1, 65)]))
+                    * sqrt(list_sum([a.v[d] * a.v[d]
+                                     FOR d IN range(1, 65)]))) AS cos_sim
+        FROM probes p JOIN asg a ON a.cell = p.cell
+        WHERE a.vid <> p.query_id
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    ),
+    norms AS (
+        SELECT vid, v,
+               sqrt(list_sum([v[d] * v[d] FOR d IN range(1, 65)])) AS nrm
+        FROM vecs
+    ),
+    exact AS (
+        SELECT q.vid AS query_id, n.vid AS neighbor_id
+        FROM norms q, norms n
+        WHERE q.vid < 10 AND n.vid <> q.vid
+        QUALIFY row_number() OVER (PARTITION BY q.vid
+                ORDER BY list_sum([q.v[d] * n.v[d] FOR d IN range(1, 65)])
+                           / (q.nrm * n.nrm) DESC,
+                         n.vid ASC) <= 5
+    ),
+    recall AS (
+        SELECT a.query_id, count(*) / 5.0 AS recall_at_k
+        FROM ann a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT a.query_id, a.neighbor_id, a.cos_sim, a.rank,
+           coalesce(r.recall_at_k, 0.0) AS recall_at_k
+    FROM ann a LEFT JOIN recall r ON a.query_id = r.query_id
+"""
 
 
 # ---------------------------------------------------------------------------

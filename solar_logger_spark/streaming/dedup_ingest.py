@@ -21,11 +21,15 @@ the delivery path carries a partition filter: the bucket scan is
 pruned to the partitions the batch's own buckets hash into, and the
 shingle scan to the partitions of the (few) candidate index ids — so a
 delivery READS O(batch-touched partitions + candidate partitions) of
-the index, not the whole thing, and recomputes none of it. The one
-remaining O(index) term is the copy-on-write artifact MERGE itself
-(io/merge rewrites the table per snapshot — the documented cost of a
-log-less COW store; a production deployment amortizes it by batching
-deliveries per merge or graduating to a log-based table format).
+the index, not the whole thing, and recomputes none of it. WRITES are
+partition-scoped on both tables too (shingles by the key-derived
+``_ps``; buckets via ``scope_from_base`` — its ``_pb`` is a function
+of bucket contents, so the scope covers the batch ids' old-row
+partitions, located by one column-pruned scan): untouched partitions
+hardlink into the new snapshot, making per-delivery merge cost
+O(touched partitions), not O(index). The residual index-sized terms
+are a column-pruned scan per delivery (read-only) and the file-count
+growth that ``compact_index`` reclaims on a maintenance cadence.
 (Reference scope: the reference has no dedup/streaming-analytics
 surface at all — MQTT->InfluxDB client,
 ``src/classes/py_functions.py`` — this is the beyond-reference
@@ -272,20 +276,21 @@ def incremental_dedup_sink(
                 keep_snapshots=keep_snapshots,
             )
         # replace-per-doc: all artifact rows of a redelivered id are
-        # swapped for the fresh ones. The shingles table (the big one)
-        # merges partition-SCOPED: _ps is a function of the merge key,
-        # so only the batch's partitions are rewritten and the rest of
-        # the index is hardlinked into the new snapshot — per-delivery
-        # merge cost is O(batch-touched partitions), not O(index).
-        # The buckets table keeps the full rewrite (its _pb layout is a
-        # function of bucket contents, not of the key, which the read
-        # path needs for candidate pruning; it is the 32-rows-per-doc
-        # small side).
+        # swapped for the fresh ones, both tables partition-SCOPED.
+        # Shingles: _ps is a function of the merge key, so the batch's
+        # own partitions bound the rewrite. Buckets: _pb is a function
+        # of bucket CONTENTS (the read path needs that layout for
+        # candidate pruning), so the scope additionally covers the
+        # partitions holding the batch ids' OLD rows — found with one
+        # column-pruned scan (scope_from_base). Per-delivery write
+        # cost is O(batch-touched partitions) for BOTH tables; the
+        # untouched rest of the index hardlinks into the new snapshot.
         M.upsert(spark, sh_dir, sh_b, keys=[id_col],
                  keep_snapshots=keep_snapshots, partition_by=[PS],
                  partition_scoped=True, sidecar=parts_sidecar)
         M.upsert(spark, bk_dir, bk_b, keys=[id_col],
                  keep_snapshots=keep_snapshots, partition_by=[PB],
+                 partition_scoped=True, scope_from_base=True,
                  sidecar=parts_sidecar)
 
     return _write
@@ -299,6 +304,7 @@ def forget_docs(
     pairs_dir: str | None = None,
     components_dir: str | None = None,
     keep_snapshots: int = 1,
+    shards_dirs=None,
 ) -> dict[str, str]:
     """Right-to-be-forgotten sweep over the crawl loop's persisted
     state: remove every trace of ``doc_ids`` from the dedup index
@@ -347,6 +353,18 @@ def forget_docs(
     the same repair, and completes the remaining deletes. Re-running a
     completed sweep is a no-op. Single-writer with respect to the
     streaming sink, like every io/merge mutation.
+
+    ``shards_dirs``: carded training-shard exports
+    (:func:`solar_logger_spark.io.export.export_training_shards`) the
+    sweep must ALSO reach — without it, documents already shipped stay
+    shipped. Each directory gets
+    :func:`solar_logger_spark.io.export.forget_shards` with the same
+    ids; requires the export's card ``id_col`` values to BE these doc
+    ids (doc-keyed exports). For an export keyed on packed-sequence
+    ids, map doc ids to sequence ids and call ``forget_shards``
+    directly. Shard sweeps run LAST (after the index is clean), and
+    their deleted-row counts land in the returned dict as
+    ``shards:<dir>`` entries.
     """
     from pyspark.sql import Row
 
@@ -422,22 +440,34 @@ def forget_docs(
                 F.col("component").isin(affected)
             ).select("node", G.PC).localCheckpoint()
             retained_nodes = members.join(nodes, "node", "left_anti")
-            pr = M.read_table_snapshot(spark, pairs_dir)
-            edges = (
-                pr.select("batch_id", "index_id")
-                .join(
-                    retained_nodes.select(
-                        F.col("node").alias("batch_id")
-                    ),
-                    "batch_id", "left_semi",
+            if M.current_snapshot(pairs_dir) is not None:
+                pr = M.read_table_snapshot(spark, pairs_dir)
+                edges = (
+                    pr.select("batch_id", "index_id")
+                    .join(
+                        retained_nodes.select(
+                            F.col("node").alias("batch_id")
+                        ),
+                        "batch_id", "left_semi",
+                    )
+                    .join(
+                        retained_nodes.select(
+                            F.col("node").alias("index_id")
+                        ),
+                        "index_id", "left_semi",
+                    )
                 )
-                .join(
-                    retained_nodes.select(
-                        F.col("node").alias("index_id")
-                    ),
-                    "index_id", "left_semi",
-                )
-            )
+            else:
+                # pairs table never initialized (the sink's crash
+                # window on a first delivery commits components before
+                # the pairs init): no retained edges exist, so every
+                # affected member is edge-less — the sweep must still
+                # run to completion and delete the index rows, not
+                # abort with the forgotten ids retained
+                edges = retained_nodes.select(
+                    F.col("node").alias("batch_id"),
+                    F.col("node").alias("index_id"),
+                ).limit(0)
             relabeled = G.connected_components(
                 edges.toDF("src", "dst")
             ).join(members, "node")
@@ -479,6 +509,14 @@ def forget_docs(
         partition_by=[PB], partition_scoped=True,
         keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
     )
+
+    # -- shipped training shards: the export-side completion ---------------
+    if shards_dirs:
+        from solar_logger_spark.io.export import forget_shards
+
+        for sd in shards_dirs:
+            res = forget_shards(spark, sd, ids)
+            out[f"shards:{sd}"] = str(res["deleted_rows"])
     return out
 
 

@@ -153,3 +153,176 @@ def test_verify_survives_total_loss(spark, seqs, tmp_path):
     res = E.verify_shards(spark, d)
     assert not res["ok"]
     assert res["mismatched"] == sorted(card["shards"])
+
+
+# ----------------------------------------------------------- forget_shards
+
+def _file_map(d):
+    """(relpath -> (inode, mtime_ns, size)) for every file under d."""
+    out = {}
+    for root, _, files in os.walk(d):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, d)] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_forget_shards_end_to_end(spark, seqs, tmp_path):
+    """The compliance contract: forgotten ids leave the shipped bytes,
+    the re-committed card attests to the new bytes (verify_shards
+    green), and shards the ids never lived in are untouched at the
+    inode level."""
+    d = str(tmp_path / "f")
+    card0 = E.export_training_shards(seqs, d, n_shards=4)
+    gone = [3, 17, 42]
+    # which shards hold them (the deterministic assignment)
+    shipped0 = spark.read.parquet(d)
+    hit = {
+        int(r["shard"])
+        for r in shipped0.filter(F"seq_id in ({','.join(map(str, gone))})")
+        .select("shard").distinct().collect()
+    }
+    before = _file_map(d)
+
+    res = E.forget_shards(spark, d, gone)
+    assert res["deleted_rows"] == 3
+    assert set(res["affected_shards"]) == hit
+
+    shipped = spark.read.parquet(d)
+    assert shipped.filter(shipped.seq_id.isin(gone)).count() == 0
+    assert shipped.count() == 60 - 3
+    card = E.read_dataset_card(d)
+    assert card == res["card"]
+    assert card["rows"] == 57
+    assert card["tokens"] == card0["tokens"] - sum(10 + (i % 5) for i in gone)
+    assert card["fingerprint"] != card0["fingerprint"]
+    assert int(card["fingerprint"]) == sum(
+        int(s["fingerprint"]) for s in card["shards"].values()
+    )
+    # the receiving end agrees with the new card
+    assert E.verify_shards(spark, d) == {"ok": True, "mismatched": []}
+    # untouched shards: every file byte-identical AND not rewritten
+    after = _file_map(d)
+    for rel, meta in before.items():
+        shard_dir = rel.split(os.sep)[0]
+        if shard_dir.startswith("shard=") and int(shard_dir.split("=")[1]) not in hit:
+            assert after[rel] == meta
+    # unaffected card entries unchanged
+    for k, entry in card0["shards"].items():
+        if int(k) not in hit:
+            assert card["shards"][k] == entry
+
+
+def test_forget_shards_survivor_order_matches_fresh_export(spark, seqs, tmp_path):
+    """Surviving rows keep their original pos (holes allowed), and
+    their pos-order equals the order a never-shipped-the-forgotten
+    export would produce — both orders come from the same md5 key."""
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    E.export_training_shards(seqs, d1, n_shards=4)
+    gone = [0, 7, 25, 33]
+    E.forget_shards(spark, d1, gone)
+    E.export_training_shards(
+        seqs.filter(~seqs.seq_id.isin(gone)), d2, n_shards=4
+    )
+    a = [
+        (r["shard"], r["seq_id"])
+        for r in spark.read.parquet(d1).orderBy("shard", "pos").collect()
+    ]
+    b = [
+        (r["shard"], r["seq_id"])
+        for r in spark.read.parquet(d2).orderBy("shard", "pos").collect()
+    ]
+    assert a == b
+
+
+def test_forget_shards_noop_and_idempotent(spark, seqs, tmp_path):
+    d = str(tmp_path / "n")
+    card0 = E.export_training_shards(seqs, d, n_shards=3)
+    assert E.forget_shards(spark, d, [])["deleted_rows"] == 0
+    # ids that never shipped: no shard rewritten, files untouched
+    before = _file_map(d)
+    res = E.forget_shards(spark, d, [9999, 12345])
+    assert res["deleted_rows"] == 0 and res["affected_shards"] == []
+    assert {
+        k: v for k, v in _file_map(d).items() if k.startswith("shard=")
+    } == {k: v for k, v in before.items() if k.startswith("shard=")}
+    assert E.read_dataset_card(d)["fingerprint"] == card0["fingerprint"]
+    res2 = E.forget_shards(spark, d, [11])
+    assert res2["deleted_rows"] == 1
+    # re-running the same forget converges: nothing left to delete
+    res3 = E.forget_shards(spark, d, [11])
+    assert res3["deleted_rows"] == 0
+    assert res3["card"] == res2["card"]
+    assert E.verify_shards(spark, d)["ok"]
+
+
+def test_forget_shards_empties_a_whole_shard(spark, tmp_path):
+    """Deleting every id of a shard removes the dir and drops its card
+    entry — the same representation an originally-empty shard gets —
+    and the fingerprint sum property still holds."""
+    rows = [Row(seq_id=i, text=f"t{i}", n_tokens=4) for i in range(20)]
+    df = spark.createDataFrame(rows)
+    d = str(tmp_path / "e")
+    card0 = E.export_training_shards(df, d, n_shards=3)
+    victim = "0"
+    victim_ids = [
+        r["seq_id"]
+        for r in spark.read.parquet(d).filter(f"shard = {victim}").collect()
+    ]
+    assert victim_ids
+    res = E.forget_shards(spark, d, victim_ids)
+    assert res["deleted_rows"] == len(victim_ids)
+    card = E.read_dataset_card(d)
+    assert victim not in card["shards"]
+    assert not os.path.isdir(os.path.join(d, f"shard={victim}"))
+    assert card["rows"] == 20 - len(victim_ids)
+    assert E.verify_shards(spark, d) == {"ok": True, "mismatched": []}
+    assert int(card["fingerprint"]) == sum(
+        int(s["fingerprint"]) for s in card["shards"].values()
+    )
+    assert card0["shards"].keys() - card["shards"].keys() == {victim}
+
+
+def test_forget_shards_requires_card(spark, tmp_path):
+    d = str(tmp_path / "nc")
+    os.makedirs(d)
+    with pytest.raises(FileNotFoundError, match="nothing shipped"):
+        E.forget_shards(spark, d, [1])
+
+
+def test_forget_crash_recovery_restores_or_completes(spark, seqs, tmp_path):
+    """Simulated crash states: a tmp dir is dead; an _OLD dir without
+    its live shard is restored; an _OLD dir with a live shard is dead.
+    After recovery a re-run converges and verify passes."""
+    import shutil
+
+    d = str(tmp_path / "c")
+    E.export_training_shards(seqs, d, n_shards=3)
+    card0 = E.read_dataset_card(d)
+    # crash between the two renames: live shard moved aside, tmp gone
+    os.rename(os.path.join(d, "shard=1"), os.path.join(d, "_forget_old_shard_1"))
+    os.makedirs(os.path.join(d, "_forget_tmp_shard_2"))
+    res = E.forget_shards(spark, d, [])  # empty forget: recovery only
+    assert res["deleted_rows"] == 0
+    assert os.path.isdir(os.path.join(d, "shard=1"))
+    assert not os.path.isdir(os.path.join(d, "_forget_old_shard_1"))
+    assert not os.path.isdir(os.path.join(d, "_forget_tmp_shard_2"))
+    assert E.read_dataset_card(d) == card0
+    assert E.verify_shards(spark, d)["ok"]
+    # crash after the swap: old copy left behind with live present
+    shutil.copytree(os.path.join(d, "shard=0"), os.path.join(d, "_forget_old_shard_0"))
+    E.forget_shards(spark, d, [2])
+    assert not os.path.isdir(os.path.join(d, "_forget_old_shard_0"))
+    assert E.verify_shards(spark, d)["ok"]
+
+
+def test_crashed_export_is_reshippable(spark, seqs, tmp_path):
+    """'No card' is the unshipped state — a re-run must re-ship over
+    the stale shard dirs instead of dying on errorifexists."""
+    d = str(tmp_path / "rs")
+    E.export_training_shards(seqs, d, n_shards=3)
+    os.remove(os.path.join(d, E.DATASET_CARD))  # simulate pre-card crash
+    card = E.export_training_shards(seqs, d, n_shards=3)
+    assert card["rows"] == 60
+    assert E.verify_shards(spark, d) == {"ok": True, "mismatched": []}

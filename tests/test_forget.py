@@ -348,3 +348,70 @@ def test_compact_index_preserves_contents_and_cuts_files(spark, tmp_path):
     assert DI.stored_partitions(idx) == NPARTS
     # the loop keeps working on the compacted index
     _deliver(spark, idx, pairs, _docs(99, range(40, 46)))
+
+
+def test_forget_reaches_exported_shards(spark, tmp_path):
+    """The compliance path end-to-end: docs ingested into the dedup
+    index AND shipped as training shards; one forget_docs call with
+    ``shards_dirs`` sweeps both — the index differential holds and the
+    forgotten ids leave the shipped bytes, with the card re-committed
+    and verify green."""
+    from solar_logger_spark.io import export as E
+
+    rows = _docs(11, range(0, 12))
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    _deliver(spark, idx, pairs, rows)
+    shards = str(tmp_path / "shards")
+    corpus = spark.createDataFrame(rows).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    E.export_training_shards(corpus, shards, n_shards=3, id_col="doc_id")
+
+    out = DI.forget_docs(
+        spark, idx, [2, 5], pairs_dir=pairs, shards_dirs=[shards]
+    )
+    assert out[f"shards:{shards}"] == "2"
+    shipped = spark.read.parquet(shards)
+    assert shipped.filter(F.col("doc_id").isin([2, 5])).count() == 0
+    assert shipped.count() == 10
+    assert E.verify_shards(spark, shards)["ok"]
+    sh = M.read_table_snapshot(spark, os.path.join(idx, DI.SHINGLES))
+    assert sh.filter(F.col("doc_id").isin([2, 5])).count() == 0
+
+
+def test_forget_components_tolerates_uninitialized_pairs(spark, tmp_path):
+    """The sink's crash window on a first delivery: components
+    committed, pairs table never initialized. The sweep must treat the
+    retained-edge set as empty (affected members become edge-less and
+    are deleted) and still complete the index deletes — aborting would
+    retain the forgotten rows."""
+    rows = _docs(12, range(0, 6))
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    comp = str(tmp_path / "comp")
+    _deliver(spark, idx, pairs, rows, comp_dir=comp)
+    # near-dup of doc 0 in a SECOND delivery so a cross-delivery pair
+    # fires and components is nonempty (0 and 1 merge)
+    ws = rows[0].text.split(" ")
+    ws[len(ws) // 2] = "EDIT"
+    _deliver(
+        spark, idx, pairs,
+        [Row(doc_id=1_000, text=" ".join(ws))], comp_dir=comp,
+    )
+    assert M.read_table_snapshot(spark, comp).count() > 0
+    # simulate the crash window: pairs table vanishes
+    import shutil
+    shutil.rmtree(pairs)
+
+    out = DI.forget_docs(
+        spark, idx, [0], pairs_dir=pairs, components_dir=comp,
+    )
+    # the sweep completed: index rows gone, and doc 1000 (the other
+    # half of the component) is edge-less without any retained pairs
+    # -> gone too
+    sh = M.read_table_snapshot(spark, os.path.join(idx, DI.SHINGLES))
+    assert sh.filter(F.col("doc_id") == 0).count() == 0
+    c = M.read_table_snapshot(spark, comp)
+    assert c.filter(F.col("node").isin([0, 1_000])).count() == 0
+    assert DI.SHINGLES in out and DI.BUCKETS in out

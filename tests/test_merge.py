@@ -386,3 +386,40 @@ def test_partition_scoped_random_sequence_matches_full_rewrite(
             for r in M.read_table_snapshot(spark, full_d).collect()
         }
         assert a == b, f"diverged at step {step}"
+
+
+def test_scope_from_base_reaches_stale_partitions(spark, tmp_path):
+    """When the partition column is a function of row CONTENTS (the
+    buckets-table layout), a redelivered key's new rows can land in
+    different partitions than its old rows. Plain partition_scoped
+    would silently RETAIN the old rows; scope_from_base must locate
+    and rewrite their partitions too — and still hardlink partitions
+    holding neither old nor new rows."""
+    rows = [Row(k=i, p=i % 4, v=f"v{i}") for i in range(20)]
+    d = str(tmp_path / "cb")
+    M.init_table(spark.createDataFrame(rows), d, partition_by=["p"])
+    old_snap = M.current_snapshot(d)
+    # key 5's old row lives in p=1; its replacement lands in p=3
+    upd = spark.createDataFrame([Row(k=5, p=3, v="MOVED")])
+    new_snap = M.upsert(
+        spark, d, upd, keys=["k"], partition_by=["p"],
+        partition_scoped=True, scope_from_base=True, keep_snapshots=5,
+    )
+    got = {(r.k, r.p, r.v) for r in M.read_table_snapshot(spark, d).collect()}
+    exp = {(i, i % 4, f"v{i}") for i in range(20) if i != 5} | {(5, 3, "MOVED")}
+    assert got == exp  # exactly one row for k=5, in its new partition
+
+    def inodes(snap, part):
+        pd_ = os.path.join(d, snap, f"p={part}")
+        return {
+            os.stat(os.path.join(pd_, f)).st_ino
+            for f in os.listdir(pd_) if f.endswith(".parquet")
+        }
+
+    for part in (0, 2):  # neither old nor new rows: hardlinked
+        assert inodes(new_snap, part) == inodes(old_snap, part)
+    for part in (1, 3):  # old-row and new-row partitions: rewritten
+        assert inodes(new_snap, part).isdisjoint(inodes(old_snap, part))
+
+    with pytest.raises(ValueError, match="scope_from_base"):
+        M.upsert(spark, d, upd, keys=["k"], scope_from_base=True)

@@ -225,3 +225,56 @@ def test_hard_negatives_band_and_underfill(vectors):
     assert ranks == list(range(1, len(out) + 1))
     with pytest.raises(ValueError, match="empty similarity band"):
         similarity.topk_bruteforce(vectors, anchors, band=(0.5, 0.5))
+
+
+def test_ivf_deterministic_partition_invariant(spark, sf_dir):
+    """The oracle-backed IVF trainer must produce BIT-identical output
+    under any input partitioning — the property that makes the DuckDB
+    hash comparison meaningful (fold orders pinned to id order, never
+    arrival order)."""
+    from solar_logger_spark.io.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def run(corpus):
+        rows = similarity.topk_ivf_deterministic(
+            corpus, q, k=5, n_cells=8, n_probe=4, lloyd_rounds=1
+        ).collect()
+        return sorted(
+            (r.query_id, r.neighbor_id, r.cos_sim.hex(), r.rank)
+            for r in rows
+        )
+
+    a = run(emb)
+    b = run(emb.repartition(7, "vec_id"))
+    c = run(emb.coalesce(1))
+    assert a == b == c
+    assert len(a) == 50  # 10 queries x k
+
+
+def test_ivf_deterministic_zero_rounds_and_empty_cells(spark):
+    """lloyd_rounds=0 is the pure hash-seeded codebook; with more
+    cells than vectors, empty cells keep their init centroid and the
+    query still returns clean top-k."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + d) % 5) for d in range(8)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.topk_ivf_deterministic(
+        df, df.filter("vec_id < 3"), k=3, n_cells=16, n_probe=16,
+        lloyd_rounds=2,
+    ).collect()
+    assert {r.query_id for r in out} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == [1, 2, 3]
+    out0 = similarity.topk_ivf_deterministic(
+        df, df.filter("vec_id < 3"), k=3, n_cells=4, n_probe=4,
+        lloyd_rounds=0,
+    ).collect()
+    assert len(out0) == 9

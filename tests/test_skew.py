@@ -136,4 +136,55 @@ def test_two_phase_agg_multi_validates(spark):
     with pytest.raises(ValueError, match="at least one"):
         skew.two_phase_agg_multi(df, ["k"], [])
     with pytest.raises(ValueError, match="not defined"):
-        skew.two_phase_agg_multi(df, ["k"], [("avg", "v", "a")])
+        skew.two_phase_agg_multi(df, ["k"], [("median", "v", "m")])
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """right/full would emit each unmatched dim row n_salt× — the
+    operator must refuse rather than silently multiply rows."""
+    f = spark.createDataFrame([("a", 1)], "k string, v long")
+    d = spark.createDataFrame([("a", 9), ("zz", 7)], "k string, w long")
+    for how in ("right", "full", "full_outer", "leftanti"):
+        with pytest.raises(ValueError, match="unmatched"):
+            salted_join(f, d, ["k"], n_salt=4, how=how)
+    # the safe forms still work, including the left-outer aliases
+    assert salted_join(f, d, ["k"], n_salt=4, how="left").count() == 1
+    assert salted_join(f, d, ["k"], n_salt=4, how="leftouter").count() == 1
+
+
+def test_two_phase_avg_matches_plain_avg(spark, sf_dir):
+    """avg decomposes as (sum, count) partials + final divide; must
+    equal F.avg exactly (same double division) incl. null handling."""
+    events = load_table(spark, sf_dir, "events")
+    direct = {
+        r.event_type: r.a
+        for r in events.groupBy("event_type")
+        .agg(F.avg("value").alias("a"))
+        .collect()
+    }
+    salted = {
+        r.event_type: r.a
+        for r in two_phase_agg(
+            events, ["event_type"], "value", fn="avg",
+            n_salt=16, salt_from=["event_id"], alias="a",
+        ).collect()
+    }
+    assert set(salted) == set(direct)
+    for k in direct:
+        assert salted[k] == pytest.approx(direct[k], rel=1e-12)
+
+    # null handling: count(col) skips nulls on both paths; all-null
+    # group yields NULL (0/0 under non-ANSI divide → null sum / 0)
+    rows = [("a", 1, 10.0), ("a", 2, None), ("n", 3, None)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = {
+        r["k"]: r["a"]
+        for r in two_phase_agg(
+            df, ["k"], "v", fn="avg", n_salt=4, salt_from=["id"], alias="a"
+        ).collect()
+    }
+    want = {
+        r["k"]: r["a"]
+        for r in df.groupBy("k").agg(F.avg("v").alias("a")).collect()
+    }
+    assert got == want
