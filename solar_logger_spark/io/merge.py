@@ -175,6 +175,7 @@ def upsert(
     partition_by: Sequence[str] | None = None,
     partition_scoped: bool = False,
     scope_from_base: bool = False,
+    scope_fallback_frac: float = 1.0,
     sidecar: dict[str, str] | None = None,
 ) -> str:
     """MERGE ``updates`` into the table by ``keys``: matched base rows
@@ -206,6 +207,17 @@ def upsert(
     mode replaces). Stale rows of an updated key then always live in
     a rewritten partition, so the replace-per-key semantics hold
     without the function-of-keys guarantee.
+
+    ``scope_fallback_frac``: when the updates' own partitions already
+    cover at least this fraction of the EXISTING partitions (checked
+    driver-side from the snapshot's hive dirs, before any base scan),
+    scoping cannot prune meaningfully and the merge falls back to the
+    plain full-rewrite commit — measured on the dedup probe, a scoped
+    write that touches everything costs MORE than a full rewrite (it
+    adds the membership predicate, the link walk, and under
+    ``scope_from_base`` an extra base scan). 1.0 = fall back only on
+    total coverage; content-hashed layouts whose updates fan out wide
+    (one doc → rows in many partitions) should set it lower.
 
     ``order_col``: a monotonic version/event-time column. When given, an
     update only replaces a base row if its ``order_col`` is >= the base
@@ -240,7 +252,25 @@ def upsert(
         # count (the caller sized it, e.g. pmod(hash(key), N)) — a tiny
         # driver-side collect that buys pruned reads AND linked writes
         touched_df = updates.select(*partition_by).distinct()
-        if scope_from_base:
+        upd_touched = [tuple(r) for r in touched_df.collect()]
+        if not upd_touched:
+            # empty updates touch nothing: the live snapshot IS the
+            # merge result (the non-scoped path would rewrite an
+            # identical table) — e.g. a crawl delivery whose docs all
+            # shingle to nothing
+            return snap
+        existing = _existing_partitions(
+            os.path.join(table_dir, snap), list(partition_by)
+        )
+        covered = {
+            tuple(str(v) for v in t) for t in upd_touched
+        } & existing
+        if existing and len(covered) >= scope_fallback_frac * len(existing):
+            # scoping can't prune: go straight to the plain rewrite
+            # (no membership predicate, no link walk, no base scan)
+            partition_scoped = False
+            touched = None
+        elif scope_from_base:
             # partitions holding the updated keys' OLD rows: one
             # column-pruned scan (keys + partition cols reach the
             # parquet reader; nothing else is materialized)
@@ -249,14 +279,10 @@ def upsert(
                     updates.select(*keys).distinct(), keys, "left_semi"
                 ).select(*partition_by)
             ).distinct()
-        touched = [tuple(r) for r in touched_df.collect()]
-        if not touched:
-            # empty updates touch nothing: the live snapshot IS the
-            # merge result (the non-scoped path would rewrite an
-            # identical table; a reduce over zero predicates would
-            # crash) — e.g. a crawl delivery whose docs all shingle
-            # to nothing
-            return snap
+            touched = [tuple(r) for r in touched_df.collect()]
+        else:
+            touched = upd_touched
+    if partition_scoped:
         _validate_scoped_values(partition_by, touched)
         base = base.filter(_touched_predicate(partition_by, touched))
     if delete_filter is not None:
@@ -290,6 +316,34 @@ def upsert(
     return _write_next_snapshot(
         merged, table_dir, snap, keep_snapshots, partition_by, sidecar
     )
+
+
+def _existing_partitions(
+    snap_path: str, partition_by: list[str]
+) -> set[tuple]:
+    """The leaf hive-partition value tuples (string form) present in a
+    snapshot — a driver-side directory walk, no Spark job. Bounded by
+    the layout's partition count."""
+    out: set[tuple] = set()
+
+    def _walk(d: str, depth: int, vals: tuple) -> None:
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            return
+        for entry in entries:
+            p = os.path.join(d, entry)
+            if os.path.isdir(p) and entry.startswith(
+                partition_by[depth] + "="
+            ):
+                v = entry.split("=", 1)[1]
+                if depth + 1 == len(partition_by):
+                    out.add(vals + (v,))
+                else:
+                    _walk(p, depth + 1, vals + (v,))
+
+    _walk(snap_path, 0, ())
+    return out
 
 
 def _touched_predicate(partition_by: Sequence[str], touched: list[tuple]):

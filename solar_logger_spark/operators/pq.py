@@ -618,3 +618,193 @@ def load_ivfpq(
             r["vec"], dtype=np.float64
         )
     return encoded, cents, books
+
+
+def _fold_sum(arr):
+    """Left-to-right fold sum of a double array column (the pinned
+    association DuckDB's list_sum shares)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _d2(a, b):
+    """Squared L2 between two double arrays, accumulated in dimension
+    order — cross-engine bit-reproducible."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def topk_pq_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 400,
+    lloyd_rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC top-k whose codebook training, encoding, and scoring are
+    all deterministic and cross-engine re-derivable — the
+    hash-verifiable sibling of :func:`train_codebooks` +
+    :func:`topk_adc` (the same JL-vs-PCA split as
+    ``similarity.topk_ivf_deterministic``): per-subspace centroid INIT
+    is the ``ks`` subvectors with the smallest ``md5('pq|'||m||'|'||id)``
+    (code = hash order), each of the fixed ``lloyd_rounds`` sweeps
+    assigns by dimension-order-folded squared L2 (ties to the lowest
+    code) and recomputes means with the addition order pinned to
+    member-id order, and ADC sums the per-subspace distances in
+    subspace order. Vectors are L2-normalized first (exact divisions),
+    so L2 ranking ≡ cosine ranking, matching the numpy path's
+    contract. Output: (query_id, neighbor_id, approx_dist, rank) with
+    ``approx_dist`` the EXACT unit-sphere squared L2 after the
+    ``rerank``-deep shortlist re-rank — same shape as
+    :func:`topk_adc`.
+
+    Scale: the codebook is ≤ m·ks rows (two bounded collects); ADC is
+    a broadcast of the |queries|·m·ks distance table against the
+    encoded corpus; the pinned per-(m,code) means materialize member
+    lists per code (the determinism price — :func:`train_codebooks`'s
+    sampled numpy Lloyd is the throughput trainer)."""
+    spark = corpus.sparkSession
+    vn = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(_fold_sum(F.zip_with("v", "v", lambda a, b: a * b))),
+        )
+        .select(
+            "vid",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("v"),
+        )
+    )
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # subvectors: one row per (vid, subspace)
+    subs = vn.select(
+        "vid", "v", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms")
+    ).select(
+        "vid", "ms",
+        F.slice(F.col("v"), F.col("ms") * dsub + 1, dsub).alias("sub"),
+    )
+
+    wm = Window.partitionBy("ms").orderBy("h")
+    init_rows = (
+        subs.withColumn(
+            "h",
+            F.md5(F.concat(
+                F.lit("pq|"), F.col("ms").cast("string"), F.lit("|"),
+                F.col("vid").cast("string"),
+            )),
+        )
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= ks)
+        .select("ms", (F.col("rn") - 1).alias("code"), "sub")
+        .collect()
+    )  # bounded: m*ks rows
+    books: dict[tuple[int, int], list[float]] = {
+        (r["ms"], r["code"]): list(r["sub"]) for r in init_rows
+    }
+
+    def _bdf(bk):
+        return F.broadcast(spark.createDataFrame(
+            [(msi, code, c) for (msi, code), c in sorted(bk.items())],
+            "ms int, code int, c array<double>",
+        ))
+
+    def _codes(bk):
+        w = Window.partitionBy("vid", "ms").orderBy(
+            F.col("d2").asc(), F.col("code").asc()
+        )
+        return (
+            subs.join(_bdf(bk), "ms")
+            .withColumn("d2", _d2(F.col("sub"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "ms", "code", "sub")
+        )
+
+    for _ in range(lloyd_rounds):
+        members = _codes(books).groupBy("ms", "code").agg(
+            F.array_sort(F.collect_list(F.struct("vid", "sub"))).alias("mem")
+        )
+        mean_arr = F.transform(
+            F.sequence(F.lit(1), F.lit(dsub)),
+            lambda d: F.aggregate(
+                F.transform("mem", lambda t: F.element_at(t["sub"], d)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) / F.size("mem"),
+        )
+        got = {
+            (r["ms"], r["code"]): list(r["c"])
+            for r in members.select("ms", "code", mean_arr.alias("c"))
+            .collect()
+        }  # bounded: <= m*ks rows
+        books = {key: got.get(key, c) for key, c in books.items()}
+
+    codes = _codes(books).select("vid", "ms", "code")
+
+    qn = vn.join(
+        queries.select(F.col(id_col).alias("vid")), "vid", "left_semi"
+    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+    qsubs = qn.select(
+        "query_id", "qv",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
+    ).select(
+        "query_id", "ms",
+        F.slice(F.col("qv"), F.col("ms") * dsub + 1, dsub).alias("qsub"),
+    )
+    # ADC tables: |queries| * m * ks exact subspace distances
+    dtab = (
+        qsubs.join(_bdf(books), "ms")
+        .select(
+            "query_id", "ms", "code",
+            _d2(F.col("qsub"), F.col("c")).alias("d2"),
+        )
+    )
+    # approx distance: fold the m subspace terms in subspace order
+    approx = (
+        codes.join(F.broadcast(dtab), ["ms", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("ms", "d2"))),
+                F.lit(0.0), lambda acc, t: acc + t["d2"],
+            ).alias("adc")
+        )
+    )
+    cut = max(rerank, k)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= cut)
+        .select("query_id", "neighbor_id")
+    )
+    # exact unit-sphere squared L2 re-rank of the shortlist
+    rescored = (
+        shortlist.join(
+            vn.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _d2(F.col("qv"), F.col("cv")).alias("approx_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

@@ -1271,16 +1271,148 @@ BM25_SQL = """
 
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ retrieval: ADC shortlist over 8-byte codes + exact
-    re-rank of candidates (rows-only: recall vs brute force pinned in
-    tests/test_pq.py)."""
+    re-rank of candidates — ORACLE-BACKED since r8 (was rows-only
+    r4–r7): ``pq.topk_pq_deterministic`` trains per-subspace codebooks
+    from md5-seeded init + one pinned-fold Lloyd sweep and scores with
+    dimension-/subspace-order folds, so the DuckDB twin re-derives the
+    identical codes, ADC tables, shortlists, and exact re-ranked
+    distances. ``pq.train_codebooks``/``topk_adc`` (numpy) stay as the
+    throughput path; recall vs brute force remains pinned in
+    tests/test_pq.py and tests/test_ann_recall.py."""
     from solar_logger_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    books = pq.train_codebooks(emb, m=8, ks=16)
-    encoded = pq.encode(emb, books)
-    ann = pq.topk_adc(encoded, queries, books, k=5, rerank=400, raw=emb)
+    ann = pq.topk_pq_deterministic(
+        emb, queries, k=5, m=8, ks=16, rerank=400, lloyd_rounds=1
+    )
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
+
+
+# The SQL twin of the deterministic-PQ pipeline: unit-normalization,
+# md5-ordered per-subspace codebook init, one pinned-fold Lloyd sweep,
+# encode, ADC (per-subspace distance tables summed in subspace order),
+# rerank-deep shortlist, exact unit-sphere squared-L2 re-rank, and the
+# recall-vs-brute-force column — every float bit-identical to Spark.
+ANN_PQ_SQL = """
+    WITH raw AS (
+        SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    vn AS (
+        SELECT vid, [x / nrm FOR x IN v] AS v
+        FROM (SELECT vid, v,
+                     sqrt(list_sum([y * y FOR y IN v])) AS nrm FROM raw)
+    ),
+    subs AS (
+        SELECT vid, ms, [v[ms * 8 + d] FOR d IN range(1, 9)] AS sub
+        FROM vn, range(0, 8) mm(ms)
+    ),
+    init AS (
+        SELECT ms, code, sub AS c FROM (
+            SELECT ms, vid, sub,
+                   CAST(row_number() OVER (PARTITION BY ms ORDER BY
+                       md5('pq|' || CAST(ms AS VARCHAR) || '|'
+                           || CAST(vid AS VARCHAR))) - 1 AS INT) AS code
+            FROM subs) t
+        WHERE code < 16
+    ),
+    asg0 AS (
+        SELECT vid, ms, code, sub FROM (
+            SELECT s.vid, s.ms, i.code, s.sub,
+                   row_number() OVER (PARTITION BY s.vid, s.ms ORDER BY
+                       list_sum([(s.sub[d] - i.c[d]) * (s.sub[d] - i.c[d])
+                                 FOR d IN range(1, 9)]) ASC,
+                       i.code ASC) AS rn
+            FROM subs s JOIN init i ON i.ms = s.ms) t
+        WHERE rn = 1
+    ),
+    mean1 AS (
+        SELECT ms, code,
+               [list_reduce(list_prepend(0.0, [x[d] FOR x IN mem]),
+                            (a, b) -> a + b) / n
+                FOR d IN range(1, 9)] AS c
+        FROM (SELECT ms, code, list(sub ORDER BY vid) AS mem,
+                     count(*) AS n
+              FROM asg0 GROUP BY ms, code) g
+    ),
+    books AS (
+        SELECT i.ms, i.code, coalesce(m1.c, i.c) AS c
+        FROM init i LEFT JOIN mean1 m1
+          ON i.ms = m1.ms AND i.code = m1.code
+    ),
+    codes AS (
+        SELECT vid, ms, code FROM (
+            SELECT s.vid, s.ms, b.code,
+                   row_number() OVER (PARTITION BY s.vid, s.ms ORDER BY
+                       list_sum([(s.sub[d] - b.c[d]) * (s.sub[d] - b.c[d])
+                                 FOR d IN range(1, 9)]) ASC,
+                       b.code ASC) AS rn
+            FROM subs s JOIN books b ON b.ms = s.ms) t
+        WHERE rn = 1
+    ),
+    qn AS (SELECT vid AS query_id, v AS qv FROM vn WHERE vid < 10),
+    qsubs AS (
+        SELECT query_id, ms, [qv[ms * 8 + d] FOR d IN range(1, 9)] AS qsub
+        FROM qn, range(0, 8) mm(ms)
+    ),
+    dtab AS (
+        SELECT q.query_id, q.ms, b.code,
+               list_sum([(q.qsub[d] - b.c[d]) * (q.qsub[d] - b.c[d])
+                         FOR d IN range(1, 9)]) AS d2
+        FROM qsubs q JOIN books b ON b.ms = q.ms
+    ),
+    adc AS (
+        SELECT d.query_id, c.vid AS neighbor_id,
+               list_reduce(list_prepend(0.0, list(d.d2 ORDER BY d.ms)),
+                           (a, b) -> a + b) AS adc
+        FROM codes c JOIN dtab d ON d.ms = c.ms AND d.code = c.code
+        WHERE c.vid <> d.query_id
+        GROUP BY d.query_id, c.vid
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY adc ASC, neighbor_id ASC) <= 400
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id, approx_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx_dist ASC, neighbor_id ASC)
+               AS INT) AS rank
+        FROM (
+            SELECT s.query_id, s.neighbor_id,
+                   list_sum([(q.qv[d] - v.v[d]) * (q.qv[d] - v.v[d])
+                             FOR d IN range(1, 65)]) AS approx_dist
+            FROM shortlist s
+            JOIN vn v ON v.vid = s.neighbor_id
+            JOIN qn q ON q.query_id = s.query_id) r
+        QUALIFY rank <= 5
+    ),
+    norms AS (
+        SELECT vid, v,
+               sqrt(list_sum([v[d] * v[d] FOR d IN range(1, 65)])) AS nrm
+        FROM raw
+    ),
+    exact AS (
+        SELECT q.vid AS query_id, n.vid AS neighbor_id
+        FROM norms q, norms n
+        WHERE q.vid < 10 AND n.vid <> q.vid
+        QUALIFY row_number() OVER (PARTITION BY q.vid
+                ORDER BY list_sum([q.v[d] * n.v[d] FOR d IN range(1, 65)])
+                           / (q.nrm * n.nrm) DESC,
+                         n.vid ASC) <= 5
+    ),
+    recall AS (
+        SELECT a.query_id, count(*) / 5.0 AS recall_at_k
+        FROM ann a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT a.query_id, a.neighbor_id, a.approx_dist, a.rank,
+           coalesce(r.recall_at_k, 0.0) AS recall_at_k
+    FROM ann a LEFT JOIN recall r ON a.query_id = r.query_id
+"""
 
 
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -276,15 +276,17 @@ def incremental_dedup_sink(
                 keep_snapshots=keep_snapshots,
             )
         # replace-per-doc: all artifact rows of a redelivered id are
-        # swapped for the fresh ones, both tables partition-SCOPED.
-        # Shingles: _ps is a function of the merge key, so the batch's
-        # own partitions bound the rewrite. Buckets: _pb is a function
-        # of bucket CONTENTS (the read path needs that layout for
-        # candidate pruning), so the scope additionally covers the
-        # partitions holding the batch ids' OLD rows — found with one
-        # column-pruned scan (scope_from_base). Per-delivery write
-        # cost is O(batch-touched partitions) for BOTH tables; the
-        # untouched rest of the index hardlinks into the new snapshot.
+        # swapped for the fresh ones, both tables partition-SCOPED
+        # with the adaptive full-rewrite fallback. Shingles: _ps is a
+        # function of the merge key, so a delivery touches <= |batch|
+        # partitions. Buckets: _pb is a function of bucket CONTENTS
+        # (the read path needs that layout for candidate pruning), so
+        # the scope covers the batch ids' OLD-row partitions too
+        # (scope_from_base) — but a batch's bands*|batch| buckets hash
+        # WIDE, so when they cover the whole layout the merge falls
+        # back to the plain rewrite rather than paying scoping that
+        # cannot prune (measured: scoped-at-full-coverage cost MORE
+        # than the rewrite — SCALING round-8 probe).
         M.upsert(spark, sh_dir, sh_b, keys=[id_col],
                  keep_snapshots=keep_snapshots, partition_by=[PS],
                  partition_scoped=True, sidecar=parts_sidecar)
