@@ -1216,14 +1216,21 @@ def _registry_order(
         # r8: similarity_ann_ivf flipped rows-only -> oracle-backed
         # (deterministic md5-seeded codebook + pinned-fold Lloyd sweep)
         "similarity_ann_ivf": 8,
-        "similarity_ann_pq": 5,
-        "similarity_ann_ivfpq": 5,
+        # r8: similarity_ann_pq flipped rows-only -> oracle-backed
+        # (deterministic per-subspace codebooks, pinned-fold ADC)
+        "similarity_ann_pq": 8,
+        # r8: similarity_ann_ivfpq flipped rows-only -> oracle-backed
+        # (deterministic coarse + residual codebooks, pinned-fold ADC)
+        "similarity_ann_ivfpq": 8,
         # r6: similarity_ann_lsh gained a DuckDB oracle (deterministic
         # md5 hyperplanes); embedding_pca_project's declared output
         # reshaped to scalar pc0..pc7 columns after its array column
         # crashed the driver canonicalizer in r5
         "similarity_ann_lsh": 6,
-        "embedding_pca_project": 6,
+        # r8: embedding_pca_project flipped rows-only -> oracle-backed
+        # (pinned-fold moments + md5-seeded power-iteration eigensolve,
+        # replayed in SQL as a recursive CTE)
+        "embedding_pca_project": 8,
         # r7: NULL-basket/item filter added to operator AND oracle
         # (same results on lineitem, where keys are non-null) plus the
         # apriori min_item_support prefilter (output-invariant by
@@ -1479,6 +1486,9 @@ def oracle_sql() -> dict[str, str]:
             "similarity_cosine_topk": sca.COSINE_TOPK_SQL,
             "similarity_ann_lsh": sca.ANN_LSH_SQL,
             "similarity_ann_ivf": sca.ANN_IVF_SQL,
+            "similarity_ann_pq": sca.ANN_PQ_SQL,
+            "similarity_ann_ivfpq": sca.ANN_IVFPQ_SQL,
+            "embedding_pca_project": sca.PCA_PROJECT_SQL,
             "embedding_jl_project": sca.JL_PROJECT_SQL,
             "text_length_bucketed_batches": sca.LENGTH_BUCKETED_SQL,
             "corpus_content_fingerprints": sca.CORPUS_FINGERPRINTS_SQL,

@@ -329,16 +329,28 @@ def forget_shards(
     for k in affected:
         live = os.path.join(out_dir, f"shard={k}")
         # reading the shard dir directly yields the DATA columns only
-        # (partition col lives in the dir name) — so the rewritten
-        # files carry the exact schema the originals do
-        kept = spark.read.parquet(live).join(
+        # (partition col lives in the dir name); re-select the file's
+        # own column order after the join — an equi-join moves the key
+        # column first, and files with a different column order would
+        # flip the merged read schema (and hence the fingerprint's
+        # JSON field order) depending on which file is listed first
+        df_live = spark.read.parquet(live)
+        kept = df_live.join(
             F.broadcast(ids), id_col, "left_anti"
-        )
+        ).select(*df_live.columns)
         tmp = os.path.join(out_dir, f"{_FORGET_TMP}{k}")
         kept.write.mode("errorifexists").parquet(tmp)
         # count from the WRITTEN bytes (one execution of the filter;
-        # no shard-sized checkpoint held in memory)
-        n_kept = spark.read.parquet(tmp).count()
+        # no shard-sized checkpoint held in memory). A zero-row write
+        # emits no schema-bearing parquet file — don't ask Spark to
+        # infer a schema from _SUCCESS alone
+        if any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(tmp) for f in fs
+        ):
+            n_kept = spark.read.parquet(tmp).count()
+        else:
+            n_kept = 0
         n_del = card["shards"][str(k)]["rows"] - n_kept
         if n_del == 0:
             # the ids hash here but no row matched (already forgotten,

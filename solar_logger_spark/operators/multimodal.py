@@ -108,19 +108,53 @@ def _extract_with(
     return src.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def have_pil() -> bool:
+    """True when Pillow is importable — the optional real codec. Never
+    a hard dependency: this container ships no image libraries, so the
+    oracle-verified path stays the deterministic stub."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def pil_decode(payload: bytes) -> tuple[int, int, str]:
+    """Real image decode via Pillow: (width, height, mode). Import is
+    local so the module loads without Pillow installed; executors
+    raise ImportError loudly if the codec is requested but absent."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        return im.width, im.height, im.mode
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     fake: bool = True,
+    codec: str = "stub",
 ) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (stub
-    codec — see ``decode_stub``).
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``codec``: ``"stub"`` (default — ``decode_stub``; ``fake=True``
+    derives deterministic pseudo-features, the oracle-verified path),
+    ``"pil"`` (real Pillow decode; ImportError without Pillow), or
+    ``"auto"`` (Pillow when importable, else the stub). The Spark
+    plumbing — schema, Arrow batching, signature — is identical in
+    every mode; the codec is the one pluggable function.
 
     ``mapInPandas`` keeps each executor working on whole record batches
     (no per-row Python overhead) and the output schema is fixed, so the
     operator composes with normal DataFrame code downstream.
     """
+    if codec not in ("stub", "pil", "auto"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if codec == "auto":
+        codec = "pil" if have_pil() else "stub"
+    if codec == "pil":
+        return _extract_with(df, id_col, payload_col, pil_decode)
     return _extract_with(
         df, id_col, payload_col, lambda p: decode_stub(p, fake)
     )
@@ -167,6 +201,19 @@ def resize_stub(
     return (seed * (need // len(seed) + 1))[:need]
 
 
+def pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize via Pillow: decode, LANCZOS-resample, re-encode as
+    PNG bytes (lossless — the round-trip is deterministic)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        out = BytesIO()
+        im.resize((width, height), Image.LANCZOS).save(out, format="PNG")
+        return out.getvalue()
+
+
 def resize_images(
     df: DataFrame,
     width: int = 64,
@@ -174,20 +221,29 @@ def resize_images(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     fake: bool = True,
+    codec: str = "stub",
 ) -> DataFrame:
     """Batch resize over binary payloads — one output row per input, new
     payload bytes sized to the target dimensions. ``mapInPandas`` so the
-    (real) codec would get whole Arrow batches per call."""
+    (real) codec gets whole Arrow batches per call. ``codec`` as in
+    :func:`extract_features`: "stub" (default), "pil", or "auto"."""
+    if codec not in ("stub", "pil", "auto"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if codec == "auto":
+        codec = "pil" if have_pil() else "stub"
+    if codec == "pil":
+        def _one(p: bytes) -> bytes:
+            return pil_resize(p, width, height)
+    else:
+        def _one(p: bytes) -> bytes:
+            return resize_stub(p, width, height, fake)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "payload": [
-                        resize_stub(p, width, height, fake)
-                        for p in pdf[payload_col]
-                    ],
+                    "payload": [_one(bytes(p)) for p in pdf[payload_col]],
                     "width": width,
                     "height": height,
                 }

@@ -205,3 +205,155 @@ def jl_project(
         )
         cols.append((dot * scale).alias(f"jl{j}"))
     return df.select(*cols)
+
+
+def _zip_add(acc, arr):
+    return F.zip_with(acc, arr, lambda a, b: a + b)
+
+
+def pca_fit_deterministic(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 256,
+) -> tuple[list, list, list, float]:
+    """PCA fit whose every float is deterministic and cross-engine
+    re-derivable — the hash-verifiable sibling of :func:`pca_fit` (the
+    same split as the deterministic IVF/PQ trainers): a SQL engine
+    running the identical operation sequence produces bit-identical
+    components, so the ``embedding_pca_project`` declared query can be
+    value-hash-checked instead of rows-only.
+
+    * **Moments** (mean, scatter matrix) are hierarchical pinned
+      folds: rows fold WITHIN a block (``id DIV block``) in id order,
+      block partials fold in block order — deterministic float
+      association AND distributed (blocks are independent groups; the
+      final fold is |blocks| array adds). No DECIMAL trick exists for
+      float32 products, so pinned folds are the whole story.
+    * **Eigenvectors** come from ``iters`` fixed power-iteration steps
+      per component with deflation, seeded by md5-derived start
+      vectors — driver-side pure Python over the collected scatter
+      matrix (dim² doubles, bounded): Python floats ARE IEEE doubles,
+      so a DuckDB recursive CTE replaying the same matvec/normalize/
+      deflate sequence lands on the same bits. Convergence quality is
+      pinned vs numpy ``eigh`` in tests (subspace alignment), but
+      cross-engine agreement never depends on convergence.
+    * Sign fix: component flipped so its largest-|entry| coordinate
+      (first on ties) is positive — comparisons on identical bits.
+
+    Returns ``(mean [dim], components [k][dim], evals [k], trace)``
+    as plain Python lists/floats — scatter-matrix eigenvalues (no
+    divisor: eigenvectors are divisor-invariant and the ratio
+    ``sum(evals)/trace`` cancels it).
+    """
+    import hashlib
+    import math
+
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    dim = len(df.select(vec_col).first()[0])
+    zeros = F.array_repeat(F.lit(0.0), dim)
+
+    def _hier_fold(frame, arr_col, width):
+        """blocks (id order) -> block partials (block order) -> one
+        array; returns the single collected row's array + row count."""
+        z = F.array_repeat(F.lit(0.0), width)
+        per_block = (
+            frame.withColumn("b", F.expr(f"vid DIV {block}"))
+            .groupBy("b")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("vid", arr_col))
+                ).alias("ms")
+            )
+            .select(
+                "b",
+                F.aggregate(
+                    "ms", z, lambda acc, t: _zip_add(acc, t[arr_col])
+                ).alias("s"),
+                F.size("ms").alias("cnt"),
+            )
+        )
+        row = (
+            per_block.groupBy()
+            .agg(
+                F.array_sort(F.collect_list(F.struct("b", "s"))).alias("bl"),
+                F.sum("cnt").alias("n"),
+            )
+            .select(
+                F.aggregate(
+                    "bl", z, lambda acc, t: _zip_add(acc, t["s"])
+                ).alias("total"),
+                "n",
+            )
+            .collect()[0]
+        )  # bounded: one row, `width` doubles
+        return list(row["total"]), int(row["n"])
+
+    sums, n = _hier_fold(vecs, "v", dim)
+    mean = [s / n for s in sums]
+
+    mean_lit = F.array(*[F.lit(x) for x in mean])
+    cent = vecs.select(
+        "vid", F.zip_with("v", mean_lit, lambda a, b: a - b).alias("c")
+    )
+    outer = cent.select(
+        "vid",
+        F.flatten(
+            F.transform(
+                "c", lambda a: F.transform("c", lambda b: a * b)
+            )
+        ).alias("o"),
+    )
+    cflat, _ = _hier_fold(outer, "o", dim * dim)
+
+    # ---- driver-side power iteration + deflation (pure Python) ------
+    def seed(c):
+        out = []
+        for d in range(dim):
+            key = f"pca|{c}|{d}".encode()
+            h = int(hashlib.md5(key).hexdigest()[:15], 16)
+            out.append(h / 2.0**60 * 2.0 - 1.0)
+        return out
+
+    def matvec(cf, v):
+        out = []
+        for i in range(dim):
+            s = 0.0
+            for j in range(dim):
+                s += cf[i * dim + j] * v[j]
+            out.append(s)
+        return out
+
+    def fold_sum(xs):
+        s = 0.0
+        for x in xs:
+            s += x
+        return s
+
+    trace = fold_sum([cflat[i * dim + i] for i in range(dim)])
+    cf = list(cflat)
+    comps, evals = [], []
+    for c in range(k):
+        v = seed(c)
+        for _ in range(iters):
+            mv = matvec(cf, v)
+            nrm = math.sqrt(fold_sum([y * y for y in mv]))
+            v = [y / nrm for y in mv]
+        mv = matvec(cf, v)
+        lam = fold_sum([v[i] * mv[i] for i in range(dim)])
+        # sign fix: first max-|entry| coordinate positive
+        ab = [abs(x) for x in v]
+        if v[ab.index(max(ab))] < 0:
+            v = [-x for x in v]
+        comps.append(v)
+        evals.append(lam)
+        cf = [
+            cf[i2] - lam * v[i2 // dim] * v[i2 % dim]
+            for i2 in range(dim * dim)
+        ]
+    return mean, comps, evals, trace

@@ -685,13 +685,16 @@ def topk_pq_deterministic(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
-    # subvectors: one row per (vid, subspace)
+    # subvectors: one row per (vid, subspace). Checkpointed: the frame
+    # feeds the init collect, each Lloyd sweep, AND the final encode —
+    # without a barrier every job re-runs the upstream normalize+explode
+    # (the Catalyst no-subplan-dedup lesson).
     subs = vn.select(
         "vid", "v", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms")
     ).select(
         "vid", "ms",
         F.slice(F.col("v"), F.col("ms") * dsub + 1, dsub).alias("sub"),
-    )
+    ).localCheckpoint()
 
     wm = Window.partitionBy("ms").orderBy("h")
     init_rows = (
@@ -789,6 +792,245 @@ def topk_pq_deterministic(
         .select("query_id", "neighbor_id")
     )
     # exact unit-sphere squared L2 re-rank of the shortlist
+    rescored = (
+        shortlist.join(
+            vn.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _d2(F.col("qv"), F.col("cv")).alias("approx_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def topk_ivfpq_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 400,
+    lloyd_rounds: int = 1,
+    coarse_rounds: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (IVFADC) top-k with fully deterministic, cross-engine
+    re-derivable training — the hash-verifiable sibling of
+    :func:`build_ivfpq` + :func:`topk_ivfpq`: the coarse codebook is
+    md5-seeded (+ fixed pinned-fold Lloyd sweeps) over the normalized
+    vectors, residuals are exact element-wise subtractions, the
+    per-subspace residual codebooks are md5-seeded the same way, and
+    ADC sums per-(query, cell) subspace distances in subspace order.
+    Assignment and probe ordering use dimension-order-folded squared
+    L2 with ties to the lowest cell/code. Output: (query_id,
+    neighbor_id, approx_dist, rank) — exact unit-sphere squared L2
+    after the shortlist re-rank, same shape as :func:`topk_ivfpq`.
+
+    The numpy :func:`build_ivfpq`/:func:`topk_ivfpq` pair remains the
+    throughput path; this is the reproducible-build/oracle trainer
+    (same split as ``topk_pq_deterministic``)."""
+    spark = corpus.sparkSession
+    vn = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(_fold_sum(F.zip_with("v", "v", lambda a, b: a * b))),
+        )
+        .select("vid", F.transform("v", lambda x: x / F.col("nrm")).alias("v"))
+    )
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # ---- coarse quantizer: md5-seeded centroids over vn, pinned L2 --
+    init_rows = (
+        vn.withColumn(
+            "h", F.md5(F.concat(F.lit("ivfpq|"), F.col("vid").cast("string")))
+        )
+        .orderBy("h").limit(n_cells).collect()
+    )  # bounded: n_cells rows
+    cents = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
+    if coarse_rounds is None:
+        coarse_rounds = lloyd_rounds
+
+    def _cdf(cs):
+        return F.broadcast(
+            spark.createDataFrame(cs, "cell int, c array<double>")
+        )
+
+    def _assign(cs):
+        w = Window.partitionBy("vid").orderBy(
+            F.col("d2").asc(), F.col("cell").asc()
+        )
+        return (
+            vn.crossJoin(_cdf(cs))
+            .withColumn("d2", _d2(F.col("v"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "v", "cell")
+        )
+
+    for _ in range(coarse_rounds):
+        members = _assign(cents).groupBy("cell").agg(
+            F.array_sort(F.collect_list(F.struct("vid", "v"))).alias("mem")
+        )
+        mean_arr = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: F.aggregate(
+                F.transform("mem", lambda t: F.element_at(t["v"], d)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) / F.size("mem"),
+        )
+        got = {
+            r["cell"]: list(r["c"])
+            for r in members.select("cell", mean_arr.alias("c")).collect()
+        }  # bounded: <= n_cells rows
+        cents = [(i, got.get(i, c)) for i, c in cents]
+
+    # residuals, then per-(vid, subspace) residual subvectors
+    assigned = (
+        _assign(cents)
+        .join(_cdf(cents), "cell")
+        .select(
+            "vid", "cell",
+            F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
+        )
+    )
+    # Checkpointed: rsubs feeds the residual-codebook init collect,
+    # each Lloyd sweep, and the final encode — a barrier stops every
+    # one of those jobs re-running the coarse assignment upstream.
+    rsubs = assigned.select(
+        "vid", "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
+        "r",
+    ).select(
+        "vid", "cell", "ms",
+        F.slice(F.col("r"), F.col("ms") * dsub + 1, dsub).alias("sub"),
+    ).localCheckpoint()
+
+    # ---- residual PQ codebooks: md5-seeded per subspace -------------
+    wm = Window.partitionBy("ms").orderBy("h")
+    binit = (
+        rsubs.withColumn(
+            "h",
+            F.md5(F.concat(
+                F.lit("ivfpq|"), F.col("ms").cast("string"), F.lit("|"),
+                F.col("vid").cast("string"),
+            )),
+        )
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= ks)
+        .select("ms", (F.col("rn") - 1).alias("code"), "sub")
+        .collect()
+    )  # bounded: m*ks rows
+    books: dict[tuple[int, int], list[float]] = {
+        (r["ms"], r["code"]): list(r["sub"]) for r in binit
+    }
+
+    def _bdf(bk):
+        return F.broadcast(spark.createDataFrame(
+            [(msi, code, c) for (msi, code), c in sorted(bk.items())],
+            "ms int, code int, c array<double>",
+        ))
+
+    def _codes(bk):
+        w = Window.partitionBy("vid", "ms").orderBy(
+            F.col("d2").asc(), F.col("code").asc()
+        )
+        return (
+            rsubs.join(_bdf(bk), "ms")
+            .withColumn("d2", _d2(F.col("sub"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "cell", "ms", "code", "sub")
+        )
+
+    for _ in range(lloyd_rounds):
+        members = _codes(books).groupBy("ms", "code").agg(
+            F.array_sort(F.collect_list(F.struct("vid", "sub"))).alias("mem")
+        )
+        mean_arr = F.transform(
+            F.sequence(F.lit(1), F.lit(dsub)),
+            lambda d: F.aggregate(
+                F.transform("mem", lambda t: F.element_at(t["sub"], d)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) / F.size("mem"),
+        )
+        got2 = {
+            (r["ms"], r["code"]): list(r["c"])
+            for r in members.select("ms", "code", mean_arr.alias("c"))
+            .collect()
+        }  # bounded: <= m*ks rows
+        books = {key: got2.get(key, c) for key, c in books.items()}
+
+    codes = _codes(books).select("vid", "cell", "ms", "code")
+
+    # ---- query side: probe cells, residual ADC ----------------------
+    qn = vn.join(
+        queries.select(F.col(id_col).alias("vid")), "vid", "left_semi"
+    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qn.crossJoin(_cdf(cents))
+        .withColumn("d2", _d2(F.col("qv"), F.col("c")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id", "cell",
+            F.zip_with("qv", "c", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    qrsubs = probes.select(
+        "query_id", "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
+        "qr",
+    ).select(
+        "query_id", "cell", "ms",
+        F.slice(F.col("qr"), F.col("ms") * dsub + 1, dsub).alias("qsub"),
+    )
+    dtab = qrsubs.join(_bdf(books), "ms").select(
+        "query_id", "cell", "ms", "code",
+        _d2(F.col("qsub"), F.col("c")).alias("d2"),
+    )
+    approx = (
+        codes.join(F.broadcast(dtab), ["cell", "ms", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("ms", "d2"))),
+                F.lit(0.0), lambda acc, t: acc + t["d2"],
+            ).alias("adc")
+        )
+    )
+    cut = max(rerank, k)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= cut)
+        .select("query_id", "neighbor_id")
+    )
     rescored = (
         shortlist.join(
             vn.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")),

@@ -592,7 +592,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     ann = similarity.topk_ivf_deterministic(
         emb, queries, k=5, n_cells=16, n_probe=8, lloyd_rounds=1
-    )
+    ).localCheckpoint()  # _attach_recall consumes ann twice; don't
+    # re-run the whole deterministic pipeline for the hits join
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
 
 
@@ -1285,7 +1286,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     ann = pq.topk_pq_deterministic(
         emb, queries, k=5, m=8, ks=16, rerank=400, lloyd_rounds=1
-    )
+    ).localCheckpoint()  # consumed twice by _attach_recall
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
 
 
@@ -1447,17 +1448,23 @@ HEAVY_HITTERS_SQL = """
 def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ (IVFADC): residual-encoded codes partitioned by
     coarse cell, per-(query, cell) ADC tables, exact shortlist re-rank
-    (rows-only: recall + persistence round-trip pinned in
-    tests/test_pq.py)."""
+    — ORACLE-BACKED since r8 (was rows-only r4–r7):
+    ``pq.topk_ivfpq_deterministic`` composes the md5-seeded coarse
+    codebook and the md5-seeded residual PQ codebooks, both with
+    pinned-fold Lloyd sweeps and dimension-/subspace-order distance
+    folds, so the DuckDB twin re-derives the identical cells,
+    residuals, codes, ADC sums, and re-ranked distances.
+    ``pq.build_ivfpq``/``topk_ivfpq`` (numpy) stay as the throughput
+    path; recall + persistence round-trip remain pinned in
+    tests/test_pq.py."""
     from solar_logger_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    encoded, cents, books = pq.build_ivfpq(emb, n_cells=16, m=8, ks=16)
-    ann = pq.topk_ivfpq(
-        encoded, queries, cents, books,
-        k=5, n_probe=8, rerank=400, raw=emb,
-    )
+    ann = pq.topk_ivfpq_deterministic(
+        emb, queries, k=5, n_cells=16, n_probe=10, m=8, ks=16,
+        rerank=400, lloyd_rounds=1, coarse_rounds=0,
+    ).localCheckpoint()  # consumed twice by _attach_recall
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
 
 
@@ -2222,26 +2229,170 @@ DECODE_PPM_SQL = """
 
 
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA-reduce the embedding table to 8 principal components
-    (operators.pca): one map-only moment scan + driver eigh + one
-    map-only projection — the standard whitening/reduction step before
-    IVF/PQ indexing. Rows-only (eigendecomposition is not SQL); the
-    output self-reports the fitted subspace's total explained-variance
-    ratio per row, and tests/test_pca.py pins exact parity with
-    single-node numpy PCA. Declared output is SCALAR columns
-    (pc0..pc7, not an array) — the driver's canonicalizer sorts a
-    pandas frame over all columns and array cells are unhashable
-    (r5 lesson)."""
+    """PCA-reduce the embedding table to 8 principal components —
+    ORACLE-BACKED since r8 (was rows-only r4–r7, "eigendecomposition
+    is not SQL"): ``pca.pca_fit_deterministic`` computes the moments
+    as hierarchical pinned folds and the eigenvectors by FIXED
+    md5-seeded power-iteration/deflation steps in pure-Python IEEE
+    doubles, and the DuckDB twin replays the identical sequence (the
+    eigensolve is a recursive CTE) — every pc value and the
+    explained-variance ratio hash-compare. On this corpus's near-flat
+    spectrum the deterministic subspace captures the same variance as
+    numpy ``eigh`` (ratio 0.2030 vs 0.2035 at sf0.001; pinned in
+    tests/test_pca.py) even where individual close-eigenvalue
+    directions are ill-conditioned. ``pca.pca_fit`` (numpy eigh over
+    partition-ordered partials) remains the throughput/accuracy path.
+    Declared output stays SCALAR columns (pc0..pc7) — array cells are
+    unhashable in the driver canonicalizer (r5 lesson)."""
     from solar_logger_spark.operators import pca
 
     emb = load_table(spark, sf_dir, "embeddings")
-    mean, comps, ratio = pca.pca_fit(emb, vec_col="embedding", k=8)
-    proj = pca.pca_project(emb, mean, comps)
-    return proj.select(
-        "vec_id",
-        *[F.element_at("proj", i + 1).alias(f"pc{i}") for i in range(8)],
-        F.lit(float(ratio.sum())).alias("explained_ratio"),
+    mean, comps, evals, trace = pca.pca_fit_deterministic(
+        emb, k=8, iters=40
     )
+    ratio = 0.0
+    for e in evals:  # left fold — mirrors SQL list_sum(evals)
+        ratio += e
+    ratio = ratio / trace
+    mean_lit = F.array(*[F.lit(x) for x in mean])
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("c", F.zip_with("v", mean_lit, lambda a, b: a - b))
+    return vecs.select(
+        "vec_id",
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "c",
+                    F.array(*[F.lit(x) for x in comps[i]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"pc{i}")
+            for i in range(8)
+        ],
+        F.lit(ratio).alias("explained_ratio"),
+    )
+
+
+def _pca_project_sql() -> str:
+    """The SQL twin of the deterministic-PCA pipeline: hierarchical
+    pinned-fold moments (rows fold in id order within ``id DIV 256``
+    blocks, blocks fold in block order), an md5-seeded power-iteration
+    + deflation eigensolve as a RECURSIVE CTE (40 fixed steps per
+    component, 8 components, sign-fixed), and fold-order projections —
+    bit-identical to the Spark side at every stage (moments, each
+    iterate, eigenvalues, projections, ratio)."""
+    seed0 = (
+        "CAST(('0x' || substring(md5('pca|' || CAST(0 AS VARCHAR) || '|' "
+        "|| CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) "
+        "/ 1152921504606846976.0 * 2.0 - 1.0"
+    )
+    seedn = seed0.replace("CAST(0 AS VARCHAR)", "CAST(comp + 1 AS VARCHAR)")
+    pcs = ",\n           ".join(
+        f"list_sum([(r.v[d] - m.mu[d]) * e.w[{i + 1}][d] "
+        f"FOR d IN range(1, 65)]) AS pc{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH RECURSIVE raw AS (
+        SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    blocks AS (
+        SELECT vid // 256 AS b, list(v ORDER BY vid) AS ms, count(*) AS cnt
+        FROM raw GROUP BY 1
+    ),
+    bsum AS (
+        SELECT b, cnt,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 64)], ms),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 65)]) AS s
+        FROM blocks
+    ),
+    msum AS (
+        SELECT list_reduce(list_prepend([0.0 FOR d IN range(0, 64)],
+                                        list(s ORDER BY b)),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 65)]) AS total,
+               sum(cnt) AS n
+        FROM bsum
+    ),
+    meanv AS (SELECT [total[d] / n FOR d IN range(1, 65)] AS mu FROM msum),
+    cent AS (
+        SELECT vid, [v[d] - m.mu[d] FOR d IN range(1, 65)] AS c
+        FROM raw, meanv m
+    ),
+    outerp AS (
+        SELECT vid, [c[(kk - 1) // 64 + 1] * c[(kk - 1) % 64 + 1]
+                     FOR kk IN range(1, 4097)] AS o
+        FROM cent
+    ),
+    oblocks AS (
+        SELECT vid // 256 AS b, list(o ORDER BY vid) AS ms
+        FROM outerp GROUP BY 1
+    ),
+    obsum AS (
+        SELECT b,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 4096)], ms),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 4097)]) AS s
+        FROM oblocks
+    ),
+    cov AS (
+        SELECT list_reduce(list_prepend([0.0 FOR d IN range(0, 4096)],
+                                        list(s ORDER BY b)),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 4097)]) AS cf
+        FROM obsum
+    ),
+    pit AS (
+        SELECT 0 AS comp, 0 AS iter, cf,
+               [{seed0} FOR d IN range(0, 64)] AS v,
+               CAST([] AS DOUBLE[]) AS evals,
+               CAST([] AS DOUBLE[][]) AS w
+        FROM cov
+        UNION ALL
+        SELECT CASE WHEN iter < 40 THEN comp ELSE comp + 1 END,
+               CASE WHEN iter < 40 THEN iter + 1 ELSE 0 END,
+               CASE WHEN iter < 40 THEN cf ELSE
+                    [cf[kk] - lam * v[(kk - 1) // 64 + 1]
+                              * v[(kk - 1) % 64 + 1]
+                     FOR kk IN range(1, 4097)] END,
+               CASE WHEN iter < 40 THEN [y / nrm FOR y IN mv] ELSE
+                    [{seedn} FOR d IN range(0, 64)] END,
+               CASE WHEN iter < 40 THEN evals
+                    ELSE list_append(evals, lam) END,
+               CASE WHEN iter < 40 THEN w ELSE list_append(w,
+                    CASE WHEN v[list_position([abs(x) FOR x IN v],
+                                list_max([abs(x) FOR x IN v]))] < 0
+                         THEN [-x FOR x IN v] ELSE v END) END
+        FROM (
+            SELECT comp, iter, cf, v, evals, w, mv,
+                   sqrt(list_sum([y * y FOR y IN mv])) AS nrm,
+                   list_sum([v[i] * mv[i] FOR i IN range(1, 65)]) AS lam
+            FROM (
+                SELECT comp, iter, cf, v, evals, w,
+                       [list_sum([cf[(i - 1) * 64 + j] * v[j]
+                                  FOR j IN range(1, 65)])
+                        FOR i IN range(1, 65)] AS mv
+                FROM pit WHERE comp < 8
+            ) a
+        ) b
+    )
+    SELECT r.vid AS vec_id,
+           {pcs},
+           list_sum(e.evals) / t.tr AS explained_ratio
+    FROM raw r, meanv m,
+         (SELECT evals, w FROM pit WHERE comp = 8) e,
+         (SELECT list_sum([cf[(i - 1) * 64 + i] FOR i IN range(1, 65)])
+                 AS tr FROM cov) t
+    """
+
+
+PCA_PROJECT_SQL = _pca_project_sql()
 
 
 def text_length_bucketed_batches(
@@ -5338,4 +5489,147 @@ ER_FUZZY_MATCH_SQL = """
     FROM feed f
     LEFT JOIN best b ON b.feed_id = f.feed_id AND b.rn = 1
     ORDER BY f.feed_id
+"""
+
+
+# The SQL twin of the deterministic IVF-PQ (IVFADC) pipeline:
+# md5-seeded coarse codebook over normalized vectors, exact residuals,
+# md5-seeded residual PQ codebooks, per-(query, cell) ADC tables summed
+# in subspace order, shortlist + exact re-rank, and the recall column —
+# every float bit-identical to the Spark side.
+ANN_IVFPQ_SQL = """
+WITH raw AS (
+    SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+vn AS (
+    SELECT vid, [x / nrm FOR x IN v] AS v
+    FROM (SELECT vid, v, sqrt(list_sum([y * y FOR y IN v])) AS nrm FROM raw)
+),
+cinit AS (
+    SELECT CAST(row_number() OVER (ORDER BY md5('ivfpq|' || CAST(vid AS VARCHAR))) - 1 AS INT) AS cell, v AS c
+    FROM vn ORDER BY md5('ivfpq|' || CAST(vid AS VARCHAR)) LIMIT 16
+),
+cents AS (  -- coarse_rounds=0: the md5-seeded cells ARE the codebook
+    SELECT cell, c FROM cinit
+),
+casg AS (
+    SELECT vid, v, cell FROM (
+        SELECT vn.vid, vn.v, cs.cell,
+               row_number() OVER (PARTITION BY vn.vid ORDER BY
+                   list_sum([(vn.v[d] - cs.c[d]) * (vn.v[d] - cs.c[d]) FOR d IN range(1, 65)]) ASC,
+                   cs.cell ASC) AS rn
+        FROM vn, cents cs) t
+    WHERE rn = 1
+),
+resid AS (
+    SELECT a.vid, a.cell, [a.v[d] - cs.c[d] FOR d IN range(1, 65)] AS r
+    FROM casg a JOIN cents cs ON cs.cell = a.cell
+),
+rsubs AS (
+    SELECT vid, cell, ms, [r[ms * 8 + d] FOR d IN range(1, 9)] AS sub
+    FROM resid, range(0, 8) mm(ms)
+),
+binit AS (
+    SELECT ms, code, sub AS c FROM (
+        SELECT ms, vid, sub,
+               CAST(row_number() OVER (PARTITION BY ms ORDER BY
+                   md5('ivfpq|' || CAST(ms AS VARCHAR) || '|' || CAST(vid AS VARCHAR))) - 1 AS INT) AS code
+        FROM rsubs) t
+    WHERE code < 16
+),
+basg0 AS (
+    SELECT vid, ms, code, sub FROM (
+        SELECT s.vid, s.ms, i.code, s.sub,
+               row_number() OVER (PARTITION BY s.vid, s.ms ORDER BY
+                   list_sum([(s.sub[d] - i.c[d]) * (s.sub[d] - i.c[d]) FOR d IN range(1, 9)]) ASC,
+                   i.code ASC) AS rn
+        FROM rsubs s JOIN binit i ON i.ms = s.ms) t
+    WHERE rn = 1
+),
+bmean AS (
+    SELECT ms, code,
+           [list_reduce(list_prepend(0.0, [x[d] FOR x IN mem]), (a, b) -> a + b) / n
+            FOR d IN range(1, 9)] AS c
+    FROM (SELECT ms, code, list(sub ORDER BY vid) AS mem, count(*) AS n
+          FROM basg0 GROUP BY ms, code) g
+),
+books AS (
+    SELECT i.ms, i.code, coalesce(m1.c, i.c) AS c
+    FROM binit i LEFT JOIN bmean m1 ON i.ms = m1.ms AND i.code = m1.code
+),
+codes AS (
+    SELECT vid, cell, ms, code FROM (
+        SELECT s.vid, s.cell, s.ms, b.code,
+               row_number() OVER (PARTITION BY s.vid, s.ms ORDER BY
+                   list_sum([(s.sub[d] - b.c[d]) * (s.sub[d] - b.c[d]) FOR d IN range(1, 9)]) ASC,
+                   b.code ASC) AS rn
+        FROM rsubs s JOIN books b ON b.ms = s.ms) t
+    WHERE rn = 1
+),
+qn AS (SELECT vid AS query_id, v AS qv FROM vn WHERE vid < 10),
+qprobe AS (
+    SELECT query_id, cell, [qv[d] - c[d] FOR d IN range(1, 65)] AS qr FROM (
+        SELECT q.query_id, q.qv, cs.cell, cs.c,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_sum([(q.qv[d] - cs.c[d]) * (q.qv[d] - cs.c[d]) FOR d IN range(1, 65)]) ASC,
+                   cs.cell ASC) AS rn
+        FROM qn q, cents cs) t
+    WHERE rn <= 10
+),
+qrsubs AS (
+    SELECT query_id, cell, ms, [qr[ms * 8 + d] FOR d IN range(1, 9)] AS qsub
+    FROM qprobe, range(0, 8) mm(ms)
+),
+dtab AS (
+    SELECT q.query_id, q.cell, q.ms, b.code,
+           list_sum([(q.qsub[d] - b.c[d]) * (q.qsub[d] - b.c[d]) FOR d IN range(1, 9)]) AS d2
+    FROM qrsubs q JOIN books b ON b.ms = q.ms
+),
+adc AS (
+    SELECT d.query_id, c.vid AS neighbor_id,
+           list_reduce(list_prepend(0.0, list(d.d2 ORDER BY d.ms)), (a, b) -> a + b) AS adc
+    FROM codes c JOIN dtab d ON d.cell = c.cell AND d.ms = c.ms AND d.code = c.code
+    WHERE c.vid <> d.query_id
+    GROUP BY d.query_id, c.vid
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM adc
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) <= 400
+),
+rescored AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_sum([(q.qv[d] - v.v[d]) * (q.qv[d] - v.v[d]) FOR d IN range(1, 65)]) AS approx_dist
+    FROM shortlist s
+    JOIN vn v ON v.vid = s.neighbor_id
+    JOIN qn q ON q.query_id = s.query_id
+),
+ann AS (
+    SELECT query_id, neighbor_id, approx_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_dist ASC, neighbor_id ASC) AS INT) AS rank
+    FROM rescored QUALIFY rank <= 5
+),
+norms AS (
+    SELECT vid, v,
+           sqrt(list_sum([v[d] * v[d] FOR d IN range(1, 65)])) AS nrm
+    FROM raw
+),
+exact AS (
+    SELECT q.vid AS query_id, n.vid AS neighbor_id
+    FROM norms q, norms n
+    WHERE q.vid < 10 AND n.vid <> q.vid
+    QUALIFY row_number() OVER (PARTITION BY q.vid
+            ORDER BY list_sum([q.v[d] * n.v[d] FOR d IN range(1, 65)])
+                       / (q.nrm * n.nrm) DESC,
+                     n.vid ASC) <= 5
+),
+recall AS (
+    SELECT a.query_id, count(*) / 5.0 AS recall_at_k
+    FROM ann a JOIN exact e
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.query_id
+)
+SELECT a.query_id, a.neighbor_id, a.approx_dist, a.rank,
+       coalesce(r.recall_at_k, 0.0) AS recall_at_k
+FROM ann a LEFT JOIN recall r ON a.query_id = r.query_id
 """

@@ -129,3 +129,55 @@ def test_decode_media_malformed_wav_raises_valueerror():
     truncated = b"RIFF\x10\x00\x00\x00WAVEfmt "  # valid magic, dead body
     with pytest.raises(ValueError, match="malformed WAV"):
         mm.decode_media(truncated)
+
+
+def test_codec_arg_validation_and_auto_fallback(spark):
+    """codec="auto" must fall back to the stub when Pillow is absent
+    (this container ships none), and bad codec names fail fast."""
+    import pytest
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([Row(doc_id=1, payload=b"abc")])
+    with pytest.raises(ValueError, match="unknown codec"):
+        MM.extract_features(df, codec="jpegxl")
+    with pytest.raises(ValueError, match="unknown codec"):
+        MM.resize_images(df, codec="jpegxl")
+    if not MM.have_pil():
+        got = MM.extract_features(df, codec="auto").collect()
+        assert len(got) == 1 and got[0].width >= 64  # stub path ran
+
+
+def test_pil_roundtrip_when_available(spark):
+    """Real-codec round-trip: encode a tiny PNG, extract features (real
+    dims/mode), resize and re-decode (target dims). Skipped where
+    Pillow is not installed — the plumbing is identical either way."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import multimodal as MM
+
+    def png(w, h, color):
+        buf = BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        Row(doc_id=1, payload=png(10, 20, (255, 0, 0))),
+        Row(doc_id=2, payload=png(33, 7, (0, 255, 0))),
+    ]
+    df = spark.createDataFrame(rows)
+    feats = {r.doc_id: r for r in MM.extract_features(df, codec="pil").collect()}
+    assert (feats[1].width, feats[1].height, feats[1].mode) == (10, 20, "RGB")
+    assert (feats[2].width, feats[2].height) == (33, 7)
+
+    rez = {r.doc_id: r for r in MM.resize_images(df, width=8, height=8, codec="pil").collect()}
+    for did in (1, 2):
+        with Image.open(BytesIO(bytes(rez[did].payload))) as im:
+            assert (im.width, im.height) == (8, 8)

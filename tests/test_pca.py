@@ -126,3 +126,40 @@ def test_jl_project_rejects_dim_mismatch(spark):
     out = pca.jl_project(df, out_dim=2, dim=16)
     with pytest.raises(Exception, match="expected 16-dim"):
         out.collect()
+
+
+def test_pca_fit_deterministic_quality_and_invariance(spark, sf_dir):
+    """The oracle-backed deterministic fit must (a) be bit-identical
+    under any input partitioning — the property the DuckDB hash gate
+    rests on — and (b) capture essentially the numpy-eigh optimum's
+    variance: on this corpus's near-flat spectrum individual
+    close-eigenvalue directions are ill-conditioned, but the captured
+    top-8 variance ratio is what downstream reduction consumes."""
+    import numpy as np
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.pca import (
+        pca_fit,
+        pca_fit_deterministic,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, evals, trace = pca_fit_deterministic(emb, k=8, iters=40)
+    m2, c2, e2, t2 = pca_fit_deterministic(
+        emb.repartition(7, "vec_id"), k=8, iters=40
+    )
+    assert [x.hex() for x in mean] == [x.hex() for x in m2]
+    assert [x.hex() for r in comps for x in r] == [
+        x.hex() for r in c2 for x in r
+    ]
+    assert [x.hex() for x in evals] == [x.hex() for x in e2]
+    assert trace.hex() == t2.hex()
+
+    W = np.array(comps)
+    G = W @ W.T
+    assert abs(np.diag(G) - 1).max() < 1e-9          # unit norms
+    assert abs(G - np.diag(np.diag(G))).max() < 0.05  # near-orthogonal
+    _, _, ratio_np = pca_fit(emb, k=8)
+    ratio = sum(evals) / trace
+    assert abs(ratio - float(ratio_np.sum())) / float(ratio_np.sum()) < 0.01
+    assert all(e > 0 for e in evals)

@@ -142,3 +142,37 @@ def test_ivfpq_persistence_roundtrip(spark, sf_dir, tmp_path):
         enc2, queries, cents2, books2, k=5, n_probe=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "cell" in plan
+
+
+def test_pq_deterministic_partition_invariant(spark, sf_dir):
+    """Both oracle-backed deterministic retrievers must produce
+    BIT-identical output under any input partitioning (fold orders
+    pinned to id order, never arrival order)."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.pq import (
+        topk_ivfpq_deterministic,
+        topk_pq_deterministic,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def runs(fn, **kw):
+        out = []
+        for corpus in (emb, emb.repartition(5, "vec_id"), emb.coalesce(1)):
+            rows = fn(corpus, q, k=3, **kw).collect()
+            out.append(sorted(
+                (r.query_id, r.neighbor_id, r.approx_dist.hex(), r.rank)
+                for r in rows
+            ))
+        return out
+
+    a, b, c = runs(topk_pq_deterministic, m=8, ks=8, rerank=50)
+    assert a == b == c and len(a) == 15
+    a, b, c = runs(
+        topk_ivfpq_deterministic, n_cells=8, n_probe=4, m=8, ks=8,
+        rerank=50, coarse_rounds=0,
+    )
+    assert a == b == c and len(a) == 15
