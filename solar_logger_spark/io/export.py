@@ -27,9 +27,13 @@ stating exactly what shipped. This module writes that layout:
   re-derive it per shard (pytest-pinned in DuckDB). Per-shard
   fingerprints sum, as integers, to the dataset fingerprint (the
   manifest partitionability property).
-* **Atomic-enough commit**: the card is written last, to a temp name,
-  then renamed — a crash mid-export leaves shard dirs but no card, and
-  "no card" is the unshipped state (consumers require the card).
+* **Staged commit**: everything (shards, then the card) is written
+  into a sibling ``.inprogress`` directory and RENAMED into place as
+  the last step — a crash at any point leaves ``out_dir`` nonexistent
+  (the unshipped state) plus a dead stage dir the next run replaces;
+  nothing pre-existing at ``out_dir`` is ever deleted (an uncarded
+  ``out_dir`` is refused loudly, not cleared — it could be foreign
+  data that merely looks hive-partitioned).
 
 Scale shape: one shuffle to co-locate shards (``repartition(n_shards,
 shard)``), window work partitioned per shard, one read-back aggregate
@@ -51,6 +55,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from solar_logger_spark.io.manifest import row_hash_expr
 
 DATASET_CARD = "_dataset_card.json"
+_STAGE_SUFFIX = ".inprogress"
 
 
 def shuffle_assignment(
@@ -99,12 +104,28 @@ def export_training_shards(
             f"input already has reserved export column(s) {sorted(reserved)};"
             " rename them first (they would be silently overwritten)"
         )
-    card_path = os.path.join(out_dir, DATASET_CARD)
-    if os.path.exists(card_path):
+    if os.path.exists(os.path.join(out_dir, DATASET_CARD)):
         raise FileExistsError(
             f"{out_dir} already holds a carded export; write a new dir"
         )
-    _clear_uncarded(out_dir)
+    if os.path.exists(out_dir):
+        # NEVER delete a directory this export didn't stage: an
+        # uncarded out_dir is either foreign data (e.g. another
+        # pipeline's shard=-partitioned table) or a pre-staging
+        # artifact — the operator decides, loudly
+        raise FileExistsError(
+            f"{out_dir} exists without a {DATASET_CARD}; refusing to "
+            "write into or remove a directory this export did not "
+            "stage — remove it or pick another path"
+        )
+    # stage everything in a sibling dir and RENAME into place at the
+    # end: a crash at any point leaves out_dir nonexistent (the
+    # unshipped state), and the stage dir — ours by construction —
+    # is simply replaced on the next run
+    stage = out_dir.rstrip("/") + _STAGE_SUFFIX
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)  # dead leftover from a crashed export
+    card_path = os.path.join(stage, DATASET_CARD)
     if not df.take(1):
         raise ValueError(
             "refusing to export an empty dataset (a partitioned write of"
@@ -137,11 +158,11 @@ def export_training_shards(
     out = keyed.withColumn(
         "pos", F.row_number().over(w).cast("long")
     ).drop("_k")
-    out.write.mode("errorifexists").partitionBy("shard").parquet(out_dir)
+    out.write.mode("errorifexists").partitionBy("shard").parquet(stage)
 
     # the card attests to the SHIPPED bytes: read back and fingerprint
     spark = df.sparkSession
-    shipped = spark.read.parquet(out_dir)
+    shipped = spark.read.parquet(stage)
     aggs = [
         F.count(F.lit(1)).alias("rows"),
         F.sum(row_hash_expr(shipped.columns))
@@ -179,30 +200,8 @@ def export_training_shards(
     with open(tmp, "w") as fh:
         json.dump(card, fh, sort_keys=True, indent=1)
     os.rename(tmp, card_path)
+    os.rename(stage, out_dir)  # the commit: out_dir appears fully carded
     return card
-
-
-def _clear_uncarded(out_dir: str) -> None:
-    """Make the documented crash-recovery state actually recoverable:
-    'no card' means unshipped, so shard dirs (and writer bookkeeping)
-    left by a crashed export are dead — remove them so a re-run
-    re-ships instead of failing on ``errorifexists``. Only the
-    export's own artifact names are touched (``shard=*``, underscore
-    bookkeeping); anything else in the directory is left alone and
-    will still make the rewrite fail loudly."""
-    if not os.path.isdir(out_dir):
-        return
-    for entry in os.listdir(out_dir):
-        p = os.path.join(out_dir, entry)
-        if entry.startswith("shard=") and os.path.isdir(p):
-            shutil.rmtree(p)
-        elif entry.startswith(("_", ".")) and entry != DATASET_CARD:
-            # writer bookkeeping: _SUCCESS, hadoop ._*.crc checksums
-            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
-    if not os.listdir(out_dir):
-        # errorifexists trips on the bare directory too; foreign files
-        # (not the export's artifacts) keep it in place and fail loudly
-        os.rmdir(out_dir)
 
 
 def read_dataset_card(out_dir: str) -> dict[str, Any] | None:
@@ -328,6 +327,14 @@ def forget_shards(
     rewritten: list[int] = []
     for k in affected:
         live = os.path.join(out_dir, f"shard={k}")
+        if not os.path.isdir(live):
+            # a previous sweep emptied and removed this shard but died
+            # before the card rewrite: the stale card still lists it.
+            # Count its rows as deleted and drop the entry so the
+            # re-run CONVERGES instead of crashing on the missing dir.
+            deleted_total += card["shards"][str(k)]["rows"]
+            emptied.append(k)
+            continue
         # reading the shard dir directly yields the DATA columns only
         # (partition col lives in the dir name); re-select the file's
         # own column order after the join — an equi-join moves the key
@@ -388,12 +395,20 @@ def forget_shards(
             "tokens" in s for s in card["shards"].values()
         )
         if has_tokens:
-            tok = card.get("token_col", "n_tokens")
-            if tok in shipped.columns:
-                aggs.append(
-                    F.coalesce(F.sum(tok), F.lit(0))
-                    .cast("long").alias("tokens")
+            tok = card.get("token_col")
+            if tok is None and "n_tokens" in shipped.columns:
+                tok = "n_tokens"  # pre-token_col cards: export default
+            if tok is None or tok not in shipped.columns:
+                raise ValueError(
+                    "card carries token totals but records no "
+                    "token_col and the default 'n_tokens' column is "
+                    "absent — refusing to silently drop token counts; "
+                    "add 'token_col' to the card"
                 )
+            aggs.append(
+                F.coalesce(F.sum(tok), F.lit(0))
+                .cast("long").alias("tokens")
+            )
         for r in shipped.groupBy("shard").agg(*aggs).collect():
             new_shards[str(int(r["shard"]))] = {
                 k: (int(v) if k != "fingerprint" else v)
@@ -438,9 +453,14 @@ def verify_shards(spark: SparkSession, out_dir: str) -> dict[str, Any]:
     try:
         shipped = spark.read.parquet(out_dir)
     except Exception:
-        # every shard dir gone: nothing readable, everything carded is
-        # missing — report it, don't crash the audit
-        return {"ok": False, "mismatched": sorted(card["shards"])}
+        # nothing readable. With carded shards that means everything
+        # is missing; a card with ZERO shards (a forget sweep legally
+        # emptied the dataset) is consistent with the empty directory
+        # and must audit green, not flag forever.
+        return {
+            "ok": not card["shards"],
+            "mismatched": sorted(card["shards"]),
+        }
     got = {
         str(r["shard"]): (int(r["rows"]), r["fp"])
         for r in shipped.groupBy("shard").agg(

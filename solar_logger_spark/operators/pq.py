@@ -632,6 +632,163 @@ def _d2(a, b):
     return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
 
+# -- shared deterministic-codebook machinery ---------------------------------
+# ONE copy of every determinism-critical construction (md5-seeded init
+# window, argmin tie-break, pinned member-order mean fold, ADC tail) so
+# a fold/tie-break fix lands in both PQ variants at once — each Spark
+# shape here is mirrored by the ANN_PQ_SQL / ANN_IVFPQ_SQL twins.
+
+def _unit_rows(df, id_col, vec_col, out_id, out_vec):
+    """(id, unit-normalized double vector): cast per element, norm as a
+    pinned fold, exact per-element division — identical ops on corpus
+    and query sides, so shared vectors get identical bits."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias(out_vec),
+        )
+        .withColumn(
+            "_nrm",
+            F.sqrt(_fold_sum(
+                F.zip_with(out_vec, out_vec, lambda a, b: a * b)
+            )),
+        )
+        .select(
+            out_id,
+            F.transform(out_vec, lambda x: x / F.col("_nrm")).alias(out_vec),
+        )
+    )
+
+
+def _subspace_rows(frame, vec_col, m, dsub, out_sub, keep):
+    """One row per (row, subspace): explode ms in [0, m), slice the
+    dsub-wide subvector."""
+    return frame.select(
+        *keep, vec_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
+    ).select(
+        *keep, "ms",
+        F.slice(F.col(vec_col), F.col("ms") * dsub + 1, dsub).alias(out_sub),
+    )
+
+
+def _books_init(subs, prefix, ks):
+    """Per-subspace codebook init: the ks subvectors with the smallest
+    md5(prefix|ms|vid) per ms; code = hash order. Bounded collect of
+    m*ks rows."""
+    wm = Window.partitionBy("ms").orderBy("h")
+    rows = (
+        subs.withColumn(
+            "h",
+            F.md5(F.concat(
+                F.lit(prefix), F.col("ms").cast("string"), F.lit("|"),
+                F.col("vid").cast("string"),
+            )),
+        )
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= ks)
+        .select("ms", (F.col("rn") - 1).alias("code"), "sub")
+        .collect()
+    )
+    return {(r["ms"], r["code"]): list(r["sub"]) for r in rows}
+
+
+def _books_bdf(spark, books):
+    return F.broadcast(spark.createDataFrame(
+        [(msi, code, c) for (msi, code), c in sorted(books.items())],
+        "ms int, code int, c array<double>",
+    ))
+
+
+def _encode(subs, bdf, keep):
+    """Nearest-code assignment per (vid, ms): pinned-fold squared L2,
+    ties to the lowest code."""
+    w = Window.partitionBy("vid", "ms").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        subs.join(bdf, "ms")
+        .withColumn("d2", _d2(F.col("sub"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keep, "ms", "code", "sub")
+    )
+
+
+def _books_lloyd(spark, subs, books, dsub, rounds):
+    """Fixed Lloyd sweeps over the per-subspace codebooks: assignment
+    by :func:`_encode`, means with the addition order pinned to
+    member-id order; empty codes keep their previous centroid."""
+    for _ in range(rounds):
+        members = _encode(subs, _books_bdf(spark, books), ["vid"]).groupBy(
+            "ms", "code"
+        ).agg(
+            F.array_sort(F.collect_list(F.struct("vid", "sub"))).alias("mem")
+        )
+        mean_arr = F.transform(
+            F.sequence(F.lit(1), F.lit(dsub)),
+            lambda d: F.aggregate(
+                F.transform("mem", lambda t: F.element_at(t["sub"], d)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) / F.size("mem"),
+        )
+        got = {
+            (r["ms"], r["code"]): list(r["c"])
+            for r in members.select("ms", "code", mean_arr.alias("c"))
+            .collect()
+        }  # bounded: <= m*ks rows
+        books = {key: got.get(key, c) for key, c in books.items()}
+    return books
+
+
+def _adc_rank_tail(codes, dtab, qn, vn, rerank, k, join_cols):
+    """ADC sum (subspace-order fold) -> rerank-deep shortlist -> exact
+    unit-sphere squared-L2 re-rank -> dense ranks. ``join_cols`` is
+    ["ms", "code"] for flat PQ and ["cell", "ms", "code"] for IVFADC
+    (per-probed-cell residual tables)."""
+    approx = (
+        codes.join(F.broadcast(dtab), join_cols)
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("ms", "d2"))),
+                F.lit(0.0), lambda acc, t: acc + t["d2"],
+            ).alias("adc")
+        )
+    )
+    cut = max(rerank, k)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= cut)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        shortlist.join(
+            vn.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _d2(F.col("qv"), F.col("cv")).alias("approx_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
 def topk_pq_deterministic(
     corpus: DataFrame,
     queries: DataFrame,
@@ -655,10 +812,11 @@ def topk_pq_deterministic(
     member-id order, and ADC sums the per-subspace distances in
     subspace order. Vectors are L2-normalized first (exact divisions),
     so L2 ranking ≡ cosine ranking, matching the numpy path's
-    contract. Output: (query_id, neighbor_id, approx_dist, rank) with
-    ``approx_dist`` the EXACT unit-sphere squared L2 after the
-    ``rerank``-deep shortlist re-rank — same shape as
-    :func:`topk_adc`.
+    contract. Queries are normalized from their OWN vectors — they
+    need not exist in the corpus. Output: (query_id, neighbor_id,
+    approx_dist, rank) with ``approx_dist`` the EXACT unit-sphere
+    squared L2 after the ``rerank``-deep shortlist re-rank — same
+    shape as :func:`topk_adc`.
 
     Scale: the codebook is ≤ m·ks rows (two bounded collects); ADC is
     a broadcast of the |queries|·m·ks distance table against the
@@ -666,20 +824,7 @@ def topk_pq_deterministic(
     lists per code (the determinism price — :func:`train_codebooks`'s
     sampled numpy Lloyd is the throughput trainer)."""
     spark = corpus.sparkSession
-    vn = (
-        corpus.select(
-            F.col(id_col).alias("vid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
-        .withColumn(
-            "nrm",
-            F.sqrt(_fold_sum(F.zip_with("v", "v", lambda a, b: a * b))),
-        )
-        .select(
-            "vid",
-            F.transform("v", lambda x: x / F.col("nrm")).alias("v"),
-        )
-    )
+    vn = _unit_rows(corpus, id_col, vec_col, "vid", "v")
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -689,128 +834,21 @@ def topk_pq_deterministic(
     # feeds the init collect, each Lloyd sweep, AND the final encode —
     # without a barrier every job re-runs the upstream normalize+explode
     # (the Catalyst no-subplan-dedup lesson).
-    subs = vn.select(
-        "vid", "v", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms")
-    ).select(
-        "vid", "ms",
-        F.slice(F.col("v"), F.col("ms") * dsub + 1, dsub).alias("sub"),
-    ).localCheckpoint()
-
-    wm = Window.partitionBy("ms").orderBy("h")
-    init_rows = (
-        subs.withColumn(
-            "h",
-            F.md5(F.concat(
-                F.lit("pq|"), F.col("ms").cast("string"), F.lit("|"),
-                F.col("vid").cast("string"),
-            )),
-        )
-        .withColumn("rn", F.row_number().over(wm))
-        .filter(F.col("rn") <= ks)
-        .select("ms", (F.col("rn") - 1).alias("code"), "sub")
-        .collect()
-    )  # bounded: m*ks rows
-    books: dict[tuple[int, int], list[float]] = {
-        (r["ms"], r["code"]): list(r["sub"]) for r in init_rows
-    }
-
-    def _bdf(bk):
-        return F.broadcast(spark.createDataFrame(
-            [(msi, code, c) for (msi, code), c in sorted(bk.items())],
-            "ms int, code int, c array<double>",
-        ))
-
-    def _codes(bk):
-        w = Window.partitionBy("vid", "ms").orderBy(
-            F.col("d2").asc(), F.col("code").asc()
-        )
-        return (
-            subs.join(_bdf(bk), "ms")
-            .withColumn("d2", _d2(F.col("sub"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vid", "ms", "code", "sub")
-        )
-
-    for _ in range(lloyd_rounds):
-        members = _codes(books).groupBy("ms", "code").agg(
-            F.array_sort(F.collect_list(F.struct("vid", "sub"))).alias("mem")
-        )
-        mean_arr = F.transform(
-            F.sequence(F.lit(1), F.lit(dsub)),
-            lambda d: F.aggregate(
-                F.transform("mem", lambda t: F.element_at(t["sub"], d)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) / F.size("mem"),
-        )
-        got = {
-            (r["ms"], r["code"]): list(r["c"])
-            for r in members.select("ms", "code", mean_arr.alias("c"))
-            .collect()
-        }  # bounded: <= m*ks rows
-        books = {key: got.get(key, c) for key, c in books.items()}
-
-    codes = _codes(books).select("vid", "ms", "code")
-
-    qn = vn.join(
-        queries.select(F.col(id_col).alias("vid")), "vid", "left_semi"
-    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
-    qsubs = qn.select(
-        "query_id", "qv",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
-    ).select(
-        "query_id", "ms",
-        F.slice(F.col("qv"), F.col("ms") * dsub + 1, dsub).alias("qsub"),
+    subs = _subspace_rows(vn, "v", m, dsub, "sub", ["vid"]).localCheckpoint()
+    books = _books_init(subs, "pq|", ks)
+    books = _books_lloyd(spark, subs, books, dsub, lloyd_rounds)
+    codes = _encode(subs, _books_bdf(spark, books), ["vid"]).select(
+        "vid", "ms", "code"
     )
+
+    qn = _unit_rows(queries, id_col, vec_col, "query_id", "qv")
+    qsubs = _subspace_rows(qn, "qv", m, dsub, "qsub", ["query_id"])
     # ADC tables: |queries| * m * ks exact subspace distances
-    dtab = (
-        qsubs.join(_bdf(books), "ms")
-        .select(
-            "query_id", "ms", "code",
-            _d2(F.col("qsub"), F.col("c")).alias("d2"),
-        )
+    dtab = qsubs.join(_books_bdf(spark, books), "ms").select(
+        "query_id", "ms", "code",
+        _d2(F.col("qsub"), F.col("c")).alias("d2"),
     )
-    # approx distance: fold the m subspace terms in subspace order
-    approx = (
-        codes.join(F.broadcast(dtab), ["ms", "code"])
-        .filter(F.col("vid") != F.col("query_id"))
-        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("ms", "d2"))),
-                F.lit(0.0), lambda acc, t: acc + t["d2"],
-            ).alias("adc")
-        )
-    )
-    cut = max(rerank, k)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
-    shortlist = (
-        approx.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= cut)
-        .select("query_id", "neighbor_id")
-    )
-    # exact unit-sphere squared L2 re-rank of the shortlist
-    rescored = (
-        shortlist.join(
-            vn.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qn), "query_id")
-        .select(
-            "query_id", "neighbor_id",
-            _d2(F.col("qv"), F.col("cv")).alias("approx_dist"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "approx_dist", "rank")
-    )
+    return _adc_rank_tail(codes, dtab, qn, vn, rerank, k, ["ms", "code"])
 
 
 def topk_ivfpq_deterministic(
@@ -830,34 +868,32 @@ def topk_ivfpq_deterministic(
     """IVF-PQ (IVFADC) top-k with fully deterministic, cross-engine
     re-derivable training — the hash-verifiable sibling of
     :func:`build_ivfpq` + :func:`topk_ivfpq`: the coarse codebook is
-    md5-seeded (+ fixed pinned-fold Lloyd sweeps) over the normalized
-    vectors, residuals are exact element-wise subtractions, the
-    per-subspace residual codebooks are md5-seeded the same way, and
-    ADC sums per-(query, cell) subspace distances in subspace order.
-    Assignment and probe ordering use dimension-order-folded squared
-    L2 with ties to the lowest cell/code. Output: (query_id,
-    neighbor_id, approx_dist, rank) — exact unit-sphere squared L2
-    after the shortlist re-rank, same shape as :func:`topk_ivfpq`.
+    md5-seeded (+ ``coarse_rounds`` pinned-fold Lloyd sweeps, default
+    ``lloyd_rounds``) over the normalized vectors, residuals are exact
+    element-wise subtractions, the per-subspace residual codebooks are
+    md5-seeded the same way, and ADC sums per-(query, cell) subspace
+    distances in subspace order. Assignment and probe ordering use
+    dimension-order-folded squared L2 with ties to the lowest
+    cell/code. Queries are normalized from their OWN vectors — they
+    need not exist in the corpus. Output: (query_id, neighbor_id,
+    approx_dist, rank) — exact unit-sphere squared L2 after the
+    shortlist re-rank, same shape as :func:`topk_ivfpq`.
 
     The numpy :func:`build_ivfpq`/:func:`topk_ivfpq` pair remains the
     throughput path; this is the reproducible-build/oracle trainer
-    (same split as ``topk_pq_deterministic``)."""
+    (same split as ``topk_pq_deterministic``). The coarse stage shares
+    its SHAPE with ``similarity.topk_ivf_deterministic`` but not code:
+    that operator ranks by pinned-fold cosine over raw vectors, this
+    one by pinned-fold L2 over unit vectors — the metrics diverge on
+    purpose (each mirrors its own SQL twin)."""
     spark = corpus.sparkSession
-    vn = (
-        corpus.select(
-            F.col(id_col).alias("vid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
-        .withColumn(
-            "nrm",
-            F.sqrt(_fold_sum(F.zip_with("v", "v", lambda a, b: a * b))),
-        )
-        .select("vid", F.transform("v", lambda x: x / F.col("nrm")).alias("v"))
-    )
+    vn = _unit_rows(corpus, id_col, vec_col, "vid", "v")
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    if coarse_rounds is None:
+        coarse_rounds = lloyd_rounds
 
     # ---- coarse quantizer: md5-seeded centroids over vn, pinned L2 --
     init_rows = (
@@ -867,8 +903,6 @@ def topk_ivfpq_deterministic(
         .orderBy("h").limit(n_cells).collect()
     )  # bounded: n_cells rows
     cents = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
-    if coarse_rounds is None:
-        coarse_rounds = lloyd_rounds
 
     def _cdf(cs):
         return F.broadcast(
@@ -904,7 +938,10 @@ def topk_ivfpq_deterministic(
         }  # bounded: <= n_cells rows
         cents = [(i, got.get(i, c)) for i, c in cents]
 
-    # residuals, then per-(vid, subspace) residual subvectors
+    # residuals, then per-(vid, subspace) residual subvectors.
+    # Checkpointed: rsubs feeds the residual-codebook init collect,
+    # each Lloyd sweep, and the final encode — a barrier stops every
+    # one of those jobs re-running the coarse assignment upstream.
     assigned = (
         _assign(cents)
         .join(_cdf(cents), "cell")
@@ -913,79 +950,18 @@ def topk_ivfpq_deterministic(
             F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
         )
     )
-    # Checkpointed: rsubs feeds the residual-codebook init collect,
-    # each Lloyd sweep, and the final encode — a barrier stops every
-    # one of those jobs re-running the coarse assignment upstream.
-    rsubs = assigned.select(
-        "vid", "cell",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
-        "r",
-    ).select(
-        "vid", "cell", "ms",
-        F.slice(F.col("r"), F.col("ms") * dsub + 1, dsub).alias("sub"),
+    rsubs = _subspace_rows(
+        assigned, "r", m, dsub, "sub", ["vid", "cell"]
     ).localCheckpoint()
 
-    # ---- residual PQ codebooks: md5-seeded per subspace -------------
-    wm = Window.partitionBy("ms").orderBy("h")
-    binit = (
-        rsubs.withColumn(
-            "h",
-            F.md5(F.concat(
-                F.lit("ivfpq|"), F.col("ms").cast("string"), F.lit("|"),
-                F.col("vid").cast("string"),
-            )),
-        )
-        .withColumn("rn", F.row_number().over(wm))
-        .filter(F.col("rn") <= ks)
-        .select("ms", (F.col("rn") - 1).alias("code"), "sub")
-        .collect()
-    )  # bounded: m*ks rows
-    books: dict[tuple[int, int], list[float]] = {
-        (r["ms"], r["code"]): list(r["sub"]) for r in binit
-    }
-
-    def _bdf(bk):
-        return F.broadcast(spark.createDataFrame(
-            [(msi, code, c) for (msi, code), c in sorted(bk.items())],
-            "ms int, code int, c array<double>",
-        ))
-
-    def _codes(bk):
-        w = Window.partitionBy("vid", "ms").orderBy(
-            F.col("d2").asc(), F.col("code").asc()
-        )
-        return (
-            rsubs.join(_bdf(bk), "ms")
-            .withColumn("d2", _d2(F.col("sub"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vid", "cell", "ms", "code", "sub")
-        )
-
-    for _ in range(lloyd_rounds):
-        members = _codes(books).groupBy("ms", "code").agg(
-            F.array_sort(F.collect_list(F.struct("vid", "sub"))).alias("mem")
-        )
-        mean_arr = F.transform(
-            F.sequence(F.lit(1), F.lit(dsub)),
-            lambda d: F.aggregate(
-                F.transform("mem", lambda t: F.element_at(t["sub"], d)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) / F.size("mem"),
-        )
-        got2 = {
-            (r["ms"], r["code"]): list(r["c"])
-            for r in members.select("ms", "code", mean_arr.alias("c"))
-            .collect()
-        }  # bounded: <= m*ks rows
-        books = {key: got2.get(key, c) for key, c in books.items()}
-
-    codes = _codes(books).select("vid", "cell", "ms", "code")
+    books = _books_init(rsubs, "ivfpq|", ks)
+    books = _books_lloyd(spark, rsubs, books, dsub, lloyd_rounds)
+    codes = _encode(rsubs, _books_bdf(spark, books), ["vid", "cell"]).select(
+        "vid", "cell", "ms", "code"
+    )
 
     # ---- query side: probe cells, residual ADC ----------------------
-    qn = vn.join(
-        queries.select(F.col(id_col).alias("vid")), "vid", "left_semi"
-    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+    qn = _unit_rows(queries, id_col, vec_col, "query_id", "qv")
     wq = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("cell").asc()
     )
@@ -999,54 +975,13 @@ def topk_ivfpq_deterministic(
             F.zip_with("qv", "c", lambda a, b: a - b).alias("qr"),
         )
     )
-    qrsubs = probes.select(
-        "query_id", "cell",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
-        "qr",
-    ).select(
-        "query_id", "cell", "ms",
-        F.slice(F.col("qr"), F.col("ms") * dsub + 1, dsub).alias("qsub"),
+    qrsubs = _subspace_rows(
+        probes, "qr", m, dsub, "qsub", ["query_id", "cell"]
     )
-    dtab = qrsubs.join(_bdf(books), "ms").select(
+    dtab = qrsubs.join(_books_bdf(spark, books), "ms").select(
         "query_id", "cell", "ms", "code",
         _d2(F.col("qsub"), F.col("c")).alias("d2"),
     )
-    approx = (
-        codes.join(F.broadcast(dtab), ["cell", "ms", "code"])
-        .filter(F.col("vid") != F.col("query_id"))
-        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("ms", "d2"))),
-                F.lit(0.0), lambda acc, t: acc + t["d2"],
-            ).alias("adc")
-        )
-    )
-    cut = max(rerank, k)
-    ws = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
-    shortlist = (
-        approx.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= cut)
-        .select("query_id", "neighbor_id")
-    )
-    rescored = (
-        shortlist.join(
-            vn.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qn), "query_id")
-        .select(
-            "query_id", "neighbor_id",
-            _d2(F.col("qv"), F.col("cv")).alias("approx_dist"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    return _adc_rank_tail(
+        codes, dtab, qn, vn, rerank, k, ["cell", "ms", "code"]
     )

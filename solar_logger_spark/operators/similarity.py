@@ -853,6 +853,13 @@ def topk_ivf_deterministic(
     vecs = corpus.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
     )
+    # Deliberately NOT localCheckpoint-ed: vecs/assigned are
+    # CORPUS-sized, and pinning a whole corpus in executor memory is
+    # the wrong trade at scale — each re-derivation is a map-only
+    # parquet scan + one broadcast cross-join stage, which the jobs
+    # here (init collect, one per Lloyd sweep, final assignment)
+    # re-run independently. Contrast pq.py, which checkpoints only
+    # after the plans grow a window + explode chain.
     # init: bounded collect of n_cells rows (the codebook)
     init_rows = (
         vecs.withColumn(

@@ -121,7 +121,20 @@ def two_phase_agg_multi(
         if fn == "avg":
             # Not self-combinable: (sum, count) partials, final divide.
             # sum(x)/count(x) matches F.avg's null handling (count(col)
-            # skips nulls) and its double division exactly.
+            # skips nulls) and its double division exactly — for
+            # numeric NON-decimal columns. DecimalType avg has its own
+            # result type ((p+4, s+4)) and rounding that sum/count
+            # division does not reproduce: refuse rather than return a
+            # near-miss.
+            from pyspark.sql.types import DecimalType
+
+            if isinstance(df.schema[value_col].dataType, DecimalType):
+                raise ValueError(
+                    f"two-phase avg over DECIMAL column {value_col!r} "
+                    "would not match F.avg's (p+4, s+4) result type/"
+                    "rounding; cast to double first or aggregate "
+                    "(sum, count) and divide with your own typing"
+                )
             partial_cols.append(F.sum(F.col(value_col)).alias(f"_p{i}s"))
             partial_cols.append(F.count(F.col(value_col)).alias(f"_p{i}c"))
             final_cols.append(

@@ -431,6 +431,14 @@ def forget_docs(
     ):
         from solar_logger_spark.operators import graph as G
 
+        # carry the table's n_partitions pin through the repair
+        # commits — a sweep that dropped the sidecar would disarm
+        # incremental_components' mismatch guard on the NEXT delivery
+        comp_stored = M.read_sidecar(components_dir, G.COMP_PARTS_SIDECAR)
+        comp_sidecar = (
+            {G.COMP_PARTS_SIDECAR: comp_stored}
+            if comp_stored is not None else None
+        )
         comp = M.read_table_snapshot(spark, components_dir)
         nodes = ids.select(F.col(id_col).alias("node"))
         affected = [
@@ -479,7 +487,7 @@ def forget_docs(
                 M.upsert(
                     spark, components_dir, relabeled, keys=["node"],
                     partition_by=[G.PC], partition_scoped=True,
-                    keep_snapshots=keep_snapshots,
+                    keep_snapshots=keep_snapshots, sidecar=comp_sidecar,
                 )
             dropped = members.join(
                 relabeled.select("node"), "node", "left_anti"
@@ -487,7 +495,7 @@ def forget_docs(
             out["components"] = M.delete_keys(
                 spark, components_dir, dropped, keys=["node"],
                 partition_by=[G.PC], partition_scoped=True,
-                keep_snapshots=keep_snapshots,
+                keep_snapshots=keep_snapshots, sidecar=comp_sidecar,
             )
         else:
             out["components"] = M.current_snapshot(components_dir)

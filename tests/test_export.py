@@ -318,11 +318,65 @@ def test_forget_crash_recovery_restores_or_completes(spark, seqs, tmp_path):
 
 
 def test_crashed_export_is_reshippable(spark, seqs, tmp_path):
-    """'No card' is the unshipped state — a re-run must re-ship over
-    the stale shard dirs instead of dying on errorifexists."""
+    """The export STAGES in a sibling dir and renames into place: a
+    crash leaves out_dir nonexistent plus a dead stage dir the next
+    run replaces — so re-shipping just works. An out_dir that exists
+    WITHOUT a card was not staged by this export and must be refused,
+    never cleared (it could be foreign shard=-partitioned data)."""
     d = str(tmp_path / "rs")
-    E.export_training_shards(seqs, d, n_shards=3)
-    os.remove(os.path.join(d, E.DATASET_CARD))  # simulate pre-card crash
+    # simulate a crash: stage dir exists, out_dir never appeared
+    os.makedirs(d + "._inprogress_probe")  # unrelated sibling, untouched
+    os.makedirs(d + ".inprogress/shard=0")
     card = E.export_training_shards(seqs, d, n_shards=3)
     assert card["rows"] == 60
+    assert E.verify_shards(spark, d) == {"ok": True, "mismatched": []}
+    assert not os.path.exists(d + ".inprogress")  # renamed into place
+    assert os.path.isdir(d + "._inprogress_probe")
+
+    # uncarded existing out_dir: refuse loudly, delete nothing
+    foreign = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(foreign, "shard=0"))
+    with open(os.path.join(foreign, "shard=0", "data.parquet"), "w") as fh:
+        fh.write("not ours")
+    with pytest.raises(FileExistsError, match="did not stage"):
+        E.export_training_shards(seqs, foreign, n_shards=3)
+    assert os.path.exists(os.path.join(foreign, "shard=0", "data.parquet"))
+
+
+def test_forget_converges_after_crash_between_empty_and_card(
+    spark, tmp_path
+):
+    """A sweep that empties and removes a shard but dies before the
+    card rewrite leaves a stale card naming a missing dir; the re-run
+    must converge (count those rows as deleted, drop the entry), not
+    crash on the missing path forever."""
+    rows = [Row(seq_id=i, text=f"t{i}", n_tokens=4) for i in range(20)]
+    df = spark.createDataFrame(rows)
+    d = str(tmp_path / "cc")
+    E.export_training_shards(df, d, n_shards=3)
+    victim_ids = [
+        r["seq_id"]
+        for r in spark.read.parquet(d).filter("shard = 1").collect()
+    ]
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "shard=1"))  # simulate the crash state
+    res = E.forget_shards(spark, d, victim_ids)
+    assert res["deleted_rows"] == len(victim_ids)
+    card = E.read_dataset_card(d)
+    assert "1" not in card["shards"]
+    assert E.verify_shards(spark, d) == {"ok": True, "mismatched": []}
+
+
+def test_verify_green_on_fully_forgotten_export(spark, tmp_path):
+    """Forgetting EVERY id legally empties the dataset: the card lists
+    zero shards, the directory holds none, and the audit must report
+    ok — a compliance-complete state is not a corruption."""
+    rows = [Row(seq_id=i, text=f"t{i}", n_tokens=4) for i in range(9)]
+    d = str(tmp_path / "all")
+    E.export_training_shards(spark.createDataFrame(rows), d, n_shards=2)
+    res = E.forget_shards(spark, d, list(range(9)))
+    assert res["deleted_rows"] == 9
+    card = E.read_dataset_card(d)
+    assert card["shards"] == {} and card["rows"] == 0
     assert E.verify_shards(spark, d) == {"ok": True, "mismatched": []}

@@ -415,3 +415,34 @@ def test_forget_components_tolerates_uninitialized_pairs(spark, tmp_path):
     c = M.read_table_snapshot(spark, comp)
     assert c.filter(F.col("node").isin([0, 1_000])).count() == 0
     assert DI.SHINGLES in out and DI.BUCKETS in out
+
+
+def test_forget_preserves_components_partition_pin(spark, tmp_path):
+    """The components repair must re-commit the _comp_partitions
+    sidecar: a sweep that dropped it would disarm the n_partitions
+    mismatch guard on the next delivery (silent mis-pruned labels)."""
+    from solar_logger_spark.operators import graph as G
+
+    rows = _docs(21, range(0, 6))
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    comp = str(tmp_path / "comp")
+    _deliver(spark, idx, pairs, rows, comp_dir=comp)
+    ws = rows[0].text.split(" ")
+    ws[len(ws) // 2] = "EDIT"
+    _deliver(spark, idx, pairs,
+             [Row(doc_id=500, text=" ".join(ws))], comp_dir=comp)
+    pin0 = M.read_sidecar(comp, G.COMP_PARTS_SIDECAR)
+    assert pin0 is not None
+
+    DI.forget_docs(
+        spark, idx, [0], pairs_dir=pairs, components_dir=comp,
+    )
+    assert M.read_sidecar(comp, G.COMP_PARTS_SIDECAR) == pin0
+    # and the guard still works: a mismatched caller raises
+    import pytest
+    from solar_logger_spark.operators.graph import incremental_components
+
+    edges = spark.createDataFrame([(2, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_partitions"):
+        incremental_components(spark, comp, edges, n_partitions=7)

@@ -188,3 +188,13 @@ def test_two_phase_avg_matches_plain_avg(spark, sf_dir):
         for r in df.groupBy("k").agg(F.avg("v").alias("a")).collect()
     }
     assert got == want
+
+
+def test_two_phase_avg_refuses_decimal(spark):
+    """DECIMAL avg has its own (p+4, s+4) result typing/rounding that
+    sum/count division does not reproduce — refuse, don't near-miss."""
+    df = spark.createDataFrame([("a", 1)], "k string, v long").select(
+        "k", F.col("v").cast("decimal(18,6)").alias("v")
+    )
+    with pytest.raises(ValueError, match="DECIMAL"):
+        two_phase_agg(df, ["k"], "v", fn="avg")
