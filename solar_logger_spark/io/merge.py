@@ -35,7 +35,9 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import (
+    Column, DataFrame, SparkSession, Window, functions as F,
+)
 
 _CURRENT = "_CURRENT"
 
@@ -164,6 +166,33 @@ def _guard_empty_partitioned(
         df.limit(0).write.mode("append").parquet(snap_path)
 
 
+def _carry_delta_floor(
+    table_dir: str, sidecar: dict[str, str] | None
+) -> dict[str, str] | None:
+    """Every snapshot commit carries the live ``_delta_floor`` forward
+    unless the caller sets one explicitly: a mutation that silently
+    dropped the floor would make already-folded (but not yet deleted)
+    delta dirs visible again — double-counted rows after a crashed
+    compaction cleanup."""
+    cur = read_sidecar(table_dir, DELTA_FLOOR_SIDECAR)
+    if cur is None or (sidecar and DELTA_FLOOR_SIDECAR in sidecar):
+        return sidecar
+    out = dict(sidecar or {})
+    out[DELTA_FLOOR_SIDECAR] = cur
+    return out
+
+
+def _reject_visible_deltas(table_dir: str, op: str) -> None:
+    """Snapshot-only mutations would silently ignore delta rows —
+    refuse until the caller folds them (:func:`compact_deltas`)."""
+    if list_deltas(table_dir):
+        raise RuntimeError(
+            f"{op} on {table_dir} with unfolded delta appends present "
+            "would silently drop/ignore their rows; run "
+            "compact_deltas() first"
+        )
+
+
 def upsert(
     spark: SparkSession,
     table_dir: str,
@@ -234,6 +263,7 @@ def upsert(
     snap = current_snapshot(table_dir)
     if snap is None:
         raise FileNotFoundError(f"no _CURRENT snapshot in {table_dir}")
+    _reject_visible_deltas(table_dir, "upsert")
     _validate_sidecar_names(sidecar)
     if partition_scoped:
         if not partition_by:
@@ -399,7 +429,7 @@ def _scoped_commit(
         list(partition_by), touched,
     )
     _guard_empty_partitioned(df, new_path, partition_by)
-    _write_sidecars(new_path, sidecar)
+    _write_sidecars(new_path, _carry_delta_floor(table_dir, sidecar))
     _swap_pointer(table_dir, new_name)
     _prune(table_dir, keep=keep_snapshots)
     return new_name
@@ -455,6 +485,7 @@ def delete_keys(
     snap = current_snapshot(table_dir)
     if snap is None:
         raise FileNotFoundError(f"no _CURRENT snapshot in {table_dir}")
+    _reject_visible_deltas(table_dir, "delete_keys")
     _validate_sidecar_names(sidecar)
     if partition_scoped and not partition_by:
         raise ValueError("partition_scoped requires partition_by")
@@ -559,7 +590,7 @@ def _write_next_snapshot(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     _guard_empty_partitioned(df, path, partition_by)
-    _write_sidecars(path, sidecar)
+    _write_sidecars(path, _carry_delta_floor(table_dir, sidecar))
     _swap_pointer(table_dir, new_name)
     _prune(table_dir, keep=keep_snapshots)
     return new_name
@@ -585,6 +616,7 @@ def replace_table(
         return init_table(
             df, table_dir, partition_by=partition_by, sidecar=sidecar
         )
+    _reject_visible_deltas(table_dir, "replace_table")
     return _write_next_snapshot(
         df, table_dir, snap, keep_snapshots, partition_by, sidecar
     )
@@ -729,3 +761,158 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change", "old_row", "new_row")
     )
+
+
+# -- delta log: O(batch) appends over a snapshot base -------------------------
+#
+# The COW snapshot store rewrites O(table) per commit (or O(touched
+# partitions) when scoping can prune). For tables whose layout CANNOT
+# localize a writer's rows — the dedup index's buckets table, whose
+# partition key is a content hash that deliberately scatters every
+# document (SCALING round-8) — the log-structured form applies: each
+# delivery APPENDS a small immutable delta directory, readers union
+# base + visible deltas, and a maintenance-cadence compaction folds
+# deltas into the next base snapshot. The classic LSM trade: O(batch)
+# per-delivery writes, a bounded extra read fan-in until compaction.
+#
+# Visibility and crash rules:
+# * a delta is visible only when its dir holds Spark's _SUCCESS marker
+#   (half-written deltas are invisible; the next append removes them);
+# * the live snapshot's ``_delta_floor`` sidecar records the highest
+#   delta index already folded into the base — readers ignore deltas
+#   <= floor, so a crash between a compaction's pointer swap and the
+#   folded-dirs cleanup cannot double-count (the commit helpers carry
+#   the floor forward through unrelated snapshot writes);
+# * delta indices increase forever (never reset), single-writer like
+#   every other mutation here.
+
+_DELTA_PREFIX = "delta-"
+DELTA_FLOOR_SIDECAR = "_delta_floor"
+
+
+def _delta_name(i: int) -> str:
+    return f"{_DELTA_PREFIX}{i:06d}"
+
+
+def delta_floor(table_dir: str) -> int:
+    v = read_sidecar(table_dir, DELTA_FLOOR_SIDECAR)
+    return -1 if v is None else int(v)
+
+
+def list_deltas(table_dir: str) -> list[str]:
+    """Visible delta dirs (committed via _SUCCESS, newer than the
+    folded floor), in index order."""
+    floor = delta_floor(table_dir)
+    out = []
+    for d in sorted(os.listdir(table_dir)):
+        if d.startswith(_DELTA_PREFIX):
+            if int(d.split("-")[1]) > floor and os.path.exists(
+                os.path.join(table_dir, d, "_SUCCESS")
+            ):
+                out.append(d)
+    return out
+
+
+def append_delta(
+    table_dir: str,
+    df: DataFrame,
+    partition_by: Sequence[str] | None = None,
+) -> str:
+    """Append ``df`` as the next delta of an initialized table —
+    an O(batch) write, no base rewrite, no pointer swap. Returns the
+    delta name. Uncommitted (no ``_SUCCESS``) leftovers are removed
+    first; deltas at/below the folded floor are janitored here too
+    (they are dead — invisible to every reader)."""
+    if current_snapshot(table_dir) is None:
+        raise FileNotFoundError(
+            f"no _CURRENT snapshot in {table_dir}; init_table first"
+        )
+    floor = delta_floor(table_dir)
+    top = -1
+    for d in sorted(os.listdir(table_dir)):
+        if not d.startswith(_DELTA_PREFIX):
+            continue
+        idx = int(d.split("-")[1])
+        p = os.path.join(table_dir, d)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            shutil.rmtree(p)  # dead half-write, never visible
+            continue
+        if idx <= floor:
+            shutil.rmtree(p)  # folded; cleanup may have crashed
+            continue
+        top = max(top, idx)
+    name = _delta_name(max(top, floor) + 1)
+    path = os.path.join(table_dir, name)
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    _guard_empty_partitioned(df, path, partition_by)
+    return name
+
+
+def read_table_with_deltas(
+    spark: SparkSession,
+    table_dir: str,
+    epoch_col: str | None = None,
+) -> DataFrame:
+    """The live snapshot unioned with every visible delta. With
+    ``epoch_col``, rows carry their version: the folded floor for base
+    rows, the delta index for delta rows — what latest-wins resolution
+    (``compact_deltas(keys=...)`` or a read-side window) orders by."""
+    floor = delta_floor(table_dir)
+    base = read_table_snapshot(spark, table_dir)
+    if epoch_col is not None:
+        base = base.withColumn(epoch_col, F.lit(floor).cast("long"))
+    out = base
+    for d in list_deltas(table_dir):
+        part = spark.read.parquet(os.path.join(table_dir, d))
+        if epoch_col is not None:
+            part = part.withColumn(
+                epoch_col,
+                F.lit(int(d.split("-")[1])).cast("long"),
+            )
+        out = out.unionByName(part.select(*out.columns))
+    return out
+
+
+def compact_deltas(
+    spark: SparkSession,
+    table_dir: str,
+    keys: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+    keep_snapshots: int = 2,
+    sidecar: dict[str, str] | None = None,
+) -> str:
+    """Fold every visible delta into the next base snapshot. With
+    ``keys``, replace-per-key semantics: each key keeps only the rows
+    of its HIGHEST epoch (a redelivered key's superseded base/delta
+    rows drop out); without, a plain union. Commits the new
+    ``_delta_floor`` atomically with the snapshot, then removes the
+    folded dirs (idempotent — the floor already hides them). Cost is
+    O(base + deltas): the documented maintenance-cadence price, paid
+    once per cadence instead of per delivery."""
+    deltas = list_deltas(table_dir)
+    live = current_snapshot(table_dir)
+    if live is None:
+        raise FileNotFoundError(f"no _CURRENT snapshot in {table_dir}")
+    if not deltas:
+        return live
+    top = int(deltas[-1].split("-")[1])
+    df = read_table_with_deltas(spark, table_dir, epoch_col="_epoch")
+    if keys:
+        wk = Window.partitionBy(*[F.col(k) for k in keys])
+        df = (
+            df.withColumn("_mx", F.max("_epoch").over(wk))
+            .filter(F.col("_epoch") == F.col("_mx"))
+            .drop("_mx")
+        )
+    df = df.drop("_epoch")
+    new_sidecar = dict(sidecar or {})
+    new_sidecar[DELTA_FLOOR_SIDECAR] = str(top)
+    name = _write_next_snapshot(
+        df, table_dir, live, keep_snapshots, partition_by, new_sidecar
+    )
+    for d in deltas:
+        shutil.rmtree(os.path.join(table_dir, d))
+    return name

@@ -21,15 +21,20 @@ the delivery path carries a partition filter: the bucket scan is
 pruned to the partitions the batch's own buckets hash into, and the
 shingle scan to the partitions of the (few) candidate index ids — so a
 delivery READS O(batch-touched partitions + candidate partitions) of
-the index, not the whole thing, and recomputes none of it. WRITES are
-partition-scoped on both tables too (shingles by the key-derived
-``_ps``; buckets via ``scope_from_base`` — its ``_pb`` is a function
-of bucket contents, so the scope covers the batch ids' old-row
-partitions, located by one column-pruned scan): untouched partitions
-hardlink into the new snapshot, making per-delivery merge cost
-O(touched partitions), not O(index). The residual index-sized terms
-are a column-pruned scan per delivery (read-only) and the file-count
-growth that ``compact_index`` reclaims on a maintenance cadence.
+the index, not the whole thing, and recomputes none of it. WRITES:
+the shingles table merges partition-scoped (``_ps`` is a function of
+the merge key, so a delivery touches <= |batch| partitions; the merge
+falls back to a plain rewrite when a batch covers the whole layout).
+The buckets table is LOG-STRUCTURED by default (``bucket_deltas``):
+``_pb`` is a content hash that deliberately scatters every document,
+so no scoping can localize its writes (measured, SCALING round-8) —
+each delivery appends an immutable O(batch) delta, readers union base
++ visible deltas (still partition-pruned per dir), and
+``compact_index`` folds deltas latest-epoch-per-doc on the
+maintenance cadence. Per-delivery write cost is O(batch) for buckets
+and O(touched partitions) for shingles; the index-sized bills
+(delta fold + file-count coalesce) are paid once per maintenance
+cadence.
 (Reference scope: the reference has no dedup/streaming-analytics
 surface at all — MQTT->InfluxDB client,
 ``src/classes/py_functions.py`` — this is the beyond-reference
@@ -93,7 +98,9 @@ def read_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
     filtering on them get partition-pruned file reads."""
     return (
         M.read_table_snapshot(spark, os.path.join(index_dir, SHINGLES)),
-        M.read_table_snapshot(spark, os.path.join(index_dir, BUCKETS)),
+        # buckets may run in delta-append mode: the union is the base
+        # snapshot when no deltas are visible, so this is always right
+        M.read_table_with_deltas(spark, os.path.join(index_dir, BUCKETS)),
     )
 
 
@@ -186,6 +193,7 @@ def incremental_dedup_sink(
     keep_snapshots: int = 2,
     index_partitions: int = 32,
     components_dir: str | None = None,
+    bucket_deltas: bool = True,
 ):
     """``foreachBatch`` function: near-dup-check each micro-batch of
     documents against the persisted index, append verified pairs, then
@@ -290,10 +298,24 @@ def incremental_dedup_sink(
         M.upsert(spark, sh_dir, sh_b, keys=[id_col],
                  keep_snapshots=keep_snapshots, partition_by=[PS],
                  partition_scoped=True, sidecar=parts_sidecar)
-        M.upsert(spark, bk_dir, bk_b, keys=[id_col],
-                 keep_snapshots=keep_snapshots, partition_by=[PB],
-                 partition_scoped=True, scope_from_base=True,
-                 sidecar=parts_sidecar)
+        if bucket_deltas:
+            # log-structured buckets (SCALING round-8): _pb is a
+            # content hash that scatters every doc across the layout,
+            # so NO scoping can localize the write — append the
+            # delivery's 32-rows/doc as an immutable delta instead
+            # (O(batch)), and let compact_index fold deltas on the
+            # maintenance cadence. Correctness notes: candidates are
+            # DISTINCT (replayed duplicate rows collapse), stale
+            # bucket rows of a re-delivered changed doc can only ADD
+            # candidates, and verification is exact against the
+            # snapshot-merged CURRENT shingles — every emitted pair
+            # stays a true near-dup.
+            M.append_delta(bk_dir, bk_b, partition_by=[PB])
+        else:
+            M.upsert(spark, bk_dir, bk_b, keys=[id_col],
+                     keep_snapshots=keep_snapshots, partition_by=[PB],
+                     partition_scoped=True, scope_from_base=True,
+                     sidecar=parts_sidecar)
 
     return _write
 
@@ -509,6 +531,15 @@ def forget_docs(
     )
 
     # -- buckets: locate rows in the live table, then scoped delete --------
+    if M.list_deltas(bk_dir):
+        # delta-append mode: fold first (latest epoch per doc) so the
+        # scoped snapshot delete below reaches EVERY row of the ids —
+        # a delete that skipped delta rows would silently retain them.
+        # O(index) on the rare compliance path, documented trade.
+        M.compact_deltas(
+            spark, bk_dir, keys=[id_col], partition_by=[PB],
+            keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
+        )
     bk_live = M.read_table_snapshot(spark, bk_dir)
     bk_keys = (
         bk_live.join(ids, id_col, "left_semi")
@@ -534,6 +565,7 @@ def compact_index(
     spark,
     index_dir: str,
     keep_snapshots: int = 2,
+    id_col: str = "doc_id",
 ) -> dict[str, str]:
     """File-count maintenance for the index artifacts: every
     partition-scoped merge and forget adds files to the partitions it
@@ -559,6 +591,15 @@ def compact_index(
     out: dict[str, str] = {}
     for table, pcol in ((SHINGLES, PS), (BUCKETS, PB)):
         tdir = os.path.join(index_dir, table)
+        if M.list_deltas(tdir):
+            # fold delta appends (latest epoch per doc — a replayed or
+            # re-delivered doc's superseded rows drop out here), THEN
+            # coalesce: compaction is the one place the log-structured
+            # buckets pay their O(index) bill
+            M.compact_deltas(
+                spark, tdir, keys=[id_col], partition_by=[pcol],
+                keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
+            )
         live = M.read_table_snapshot(spark, tdir)
         out[table] = M.replace_table(
             live.repartition(n_parts, pcol), tdir,

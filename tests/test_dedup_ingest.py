@@ -13,7 +13,7 @@ once whatever the order.
 import random
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from solar_logger_spark.io import merge as M
 from solar_logger_spark.operators import dedup
@@ -266,3 +266,94 @@ def test_sink_maintains_component_labels(spark, tmp_path):
         for r in M.read_table_snapshot(spark, comp_dir).collect()
     }
     assert got == exp
+
+
+def test_bucket_delta_mode_appends_and_compacts(spark, tmp_path):
+    """Default delta mode: deliveries append O(batch) bucket deltas
+    (base snapshot untouched), reads see base+deltas, pairing works
+    across the delta boundary, and compact_index folds everything into
+    a coalesced base equal to the logical table."""
+    import os
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def docs(ids):
+        return [
+            Row(doc_id=i, text=" ".join(
+                rng.choice(vocab) for _ in range(rng.randint(10, 28))
+            ))
+            for i in ids
+        ]
+
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    sink = DI.incremental_dedup_sink(
+        idx, pairs, threshold=0.5, index_partitions=8,
+    )
+    d1 = docs(range(0, 10))
+    sink(spark.createDataFrame(d1), 0)
+    bk_dir = os.path.join(idx, "buckets")
+    assert M.list_deltas(bk_dir) == []  # bootstrap is the base
+
+    # near-dup of doc 3 in delivery two -> a pair must fire THROUGH
+    # the delta-held bucket rows of delivery two's predecessor state
+    ws = d1[3].text.split(" ")
+    ws[0] = "EDIT"
+    sink(spark.createDataFrame(
+        docs(range(10, 14)) + [Row(doc_id=99, text=" ".join(ws))]
+    ), 1)
+    assert M.list_deltas(bk_dir) == ["delta-000000"]
+    base_rows = M.read_table_snapshot(spark, bk_dir).count()
+    all_rows = M.read_table_with_deltas(spark, bk_dir).count()
+    assert all_rows > base_rows  # delivery 2 lives in the delta
+
+    # third delivery: near-dup of doc 12 (whose buckets are DELTA-only)
+    sink(spark.createDataFrame([Row(doc_id=200, text=d1[5].text)]), 2)
+    got = {
+        (r.batch_id, r.index_id)
+        for r in M.read_table_snapshot(spark, pairs).collect()
+    }
+    assert (99, 3) in got and (200, 5) in got
+
+    # compaction folds deltas; logical contents unchanged
+    before = sorted(
+        tuple(r) for r in
+        M.read_table_with_deltas(spark, bk_dir).collect()
+    )
+    DI.compact_index(spark, idx)
+    assert M.list_deltas(bk_dir) == []
+    after = sorted(
+        tuple(r) for r in
+        M.read_table_snapshot(spark, bk_dir).collect()
+    )
+    assert after == before
+
+
+def test_bucket_delta_replay_converges_after_compaction(spark, tmp_path):
+    """foreachBatch replay appends a duplicate delta; reads stay
+    correct (candidates DISTINCT) and compaction's latest-epoch-wins
+    restores exactly-one-copy per doc."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    sink = DI.incremental_dedup_sink(
+        idx, pairs, threshold=0.5, index_partitions=8,
+    )
+    rows = [Row(doc_id=i, text=f"a b c d e f g h{i}") for i in range(4)]
+    sink(spark.createDataFrame(rows), 0)
+    more = [Row(doc_id=9, text="a b c d e f g zz")]
+    sink(spark.createDataFrame(more), 1)
+    sink(spark.createDataFrame(more), 1)  # replay
+    bk_dir = os.path.join(idx, "buckets")
+    assert len(M.list_deltas(bk_dir)) == 2
+    once = M.read_table_with_deltas(spark, bk_dir).filter(
+        F.col("doc_id") == 9
+    ).count()
+    DI.compact_index(spark, idx)
+    after = M.read_table_snapshot(spark, bk_dir).filter(
+        F.col("doc_id") == 9
+    ).count()
+    assert after == once // 2  # duplicate delta rows folded away

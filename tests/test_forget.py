@@ -43,7 +43,10 @@ def _deliver(spark, index_dir, pairs_dir, rows, comp_dir=None):
 
 
 def _rows(spark, table_dir):
-    df = M.read_table_snapshot(spark, table_dir)
+    # read THROUGH the delta log (identical to the snapshot read for
+    # tables without delta appends — the buckets table runs log-
+    # structured by default since round 8)
+    df = M.read_table_with_deltas(spark, table_dir)
     return sorted(tuple(r) for r in df.collect())
 
 

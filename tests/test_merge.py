@@ -423,3 +423,83 @@ def test_scope_from_base_reaches_stale_partitions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="scope_from_base"):
         M.upsert(spark, d, upd, keys=["k"], scope_from_base=True)
+
+
+# ------------------------------------------------------------- delta log
+
+def test_delta_append_read_compact_cycle(spark, tmp_path):
+    """O(batch) appends over a snapshot base: visible to readers,
+    folded by compaction with replace-per-key (latest epoch wins),
+    floor carried so folded deltas can never double-count."""
+    d = str(tmp_path / "t")
+    M.init_table(
+        spark.createDataFrame([(1, "a", 0), (2, "b", 0)],
+                              "k long, v string, p int"),
+        d, partition_by=["p"],
+    )
+    M.append_delta(
+        d, spark.createDataFrame([(3, "c", 1)], "k long, v string, p int"),
+        partition_by=["p"],
+    )
+    # redelivery of k=1 with NEW content in a later delta
+    M.append_delta(
+        d, spark.createDataFrame([(1, "A2", 1)], "k long, v string, p int"),
+        partition_by=["p"],
+    )
+    got = {
+        (r.k, r.v)
+        for r in M.read_table_with_deltas(spark, d).collect()
+    }
+    # pre-compaction read is the plain union (both k=1 versions visible;
+    # latest-wins is the compaction's job or a read-side window)
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (1, "A2")}
+    ep = {
+        (r.k, r.v): r.e
+        for r in M.read_table_with_deltas(spark, d, epoch_col="e").collect()
+    }
+    assert ep[(1, "a")] == -1 and ep[(3, "c")] == 0 and ep[(1, "A2")] == 1
+
+    # snapshot mutations refuse while deltas are unfolded
+    import pytest
+    upd = spark.createDataFrame([(9, "z", 0)], "k long, v string, p int")
+    with pytest.raises(RuntimeError, match="compact_deltas"):
+        M.upsert(spark, d, upd, keys=["k"])
+    with pytest.raises(RuntimeError, match="compact_deltas"):
+        M.delete_keys(spark, d, upd.select("k"), keys=["k"])
+    with pytest.raises(RuntimeError, match="compact_deltas"):
+        M.replace_table(upd, d)
+
+    M.compact_deltas(spark, d, keys=["k"], partition_by=["p"])
+    got2 = {
+        (r.k, r.v)
+        for r in M.read_table_snapshot(spark, d).collect()
+    }
+    assert got2 == {(1, "A2"), (2, "b"), (3, "c")}
+    assert M.list_deltas(d) == []
+    assert M.delta_floor(d) == 1
+    # a later ordinary mutation carries the floor forward
+    M.upsert(spark, d, upd, keys=["k"], partition_by=["p"])
+    assert M.delta_floor(d) == 1
+    # ... so a crash leftover below the floor stays invisible and is
+    # janitored by the next append
+    os.makedirs(os.path.join(d, "delta-000001"), exist_ok=True)
+    open(os.path.join(d, "delta-000001", "_SUCCESS"), "w").close()
+    assert M.list_deltas(d) == []
+    nxt = M.append_delta(
+        d, spark.createDataFrame([(4, "d", 0)], "k long, v string, p int"),
+        partition_by=["p"],
+    )
+    assert nxt == "delta-000002"
+    assert not os.path.isdir(os.path.join(d, "delta-000001"))
+
+
+def test_delta_half_write_invisible(spark, tmp_path):
+    d = str(tmp_path / "t")
+    M.init_table(spark.createDataFrame([(1,)], "k long"), d)
+    # half-written delta (no _SUCCESS): invisible, removed on append
+    os.makedirs(os.path.join(d, "delta-000000"))
+    assert M.list_deltas(d) == []
+    assert M.read_table_with_deltas(spark, d).count() == 1
+    name = M.append_delta(d, spark.createDataFrame([(2,)], "k long"))
+    assert name == "delta-000000"  # slot reclaimed from the dead write
+    assert M.read_table_with_deltas(spark, d).count() == 2
