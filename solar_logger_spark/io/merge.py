@@ -174,12 +174,14 @@ def _carry_delta_floor(
     dropped the floor would make already-folded (but not yet deleted)
     delta dirs visible again — double-counted rows after a crashed
     compaction cleanup."""
-    cur = read_sidecar(table_dir, DELTA_FLOOR_SIDECAR)
-    if cur is None or (sidecar and DELTA_FLOOR_SIDECAR in sidecar):
-        return sidecar
     out = dict(sidecar or {})
-    out[DELTA_FLOOR_SIDECAR] = cur
-    return out
+    for name in (DELTA_FLOOR_SIDECAR, DELTA_FLOOR_PREV_SIDECAR):
+        if name in out:
+            continue
+        cur = read_sidecar(table_dir, name)
+        if cur is not None:
+            out[name] = cur
+    return out or None
 
 
 def _reject_visible_deltas(table_dir: str, op: str) -> None:
@@ -776,22 +778,34 @@ def snapshot_diff(
 # per-delivery writes, a bounded extra read fan-in until compaction.
 #
 # Visibility and crash rules:
-# * a delta is visible only when its dir holds Spark's _SUCCESS marker
-#   (half-written deltas are invisible; the next append removes them);
+# * a delta is STAGED under an underscore name and renamed into place
+#   only after its bytes (and the empty-frame schema guard) are
+#   complete — readers never see a half-written or unreadable delta;
 # * the live snapshot's ``_delta_floor`` sidecar records the highest
 #   delta index already folded into the base — readers ignore deltas
 #   <= floor, so a crash between a compaction's pointer swap and the
 #   folded-dirs cleanup cannot double-count (the commit helpers carry
 #   the floor forward through unrelated snapshot writes);
+# * folded delta dirs get ONE compaction cadence of grace before
+#   deletion (``_delta_floor_prev``) — the delta analogue of
+#   ``keep_snapshots``, so an in-flight reader that resolved the
+#   pre-compaction state keeps its files (``purge_dead_deltas`` exists
+#   for the privacy path, where immediate removal wins);
 # * delta indices increase forever (never reset), single-writer like
 #   every other mutation here.
 
 _DELTA_PREFIX = "delta-"
+_DELTA_STAGE_PREFIX = "_delta_stage-"
 DELTA_FLOOR_SIDECAR = "_delta_floor"
+DELTA_FLOOR_PREV_SIDECAR = "_delta_floor_prev"
 
 
 def _delta_name(i: int) -> str:
     return f"{_DELTA_PREFIX}{i:06d}"
+
+
+def _delta_idx(name: str) -> int:
+    return int(name.split("-", 1)[1])
 
 
 def delta_floor(table_dir: str) -> int:
@@ -799,55 +813,84 @@ def delta_floor(table_dir: str) -> int:
     return -1 if v is None else int(v)
 
 
+def _delta_floor_prev(table_dir: str) -> int:
+    v = read_sidecar(table_dir, DELTA_FLOOR_PREV_SIDECAR)
+    return -1 if v is None else int(v)
+
+
+def _delta_dirs(table_dir: str) -> list[str]:
+    """All committed delta dirs, sorted NUMERICALLY (lexicographic
+    order diverges past the 6-digit zero padding)."""
+    return sorted(
+        (d for d in os.listdir(table_dir)
+         if d.startswith(_DELTA_PREFIX)),
+        key=_delta_idx,
+    )
+
+
 def list_deltas(table_dir: str) -> list[str]:
-    """Visible delta dirs (committed via _SUCCESS, newer than the
-    folded floor), in index order."""
+    """Visible delta dirs (newer than the folded floor), in numeric
+    index order."""
     floor = delta_floor(table_dir)
-    out = []
-    for d in sorted(os.listdir(table_dir)):
-        if d.startswith(_DELTA_PREFIX):
-            if int(d.split("-")[1]) > floor and os.path.exists(
-                os.path.join(table_dir, d, "_SUCCESS")
-            ):
-                out.append(d)
-    return out
+    return [d for d in _delta_dirs(table_dir) if _delta_idx(d) > floor]
+
+
+def purge_dead_deltas(table_dir: str) -> list[str]:
+    """Physically remove every INVISIBLE delta artifact — folded dirs
+    at/below the floor and stage leftovers. Readers never resolve
+    these, but their parquet bytes persist until janitored; on a
+    privacy sweep that persistence IS the bug, so forget flows call
+    this instead of waiting out the grace cadence."""
+    gone = []
+    floor = delta_floor(table_dir)
+    for d in os.listdir(table_dir):
+        p = os.path.join(table_dir, d)
+        if d.startswith(_DELTA_STAGE_PREFIX):
+            shutil.rmtree(p)
+            gone.append(d)
+        elif d.startswith(_DELTA_PREFIX) and _delta_idx(d) <= floor:
+            shutil.rmtree(p)
+            gone.append(d)
+    return gone
 
 
 def append_delta(
     table_dir: str,
     df: DataFrame,
     partition_by: Sequence[str] | None = None,
-) -> str:
-    """Append ``df`` as the next delta of an initialized table —
-    an O(batch) write, no base rewrite, no pointer swap. Returns the
-    delta name. Uncommitted (no ``_SUCCESS``) leftovers are removed
-    first; deltas at/below the folded floor are janitored here too
-    (they are dead — invisible to every reader)."""
+) -> str | None:
+    """Append ``df`` as the next delta of an initialized table — an
+    O(batch) write, no base rewrite, no pointer swap. The bytes are
+    STAGED under an underscore name and renamed into place only once
+    complete (readers never see a partial or schema-less delta); an
+    EMPTY frame appends nothing and returns ``None``. Stage leftovers
+    from crashed appends are removed first."""
     if current_snapshot(table_dir) is None:
         raise FileNotFoundError(
             f"no _CURRENT snapshot in {table_dir}; init_table first"
         )
+    for d in os.listdir(table_dir):
+        if d.startswith(_DELTA_STAGE_PREFIX):
+            shutil.rmtree(os.path.join(table_dir, d))  # dead half-write
+    if not df.take(1):
+        return None  # empty delivery: appending nothing
     floor = delta_floor(table_dir)
-    top = -1
-    for d in sorted(os.listdir(table_dir)):
-        if not d.startswith(_DELTA_PREFIX):
-            continue
-        idx = int(d.split("-")[1])
-        p = os.path.join(table_dir, d)
-        if not os.path.exists(os.path.join(p, "_SUCCESS")):
-            shutil.rmtree(p)  # dead half-write, never visible
-            continue
-        if idx <= floor:
-            shutil.rmtree(p)  # folded; cleanup may have crashed
-            continue
-        top = max(top, idx)
-    name = _delta_name(max(top, floor) + 1)
-    path = os.path.join(table_dir, name)
+    existing = [_delta_idx(d) for d in _delta_dirs(table_dir)]
+    idx = max([floor, *existing]) + 1
+    name = _delta_name(idx)
+    stage = os.path.join(table_dir, f"{_DELTA_STAGE_PREFIX}{idx:06d}")
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
-    _guard_empty_partitioned(df, path, partition_by)
+    w.parquet(stage)
+    has_parquet = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(stage) for f in files
+    )
+    if not has_parquet:
+        shutil.rmtree(stage)  # empty delivery: appending nothing
+        return None
+    os.rename(stage, os.path.join(table_dir, name))
     return name
 
 
@@ -859,18 +902,21 @@ def read_table_with_deltas(
     """The live snapshot unioned with every visible delta. With
     ``epoch_col``, rows carry their version: the folded floor for base
     rows, the delta index for delta rows — what latest-wins resolution
-    (``compact_deltas(keys=...)`` or a read-side window) orders by."""
+    (``compact_deltas(keys=...)`` or a read-side window) orders by.
+    Delta reads reuse the base's schema (no per-dir inference; one
+    listing per delta remains — size the compaction cadence so the
+    visible-delta count stays bounded)."""
     floor = delta_floor(table_dir)
     base = read_table_snapshot(spark, table_dir)
+    sch = base.schema
     if epoch_col is not None:
         base = base.withColumn(epoch_col, F.lit(floor).cast("long"))
     out = base
     for d in list_deltas(table_dir):
-        part = spark.read.parquet(os.path.join(table_dir, d))
+        part = spark.read.schema(sch).parquet(os.path.join(table_dir, d))
         if epoch_col is not None:
             part = part.withColumn(
-                epoch_col,
-                F.lit(int(d.split("-")[1])).cast("long"),
+                epoch_col, F.lit(_delta_idx(d)).cast("long")
             )
         out = out.unionByName(part.select(*out.columns))
     return out
@@ -882,23 +928,29 @@ def compact_deltas(
     keys: Sequence[str] | None = None,
     partition_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
+    repartition: tuple[int, str] | None = None,
     sidecar: dict[str, str] | None = None,
 ) -> str:
     """Fold every visible delta into the next base snapshot. With
     ``keys``, replace-per-key semantics: each key keeps only the rows
     of its HIGHEST epoch (a redelivered key's superseded base/delta
-    rows drop out); without, a plain union. Commits the new
-    ``_delta_floor`` atomically with the snapshot, then removes the
-    folded dirs (idempotent — the floor already hides them). Cost is
-    O(base + deltas): the documented maintenance-cadence price, paid
-    once per cadence instead of per delivery."""
+    rows drop out); without, a plain union. ``repartition=(n, col)``
+    clusters the fold output so the new base lands one-file-per-hive-
+    partition — the file-count maintenance in the SAME commit, no
+    second O(table) rewrite. Commits the new ``_delta_floor``
+    atomically with the snapshot; folded dirs from the PREVIOUS
+    cadence are removed, the just-folded ones stay one cadence as
+    reader grace (the delta analogue of ``keep_snapshots``). Cost is
+    O(base + deltas), paid once per cadence instead of per
+    delivery."""
     deltas = list_deltas(table_dir)
     live = current_snapshot(table_dir)
     if live is None:
         raise FileNotFoundError(f"no _CURRENT snapshot in {table_dir}")
     if not deltas:
         return live
-    top = int(deltas[-1].split("-")[1])
+    old_floor = delta_floor(table_dir)
+    top = max(_delta_idx(d) for d in deltas)
     df = read_table_with_deltas(spark, table_dir, epoch_col="_epoch")
     if keys:
         wk = Window.partitionBy(*[F.col(k) for k in keys])
@@ -908,11 +960,16 @@ def compact_deltas(
             .drop("_mx")
         )
     df = df.drop("_epoch")
+    if repartition is not None:
+        df = df.repartition(repartition[0], repartition[1])
     new_sidecar = dict(sidecar or {})
     new_sidecar[DELTA_FLOOR_SIDECAR] = str(top)
+    new_sidecar[DELTA_FLOOR_PREV_SIDECAR] = str(old_floor)
     name = _write_next_snapshot(
         df, table_dir, live, keep_snapshots, partition_by, new_sidecar
     )
-    for d in deltas:
-        shutil.rmtree(os.path.join(table_dir, d))
+    # grace rule: remove only dirs folded a full cadence ago
+    for d in _delta_dirs(table_dir):
+        if _delta_idx(d) <= old_floor:
+            shutil.rmtree(os.path.join(table_dir, d))
     return name

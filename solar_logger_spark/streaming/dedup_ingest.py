@@ -45,9 +45,13 @@ crash): the current batch's own ids are anti-joined OUT of the index
 side before pairing, so a half-committed previous attempt (index
 updated, pairs not) cannot make the replay see its own documents in
 the index and emit self- or within-batch pairs; the pairs table is
-MERGE-upserted by (batch_id, index_id) so rewrites are idempotent; and
-the index artifact upsert is keyed by document id (replace-per-doc),
-so re-merging a delivery is a no-op. Within-delivery duplicates are
+MERGE-upserted by (batch_id, index_id) so rewrites are idempotent;
+the shingles upsert is keyed by document id (replace-per-doc), so
+re-merging a delivery is a no-op there; and a replayed delivery in
+the buckets table's delta mode appends a DUPLICATE delta whose rows
+are harmless to reads (candidates are DISTINCT) and fold away at the
+next compaction (latest-epoch-per-doc) — replay converges, it is just
+not byte-identical until maintenance runs. Within-delivery duplicates are
 deliberately out of scope here — run the self-join family
 (``minhash_lsh_pairs``) on the delivery itself if needed; this sink is
 the batch-vs-corpus check.
@@ -540,6 +544,10 @@ def forget_docs(
             spark, bk_dir, keys=[id_col], partition_by=[PB],
             keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
         )
+    # privacy beats reader grace on this path: folded/stage delta
+    # dirs are invisible to readers but their parquet BYTES persist —
+    # exactly the silent-retention class this sweep exists to close
+    M.purge_dead_deltas(bk_dir)
     bk_live = M.read_table_snapshot(spark, bk_dir)
     bk_keys = (
         bk_live.join(ids, id_col, "left_semi")
@@ -592,14 +600,17 @@ def compact_index(
     for table, pcol in ((SHINGLES, PS), (BUCKETS, PB)):
         tdir = os.path.join(index_dir, table)
         if M.list_deltas(tdir):
-            # fold delta appends (latest epoch per doc — a replayed or
-            # re-delivered doc's superseded rows drop out here), THEN
-            # coalesce: compaction is the one place the log-structured
-            # buckets pay their O(index) bill
-            M.compact_deltas(
+            # ONE commit does both maintenance jobs: fold the delta
+            # appends (latest epoch per doc — a replayed or
+            # re-delivered doc's superseded rows drop out) AND cluster
+            # by the partition column so the new base lands one file
+            # per hive partition. No second O(index) rewrite.
+            out[table] = M.compact_deltas(
                 spark, tdir, keys=[id_col], partition_by=[pcol],
-                keep_snapshots=keep_snapshots, sidecar=parts_sidecar,
+                keep_snapshots=keep_snapshots,
+                repartition=(n_parts, pcol), sidecar=parts_sidecar,
             )
+            continue
         live = M.read_table_snapshot(spark, tdir)
         out[table] = M.replace_table(
             live.repartition(n_parts, pcol), tdir,

@@ -477,29 +477,41 @@ def test_delta_append_read_compact_cycle(spark, tmp_path):
     assert got2 == {(1, "A2"), (2, "b"), (3, "c")}
     assert M.list_deltas(d) == []
     assert M.delta_floor(d) == 1
+    # reader grace: just-folded dirs survive one cadence (invisible,
+    # bytes intact for in-flight readers that resolved them)
+    assert os.path.isdir(os.path.join(d, "delta-000000"))
     # a later ordinary mutation carries the floor forward
     M.upsert(spark, d, upd, keys=["k"], partition_by=["p"])
     assert M.delta_floor(d) == 1
-    # ... so a crash leftover below the floor stays invisible and is
-    # janitored by the next append
-    os.makedirs(os.path.join(d, "delta-000001"), exist_ok=True)
-    open(os.path.join(d, "delta-000001", "_SUCCESS"), "w").close()
-    assert M.list_deltas(d) == []
     nxt = M.append_delta(
         d, spark.createDataFrame([(4, "d", 0)], "k long, v string, p int"),
         partition_by=["p"],
     )
     assert nxt == "delta-000002"
+    # second compaction removes the PREVIOUS cadence's folded dirs
+    M.compact_deltas(spark, d, keys=["k"], partition_by=["p"])
+    assert not os.path.isdir(os.path.join(d, "delta-000000"))
     assert not os.path.isdir(os.path.join(d, "delta-000001"))
+    assert os.path.isdir(os.path.join(d, "delta-000002"))  # grace
+    # the privacy path removes dead bytes IMMEDIATELY
+    gone = M.purge_dead_deltas(d)
+    assert "delta-000002" in gone
+    assert not os.path.isdir(os.path.join(d, "delta-000002"))
 
 
-def test_delta_half_write_invisible(spark, tmp_path):
+def test_delta_staged_append_and_empty_noop(spark, tmp_path):
+    """Appends stage under an underscore name and rename into place —
+    a crash leftover is invisible to readers and removed by the next
+    append; an EMPTY frame appends nothing."""
     d = str(tmp_path / "t")
     M.init_table(spark.createDataFrame([(1,)], "k long"), d)
-    # half-written delta (no _SUCCESS): invisible, removed on append
-    os.makedirs(os.path.join(d, "delta-000000"))
+    os.makedirs(os.path.join(d, "_delta_stage-000000"))
     assert M.list_deltas(d) == []
     assert M.read_table_with_deltas(spark, d).count() == 1
+    empty = spark.createDataFrame([], "k long")
+    assert M.append_delta(d, empty) is None
+    assert M.list_deltas(d) == []
     name = M.append_delta(d, spark.createDataFrame([(2,)], "k long"))
-    assert name == "delta-000000"  # slot reclaimed from the dead write
+    assert name == "delta-000000"  # stage leftover reclaimed
+    assert not os.path.isdir(os.path.join(d, "_delta_stage-000000"))
     assert M.read_table_with_deltas(spark, d).count() == 2

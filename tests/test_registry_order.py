@@ -158,14 +158,18 @@ def test_no_oracle_record_on_oracle_backed_query_rechecks():
     assert got == ["tpch_q1_pricing_summary", "fresh"]
 
 
-def test_rows_only_record_predating_change_rechecks():
-    """A rows-only record taken BEFORE the round its query changed in
-    (changed_in_round) describes the old shape — it must re-verify;
-    one taken at/after the change round settles."""
+def test_rows_only_record_for_oracle_backed_query_rechecks():
+    """Since r8 every registry query is oracle-backed (the last four
+    rows-only records were retired), so a standing ``no_oracle`` row —
+    whatever round it was taken in, including after the query's
+    ``changed_in_round`` — correctly reads as "re-check", never as
+    settled: the driver should hash-compare a query that HAS an
+    oracle."""
     out = {"similarity_ann_ivf": 1, "fresh": 2}
-    # record from r4, but the query changed in r5 -> re-check first
-    got = _order(out, {4: {"similarity_ann_ivf": NO_ORACLE}})
-    assert got == ["similarity_ann_ivf", "fresh"]
-    # record from r5 (the change round) -> settled
     got = _order(out, {5: {"similarity_ann_ivf": NO_ORACLE}})
-    assert got == ["fresh", "similarity_ann_ivf"]
+    assert got == ["similarity_ann_ivf", "fresh"]
+    # even a record from the change round itself must re-check: the
+    # rows-only settle rule applies ONLY to queries absent from
+    # oracle_sql(), and none are
+    got = _order(out, {8: {"similarity_ann_ivf": NO_ORACLE}})
+    assert got == ["similarity_ann_ivf", "fresh"]
