@@ -702,19 +702,36 @@ def _books_bdf(spark, books):
     ))
 
 
-def _encode(subs, bdf, keep):
+def _books_lit(books):
+    """The codebook as ONE nested array literal, [ms+1][code+1] →
+    centroid — what lets assignment run as a map-only projection."""
+    mss = sorted({msi for msi, _ in books})
+    return F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x) for x in books[(msi, cd)]])
+            for cd in range(
+                max(c for m2, c in books if m2 == msi) + 1
+            )
+        ])
+        for msi in mss
+    ])
+
+
+def _encode(subs, books, keep):
     """Nearest-code assignment per (vid, ms): pinned-fold squared L2,
-    ties to the lowest code."""
-    w = Window.partitionBy("vid", "ms").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
+    ties to the lowest code. Map-only: per row, fold the d2 against
+    each code of the row's subspace (codebook inlined as a literal)
+    and take the FIRST index achieving the minimum — exactly the
+    (d2 asc, code asc) window selection, without the broadcast-join
+    row inflation or the window shuffle (measured ~2x on the bench
+    registry). The SQL twins' join+row_number shape selects the same
+    rows from the same bits, so they stay untouched."""
+    d2s = F.transform(
+        F.element_at(_books_lit(books), F.col("ms") + 1),
+        lambda c: _d2(F.col("sub"), c),
     )
-    return (
-        subs.join(bdf, "ms")
-        .withColumn("d2", _d2(F.col("sub"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(*keep, "ms", "code", "sub")
-    )
+    code = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    return subs.select(*keep, "ms", code.alias("code"), "sub")
 
 
 def _books_lloyd(spark, subs, books, dsub, rounds):
@@ -722,7 +739,7 @@ def _books_lloyd(spark, subs, books, dsub, rounds):
     by :func:`_encode`, means with the addition order pinned to
     member-id order; empty codes keep their previous centroid."""
     for _ in range(rounds):
-        members = _encode(subs, _books_bdf(spark, books), ["vid"]).groupBy(
+        members = _encode(subs, books, ["vid"]).groupBy(
             "ms", "code"
         ).agg(
             F.array_sort(F.collect_list(F.struct("vid", "sub"))).alias("mem")
@@ -837,7 +854,7 @@ def topk_pq_deterministic(
     subs = _subspace_rows(vn, "v", m, dsub, "sub", ["vid"]).localCheckpoint()
     books = _books_init(subs, "pq|", ks)
     books = _books_lloyd(spark, subs, books, dsub, lloyd_rounds)
-    codes = _encode(subs, _books_bdf(spark, books), ["vid"]).select(
+    codes = _encode(subs, books, ["vid"]).select(
         "vid", "ms", "code"
     )
 
@@ -909,6 +926,11 @@ def topk_ivfpq_deterministic(
             spark.createDataFrame(cs, "cell int, c array<double>")
         )
 
+    def _cents_lit(cs):
+        return F.array(*[
+            F.array(*[F.lit(x) for x in c]) for _, c in cs
+        ])
+
     def _assign(cs):
         w = Window.partitionBy("vid").orderBy(
             F.col("d2").asc(), F.col("cell").asc()
@@ -956,7 +978,7 @@ def topk_ivfpq_deterministic(
 
     books = _books_init(rsubs, "ivfpq|", ks)
     books = _books_lloyd(spark, rsubs, books, dsub, lloyd_rounds)
-    codes = _encode(rsubs, _books_bdf(spark, books), ["vid", "cell"]).select(
+    codes = _encode(rsubs, books, ["vid", "cell"]).select(
         "vid", "cell", "ms", "code"
     )
 

@@ -880,16 +880,17 @@ def topk_ivf_deterministic(
         )
 
     def _assign(cs):
-        w = Window.partitionBy("vid").orderBy(
-            F.col("cos").desc(), F.col("cell").asc()
+        # map-only nearest-cell: first index achieving the MAX cosine
+        # == the (cos desc, cell asc) window selection — no
+        # crossJoin, no window shuffle
+        coss = F.transform(
+            F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cs]),
+            lambda c: _cos_d(F.col("v"), c),
         )
-        return (
-            vecs.crossJoin(_cdf(cs))
-            .withColumn("cos", _cos_d(F.col("v"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vid", "v", "cell")
-        )
+        cell = (
+            F.array_position(coss, F.array_max(coss)) - 1
+        ).cast("int")
+        return vecs.select("vid", "v", cell.alias("cell"))
 
     for _ in range(lloyd_rounds):
         members = _assign(cents).groupBy("cell").agg(
