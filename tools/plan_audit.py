@@ -6,16 +6,17 @@ Flags plan smells that matter at 100 TB:
   * BatchEvalPython — row-at-a-time Python in the plan (ArrowEvalPython /
     MapInPandas are the sanctioned Python paths)
 
-Queries that intentionally trip the join flag: similarity_cosine_topk
-and contrastive_hard_negatives (brute-force scorer: corpus × broadcast
-query set IS the algorithm);
+Queries that intentionally trip the join flag (9 at r8 HEAD):
+similarity_cosine_topk and contrastive_hard_negatives (brute-force
+scorer: corpus × broadcast query set IS the algorithm);
 text_tfidf_top_terms, tpch_q22_dormant_customers,
-tpch_q11_important_stock and corpus_mix_weights (cross join against a
-broadcast 1-row scalar — the plan Spark itself produces for an
-uncorrelated scalar subquery); profile_columns_lineitem (crossJoin of
-its two 1-row aggregate frames — plain metrics x exact distincts); and
-the four similarity_ann_* queries (their recall@k self-check column
-attaches a broadcast 1-row recall summary the same way).
+tpch_q11_important_stock, corpus_mix_weights, basket_affinity_parts
+and events_rfm_segments (cross join against a broadcast 1-row scalar
+— the plan Spark itself produces for an uncorrelated scalar
+subquery); profile_columns_exact (crossJoin of its two 1-row
+aggregate frames — plain metrics x exact distincts). The
+similarity_ann_* family stopped flagging in r8: the localCheckpoint
+barrier ahead of the recall join cuts the ann-side plan.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
