@@ -293,13 +293,24 @@ def forget_shards(
         )
     _recover_forget_crash(out_dir)
     id_col, n_shards, seed = card["id_col"], card["n_shards"], card["seed"]
+    if not card["shards"]:
+        # a previous sweep legally emptied the dataset: nothing left
+        # to delete, and the directory holds no parquet to read a
+        # schema from — the idempotent re-sweep must return, not crash
+        return {
+            "deleted_rows": 0, "recovered_rows": 0,
+            "affected_shards": [], "card": card,
+        }
 
     if not isinstance(del_ids, DataFrame):
         from pyspark.sql import Row
 
         del_ids = list(del_ids)
         if not del_ids:
-            return {"deleted_rows": 0, "affected_shards": [], "card": card}
+            return {
+                "deleted_rows": 0, "recovered_rows": 0,
+                "affected_shards": [], "card": card,
+            }
         del_ids = spark.createDataFrame(
             [Row(**{id_col: v}) for v in del_ids]
         )
@@ -320,9 +331,13 @@ def forget_shards(
     # only shards that actually shipped rows can hold anything
     affected = [k for k in affected if str(k) in card["shards"]]
     if not affected:
-        return {"deleted_rows": 0, "affected_shards": [], "card": card}
+        return {
+            "deleted_rows": 0, "recovered_rows": 0,
+            "affected_shards": [], "card": card,
+        }
 
     deleted_total = 0
+    recovered_total = 0
     emptied: list[int] = []
     rewritten: list[int] = []
     for k in affected:
@@ -330,9 +345,11 @@ def forget_shards(
         if not os.path.isdir(live):
             # a previous sweep emptied and removed this shard but died
             # before the card rewrite: the stale card still lists it.
-            # Count its rows as deleted and drop the entry so the
-            # re-run CONVERGES instead of crashing on the missing dir.
-            deleted_total += card["shards"][str(k)]["rows"]
+            # Drop the entry so the re-run CONVERGES — but attribute
+            # those rows to the CRASHED sweep (recovered_rows), not to
+            # this request's deleted_rows: a compliance log must not
+            # credit request B with request A's deletions.
+            recovered_total += card["shards"][str(k)]["rows"]
             emptied.append(k)
             continue
         # reading the shard dir directly yields the DATA columns only
@@ -437,6 +454,7 @@ def forget_shards(
     os.rename(tmp, card_path)
     return {
         "deleted_rows": deleted_total,
+        "recovered_rows": recovered_total,
         "affected_shards": sorted(rewritten + emptied),
         "card": new_card,
     }

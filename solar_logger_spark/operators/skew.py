@@ -135,7 +135,13 @@ def two_phase_agg_multi(
                     "rounding; cast to double first or aggregate "
                     "(sum, count) and divide with your own typing"
                 )
-            partial_cols.append(F.sum(F.col(value_col)).alias(f"_p{i}s"))
+            # partial sums track F.avg's own summation TYPE: Average
+            # over integral columns sums in DOUBLE, so an exact long
+            # sum here would diverge past 2^53 (measured: one ulp at
+            # [2^53, 1, 1]) — cast first, divide the same way
+            partial_cols.append(
+                F.sum(F.col(value_col).cast("double")).alias(f"_p{i}s")
+            )
             partial_cols.append(F.count(F.col(value_col)).alias(f"_p{i}c"))
             final_cols.append(
                 (F.sum(F.col(f"_p{i}s")) / F.sum(F.col(f"_p{i}c"))).alias(alias)

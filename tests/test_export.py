@@ -362,7 +362,10 @@ def test_forget_converges_after_crash_between_empty_and_card(
 
     shutil.rmtree(os.path.join(d, "shard=1"))  # simulate the crash state
     res = E.forget_shards(spark, d, victim_ids)
-    assert res["deleted_rows"] == len(victim_ids)
+    # the crashed sweep's rows surface as RECOVERED, not as this
+    # request's deletions (nothing was on disk to delete now)
+    assert res["deleted_rows"] == 0
+    assert res["recovered_rows"] == len(victim_ids)
     card = E.read_dataset_card(d)
     assert "1" not in card["shards"]
     assert E.verify_shards(spark, d) == {"ok": True, "mismatched": []}
@@ -380,3 +383,41 @@ def test_verify_green_on_fully_forgotten_export(spark, tmp_path):
     card = E.read_dataset_card(d)
     assert card["shards"] == {} and card["rows"] == 0
     assert E.verify_shards(spark, d) == {"ok": True, "mismatched": []}
+
+
+def test_forget_resweep_of_emptied_export_and_recovered_split(
+    spark, tmp_path
+):
+    """(a) re-sweeping a legally emptied export is a no-op, not a
+    schema crash; (b) rows removed by a CRASHED earlier sweep are
+    reported as recovered_rows, never credited to the current
+    request's deleted_rows."""
+    rows = [Row(seq_id=i, text=f"t{i}", n_tokens=4) for i in range(12)]
+    d = str(tmp_path / "e2")
+    E.export_training_shards(spark.createDataFrame(rows), d, n_shards=3)
+    E.forget_shards(spark, d, list(range(12)))  # empty everything
+    res = E.forget_shards(spark, d, [3, 4])     # idempotent re-sweep
+    assert res == {
+        "deleted_rows": 0, "recovered_rows": 0,
+        "affected_shards": [], "card": E.read_dataset_card(d),
+    }
+
+    d2 = str(tmp_path / "cr")
+    E.export_training_shards(spark.createDataFrame(rows), d2, n_shards=3)
+    card0 = E.read_dataset_card(d2)
+    victim = "1"
+    n_victim = card0["shards"][victim]["rows"]
+    import shutil
+
+    shutil.rmtree(os.path.join(d2, f"shard={victim}"))  # crashed sweep
+    # current request: ids that hash to the missing shard but were
+    # "deleted" by the crashed sweep — 0 deleted now, N recovered
+    gone_ids = [
+        r["seq_id"] for r in spark.createDataFrame(rows)
+        .withColumn("s", E.shuffle_assignment("seq_id", 3)[0])
+        .filter(f"s = {victim}").collect()
+    ]
+    res2 = E.forget_shards(spark, d2, gone_ids)
+    assert res2["deleted_rows"] == 0
+    assert res2["recovered_rows"] == n_victim
+    assert E.verify_shards(spark, d2)["ok"]

@@ -198,3 +198,18 @@ def test_two_phase_avg_refuses_decimal(spark):
     )
     with pytest.raises(ValueError, match="DECIMAL"):
         two_phase_agg(df, ["k"], "v", fn="avg")
+
+
+def test_two_phase_avg_large_longs_track_f_avg(spark):
+    """F.avg over integral columns sums in DOUBLE; an exact long
+    partial sum diverges past 2^53 (one ulp measured at [2^53, 1, 1]).
+    The partials must cast first so both paths round identically."""
+    big = 2 ** 53
+    df = spark.createDataFrame(
+        [("a", 1, big), ("a", 2, 1), ("a", 3, 1)], "k string, id long, v long"
+    )
+    want = df.groupBy("k").agg(F.avg("v").alias("a")).collect()[0]["a"]
+    got = two_phase_agg(
+        df, ["k"], "v", fn="avg", n_salt=1, salt_from=["id"], alias="a"
+    ).collect()[0]["a"]
+    assert got.hex() == want.hex()
