@@ -18,6 +18,17 @@ subcommands::
 ``query`` with no ``--flux`` runs the reference's example pipeline shape
 (``influx_query.py:88-100``: range + measurement filter bands) against
 the events table.
+
+Beyond-reference operations (the LLM-pipeline compliance surface)::
+
+    python -m solar_logger_spark forget --index-dir IDX --ids 3,17 \
+        --pairs-dir P --components-dir C --shards-dir SHARDS
+    python -m solar_logger_spark verify-shards SHARDS
+
+``forget`` drives ``streaming.dedup_ingest.forget_docs`` — the full
+sweep across index artifacts, pairs, CC labels, and shipped training
+shards; ``verify-shards`` is the consumer-side card audit (exit code
+1 on mismatch).
 """
 
 from __future__ import annotations
@@ -79,6 +90,29 @@ def _build_parser() -> argparse.ArgumentParser:
     )
 
     sub.add_parser("health", help="engine health check (reference S7)")
+
+    fg = sub.add_parser(
+        "forget",
+        help="right-to-be-forgotten sweep over the crawl-loop state "
+             "and (optionally) shipped training shards",
+    )
+    fg.add_argument("--index-dir", required=True,
+                    help="dedup index root (shingles/ + buckets/)")
+    fg.add_argument("--ids", required=True,
+                    help="comma-separated document ids to forget")
+    fg.add_argument("--pairs-dir", default=None)
+    fg.add_argument("--components-dir", default=None)
+    fg.add_argument("--shards-dir", action="append", default=[],
+                    help="carded shard export to sweep too (repeatable)")
+    fg.add_argument("--id-type", default="long",
+                    choices=("long", "str"),
+                    help="python type of the ids (default long)")
+
+    vs = sub.add_parser(
+        "verify-shards",
+        help="consumer-side audit of a carded shard export",
+    )
+    vs.add_argument("shards_dir")
     return p
 
 
@@ -151,6 +185,36 @@ def _cmd_health(args) -> int:
     return 0 if ok else 1
 
 
+def _cmd_forget(args) -> int:
+    import json
+
+    from solar_logger_spark.streaming.dedup_ingest import forget_docs
+
+    conv = int if args.id_type == "long" else str
+    ids = [conv(x) for x in args.ids.split(",") if x != ""]
+    if not ids:
+        print("no ids given", file=sys.stderr)
+        return 2
+    out = forget_docs(
+        _get_spark(), args.index_dir, ids,
+        pairs_dir=args.pairs_dir,
+        components_dir=args.components_dir,
+        shards_dirs=args.shards_dir or None,
+    )
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
+def _cmd_verify_shards(args) -> int:
+    import json
+
+    from solar_logger_spark.io.export import verify_shards
+
+    res = verify_shards(_get_spark(), args.shards_dir)
+    print(json.dumps(res, sort_keys=True))
+    return 0 if res["ok"] else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     return {
@@ -158,6 +222,8 @@ def main(argv: list[str] | None = None) -> int:
         "sql": _cmd_sql,
         "logger": _cmd_logger,
         "health": _cmd_health,
+        "forget": _cmd_forget,
+        "verify-shards": _cmd_verify_shards,
     }[args.command](args)
 
 

@@ -84,3 +84,50 @@ def test_logger_ingest_roundtrip(spark, tmp_path):
 def test_unknown_mode_rejected(spark, sf_dir):
     with pytest.raises(SystemExit):
         main(["query", "--sf-dir", sf_dir, "--mode", "bogus"])
+
+
+def test_cli_forget_and_verify_shards(spark, tmp_path, capsys):
+    """The compliance surface end-to-end at the CLI: ingest, export,
+    `forget` (index + shards in one invocation, JSON report), then
+    `verify-shards` green with exit code 0."""
+    import json
+    import random
+
+    from pyspark.sql import Row, functions as F
+
+    from solar_logger_spark.cli import main
+    from solar_logger_spark.io import export as E
+    from solar_logger_spark.streaming import dedup_ingest as DI
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        Row(doc_id=i, text=" ".join(
+            rng.choice(vocab) for _ in range(rng.randint(10, 28))
+        ))
+        for i in range(12)
+    ]
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    sink = DI.incremental_dedup_sink(idx, pairs, index_partitions=8)
+    sink(spark.createDataFrame(rows), 0)
+    shards = str(tmp_path / "shards")
+    corpus = spark.createDataFrame(rows).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    E.export_training_shards(corpus, shards, n_shards=3, id_col="doc_id")
+
+    rc = main([
+        "forget", "--index-dir", idx, "--ids", "2,5",
+        "--pairs-dir", pairs, "--shards-dir", shards,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report[f"shards:{shards}"] == "2"
+    assert DI.SHINGLES in report
+
+    rc = main(["verify-shards", shards])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["ok"]
+    shipped = spark.read.parquet(shards)
+    assert shipped.filter(F.col("doc_id").isin([2, 5])).count() == 0

@@ -3,7 +3,7 @@
 import os
 
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row, Window, functions as F
 
 from solar_logger_spark.io import merge as M
 
@@ -515,3 +515,69 @@ def test_delta_staged_append_and_empty_noop(spark, tmp_path):
     assert name == "delta-000000"  # stage leftover reclaimed
     assert not os.path.isdir(os.path.join(d, "_delta_stage-000000"))
     assert M.read_table_with_deltas(spark, d).count() == 2
+
+
+def test_delta_log_randomized_differential(spark, tmp_path):
+    """Randomized op-sequence pin for the delta log: a shuffled mix of
+    keyed appends (some re-delivering existing keys with new values)
+    and compactions must always read back — through
+    ``read_table_with_deltas`` + a latest-epoch-wins resolution at
+    compaction — exactly what a Python dict model holds. Crash
+    leftovers (stage dirs) are injected along the way and must never
+    change the answer."""
+    import random
+
+    rng = random.Random(80)
+    d = str(tmp_path / "t")
+    model: dict[int, str] = {}
+
+    def batch(pairs):
+        return spark.createDataFrame(
+            [(k, v, k % 3) for k, v in pairs], "k long, v string, p int"
+        )
+
+    init = [(k, f"v{k}") for k in range(6)]
+    model.update(init)
+    M.init_table(batch(init), d, partition_by=["p"])
+
+    next_id = 6
+    for step in range(12):
+        op = rng.random()
+        if op < 0.6:
+            # append: mix of fresh keys and re-deliveries
+            pairs = []
+            for _ in range(rng.randint(1, 4)):
+                if model and rng.random() < 0.4:
+                    k = rng.choice(list(model))
+                else:
+                    k, next_id = next_id, next_id + 1
+                pairs.append((k, f"v{k}.{step}"))
+            # within one delta a key appears once (the sink contract)
+            dedup = dict(pairs)
+            model.update(dedup)
+            M.append_delta(d, batch(dedup.items()), partition_by=["p"])
+        elif op < 0.8:
+            M.compact_deltas(spark, d, keys=["k"], partition_by=["p"])
+        else:
+            os.makedirs(
+                os.path.join(d, f"_delta_stage-99{step:04d}"), exist_ok=True
+            )  # crash debris: must stay invisible
+
+        got = {
+            r.k: r.v
+            for r in (
+                M.read_table_with_deltas(spark, d, epoch_col="_e")
+                .withColumn(
+                    "_mx", F.max("_e").over(Window.partitionBy("k"))
+                )
+                .filter(F.col("_e") == F.col("_mx"))
+                .collect()
+            )
+        }
+        assert got == model, f"step {step} diverged"
+    # final compaction: base alone equals the model, debris gone
+    M.compact_deltas(spark, d, keys=["k"], partition_by=["p"])
+    M.purge_dead_deltas(d)
+    got = {r.k: r.v for r in M.read_table_snapshot(spark, d).collect()}
+    assert got == model
+    assert not [x for x in os.listdir(d) if x.startswith("_delta_stage")]
