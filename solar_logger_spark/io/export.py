@@ -460,11 +460,20 @@ def forget_shards(
     }
 
 
-def verify_shards(spark: SparkSession, out_dir: str) -> dict[str, Any]:
+def verify_shards(
+    spark: SparkSession,
+    out_dir: str,
+    shards: Sequence[int] | None = None,
+) -> dict[str, Any]:
     """Consumer-side audit: recompute every shard's row count and
     fingerprint from the files and diff against the card. Returns
     ``{"ok": bool, "mismatched": [shard, ...]}`` — the receiving end
-    of the manifest discipline."""
+    of the manifest discipline.
+
+    ``shards``: audit only these shard ids (e.g. the affected set a
+    ``forget_shards`` call just rewrote) — cost bounded by those
+    shards' bytes instead of the dataset; unknown shard detection is
+    skipped in subset mode (it needs the full listing)."""
     card = read_dataset_card(out_dir)
     if card is None:
         raise FileNotFoundError(f"no {DATASET_CARD} in {out_dir}")
@@ -475,10 +484,15 @@ def verify_shards(spark: SparkSession, out_dir: str) -> dict[str, Any]:
         # is missing; a card with ZERO shards (a forget sweep legally
         # emptied the dataset) is consistent with the empty directory
         # and must audit green, not flag forever.
-        return {
-            "ok": not card["shards"],
-            "mismatched": sorted(card["shards"]),
-        }
+        carded = (
+            {str(k) for k in shards} & set(card["shards"])
+            if shards is not None else set(card["shards"])
+        )
+        return {"ok": not carded, "mismatched": sorted(carded)}
+    if shards is not None:
+        shipped = shipped.filter(
+            F.col("shard").isin([int(x) for x in shards])
+        )
     got = {
         str(r["shard"]): (int(r["rows"]), r["fp"])
         for r in shipped.groupBy("shard").agg(
@@ -487,11 +501,18 @@ def verify_shards(spark: SparkSession, out_dir: str) -> dict[str, Any]:
             .cast("decimal(38,0)").cast("string").alias("fp"),
         ).collect()
     }
+    audit = (
+        {str(k) for k in shards} if shards is not None
+        else set(card["shards"])
+    )
     mismatched = []
-    for k, entry in card["shards"].items():
-        if got.get(k) != (entry["rows"], entry["fingerprint"]):
+    for k in audit:
+        entry = card["shards"].get(k)
+        want = (entry["rows"], entry["fingerprint"]) if entry else None
+        if got.get(k) != want:
             mismatched.append(k)
-    for k in got:
-        if k not in card["shards"]:
-            mismatched.append(k)
+    if shards is None:
+        for k in got:
+            if k not in card["shards"]:
+                mismatched.append(k)
     return {"ok": not mismatched, "mismatched": sorted(mismatched)}

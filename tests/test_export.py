@@ -421,3 +421,26 @@ def test_forget_resweep_of_emptied_export_and_recovered_split(
     assert res2["deleted_rows"] == 0
     assert res2["recovered_rows"] == n_victim
     assert E.verify_shards(spark, d2)["ok"]
+
+
+def test_verify_shards_subset_mode(spark, seqs, tmp_path):
+    """Audit only named shards (the post-forget pattern): partition
+    pruning bounds the read, a tampered shard outside the subset is
+    invisible to it but caught by the full audit, and a subset naming
+    a missing shard flags it."""
+    import shutil
+
+    d = str(tmp_path / "sub")
+    card = E.export_training_shards(seqs, d, n_shards=4)
+    all_ids = sorted(int(k) for k in card["shards"])
+    ok_two = E.verify_shards(spark, d, shards=all_ids[:2])
+    assert ok_two == {"ok": True, "mismatched": []}
+    victim = all_ids[-1]
+    shutil.rmtree(os.path.join(d, f"shard={victim}"))
+    # subset NOT covering the victim stays green...
+    assert E.verify_shards(spark, d, shards=all_ids[:2])["ok"]
+    # ...the subset covering it, and the full audit, both flag it
+    assert E.verify_shards(spark, d, shards=[victim]) == {
+        "ok": False, "mismatched": [str(victim)],
+    }
+    assert not E.verify_shards(spark, d)["ok"]
