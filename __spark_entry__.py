@@ -1213,15 +1213,14 @@ def _registry_order(
         # deterministic vec_id < 10 — records predating r5 describe a
         # possibly-different row set (ADVICE r5); the r5 driver rows
         # themselves ran at post-change HEAD and satisfy the pin
-        # r8: similarity_ann_ivf flipped rows-only -> oracle-backed
-        # (deterministic md5-seeded codebook + pinned-fold Lloyd sweep)
-        "similarity_ann_ivf": 8,
-        # r8: similarity_ann_pq flipped rows-only -> oracle-backed
-        # (deterministic per-subspace codebooks, pinned-fold ADC)
-        "similarity_ann_pq": 8,
-        # r8: similarity_ann_ivfpq flipped rows-only -> oracle-backed
-        # (deterministic coarse + residual codebooks, pinned-fold ADC)
-        "similarity_ann_ivfpq": 8,
+        # r9: the Lloyd member means switched from flat id-ordered
+        # folds (full per-cell member lists — the r8 skew hazard) to
+        # bounded hierarchical 256-id-block folds, on BOTH engines:
+        # different float association, different (still matching)
+        # hashes — r8 green rows describe the old bits
+        "similarity_ann_ivf": 9,
+        "similarity_ann_pq": 9,
+        "similarity_ann_ivfpq": 9,
         # r6: similarity_ann_lsh gained a DuckDB oracle (deterministic
         # md5 hyperplanes); embedding_pca_project's declared output
         # reshaped to scalar pc0..pc7 columns after its array column

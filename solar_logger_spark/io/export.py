@@ -216,6 +216,7 @@ def read_dataset_card(out_dir: str) -> dict[str, Any] | None:
 
 _FORGET_TMP = "_forget_tmp_shard_"
 _FORGET_OLD = "_forget_old_shard_"
+_FORGET_EMPTY = "_forget_empty_shard_"
 
 
 def _recover_forget_crash(out_dir: str) -> None:
@@ -223,12 +224,32 @@ def _recover_forget_crash(out_dir: str) -> None:
     dead (never referenced until renamed into place); an ``_OLD`` dir
     with its ``shard=K`` present means the swap completed (old is
     dead), without it the crash hit between the two renames — restore
-    the old dir so the re-run starts from the live state."""
-    for entry in os.listdir(out_dir):
+    the old dir so the re-run starts from the live state.
+
+    An ``_EMPTY`` intent marker means a sweep decided shard K was
+    FULLY emptied: its removal must be COMPLETED, never rolled back —
+    without the marker, the post-removal crash state (aside dir, no
+    live) is indistinguishable from a rewritten shard's mid-swap state
+    and the restore branch would resurrect rows the crashed request
+    had already removed (ADVICE r8). Markers are handled FIRST for
+    exactly that reason. A marker with the live dir still present
+    means the crash hit before any rename — no row was removed yet, so
+    dropping the marker restores the ordinary path."""
+    entries = os.listdir(out_dir)
+    for entry in entries:
+        if not entry.startswith(_FORGET_EMPTY):
+            continue
+        k = entry[len(_FORGET_EMPTY):]
+        live = os.path.join(out_dir, f"shard={k}")
+        aside = os.path.join(out_dir, f"{_FORGET_OLD}{k}")
+        if not os.path.isdir(live) and os.path.isdir(aside):
+            shutil.rmtree(aside)  # complete the removal
+        os.remove(os.path.join(out_dir, entry))
+    for entry in entries:
         p = os.path.join(out_dir, entry)
         if entry.startswith(_FORGET_TMP):
             shutil.rmtree(p)
-        elif entry.startswith(_FORGET_OLD):
+        elif entry.startswith(_FORGET_OLD) and os.path.isdir(p):
             k = entry[len(_FORGET_OLD):]
             live = os.path.join(out_dir, f"shard={k}")
             if os.path.isdir(live):
@@ -359,6 +380,16 @@ def forget_shards(
         # flip the merged read schema (and hence the fingerprint's
         # JSON field order) depending on which file is listed first
         df_live = spark.read.parquet(live)
+        # count the LIVE bytes, not the card: after a crashed sweep
+        # that swapped a rewritten shard but died before the card
+        # rewrite, the card's row count is stale-high — diffing
+        # against it would credit the crashed request's deletions to
+        # whatever request happens to hash here next (ADVICE r8). The
+        # stale delta is the crashed sweep's work: recovered_rows.
+        n_live = df_live.count()
+        stale = card["shards"][str(k)]["rows"] - n_live
+        if stale > 0:
+            recovered_total += stale
         kept = df_live.join(
             F.broadcast(ids), id_col, "left_anti"
         ).select(*df_live.columns)
@@ -375,19 +406,32 @@ def forget_shards(
             n_kept = spark.read.parquet(tmp).count()
         else:
             n_kept = 0
-        n_del = card["shards"][str(k)]["rows"] - n_kept
+        n_del = n_live - n_kept
         if n_del == 0:
             # the ids hash here but no row matched (already forgotten,
-            # or never shipped): keep the live bytes untouched
+            # or never shipped): keep the live bytes untouched. If the
+            # card entry was stale (crashed sweep), re-derive it from
+            # the live bytes so the card heals without a byte rewrite.
             shutil.rmtree(tmp)
+            if stale > 0:
+                rewritten.append(k)
             continue
         deleted_total += n_del
         old = os.path.join(out_dir, f"{_FORGET_OLD}{k}")
         if n_kept == 0:
+            # intent marker: distinguishes "this shard's removal is in
+            # flight / complete" from the rewritten path's mid-swap
+            # state, so crash recovery COMPLETES the removal instead
+            # of renaming the aside dir back to live and resurrecting
+            # rows this request already fully removed (ADVICE r8)
             emptied.append(k)
             shutil.rmtree(tmp)
+            marker = os.path.join(out_dir, f"{_FORGET_EMPTY}{k}")
+            with open(marker, "w") as fh:
+                fh.write(str(k))
             os.rename(live, old)
             shutil.rmtree(old)
+            os.remove(marker)
             continue
         rewritten.append(k)
         os.rename(live, old)

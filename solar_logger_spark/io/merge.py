@@ -291,13 +291,23 @@ def upsert(
             # identical table) — e.g. a crawl delivery whose docs all
             # shingle to nothing
             return snap
+        # validate BEFORE the coverage heuristic: the heuristic
+        # compares str(v) against raw hive dir names, which only
+        # round-trips for the int values the scoped path accepts
+        # anyway — validating late would let a special-char/float/bool
+        # layout sail past a never-matching coverage check (ADVICE r8)
+        _validate_scoped_values(partition_by, upd_touched)
         existing = _existing_partitions(
             os.path.join(table_dir, snap), list(partition_by)
         )
-        covered = {
-            tuple(str(v) for v in t) for t in upd_touched
-        } & existing
-        if existing and len(covered) >= scope_fallback_frac * len(existing):
+
+        def _covers(ts: list[tuple]) -> bool:
+            covered = {tuple(str(v) for v in t) for t in ts} & existing
+            return bool(existing) and (
+                len(covered) >= scope_fallback_frac * len(existing)
+            )
+
+        if _covers(upd_touched):
             # scoping can't prune: go straight to the plain rewrite
             # (no membership predicate, no link walk, no base scan)
             partition_scoped = False
@@ -312,6 +322,13 @@ def upsert(
                 ).select(*partition_by)
             ).distinct()
             touched = [tuple(r) for r in touched_df.collect()]
+            _validate_scoped_values(partition_by, touched)
+            # re-check AFTER the union: a wide old-row partition set
+            # can push the touched set to (near-)total coverage, where
+            # the scoped write costs more than the rewrite it replaces
+            if _covers(touched):
+                partition_scoped = False
+                touched = None
         else:
             touched = upd_touched
     if partition_scoped:

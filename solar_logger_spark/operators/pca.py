@@ -255,7 +255,9 @@ def pca_fit_deterministic(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    dim = len(df.select(vec_col).first()[0])
+    from solar_logger_spark.operators.pq import _vec_dim
+
+    dim = _vec_dim(df, vec_col, "pca_fit_deterministic")
     zeros = F.array_repeat(F.lit(0.0), dim)
 
     def _hier_fold(frame, arr_col, width):

@@ -638,6 +638,19 @@ def _d2(a, b):
 # a fold/tie-break fix lands in both PQ variants at once — each Spark
 # shape here is mirrored by the ANN_PQ_SQL / ANN_IVFPQ_SQL twins.
 
+def _vec_dim(df, vec_col: str, op: str) -> int:
+    """Embedding width from the first row, with a named error instead
+    of the opaque ``NoneType has no len`` on an empty frame or a null
+    first vector (ADVICE r8)."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        what = "empty input" if row is None else f"null {vec_col!r} vector"
+        raise ValueError(
+            f"{op}: cannot infer embedding dimension from {what}"
+        )
+    return len(row[0])
+
+
 def _unit_rows(df, id_col, vec_col, out_id, out_vec):
     """(id, unit-normalized double vector): cast per element, norm as a
     pinned fold, exact per-element division — identical ops on corpus
@@ -734,27 +747,68 @@ def _encode(subs, books, keep):
     return subs.select(*keep, "ms", code.alias("code"), "sub")
 
 
+def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
+    """Per-key mean of double-array columns with a deterministic,
+    BOUNDED, hierarchical fold — the distributed replacement for the
+    r8 full per-key member-list materialization (a hot cell's
+    ``collect_list`` of every member vector was the one remaining
+    100×-scale skew/OOM hazard): members fold in ``vid`` order WITHIN
+    an id block (``vid DIV block`` — ≤ ``block`` rows per group, so
+    every task array is bounded), then block partial sums fold in
+    block order. Same two-level recipe as
+    :func:`solar_logger_spark.operators.pca.pca_fit_deterministic`,
+    and each level is replayed verbatim by the ANN SQL twins
+    (``list(... ORDER BY vid)`` per ``vid // block`` group, then
+    ``list(s ORDER BY b)``), so the result stays cross-engine
+    bit-identical AND partition-invariant. Input must carry ``vid``;
+    returns one row per key with the mean array as ``c``."""
+    z = F.array_repeat(F.lit(0.0), width)
+    zadd = lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b)  # noqa: E731
+    per_block = (
+        frame.withColumn("_b", F.expr(f"vid DIV {block}"))
+        .groupBy(*keys, "_b")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vid", vec_col))
+            ).alias("_ms")
+        )
+        .select(
+            *keys, "_b",
+            F.aggregate(
+                "_ms", z, lambda acc, t: zadd(acc, t[vec_col])
+            ).alias("_s"),
+            F.size("_ms").alias("_cnt"),
+        )
+    )
+    return (
+        per_block.groupBy(*keys)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_b", "_s"))).alias("_bl"),
+            F.sum("_cnt").alias("_n"),
+        )
+        .select(
+            *keys,
+            F.transform(
+                F.aggregate(
+                    "_bl", z, lambda acc, t: zadd(acc, t["_s"])
+                ),
+                lambda x: x / F.col("_n"),
+            ).alias("c"),
+        )
+    )
+
+
 def _books_lloyd(spark, subs, books, dsub, rounds):
     """Fixed Lloyd sweeps over the per-subspace codebooks: assignment
-    by :func:`_encode`, means with the addition order pinned to
-    member-id order; empty codes keep their previous centroid."""
+    by :func:`_encode`, means via the bounded hierarchical id-ordered
+    fold (:func:`_pinned_hier_mean`); empty codes keep their previous
+    centroid."""
     for _ in range(rounds):
-        members = _encode(subs, books, ["vid"]).groupBy(
-            "ms", "code"
-        ).agg(
-            F.array_sort(F.collect_list(F.struct("vid", "sub"))).alias("mem")
-        )
-        mean_arr = F.transform(
-            F.sequence(F.lit(1), F.lit(dsub)),
-            lambda d: F.aggregate(
-                F.transform("mem", lambda t: F.element_at(t["sub"], d)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) / F.size("mem"),
+        means = _pinned_hier_mean(
+            _encode(subs, books, ["vid"]), ["ms", "code"], "sub", dsub
         )
         got = {
-            (r["ms"], r["code"]): list(r["c"])
-            for r in members.select("ms", "code", mean_arr.alias("c"))
-            .collect()
+            (r["ms"], r["code"]): list(r["c"]) for r in means.collect()
         }  # bounded: <= m*ks rows
         books = {key: got.get(key, c) for key, c in books.items()}
     return books
@@ -837,12 +891,13 @@ def topk_pq_deterministic(
 
     Scale: the codebook is ≤ m·ks rows (two bounded collects); ADC is
     a broadcast of the |queries|·m·ks distance table against the
-    encoded corpus; the pinned per-(m,code) means materialize member
-    lists per code (the determinism price — :func:`train_codebooks`'s
-    sampled numpy Lloyd is the throughput trainer)."""
+    encoded corpus; the pinned per-(m,code) means fold hierarchically
+    over bounded 256-id blocks (:func:`_pinned_hier_mean` — no full
+    member list in any task; :func:`train_codebooks`'s sampled numpy
+    Lloyd remains the throughput trainer)."""
     spark = corpus.sparkSession
     vn = _unit_rows(corpus, id_col, vec_col, "vid", "v")
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _vec_dim(corpus, vec_col, "topk_pq_deterministic")
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -905,7 +960,7 @@ def topk_ivfpq_deterministic(
     purpose (each mirrors its own SQL twin)."""
     spark = corpus.sparkSession
     vn = _unit_rows(corpus, id_col, vec_col, "vid", "v")
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _vec_dim(corpus, vec_col, "topk_ivfpq_deterministic")
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -944,19 +999,9 @@ def topk_ivfpq_deterministic(
         )
 
     for _ in range(coarse_rounds):
-        members = _assign(cents).groupBy("cell").agg(
-            F.array_sort(F.collect_list(F.struct("vid", "v"))).alias("mem")
-        )
-        mean_arr = F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda d: F.aggregate(
-                F.transform("mem", lambda t: F.element_at(t["v"], d)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) / F.size("mem"),
-        )
+        means = _pinned_hier_mean(_assign(cents), ["cell"], "v", dim)
         got = {
-            r["cell"]: list(r["c"])
-            for r in members.select("cell", mean_arr.alias("c")).collect()
+            r["cell"]: list(r["c"]) for r in means.collect()
         }  # bounded: <= n_cells rows
         cents = [(i, got.get(i, c)) for i, c in cents]
 

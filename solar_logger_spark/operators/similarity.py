@@ -830,17 +830,18 @@ def topk_ivf_deterministic(
     lexicographically smallest ``md5('cent|' || id)`` (cell = hash
     order), and each of the FIXED ``lloyd_rounds`` k-means sweeps
     assigns by bit-pinned cosine (left-to-right folds) and recomputes
-    each cell's mean with the addition order pinned to member-id order
-    — so a DuckDB twin re-derives the identical codebook, cells,
-    candidates, cosines, and ranks, and the driver's value-hash gate
-    applies instead of a rows-only record.
+    each cell's mean with a bounded hierarchical fold pinned to
+    member-id order — so a DuckDB twin re-derives the identical
+    codebook, cells, candidates, cosines, and ranks, and the driver's
+    value-hash gate applies instead of a rows-only record.
 
     Cost shape: assignment is a broadcast of ``n_cells`` centroid rows
-    against the corpus (map-only per round); the pinned mean
-    materializes each cell's member list in one task, which is the
-    determinism price — :func:`kmeans_refine` (partition-ordered numpy
-    partial sums, no member list) is the throughput trainer at corpus
-    scale, this is the reproducible-build/oracle trainer. Probing
+    against the corpus (map-only per round); the pinned mean folds
+    members WITHIN 256-id blocks, then block partials in block order
+    (``pq._pinned_hier_mean``) — every task array bounded, no per-cell
+    member list anywhere. :func:`kmeans_refine` (partition-ordered
+    numpy partial sums) remains the throughput trainer at corpus
+    scale; this is the reproducible-build/oracle trainer. Probing
     broadcasts |queries|·n_probe rows; candidates re-score with the
     same pinned cosine.
 
@@ -869,6 +870,10 @@ def topk_ivf_deterministic(
         .limit(n_cells)
         .collect()
     )
+    if not init_rows:
+        raise ValueError(
+            "topk_ivf_deterministic: empty corpus — no centroids to seed"
+        )
     cents: list[tuple[int, list[float]]] = [
         (i, list(r["v"])) for i, r in enumerate(init_rows)
     ]
@@ -893,22 +898,14 @@ def topk_ivf_deterministic(
         return vecs.select("vid", "v", cell.alias("cell"))
 
     for _ in range(lloyd_rounds):
-        members = _assign(cents).groupBy("cell").agg(
-            F.array_sort(F.collect_list(F.struct("vid", "v"))).alias("ms")
-        )
-        # per-dimension mean with the fold order pinned to vid order
-        mean_arr = F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda d: F.aggregate(
-                F.transform("ms", lambda m: F.element_at(m["v"], d)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.size("ms"),
-        )
+        # bounded hierarchical id-ordered mean fold — no full member
+        # lists in any task (the r8 skew-hazard fix; see
+        # pq._pinned_hier_mean)
+        from solar_logger_spark.operators.pq import _pinned_hier_mean
+
+        means = _pinned_hier_mean(_assign(cents), ["cell"], "v", dim)
         got = {
-            r["cell"]: list(r["c"])
-            for r in members.select("cell", mean_arr.alias("c")).collect()
+            r["cell"]: list(r["c"]) for r in means.collect()
         }  # bounded: <= n_cells rows
         cents = [(i, got.get(i, c)) for i, c in cents]
 

@@ -626,13 +626,28 @@ ANN_IVF_SQL = """
             FROM vecs, init i) t
         WHERE rn = 1
     ),
-    cent1 AS (
-        SELECT g.cell,
-               [list_reduce(list_prepend(0.0, [x[d] FOR x IN g.ms]),
-                            (a, b) -> a + b) / g.n
-                FOR d IN range(1, 65)] AS c
-        FROM (SELECT cell, list(v ORDER BY vid) AS ms, count(*) AS n
-              FROM asg0 GROUP BY cell) g
+    cblk AS (  -- hierarchical mean: fold within a 256-id block...
+        SELECT cell, vid // 256 AS b, list(v ORDER BY vid) AS ms,
+               count(*) AS cnt
+        FROM asg0 GROUP BY 1, 2
+    ),
+    cbsum AS (
+        SELECT cell, b, cnt,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 64)], ms),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 65)]) AS s
+        FROM cblk
+    ),
+    cent1 AS (  -- ...then fold block partials in block order
+        SELECT cell, [t[d] / n FOR d IN range(1, 65)] AS c
+        FROM (
+            SELECT cell,
+                   list_reduce(list_prepend([0.0 FOR d IN range(0, 64)],
+                                            list(s ORDER BY b)),
+                               (acc, x) -> [acc[d] + x[d]
+                                            FOR d IN range(1, 65)]) AS t,
+                   CAST(sum(cnt) AS BIGINT) AS n
+            FROM cbsum GROUP BY cell) g
     ),
     cents AS (  -- empty cells keep their init centroid
         SELECT i.cell, coalesce(c1.c, i.c) AS c
@@ -1328,14 +1343,28 @@ ANN_PQ_SQL = """
             FROM subs s JOIN init i ON i.ms = s.ms) t
         WHERE rn = 1
     ),
-    mean1 AS (
-        SELECT ms, code,
-               [list_reduce(list_prepend(0.0, [x[d] FOR x IN mem]),
-                            (a, b) -> a + b) / n
-                FOR d IN range(1, 9)] AS c
-        FROM (SELECT ms, code, list(sub ORDER BY vid) AS mem,
-                     count(*) AS n
-              FROM asg0 GROUP BY ms, code) g
+    mblk AS (  -- hierarchical mean: fold within a 256-id block...
+        SELECT ms, code, vid // 256 AS b, list(sub ORDER BY vid) AS mem,
+               count(*) AS cnt
+        FROM asg0 GROUP BY 1, 2, 3
+    ),
+    mbsum AS (
+        SELECT ms, code, b, cnt,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 8)], mem),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 9)]) AS s
+        FROM mblk
+    ),
+    mean1 AS (  -- ...then fold block partials in block order
+        SELECT ms, code, [t[d] / n FOR d IN range(1, 9)] AS c
+        FROM (
+            SELECT ms, code,
+                   list_reduce(list_prepend([0.0 FOR d IN range(0, 8)],
+                                            list(s ORDER BY b)),
+                               (acc, x) -> [acc[d] + x[d]
+                                            FOR d IN range(1, 9)]) AS t,
+                   CAST(sum(cnt) AS BIGINT) AS n
+            FROM mbsum GROUP BY ms, code) g
     ),
     books AS (
         SELECT i.ms, i.code, coalesce(m1.c, i.c) AS c
@@ -5546,12 +5575,27 @@ basg0 AS (
         FROM rsubs s JOIN binit i ON i.ms = s.ms) t
     WHERE rn = 1
 ),
-bmean AS (
-    SELECT ms, code,
-           [list_reduce(list_prepend(0.0, [x[d] FOR x IN mem]), (a, b) -> a + b) / n
-            FOR d IN range(1, 9)] AS c
-    FROM (SELECT ms, code, list(sub ORDER BY vid) AS mem, count(*) AS n
-          FROM basg0 GROUP BY ms, code) g
+bblk AS (  -- hierarchical mean: fold within a 256-id block...
+    SELECT ms, code, vid // 256 AS b, list(sub ORDER BY vid) AS mem,
+           count(*) AS cnt
+    FROM basg0 GROUP BY 1, 2, 3
+),
+bbsum AS (
+    SELECT ms, code, b, cnt,
+           list_reduce(list_prepend([0.0 FOR d IN range(0, 8)], mem),
+                       (acc, x) -> [acc[d] + x[d] FOR d IN range(1, 9)]) AS s
+    FROM bblk
+),
+bmean AS (  -- ...then fold block partials in block order
+    SELECT ms, code, [t[d] / n FOR d IN range(1, 9)] AS c
+    FROM (
+        SELECT ms, code,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 8)],
+                                        list(s ORDER BY b)),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 9)]) AS t,
+               CAST(sum(cnt) AS BIGINT) AS n
+        FROM bbsum GROUP BY ms, code) g
 ),
 books AS (
     SELECT i.ms, i.code, coalesce(m1.c, i.c) AS c
