@@ -356,8 +356,30 @@ def build_ivfpq(
         if len(got) < ks:
             books[j, len(got):] = got[-1]
 
-    spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((cents_unit, books))
+    encoded = encode_ivfpq(assigned, cents, books, id_col, vec_col)
+    return encoded, cents, books
+
+
+def encode_ivfpq(
+    assigned: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-PQ-encode vectors that already carry their coarse
+    ``cell`` (``similarity.ivf_assign``) against a PINNED model — the
+    map-only encode stage of :func:`build_ivfpq`, exposed separately so
+    maintained-index deliveries (``streaming.ann_ingest``) can encode
+    new vectors without retraining. Output: ``(id, cell, codes)``."""
+    import pandas as pd
+
+    spark = assigned.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    books = np.asarray(codebooks, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cents / cnorm[:, None], books))
 
     def _enc(batches):
         cu, bks = bc.value
@@ -384,10 +406,9 @@ def build_ivfpq(
                 }
             )
 
-    encoded = assigned.mapInPandas(
+    return assigned.mapInPandas(
         _enc, f"{id_col} long, cell int, codes array<int>"
     )
-    return encoded, cents, books
 
 
 def topk_ivfpq(

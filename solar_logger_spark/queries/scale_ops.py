@@ -1497,6 +1497,46 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
 
 
+def similarity_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search over the PERSISTED, incrementally-maintained
+    index (``streaming.ann_ingest``): vectors with ``vec_id % 4 != 3``
+    bootstrap the index (deterministic md5-seeded model, pinned as a
+    JSON sidecar of the codes snapshot), the remaining quarter arrives
+    as a delivery that encodes MAP-ONLY against the pinned model and
+    appends an O(batch) codes delta, and the search resolves base ∪
+    delta before probing — the full maintained-index loop, exercised
+    end-to-end through real parquet persistence. Every float is
+    re-derivable: the DuckDB twin replays bootstrap training (initial
+    corpus only), the union encode (≡ encoding everything against the
+    initial-trained model, since encode is per-row), and the
+    pinned-fold ADC search; the JSON-sidecar model round-trip is
+    bit-exact (repr floats), so the driver's value-hash gate applies."""
+    import os
+    import shutil
+    import tempfile
+
+    from solar_logger_spark.streaming import ann_ingest as AI
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 4 != 3)
+    delivery = emb.filter(F.col("vec_id") % 4 == 3)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "slspark_ann_maintained_"
+        + os.path.basename(os.path.abspath(sf_dir)),
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    AI.bootstrap_ann_index_deterministic(
+        initial, idx, n_cells=16, m=8, ks=16, lloyd_rounds=1
+    )
+    AI.ann_ingest_sink(idx)(delivery, 1)
+    ann = AI.search_ann_index(
+        spark, idx, emb.filter(F.col("vec_id") < 10), corpus=emb,
+        k=5, n_probe=10, rerank=400,
+    ).localCheckpoint()  # consumed twice by _attach_recall
+    return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
+
+
 def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-substring dedup signal: per-document share of
     5-token grams that occur more than once corpus-wide."""
@@ -5602,6 +5642,168 @@ books AS (
     FROM binit i LEFT JOIN bmean m1 ON i.ms = m1.ms AND i.code = m1.code
 ),
 codes AS (
+    SELECT vid, cell, ms, code FROM (
+        SELECT s.vid, s.cell, s.ms, b.code,
+               row_number() OVER (PARTITION BY s.vid, s.ms ORDER BY
+                   list_sum([(s.sub[d] - b.c[d]) * (s.sub[d] - b.c[d]) FOR d IN range(1, 9)]) ASC,
+                   b.code ASC) AS rn
+        FROM rsubs s JOIN books b ON b.ms = s.ms) t
+    WHERE rn = 1
+),
+qn AS (SELECT vid AS query_id, v AS qv FROM vn WHERE vid < 10),
+qprobe AS (
+    SELECT query_id, cell, [qv[d] - c[d] FOR d IN range(1, 65)] AS qr FROM (
+        SELECT q.query_id, q.qv, cs.cell, cs.c,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_sum([(q.qv[d] - cs.c[d]) * (q.qv[d] - cs.c[d]) FOR d IN range(1, 65)]) ASC,
+                   cs.cell ASC) AS rn
+        FROM qn q, cents cs) t
+    WHERE rn <= 10
+),
+qrsubs AS (
+    SELECT query_id, cell, ms, [qr[ms * 8 + d] FOR d IN range(1, 9)] AS qsub
+    FROM qprobe, range(0, 8) mm(ms)
+),
+dtab AS (
+    SELECT q.query_id, q.cell, q.ms, b.code,
+           list_sum([(q.qsub[d] - b.c[d]) * (q.qsub[d] - b.c[d]) FOR d IN range(1, 9)]) AS d2
+    FROM qrsubs q JOIN books b ON b.ms = q.ms
+),
+adc AS (
+    SELECT d.query_id, c.vid AS neighbor_id,
+           list_reduce(list_prepend(0.0, list(d.d2 ORDER BY d.ms)), (a, b) -> a + b) AS adc
+    FROM codes c JOIN dtab d ON d.cell = c.cell AND d.ms = c.ms AND d.code = c.code
+    WHERE c.vid <> d.query_id
+    GROUP BY d.query_id, c.vid
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM adc
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) <= 400
+),
+rescored AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_sum([(q.qv[d] - v.v[d]) * (q.qv[d] - v.v[d]) FOR d IN range(1, 65)]) AS approx_dist
+    FROM shortlist s
+    JOIN vn v ON v.vid = s.neighbor_id
+    JOIN qn q ON q.query_id = s.query_id
+),
+ann AS (
+    SELECT query_id, neighbor_id, approx_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_dist ASC, neighbor_id ASC) AS INT) AS rank
+    FROM rescored QUALIFY rank <= 5
+),
+norms AS (
+    SELECT vid, v,
+           sqrt(list_sum([v[d] * v[d] FOR d IN range(1, 65)])) AS nrm
+    FROM raw
+),
+exact AS (
+    SELECT q.vid AS query_id, n.vid AS neighbor_id
+    FROM norms q, norms n
+    WHERE q.vid < 10 AND n.vid <> q.vid
+    QUALIFY row_number() OVER (PARTITION BY q.vid
+            ORDER BY list_sum([q.v[d] * n.v[d] FOR d IN range(1, 65)])
+                       / (q.nrm * n.nrm) DESC,
+                     n.vid ASC) <= 5
+),
+recall AS (
+    SELECT a.query_id, count(*) / 5.0 AS recall_at_k
+    FROM ann a JOIN exact e
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.query_id
+)
+SELECT a.query_id, a.neighbor_id, a.approx_dist, a.rank,
+       coalesce(r.recall_at_k, 0.0) AS recall_at_k
+FROM ann a LEFT JOIN recall r ON a.query_id = r.query_id
+"""
+
+# The SQL twin of the MAINTAINED-index pipeline: identical to
+# ANN_IVFPQ_SQL except the model trains on the BOOTSTRAP corpus only
+# (vid % 4 != 3) — coarse init, residual-codebook init, and the Lloyd
+# sweep's training assignment all filter to it — while encode/search
+# run over everything (bootstrap encode ∪ delivery encode ≡ encoding
+# all vectors against the pinned initial-trained model, since encode is
+# per-row). The persistence hop (JSON-sidecar model, parquet codes) is
+# bit-exact, so no SQL-side modeling of it is needed.
+ANN_MAINTAINED_SQL = """
+WITH raw AS (
+    SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+vn AS (
+    SELECT vid, [x / nrm FOR x IN v] AS v
+    FROM (SELECT vid, v, sqrt(list_sum([y * y FOR y IN v])) AS nrm FROM raw)
+),
+cinit AS (  -- coarse model: md5-seeded over the BOOTSTRAP corpus only
+    SELECT CAST(row_number() OVER (ORDER BY md5('ivfpq|' || CAST(vid AS VARCHAR))) - 1 AS INT) AS cell, v AS c
+    FROM vn WHERE vid % 4 != 3
+    ORDER BY md5('ivfpq|' || CAST(vid AS VARCHAR)) LIMIT 16
+),
+cents AS (
+    SELECT cell, c FROM cinit
+),
+casg AS (  -- encode EVERYTHING against the pinned cells
+    SELECT vid, v, cell FROM (
+        SELECT vn.vid, vn.v, cs.cell,
+               row_number() OVER (PARTITION BY vn.vid ORDER BY
+                   list_sum([(vn.v[d] - cs.c[d]) * (vn.v[d] - cs.c[d]) FOR d IN range(1, 65)]) ASC,
+                   cs.cell ASC) AS rn
+        FROM vn, cents cs) t
+    WHERE rn = 1
+),
+resid AS (
+    SELECT a.vid, a.cell, [a.v[d] - cs.c[d] FOR d IN range(1, 65)] AS r
+    FROM casg a JOIN cents cs ON cs.cell = a.cell
+),
+rsubs AS (
+    SELECT vid, cell, ms, [r[ms * 8 + d] FOR d IN range(1, 9)] AS sub
+    FROM resid, range(0, 8) mm(ms)
+),
+binit AS (  -- residual codebooks: md5-seeded over the bootstrap corpus
+    SELECT ms, code, sub AS c FROM (
+        SELECT ms, vid, sub,
+               CAST(row_number() OVER (PARTITION BY ms ORDER BY
+                   md5('ivfpq|' || CAST(ms AS VARCHAR) || '|' || CAST(vid AS VARCHAR))) - 1 AS INT) AS code
+        FROM rsubs WHERE vid % 4 != 3) t
+    WHERE code < 16
+),
+basg0 AS (  -- Lloyd training assignment: bootstrap corpus only
+    SELECT vid, ms, code, sub FROM (
+        SELECT s.vid, s.ms, i.code, s.sub,
+               row_number() OVER (PARTITION BY s.vid, s.ms ORDER BY
+                   list_sum([(s.sub[d] - i.c[d]) * (s.sub[d] - i.c[d]) FOR d IN range(1, 9)]) ASC,
+                   i.code ASC) AS rn
+        FROM rsubs s JOIN binit i ON i.ms = s.ms
+        WHERE s.vid % 4 != 3) t
+    WHERE rn = 1
+),
+bblk AS (  -- hierarchical mean: fold within a 256-id block...
+    SELECT ms, code, vid // 256 AS b, list(sub ORDER BY vid) AS mem,
+           count(*) AS cnt
+    FROM basg0 GROUP BY 1, 2, 3
+),
+bbsum AS (
+    SELECT ms, code, b, cnt,
+           list_reduce(list_prepend([0.0 FOR d IN range(0, 8)], mem),
+                       (acc, x) -> [acc[d] + x[d] FOR d IN range(1, 9)]) AS s
+    FROM bblk
+),
+bmean AS (  -- ...then fold block partials in block order
+    SELECT ms, code, [t[d] / n FOR d IN range(1, 9)] AS c
+    FROM (
+        SELECT ms, code,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 8)],
+                                        list(s ORDER BY b)),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 9)]) AS t,
+               CAST(sum(cnt) AS BIGINT) AS n
+        FROM bbsum GROUP BY ms, code) g
+),
+books AS (
+    SELECT i.ms, i.code, coalesce(m1.c, i.c) AS c
+    FROM binit i LEFT JOIN bmean m1 ON i.ms = m1.ms AND i.code = m1.code
+),
+codes AS (  -- encode everything against the pinned books
     SELECT vid, cell, ms, code FROM (
         SELECT s.vid, s.cell, s.ms, b.code,
                row_number() OVER (PARTITION BY s.vid, s.ms ORDER BY

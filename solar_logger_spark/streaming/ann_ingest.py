@@ -1,0 +1,488 @@
+"""Persisted, incrementally-maintained ANN index (IVF-PQ) — the
+similarity-search sibling of the ``dedup_ingest`` maintained-index
+loop.
+
+Composes two shipped pieces: the IVF-PQ index machinery
+(``operators.pq`` — coarse cells + residual product codes, Jégou 2011)
+and the ``io.merge`` copy-on-write snapshot store with its O(batch)
+delta log. The index is ONE merge-managed table::
+
+    index_dir/
+      snap-00000N/            codes, hive-partitioned by cell
+        _ann_model            the WHOLE model (centroids + codebooks +
+                              params) as a JSON sidecar — committed
+                              atomically with the codes snapshot, so a
+                              reader resolving _CURRENT always sees
+                              codes and the model they were encoded
+                              against in the same commit
+      delta-00000K/           per-delivery encoded codes (O(batch))
+      _CURRENT, _delta_floor
+
+Lifecycle:
+
+* :func:`bootstrap_ann_index` trains the model on the initial corpus
+  (numpy trainers — the throughput path) or
+  :func:`bootstrap_ann_index_deterministic` (md5-seeded pinned-fold
+  trainers — the reproducible-build/oracle path), encodes it, and
+  commits snapshot 0 with the model sidecar.
+* :func:`ann_ingest_sink` is a ``foreachBatch`` function: each
+  delivery encodes MAP-ONLY against the PINNED model from the live
+  snapshot and appends an immutable delta — no base rewrite, no
+  retraining, O(batch) per delivery (the property that keeps a
+  100 TB index maintainable).
+* :func:`search_ann_index` resolves base ∪ deltas latest-epoch-per-id
+  (the delta tail is batch-sized: resolution is a window over the
+  DELTAS ONLY plus one anti-join against the base — never an
+  index-wide shuffle) and searches: the numpy ADC kernel
+  (``pq.topk_ivfpq``) for array-layout indexes, the pinned-fold
+  deterministic pipeline (``pq._adc_rank_tail``) for rows-layout.
+* :func:`compact_ann_index` folds the delta tail into the next base
+  snapshot latest-epoch-per-id (replayed deliveries collapse), carries
+  the model sidecar forward, and re-clusters one file per cell.
+* :func:`recenter_ann_index` is the heavyweight maintenance op:
+  retrain on the current corpus, re-encode everything, replace the
+  table — O(index), paid on the recenter cadence only.
+
+Replay/idempotency contract (``foreachBatch`` may re-run a batch
+after a crash): deliveries are deduped by id batch-side, the replayed
+delta's rows are byte-identical (same pinned model, deterministic
+encode) and land under a higher epoch, and both the read path and
+compaction keep only the highest epoch per id — a replay converges to
+the same search results immediately and to the same bytes at the next
+compaction. A RE-delivered id with a CHANGED vector follows the same
+rule: its latest encoding wins, including across a cell move.
+
+(Reference scope: the reference has no ANN/vector surface at all —
+this is the beyond-reference LLM-pipeline family, maintained-index
+form.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from solar_logger_spark.io import merge as M
+
+MODEL_SIDECAR = "_ann_model"
+
+_ARRAY = "array"  # (id, cell, codes array<int>)  — numpy kernel layout
+_ROWS = "rows"    # (id, cell, ms, code) rows     — pinned-fold layout
+
+
+# ---------------------------------------------------------------------------
+# model sidecar
+# ---------------------------------------------------------------------------
+
+def _model_json(cents, books_dict, layout, id_col, vec_col, m, ks) -> str:
+    """The model as JSON: python floats serialize via repr (shortest
+    round-trip), so every centroid/codebook double survives the
+    persistence hop bit-exactly."""
+    return json.dumps({
+        "layout": layout, "id_col": id_col, "vec_col": vec_col,
+        "m": int(m), "ks": int(ks),
+        "centroids": [[float(x) for x in c] for c in cents],
+        "codebooks": [
+            {"ms": int(msi), "code": int(cd),
+             "c": [float(x) for x in v]}
+            for (msi, cd), v in sorted(books_dict.items())
+        ],
+    })
+
+
+def read_model(index_dir: str) -> dict:
+    """The live snapshot's model (centroids/codebooks/params), or
+    raises if the index was never bootstrapped."""
+    raw = M.read_sidecar(index_dir, MODEL_SIDECAR)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no {MODEL_SIDECAR} sidecar in {index_dir} — not an ANN "
+            "index (bootstrap_ann_index first)"
+        )
+    model = json.loads(raw)
+    model["books_dict"] = {
+        (b["ms"], b["code"]): list(b["c"]) for b in model["codebooks"]
+    }
+    return model
+
+
+# ---------------------------------------------------------------------------
+# bootstrap
+# ---------------------------------------------------------------------------
+
+def bootstrap_ann_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    refine_iters: int = 1,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Train (numpy — ``pq.build_ivfpq``), encode, and commit snapshot
+    0 of the maintained index. Codes land hive-partitioned by ``cell``
+    (probes prune to their cells' directories); the model commits as a
+    sidecar of the same snapshot. Returns the snapshot name."""
+    import numpy as np
+    from solar_logger_spark.operators import pq
+
+    encoded, cents, books = pq.build_ivfpq(
+        corpus, n_cells=n_cells, m=m, ks=ks, refine_iters=refine_iters,
+        sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+    )
+    books = np.asarray(books)
+    bdict = {
+        (j, c): [float(x) for x in books[j, c]]
+        for j in range(books.shape[0]) for c in range(books.shape[1])
+    }
+    return M.init_table(
+        encoded, index_dir, partition_by=["cell"],
+        sidecar={MODEL_SIDECAR: _model_json(
+            [list(map(float, c)) for c in np.asarray(cents)],
+            bdict, _ARRAY, id_col, vec_col, m, ks,
+        )},
+    )
+
+
+def bootstrap_ann_index_deterministic(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    lloyd_rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The reproducible-build bootstrap: md5-seeded coarse cells (the
+    ``n_cells`` smallest ``md5('ivfpq|'||id)`` unit vectors, hash
+    order — no coarse Lloyd: the pinned cells ARE the codebook until a
+    recenter) and md5-seeded residual codebooks refined by
+    ``lloyd_rounds`` pinned hierarchical-fold sweeps — every float
+    re-derivable by a SQL engine (the ``similarity_ann_maintained``
+    oracle replays bootstrap + delivery + search bit-for-bit). Codes
+    land in ROWS layout (one row per (id, subspace)) — the shape the
+    pinned-fold ADC search consumes."""
+    from solar_logger_spark.operators import pq
+
+    cents, books, rsubs = _det_train(
+        corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col
+    )
+    # encode FROM the train step's checkpointed residual subvectors —
+    # rebuilding them would re-run the normalize+assign+explode chain
+    # over the whole bootstrap corpus a second time
+    codes = pq._encode(rsubs, books, ["vid", "cell"]).select(
+        "vid", "cell", "ms", "code"
+    )
+    return M.init_table(
+        codes, index_dir, partition_by=["cell"],
+        sidecar={MODEL_SIDECAR: _model_json(
+            cents, books, _ROWS, id_col, vec_col, m, ks,
+        )},
+    )
+
+
+def _det_train(corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col):
+    """Deterministic model training on the initial corpus — the
+    training half of ``pq.topk_ivfpq_deterministic`` (coarse_rounds=0)
+    with the trained model returned instead of consumed in place."""
+    from solar_logger_spark.operators import pq
+
+    vn = pq._unit_rows(corpus, id_col, vec_col, "vid", "v")
+    dim = pq._vec_dim(corpus, vec_col, "bootstrap_ann_index_deterministic")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    init_rows = (
+        vn.withColumn(
+            "h", F.md5(F.concat(F.lit("ivfpq|"), F.col("vid").cast("string")))
+        )
+        .orderBy("h").limit(n_cells).collect()
+    )  # bounded: n_cells rows
+    if not init_rows:
+        raise ValueError(
+            "bootstrap_ann_index_deterministic: empty corpus"
+        )
+    cents = [list(r["v"]) for r in init_rows]
+    rsubs = _det_residual_subs(vn, cents, m, dsub).localCheckpoint()
+    books = pq._books_init(rsubs, "ivfpq|", ks)
+    books = pq._books_lloyd(corpus.sparkSession, rsubs, books, dsub,
+                            lloyd_rounds)
+    return cents, books, rsubs
+
+
+def _cents_lit(cents):
+    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+
+
+def _det_residual_subs(vn, cents, m, dsub):
+    """(vid, cell, sub) residual subvectors with pinned-L2 cell
+    assignment via broadcast crossJoin + (d2 asc, cell asc) window —
+    the shape the SQL twin's ``casg`` CTE mirrors. NOT the map-only
+    argmin reshape: inlining n_cells × dim nested folds per row
+    measured 3× worse on this stage in r8 (the pq.py coarse-stage
+    revert); the window's shuffle also spreads a single-split
+    small-SF corpus across cores for free."""
+    from solar_logger_spark.operators import pq
+
+    spark = vn.sparkSession
+    cdf = F.broadcast(spark.createDataFrame(
+        list(enumerate(cents)), "cell int, c array<double>"
+    ))
+    w = Window.partitionBy("vid").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    assigned = (
+        vn.crossJoin(cdf)
+        .withColumn("d2", pq._d2(F.col("v"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vid", "cell",
+            F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
+        )
+    )
+    return pq._subspace_rows(assigned, "r", m, dsub, "sub", ["vid", "cell"])
+
+
+def _det_encode(df, cents, books, m, id_col, vec_col):
+    """Map-only deterministic encode against a PINNED model → one row
+    per (id, subspace): (vid, cell, ms, code)."""
+    from solar_logger_spark.operators import pq
+
+    vn = pq._unit_rows(df, id_col, vec_col, "vid", "v")
+    dsub = len(cents[0]) // m
+    rsubs = _det_residual_subs(vn, cents, m, dsub)
+    return pq._encode(rsubs, books, ["vid", "cell"]).select(
+        "vid", "cell", "ms", "code"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deliveries
+# ---------------------------------------------------------------------------
+
+def encode_delivery(batch_df: DataFrame, model: dict) -> DataFrame:
+    """Encode a delivery against the pinned model — map-only in both
+    layouts (numpy Arrow kernel / pinned-fold expressions), no
+    training, no index read."""
+    id_col, vec_col = model["id_col"], model["vec_col"]
+    batch_df = batch_df.dropDuplicates([id_col])
+    if model["layout"] == _ROWS:
+        return _det_encode(
+            batch_df, model["centroids"], model["books_dict"],
+            model["m"], id_col, vec_col,
+        )
+    import numpy as np
+    from solar_logger_spark.operators import pq
+    from solar_logger_spark.operators.similarity import ivf_assign
+
+    cents = np.asarray(model["centroids"], dtype=np.float64)
+    books = _books_array(model)
+    assigned = ivf_assign(batch_df, cents, id_col, vec_col)
+    return pq.encode_ivfpq(assigned, cents, books, id_col, vec_col)
+
+
+def _books_array(model):
+    import numpy as np
+
+    m, ks = model["m"], model["ks"]
+    dsub = len(model["codebooks"][0]["c"])
+    books = np.zeros((m, ks, dsub))
+    for b in model["codebooks"]:
+        books[b["ms"], b["code"]] = np.asarray(b["c"], dtype=np.float64)
+    return books
+
+
+def ann_ingest_sink(index_dir: str):
+    """``foreachBatch`` function: encode each micro-batch of vectors
+    against the live snapshot's pinned model and append an O(batch)
+    codes delta — the per-delivery cost never touches the base.
+
+    Usage::
+
+        q = (vectors_stream.writeStream
+             .foreachBatch(ann_ingest_sink(index_dir))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        model = read_model(index_dir)
+        M.append_delta(
+            index_dir, encode_delivery(batch_df, model),
+            partition_by=["cell"],
+        )
+
+    return _write
+
+
+# ---------------------------------------------------------------------------
+# read / search
+# ---------------------------------------------------------------------------
+
+def resolved_codes(spark: SparkSession, index_dir: str,
+                   model: dict | None = None) -> DataFrame:
+    """Base ∪ delta codes with latest-epoch-per-id resolution. The
+    window runs over the DELTAS ONLY (batch-sized tail between
+    compactions) and the base pays one anti-join against the resolved
+    delta id set — never an index-wide shuffle. Base rows are clean by
+    construction (bootstrap and compaction both commit resolved
+    state)."""
+    model = model or read_model(index_dir)
+    id_col = model["id_col"]
+    base = M.read_table_snapshot(spark, index_dir)
+    ddirs = M.list_deltas(index_dir)
+    if not ddirs:
+        return base
+    sch = base.schema
+    tail = None
+    for d in ddirs:
+        part = spark.read.schema(sch).parquet(
+            os.path.join(index_dir, d)
+        ).withColumn("_epoch", F.lit(M._delta_idx(d)).cast("long"))
+        tail = part if tail is None else tail.unionByName(part)
+    w = Window.partitionBy("vid" if "vid" in sch.names else id_col)
+    key = "vid" if "vid" in sch.names else id_col
+    latest = (
+        tail.withColumn("_mx", F.max("_epoch").over(w))
+        .filter(F.col("_epoch") == F.col("_mx"))
+        .drop("_mx", "_epoch")
+    )
+    return base.join(
+        latest.select(key).distinct(), key, "left_anti"
+    ).unionByName(latest)
+
+
+def search_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 0,
+) -> DataFrame:
+    """Top-k over the maintained index: vectors delivered since
+    bootstrap are searchable immediately (delta resolution above).
+    ``corpus`` (raw vectors) is required when ``rerank > 0`` — the
+    shortlist re-scores exactly against it. Output matches the other
+    ANN operators: (query_id, neighbor_id, approx_dist, rank)."""
+    from solar_logger_spark.operators import pq
+
+    model = read_model(index_dir)
+    codes = resolved_codes(spark, index_dir, model)
+    id_col, vec_col = model["id_col"], model["vec_col"]
+    if model["layout"] == _ARRAY:
+        import numpy as np
+
+        return pq.topk_ivfpq(
+            codes, queries, np.asarray(model["centroids"]),
+            _books_array(model), k=k, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+            rerank=rerank, raw=corpus,
+        )
+    if corpus is None:
+        raise ValueError(
+            "rows-layout search re-ranks exactly against the raw "
+            "vectors; pass corpus="
+        )
+    cents, books = model["centroids"], model["books_dict"]
+    m = model["m"]
+    dsub = len(cents[0]) // m
+    vn = pq._unit_rows(corpus, id_col, vec_col, "vid", "v")
+    qn = pq._unit_rows(queries, id_col, vec_col, "query_id", "qv")
+    cdf = F.broadcast(spark.createDataFrame(
+        list(enumerate(cents)), "cell int, c array<double>"
+    ))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qn.crossJoin(cdf)
+        .withColumn("d2", pq._d2(F.col("qv"), F.col("c")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id", "cell",
+            F.zip_with("qv", "c", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    qrsubs = pq._subspace_rows(
+        probes, "qr", m, dsub, "qsub", ["query_id", "cell"]
+    )
+    dtab = qrsubs.join(pq._books_bdf(spark, books), "ms").select(
+        "query_id", "cell", "ms", "code",
+        pq._d2(F.col("qsub"), F.col("c")).alias("d2"),
+    )
+    return pq._adc_rank_tail(
+        codes, dtab, qn, vn, rerank, k, ["cell", "ms", "code"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# maintenance
+# ---------------------------------------------------------------------------
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str, keep_snapshots: int = 2
+) -> str:
+    """Fold the delta tail into the next base snapshot latest-epoch-
+    per-id (replayed deliveries and superseded re-deliveries collapse),
+    carrying the model sidecar forward and re-clustering one file per
+    cell. O(base + deltas), paid on the maintenance cadence."""
+    model = read_model(index_dir)
+    raw = M.read_sidecar(index_dir, MODEL_SIDECAR)
+    key = "vid" if model["layout"] == _ROWS else model["id_col"]
+    return M.compact_deltas(
+        spark, index_dir, keys=[key], partition_by=["cell"],
+        keep_snapshots=keep_snapshots,
+        repartition=(1, "cell"), sidecar={MODEL_SIDECAR: raw},
+    )
+
+
+def recenter_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    n_cells: int | None = None,
+    refine_iters: int = 1,
+    sample_size: int = 2048,
+    keep_snapshots: int = 2,
+) -> str:
+    """The heavyweight maintenance op: retrain the model on the
+    CURRENT corpus (numpy trainers), re-encode everything, and replace
+    the table — model and codes swap in one atomic snapshot commit.
+    Visible deltas are folded first (``replace_table`` refuses to
+    silently orphan them). O(index) by design; run on the recenter
+    cadence, not per delivery."""
+    import numpy as np
+    from solar_logger_spark.operators import pq
+
+    if M.list_deltas(index_dir):
+        compact_ann_index(spark, index_dir, keep_snapshots)
+    old = read_model(index_dir)
+    id_col, vec_col = old["id_col"], old["vec_col"]
+    encoded, cents, books = pq.build_ivfpq(
+        corpus, n_cells=n_cells or len(old["centroids"]),
+        m=old["m"], ks=old["ks"], refine_iters=refine_iters,
+        sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+    )
+    books = np.asarray(books)
+    bdict = {
+        (j, c): [float(x) for x in books[j, c]]
+        for j in range(books.shape[0]) for c in range(books.shape[1])
+    }
+    return M.replace_table(
+        encoded, index_dir, keep_snapshots=keep_snapshots,
+        partition_by=["cell"],
+        sidecar={MODEL_SIDECAR: _model_json(
+            [list(map(float, c)) for c in np.asarray(cents)],
+            bdict, _ARRAY, id_col, vec_col, old["m"], old["ks"],
+        )},
+    )
