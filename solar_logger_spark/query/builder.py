@@ -194,6 +194,8 @@ class QueryBuilder:
         "group", "pivot", "map", "truncateTimeColumn",
         "histogram", "quantile", "duplicate", "window",
         "tail", "sample",
+        "interpolate.linear", "holtWinters", "integral",
+        "timedMovingAverage",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -281,6 +283,80 @@ class QueryBuilder:
             # column on the way. Single hash aggregate with map-side
             # partial combine — shuffle volume is |series|, not rows.
             return df.groupBy(*series).agg(agg_expr(name, val, ts).alias(val))
+        if name == "integral":
+            # Bare Flux ``integral(unit:)``: per series, the trapezoid
+            # area under consecutive points over the WHOLE table, in
+            # value·unit (default 1s) — the un-windowed sibling of
+            # aggregateWindow(fn: integral). One analytic lag over the
+            # series partitioning + a hash agg on the same keys (the
+            # exchange is reused — integral_window's plan argument).
+            from pyspark.sql import Window
+
+            from solar_logger_spark.durations import epoch_seconds
+
+            u = float(params.get("unit_seconds", 1.0))
+            # value as tiebreak: equal timestamps otherwise pair with
+            # lag() nondeterministically (the integral_window rule)
+            spec = Window.partitionBy(*series).orderBy(
+                F.col(ts).asc(), F.col(val).asc()
+            )
+            area = (
+                (F.col(val) + F.lag(val).over(spec)) / 2.0
+                * (
+                    epoch_seconds(ts)
+                    - F.lag(epoch_seconds(ts)).over(spec)
+                )
+                / F.lit(u)
+            )
+            return (
+                df.withColumn("_a", area)
+                .groupBy(*series)
+                .agg(F.coalesce(F.sum("_a"), F.lit(0.0)).alias(val))
+            )
+        if name == "timedMovingAverage":
+            # Flux ``timedMovingAverage(every:, period:)``: mean over
+            # the trailing ``period``, one row per ``every`` boundary,
+            # stamped at window stop — exactly a hopping-window mean
+            # (aggregate_window width=period, stride=every); Spark's
+            # window() expands the fan-out JVM-side before one hash agg.
+            return aggregate_window(
+                df, every=params["period"], fn="mean", by=series,
+                ts_col=ts, value_col=val, alias=val, label="stop",
+                slide=params["every"],
+            )
+        if name == "interpolate.linear":
+            # Flux ``interpolate.linear``: null values replaced by the
+            # time-weighted line between the nearest non-null series
+            # neighbors (leading/trailing nulls stay null). Fills IN
+            # PLACE — the every:-driven row creation is rejected at
+            # parse time (documented divergence).
+            out = T.interpolate_linear(
+                df, series, ts_col=ts, value_col=val,
+                tiebreak=tiebreak, alias="_t",
+            )
+            return out.withColumn(val, F.col("_t")).drop("_t")
+        if name == "holtWinters":
+            # Flux ``holtWinters(seasonality:)`` family: appends the
+            # fitted level/trend(/seasonal) components per row — the
+            # full recursion, in-sample, rather than Flux's n-step
+            # forecast emission; alpha/beta/gamma are pinned (not
+            # fitted) so results are reproducible and oracle-checkable
+            # (the ts_* family's documented divergence).
+            period = int(params.get("seasonality", 0))
+            kw = {
+                k: float(params[k])
+                for k in ("alpha", "beta", "gamma") if k in params
+            }
+            if period >= 1:
+                return T.holt_winters(
+                    df, series, period, ts_col=ts, value_col=val,
+                    tiebreak=tiebreak, **kw,
+                )
+            kw.pop("gamma", None)
+            return T.holt_smoothing(
+                df, series, ts_col=ts, value_col=val,
+                tiebreak=tiebreak, **kw,
+            )
         if name == "quantile":
             # Flux quantile(q:) as a bare aggregate. Flux's default
             # method is a t-digest estimate; ours is the EXACT linearly-

@@ -167,7 +167,7 @@ def parse_flux(text: str) -> FluxPipeline:
     for stage in stages:
         if not stage:
             continue
-        head = re.match(r"(\w+)\s*\(", stage)
+        head = re.match(r"([\w.]+)\s*\(", stage)  # dots: interpolate.linear
         if not head:
             raise ValueError(f"unparseable stage: {stage!r}")
         name = head.group(1)
@@ -260,6 +260,8 @@ _TRANSFORM_STAGES = {
     "pivot", "map", "truncateTimeColumn",
     "histogram", "quantile", "duplicate", "window",
     "tail", "sample",
+    "interpolate.linear", "holtWinters", "integral",
+    "timedMovingAverage",
 } | _BARE_AGGS
 
 
@@ -292,10 +294,42 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
         if "duration" not in args:
             raise ValueError(f"timeShift needs duration: {body!r}")
         params["duration"] = str(_unquote(args["duration"])).rstrip(")")
-    elif name in ("elapsed", "stateDuration") and "unit" in args:
+    elif name in ("elapsed", "stateDuration", "integral") and "unit" in args:
+        # bare integral(unit:) — Flux default 1s; the trapezoid area
+        # comes out in value·unit
         params["unit_seconds"] = _unit_seconds(
             str(_unquote(args["unit"])).rstrip(")")
         )
+    elif name == "timedMovingAverage":
+        # Flux timedMovingAverage(every:, period:) — mean over the
+        # trailing `period`, one row per `every` boundary
+        if "every" not in args or "period" not in args:
+            raise ValueError(
+                f"timedMovingAverage needs every: + period:: {body!r}"
+            )
+        params["every"] = str(_unquote(args["every"])).rstrip(")")
+        params["period"] = str(_unquote(args["period"])).rstrip(")")
+    elif name == "holtWinters":
+        # seasonality: 0 (Flux default) = non-seasonal Holt smoothing;
+        # >= 1 = the additive seasonal recursion. alpha/beta/gamma are
+        # beyond-Flux tuning knobs (Flux fits them; ours are pinned for
+        # reproducibility — documented divergence, see builder)
+        params["seasonality"] = int(
+            str(_unquote(args.get("seasonality", "0"))).rstrip(")")
+        )
+        for k in ("alpha", "beta", "gamma"):
+            if k in args:
+                params[k] = float(str(_unquote(args[k])).rstrip(")"))
+    elif name == "interpolate.linear":
+        # our stage fills NULL values in place (time-weighted between
+        # nearest non-null neighbors); Flux's every:-driven row
+        # CREATION at regular intervals is not implemented — reject
+        # rather than silently diverge
+        if "every" in args:
+            raise ValueError(
+                "interpolate.linear(every:) row creation is not "
+                "supported; the stage fills existing null values"
+            )
     elif name == "truncateTimeColumn":
         if "unit" not in args:
             raise ValueError(f"truncateTimeColumn needs unit: {body!r}")

@@ -709,3 +709,146 @@ def test_fuzz_union_script_collects_known_tables(names, w):
     out = parse_flux_script(script)
     assert out.combine == ("union", None)
     assert out.tables == names
+
+
+def test_execute_text_interpolate_linear(spark):
+    """r9: interpolate.linear through TEXT bit-matches the operator."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import timeseries as T
+
+    rows = [
+        Row(ts=datetime(2024, 1, 1, 0, i), event_type="a",
+            event_id=i,
+            value=None if i in (2, 3, 7) else float(i) * 1.5 + 0.1)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    got = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> interpolate.linear()"
+        )
+        .to_builder(df, series_cols=("event_type",))
+        .to_df()
+    )
+    want = T.interpolate_linear(
+        df, ["event_type"], tiebreak=["event_id"], alias="_t"
+    ).withColumn("value", __import__("pyspark").sql.functions.col("_t")).drop("_t")
+
+    def hx(frame):
+        return sorted(
+            (r.ts, r.event_type,
+             None if r.value is None else r.value.hex())
+            for r in frame.select("ts", "event_type", "value").collect()
+        )
+
+    assert hx(got) == hx(want)
+    # interior nulls filled, value preserved where present
+    filled = {r[0]: r[2] for r in hx(got)}
+    assert all(v is not None for v in filled.values())
+    # every: is the unimplemented row-creation form — rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="row creation"):
+        parse_flux(
+            'from(bucket: "e") |> interpolate.linear(every: 1m)'
+        )
+
+
+def test_execute_text_holtwinters_and_integral(spark, sf_dir):
+    """r9: holtWinters (seasonal + non-seasonal) and bare integral
+    through TEXT bit-match their Python-API twins."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    filt = events.filter(F.col("ts") >= "2024-01-01")
+    series = ["event_type"]
+    tb = ["event_id"]
+
+    def hx(frame, cols):
+        return sorted(
+            tuple(x.hex() if isinstance(x, float) else x for x in r)
+            for r in frame.select(*cols).collect()
+        )
+
+    got = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> holtWinters(seasonality: 4, alpha: 0.5, beta: 0.2,"
+            " gamma: 0.3)"
+        )
+        .to_builder(events, series_cols=tuple(series))
+        .to_df()
+    )
+    want = T.holt_winters(
+        filt, series, 4, tiebreak=tb, alpha=0.5, beta=0.2, gamma=0.3
+    )
+    cols = ["event_id", "level", "trend", "seasonal"]
+    assert hx(got, cols) == hx(want, cols)
+
+    got0 = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> holtWinters(alpha: 0.5)"
+        )
+        .to_builder(events, series_cols=tuple(series))
+        .to_df()
+    )
+    want0 = T.holt_smoothing(filt, series, tiebreak=tb, alpha=0.5)
+    cols0 = ["event_id", "level", "trend"]
+    assert hx(got0, cols0) == hx(want0, cols0)
+
+    # bare integral(unit: 10s): one row per series, trapezoid area
+    goti = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> integral(unit: 10s)"
+        )
+        .to_builder(events, series_cols=tuple(series))
+        .to_df()
+    )
+    rows = goti.collect()
+    n_series = filt.select(*series).distinct().count()
+    assert len(rows) == n_series
+    assert all(isinstance(r.value, float) and r.value != 0.0 for r in rows)
+
+
+def test_execute_text_timed_moving_average(spark, sf_dir):
+    """r9: timedMovingAverage(every:, period:) through TEXT ==
+    aggregate_window(width=period, stride=every, fn=mean)."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.window_agg import aggregate_window
+
+    events = load_table(spark, sf_dir, "events")
+    got = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> timedMovingAverage(every: 6h, period: 1d)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    want = aggregate_window(
+        events.filter(F.col("ts") >= "2024-01-01"),
+        every="1d", fn="mean", by=["event_type"], slide="6h",
+    )
+
+    def hx(frame):
+        return sorted(
+            (r.ts, r.event_type, r.value.hex())
+            for r in frame.select("ts", "event_type", "value").collect()
+        )
+
+    assert hx(got) == hx(want)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every.*period"):
+        parse_flux('from(bucket: "e") |> timedMovingAverage(every: 6h)')
