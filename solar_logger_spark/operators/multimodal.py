@@ -140,7 +140,10 @@ def extract_features(
 
     ``codec``: ``"stub"`` (default — ``decode_stub``; ``fake=True``
     derives deterministic pseudo-features, the oracle-verified path),
-    ``"pil"`` (real Pillow decode; ImportError without Pillow), or
+    ``"pil"`` (real Pillow decode; ImportError without Pillow),
+    ``"png"`` (real decode via the pure-stdlib
+    ``operators.png_codec`` — no image library needed, so the
+    real-codec branch is testable in this container; PNG-only), or
     ``"auto"`` (Pillow when importable, else the stub). The Spark
     plumbing — schema, Arrow batching, signature — is identical in
     every mode; the codec is the one pluggable function.
@@ -149,12 +152,16 @@ def extract_features(
     (no per-row Python overhead) and the output schema is fixed, so the
     operator composes with normal DataFrame code downstream.
     """
-    if codec not in ("stub", "pil", "auto"):
+    if codec not in ("stub", "pil", "png", "auto"):
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "auto":
         codec = "pil" if have_pil() else "stub"
     if codec == "pil":
         return _extract_with(df, id_col, payload_col, pil_decode)
+    if codec == "png":
+        from solar_logger_spark.operators.png_codec import png_dims
+
+        return _extract_with(df, id_col, payload_col, png_dims)
     return _extract_with(
         df, id_col, payload_col, lambda p: decode_stub(p, fake)
     )
@@ -226,14 +233,21 @@ def resize_images(
     """Batch resize over binary payloads — one output row per input, new
     payload bytes sized to the target dimensions. ``mapInPandas`` so the
     (real) codec gets whole Arrow batches per call. ``codec`` as in
-    :func:`extract_features`: "stub" (default), "pil", or "auto"."""
-    if codec not in ("stub", "pil", "auto"):
+    :func:`extract_features`: "stub" (default), "pil", "png"
+    (stdlib nearest-neighbor — deterministic, no image library), or
+    "auto"."""
+    if codec not in ("stub", "pil", "png", "auto"):
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "auto":
         codec = "pil" if have_pil() else "stub"
     if codec == "pil":
         def _one(p: bytes) -> bytes:
             return pil_resize(p, width, height)
+    elif codec == "png":
+        from solar_logger_spark.operators.png_codec import png_resize
+
+        def _one(p: bytes) -> bytes:
+            return png_resize(p, width, height)
     else:
         def _one(p: bytes) -> bytes:
             return resize_stub(p, width, height, fake)

@@ -181,3 +181,135 @@ def test_pil_roundtrip_when_available(spark):
     for did in (1, 2):
         with Image.open(BytesIO(bytes(rez[did].payload))) as im:
             assert (im.width, im.height) == (8, 8)
+
+
+def _ref_png_bytes(w, h, mode="RGB"):
+    """Deterministic test pixels + their stdlib-encoded PNG."""
+    from solar_logger_spark.operators.png_codec import png_encode
+
+    ch = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+    px = bytes(
+        (x * 7 + y * 13 + c * 29) % 251
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+    return px, png_encode(px, w, h, mode)
+
+
+def test_png_codec_roundtrip_all_modes():
+    """r9 stdlib codec: encode -> decode returns the identical pixel
+    buffer for every supported mode; no image library involved."""
+    from solar_logger_spark.operators import png_codec as P
+
+    for mode in ("L", "RGB", "RGBA"):
+        px, blob = _ref_png_bytes(9, 5, mode)
+        assert P.is_png(blob)
+        w, h, m, got = P.png_decode(blob)
+        assert (w, h, m) == (9, 5, mode)
+        assert bytes(got) == px
+
+
+def test_png_codec_unfilters_every_filter_type():
+    """Hand-filter scanlines with each PNG filter (Sub/Up/Average/
+    Paeth) and require the decoder to recover the original pixels."""
+    import struct
+    import zlib
+
+    from solar_logger_spark.operators import png_codec as P
+
+    w, h, ch = 6, 5, 3
+    px, _ = _ref_png_bytes(w, h, "RGB")
+    stride = w * ch
+
+    def flt(f, line, prev):
+        out = bytearray([f])
+        for i, x in enumerate(line):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i] if prev else 0
+            c = prev[i - ch] if (prev and i >= ch) else 0
+            sub = {
+                0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: P._paeth(a, b, c),
+            }[f]
+            out.append((x - sub) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = None
+    for y in range(h):
+        line = px[y * stride:(y + 1) * stride]
+        raw += flt(y % 5, line, prev)  # rows cycle through all filters
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        P._SIG + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + P._chunk(b"IEND", b"")
+    )
+    got_w, got_h, mode, got = P.png_decode(blob)
+    assert (got_w, got_h, mode) == (w, h, "RGB")
+    assert bytes(got) == px
+
+
+def test_png_codec_rejects_unsupported_forms():
+    import struct
+    import zlib
+
+    import pytest
+
+    from solar_logger_spark.operators import png_codec as P
+
+    def ihdr_png(depth=8, color=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return (
+            P._SIG + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + P._chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="bad signature"):
+        P.png_decode(b"JFIF....")
+    with pytest.raises(ValueError, match="bit depth"):
+        P.png_decode(ihdr_png(depth=16))
+    with pytest.raises(ValueError, match="color type"):
+        P.png_decode(ihdr_png(color=3))  # palette
+    with pytest.raises(ValueError, match="interlace"):
+        P.png_decode(ihdr_png(interlace=1))
+    _, blob = _ref_png_bytes(4, 4)
+    with pytest.raises(ValueError, match="no IEND"):
+        P.png_decode(blob[:-12])
+
+
+def test_png_real_codec_branch_in_spark(spark):
+    """The real-codec branch runs HERE (no Pillow needed): stdlib PNGs
+    through extract_features(codec='png') report true dimensions, and
+    resize_images(codec='png') emits PNGs that re-decode at the target
+    dims with pixels drawn from the source (nearest neighbor)."""
+    from pyspark.sql import Row
+
+    from solar_logger_spark.operators import multimodal as MM
+    from solar_logger_spark.operators import png_codec as P
+
+    px1, b1 = _ref_png_bytes(10, 20, "RGB")
+    px2, b2 = _ref_png_bytes(33, 7, "RGBA")
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=b1), Row(doc_id=2, payload=b2)]
+    )
+    feats = {
+        r.doc_id: r
+        for r in MM.extract_features(df, codec="png").collect()
+    }
+    assert (feats[1].width, feats[1].height, feats[1].mode) == (10, 20, "RGB")
+    assert (feats[2].width, feats[2].height, feats[2].mode) == (33, 7, "RGBA")
+
+    rez = {
+        r.doc_id: r
+        for r in MM.resize_images(df, width=8, height=8, codec="png").collect()
+    }
+    for did, src_px, src_w, ch in ((1, px1, 10, 3), (2, px2, 33, 4)):
+        w, h, _m, got = P.png_decode(bytes(rez[did].payload))
+        assert (w, h) == (8, 8)
+        # nearest-neighbor: output pixel (0,0) is source pixel (0,0)
+        assert bytes(got[:ch]) == src_px[:ch]
+
+    # same plumbing as the stub path: identical output schema
+    stub = MM.extract_features(df, codec="stub")
+    assert stub.schema == MM.extract_features(df, codec="png").schema
