@@ -27,6 +27,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+from collections import OrderedDict
 
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
 SUBSCRIBE, SUBACK = 8, 9
@@ -78,12 +79,14 @@ def encode_subscribe(packet_id: int, topic_filter: str, qos: int) -> bytes:
 
 
 def encode_publish(
-    topic: str, payload: bytes, qos: int = 0, packet_id: int | None = None
+    topic: str, payload: bytes, qos: int = 0,
+    packet_id: int | None = None, dup: bool = False,
 ) -> bytes:
     body = encode_string(topic)
     if qos > 0:
         body += struct.pack(">H", packet_id or 1)
-    return encode_packet(PUBLISH, qos << 1, body + payload)
+    return encode_packet(PUBLISH, (qos << 1) | (0x08 if dup else 0),
+                         body + payload)
 
 
 def encode_puback(packet_id: int) -> bytes:
@@ -162,7 +165,26 @@ class MiniMqttClient:
     reader's offset replay upgrades that to effectively-once downstream,
     SURVEY T6). API mirrors the paho calls MqttStreamReader.stop uses
     (``loop_stop`` / ``disconnect``).
+
+    Transport hardening (r9):
+
+    * **Reconnect-with-resubscribe** — a dropped socket (broker
+      restart, LB idle-kill, network blip) no longer silently ends the
+      reader: the loop re-dials, re-CONNECTs, and re-SUBSCRIBEs with
+      capped exponential backoff until it succeeds or the client is
+      stopped (``reconnect=False`` restores the old die-on-drop
+      behavior). Messages published while disconnected follow the
+      broker's QoS contract; the downstream offset replay (T6) is what
+      makes the pipeline effectively-once across the gap either way.
+    * **Duplicate-PUBLISH (DUP) handling** — a QoS-1 retransmit
+      (DUP=1) whose packet id was already delivered ON THIS CONNECTION
+      is PUBACK'd again but NOT re-delivered to ``on_message`` (bounded
+      id memory, cleared on reconnect — MQTT 3.1.1 packet ids are only
+      meaningful within a connection). Cross-connection duplicates
+      remain at-least-once, deduped downstream.
     """
+
+    _DUP_MEMORY = 4096  # recently-delivered QoS-1 packet ids per conn
 
     def __init__(
         self,
@@ -177,32 +199,75 @@ class MiniMqttClient:
         tls: bool = False,
         keepalive: int = 60,
         timeout: float = 10.0,
+        reconnect: bool = True,
+        reconnect_delay: float = 0.2,
+        reconnect_delay_max: float = 5.0,
     ) -> None:
         self._on_message = on_message
         self._keepalive = keepalive
-        self._sock = socket.create_connection((host, port), timeout=timeout)
-        if tls:
-            import ssl
-
-            self._sock = ssl.create_default_context().wrap_socket(
-                self._sock, server_hostname=host
-            )
-        self._sock.sendall(encode_connect(client_id, user, token, keepalive))
-        pkt = read_packet(self._sock)
-        if pkt is None or pkt[0] != CONNACK or pkt[2][1] != 0:
-            raise ConnectionError(f"MQTT CONNECT refused: {pkt!r}")
-        self._sock.sendall(encode_subscribe(1, topic, qos))
-        pkt = read_packet(self._sock)
-        if pkt is None or pkt[0] != SUBACK or pkt[2][2] == 0x80:
-            raise ConnectionError(f"MQTT SUBSCRIBE refused: {pkt!r}")
+        self._conn_params = (host, port, topic, user, token, qos,
+                             client_id, tls, timeout)
+        self._reconnect = reconnect
+        self._delay0 = reconnect_delay
+        self._delay_max = reconnect_delay_max
+        self.reconnects = 0  # observable in tests / ops logs
+        self._connect()  # first connect failure raises to the caller
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def _connect(self) -> None:
+        """Dial + CONNECT + SUBSCRIBE; swaps ``self._sock`` in and
+        resets the per-connection DUP memory."""
+        host, port, topic, user, token, qos, client_id, tls, timeout = \
+            self._conn_params
+        sock = socket.create_connection((host, port), timeout=timeout)
+        if tls:
+            import ssl
+
+            sock = ssl.create_default_context().wrap_socket(
+                sock, server_hostname=host
+            )
+        sock.sendall(encode_connect(client_id, user, token, self._keepalive))
+        pkt = read_packet(sock)
+        if pkt is None or pkt[0] != CONNACK or pkt[2][1] != 0:
+            sock.close()
+            raise ConnectionError(f"MQTT CONNECT refused: {pkt!r}")
+        sock.sendall(encode_subscribe(1, topic, qos))
+        pkt = read_packet(sock)
+        if pkt is None or pkt[0] != SUBACK or pkt[2][2] == 0x80:
+            sock.close()
+            raise ConnectionError(f"MQTT SUBSCRIBE refused: {pkt!r}")
+        sock.settimeout(1.0)
+        self._seen_pids: "OrderedDict[int, None]" = OrderedDict()
+        self._sock = sock
+
+    def _try_reconnect(self) -> bool:
+        """Backoff re-dial loop; True once resubscribed, False when
+        stopped first (or reconnect is disabled)."""
+        if not self._reconnect:
+            return False
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        delay = self._delay0
+        while not self._stop.is_set():
+            try:
+                self._connect()
+                self.reconnects += 1
+                return True
+            except OSError:
+                # includes ConnectionError from a refused handshake —
+                # the broker may still be coming back up
+                if self._stop.wait(delay):
+                    return False
+                delay = min(delay * 2, self._delay_max)
+        return False
+
     def _loop(self) -> None:
         import time
 
-        self._sock.settimeout(1.0)
         last_ping = time.monotonic()
         while not self._stop.is_set():
             try:
@@ -215,25 +280,41 @@ class MiniMqttClient:
                     try:
                         self._sock.sendall(encode_packet(PINGREQ, 0, b""))
                     except OSError:
-                        return
+                        if not self._try_reconnect():
+                            return
                     last_ping = now
                 continue
             except OSError:
-                return
+                if not self._try_reconnect():
+                    return
+                last_ping = time.monotonic()
+                continue
             last_ping = time.monotonic()  # any traffic proves liveness
-            if pkt is None:
-                return
+            if pkt is None:  # orderly EOF from the broker side
+                if not self._try_reconnect():
+                    return
+                continue
             ptype, flags, body = pkt
             if ptype == PUBLISH:
                 qos = (flags >> 1) & 0x03
+                dup = bool(flags & 0x08)
                 topic, at = decode_string(body, 0)
+                pid = None
                 if qos > 0:
                     (pid,) = struct.unpack_from(">H", body, at)
                     at += 2
                     try:
                         self._sock.sendall(encode_puback(pid))
                     except OSError:
-                        return
+                        if not self._try_reconnect():
+                            return
+                        continue  # ack lost with the socket: broker re-sends
+                    if dup and pid in self._seen_pids:
+                        continue  # retransmit of a delivered packet: ack-only
+                    self._seen_pids[pid] = None
+                    self._seen_pids.move_to_end(pid)
+                    while len(self._seen_pids) > self._DUP_MEMORY:
+                        self._seen_pids.popitem(last=False)
                 self._on_message(topic, body[at:])
             # PINGRESP / SUBACK dups need no action
 

@@ -166,6 +166,45 @@ class EmbeddedBroker:
             return 4  # bad user name or password
         return 0
 
+    # -- fault-injection hooks for transport-hardening tests ----------
+    def kill_client_connections(self) -> int:
+        """Hard-close every live client socket (no DISCONNECT) —
+        simulates a broker restart / LB idle-kill mid-stream. Returns
+        how many connections were dropped."""
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
+        return len(conns)
+
+    def subscriber_count(self) -> int:
+        with self._lock:
+            return len(self._subs)
+
+    def send_duplicate(
+        self, topic: str, payload: bytes, packet_id: int, dup: bool = True
+    ) -> None:
+        """Inject a (possibly DUP-flagged) QoS-1 PUBLISH with a chosen
+        packet id straight to matching subscribers — the broker-side
+        retransmit the client's DUP handling must dedupe."""
+        with self._lock:
+            subs = list(self._subs)
+        for conn, filt, _qos in subs:
+            if topic_matches(filt, topic):
+                try:
+                    conn.sendall(w.encode_publish(
+                        topic, payload, qos=1, packet_id=packet_id, dup=dup
+                    ))
+                except OSError:
+                    pass
+
     def _route(self, topic: str, payload: bytes) -> None:
         self.messages.append((topic, payload))
         with self._lock:

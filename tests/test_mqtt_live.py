@@ -166,3 +166,97 @@ def test_read_packet_survives_mid_frame_stall():
     finally:
         a.close()
         b.close()
+
+
+def test_client_reconnects_and_resubscribes_after_socket_kill():
+    """r9 transport hardening: a mid-stream hard socket kill (broker
+    restart / LB idle-drop) must not end the reader — the client
+    re-dials, re-subscribes, and keeps delivering; T6 effectively-once
+    survives the transport gap via downstream offset replay."""
+    got: list[tuple[str, bytes]] = []
+    with EmbeddedBroker() as broker:
+        client = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)),
+            reconnect_delay=0.05,
+        )
+        try:
+            publish_once(broker.port, "mate/a", b"before")
+            assert _wait_until(lambda: len(got) == 1)
+
+            assert broker.kill_client_connections() >= 1
+            # reconnect-with-RESUBSCRIBE: the broker's sub table must
+            # repopulate (the old conn's entry died with the socket)
+            assert _wait_until(lambda: client.reconnects >= 1)
+            assert _wait_until(lambda: broker.subscriber_count() >= 1)
+
+            publish_once(broker.port, "mate/b", b"after")
+            assert _wait_until(lambda: len(got) == 2)
+        finally:
+            client.disconnect()
+    assert got == [("mate/a", b"before"), ("mate/b", b"after")]
+
+
+def test_client_survives_repeated_kills():
+    got: list[bytes] = []
+    with EmbeddedBroker() as broker:
+        client = MiniMqttClient(
+            "127.0.0.1", broker.port, "#",
+            lambda t, p: got.append(p),
+            reconnect_delay=0.05,
+        )
+        try:
+            for i in range(3):
+                broker.kill_client_connections()
+                assert _wait_until(lambda: client.reconnects >= i + 1)
+                assert _wait_until(lambda: broker.subscriber_count() >= 1)
+                publish_once(broker.port, "t", f"m{i}".encode())
+                assert _wait_until(lambda: len(got) == i + 1), got
+        finally:
+            client.disconnect()
+    assert got == [b"m0", b"m1", b"m2"]
+
+
+def test_duplicate_publish_dup_flag_acked_but_not_redelivered():
+    """r9: a QoS-1 retransmit (DUP=1, same packet id) is PUBACK'd but
+    NOT delivered twice; a DUP-flagged id never seen on this connection
+    (ack lost before the app saw it) IS delivered."""
+    got: list[bytes] = []
+    with EmbeddedBroker() as broker:
+        client = MiniMqttClient(
+            "127.0.0.1", broker.port, "#", lambda t, p: got.append(p)
+        )
+        try:
+            broker.send_duplicate("t", b"first", packet_id=77, dup=False)
+            assert _wait_until(lambda: len(got) == 1)
+            # broker retransmits the same packet id with DUP set —
+            # already delivered: ack-only, no second on_message
+            broker.send_duplicate("t", b"first", packet_id=77, dup=True)
+            broker.send_duplicate("t", b"next", packet_id=78, dup=False)
+            assert _wait_until(lambda: len(got) == 2)
+            assert got == [b"first", b"next"]
+            # DUP with an UNSEEN id: the original delivery was lost
+            # before reaching us — must be delivered, not swallowed
+            broker.send_duplicate("t", b"lost-then-resent",
+                                  packet_id=99, dup=True)
+            assert _wait_until(lambda: len(got) == 3)
+        finally:
+            client.disconnect()
+    assert got[-1] == b"lost-then-resent"
+
+
+def test_reconnect_disabled_dies_on_drop():
+    got: list[bytes] = []
+    with EmbeddedBroker() as broker:
+        client = MiniMqttClient(
+            "127.0.0.1", broker.port, "#", lambda t, p: got.append(p),
+            reconnect=False,
+        )
+        try:
+            broker.kill_client_connections()
+            time.sleep(0.3)
+            client._thread.join(timeout=5.0)
+            assert not client._thread.is_alive()  # old die-on-drop contract
+            assert client.reconnects == 0
+        finally:
+            client.disconnect()
