@@ -332,7 +332,8 @@ def upsert(
         else:
             touched = upd_touched
     if partition_scoped:
-        _validate_scoped_values(partition_by, touched)
+        # every path here already validated `touched` (upd_touched
+        # pre-coverage; the scope_from_base union post-union)
         base = base.filter(_touched_predicate(partition_by, touched))
     if delete_filter is not None:
         # NULL predicate means "not deleted" — coalesce before negating,

@@ -1520,10 +1520,14 @@ def similarity_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     initial = emb.filter(F.col("vec_id") % 4 != 3)
     delivery = emb.filter(F.col("vec_id") % 4 == 3)
+    # per-session path: a concurrent session (pytest plan audit vs a
+    # verify run) must never rmtree an index the other is mid-build on;
+    # within one session, queries run sequentially and rebuild cleanly
     idx = os.path.join(
         tempfile.gettempdir(),
         "slspark_ann_maintained_"
-        + os.path.basename(os.path.abspath(sf_dir)),
+        + os.path.basename(os.path.abspath(sf_dir))
+        + "_" + spark.sparkContext.applicationId,
     )
     shutil.rmtree(idx, ignore_errors=True)
     AI.bootstrap_ann_index_deterministic(

@@ -309,6 +309,14 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
             )
         params["every"] = str(_unquote(args["every"])).rstrip(")")
         params["period"] = str(_unquote(args["period"])).rstrip(")")
+        # Spark's window() requires stride <= width; period < every is
+        # also not a moving average (gaps between windows) — reject
+        # with a named error instead of a plan-time AnalysisException
+        if _unit_seconds(params["period"]) < _unit_seconds(params["every"]):
+            raise ValueError(
+                "timedMovingAverage needs period >= every "
+                f"(got every={params['every']}, period={params['period']})"
+            )
     elif name == "holtWinters":
         # seasonality: 0 (Flux default) = non-seasonal Holt smoothing;
         # >= 1 = the additive seasonal recursion. alpha/beta/gamma are

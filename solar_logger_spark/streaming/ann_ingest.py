@@ -314,10 +314,11 @@ def ann_ingest_sink(index_dir: str):
         if not batch_df.take(1):
             return
         model = read_model(index_dir)
-        M.append_delta(
-            index_dir, encode_delivery(batch_df, model),
-            partition_by=["cell"],
-        )
+        # checkpoint the encoded frame: append_delta probes emptiness
+        # with take(1) before writing, which would otherwise execute
+        # the normalize/assign/encode pipeline twice per delivery
+        encoded = encode_delivery(batch_df, model).localCheckpoint()
+        M.append_delta(index_dir, encoded, partition_by=["cell"])
 
     return _write
 

@@ -332,6 +332,15 @@ class MiniMqttClient:
         except OSError:
             pass
         self._thread.join(timeout=3.0)
+        # an in-flight _try_reconnect may have swapped a FRESH socket
+        # into self._sock after the close above (it checks _stop only
+        # between attempts) — close again after the join so a
+        # disconnect racing a reconnect cannot leak a live subscriber
+        # whose QoS-1 queue grows unread on the broker
+        try:
+            self._sock.close()
+        except OSError:
+            pass
 
 
 def socket_client(options: dict, push):

@@ -852,3 +852,23 @@ def test_execute_text_timed_moving_average(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="every.*period"):
         parse_flux('from(bucket: "e") |> timedMovingAverage(every: 6h)')
+
+
+def test_timed_moving_average_rejects_period_below_every():
+    """Spark window() requires stride <= width, and period < every is
+    not a moving average — named parse-time error, not a plan-time
+    AnalysisException (r9 review finding)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period >= every"):
+        parse_flux(
+            'from(bucket: "e")'
+            " |> timedMovingAverage(every: 1d, period: 6h)"
+        )
+    # equal is legal (tumbling mean)
+    p = parse_flux(
+        'from(bucket: "e") |> timedMovingAverage(every: 1d, period: 1d)'
+    )
+    assert dict(p.transforms)["timedMovingAverage"] == {
+        "every": "1d", "period": "1d",
+    }
