@@ -1510,7 +1510,12 @@ def similarity_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus only), the union encode (≡ encoding everything against the
     initial-trained model, since encode is per-row), and the
     pinned-fold ADC search; the JSON-sidecar model round-trip is
-    bit-exact (repr floats), so the driver's value-hash gate applies."""
+    bit-exact (repr floats), so the driver's value-hash gate applies.
+
+    ``lloyd_rounds=0``: this query pins the PERSISTENCE/delta loop;
+    the pinned-fold Lloyd trainer itself is already hash-verified by
+    ``similarity_ann_ivfpq`` — re-running a training sweep here would
+    re-pay its cost per bench run for no additional oracle signal."""
     import os
     import shutil
     import tempfile
@@ -1531,12 +1536,12 @@ def similarity_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(idx, ignore_errors=True)
     AI.bootstrap_ann_index_deterministic(
-        initial, idx, n_cells=16, m=8, ks=16, lloyd_rounds=1
+        initial, idx, n_cells=16, m=8, ks=16, lloyd_rounds=0
     )
     AI.ann_ingest_sink(idx)(delivery, 1)
     ann = AI.search_ann_index(
         spark, idx, emb.filter(F.col("vec_id") < 10), corpus=emb,
-        k=5, n_probe=10, rerank=400,
+        k=5, n_probe=12, rerank=800,
     ).localCheckpoint()  # consumed twice by _attach_recall
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
 
@@ -5763,49 +5768,16 @@ rsubs AS (
     SELECT vid, cell, ms, [r[ms * 8 + d] FOR d IN range(1, 9)] AS sub
     FROM resid, range(0, 8) mm(ms)
 ),
-binit AS (  -- residual codebooks: md5-seeded over the bootstrap corpus
+books AS (  -- residual codebooks: md5-seeded over the bootstrap
+            -- corpus, NO Lloyd sweep (lloyd_rounds=0 — the pinned-fold
+            -- trainer is already hash-verified by similarity_ann_ivfpq;
+            -- this query pins the persistence/delta loop)
     SELECT ms, code, sub AS c FROM (
         SELECT ms, vid, sub,
                CAST(row_number() OVER (PARTITION BY ms ORDER BY
                    md5('ivfpq|' || CAST(ms AS VARCHAR) || '|' || CAST(vid AS VARCHAR))) - 1 AS INT) AS code
         FROM rsubs WHERE vid % 4 != 3) t
     WHERE code < 16
-),
-basg0 AS (  -- Lloyd training assignment: bootstrap corpus only
-    SELECT vid, ms, code, sub FROM (
-        SELECT s.vid, s.ms, i.code, s.sub,
-               row_number() OVER (PARTITION BY s.vid, s.ms ORDER BY
-                   list_sum([(s.sub[d] - i.c[d]) * (s.sub[d] - i.c[d]) FOR d IN range(1, 9)]) ASC,
-                   i.code ASC) AS rn
-        FROM rsubs s JOIN binit i ON i.ms = s.ms
-        WHERE s.vid % 4 != 3) t
-    WHERE rn = 1
-),
-bblk AS (  -- hierarchical mean: fold within a 256-id block...
-    SELECT ms, code, vid // 256 AS b, list(sub ORDER BY vid) AS mem,
-           count(*) AS cnt
-    FROM basg0 GROUP BY 1, 2, 3
-),
-bbsum AS (
-    SELECT ms, code, b, cnt,
-           list_reduce(list_prepend([0.0 FOR d IN range(0, 8)], mem),
-                       (acc, x) -> [acc[d] + x[d] FOR d IN range(1, 9)]) AS s
-    FROM bblk
-),
-bmean AS (  -- ...then fold block partials in block order
-    SELECT ms, code, [t[d] / n FOR d IN range(1, 9)] AS c
-    FROM (
-        SELECT ms, code,
-               list_reduce(list_prepend([0.0 FOR d IN range(0, 8)],
-                                        list(s ORDER BY b)),
-                           (acc, x) -> [acc[d] + x[d]
-                                        FOR d IN range(1, 9)]) AS t,
-               CAST(sum(cnt) AS BIGINT) AS n
-        FROM bbsum GROUP BY ms, code) g
-),
-books AS (
-    SELECT i.ms, i.code, coalesce(m1.c, i.c) AS c
-    FROM binit i LEFT JOIN bmean m1 ON i.ms = m1.ms AND i.code = m1.code
 ),
 codes AS (  -- encode everything against the pinned books
     SELECT vid, cell, ms, code FROM (
@@ -5824,7 +5796,7 @@ qprobe AS (
                    list_sum([(q.qv[d] - cs.c[d]) * (q.qv[d] - cs.c[d]) FOR d IN range(1, 65)]) ASC,
                    cs.cell ASC) AS rn
         FROM qn q, cents cs) t
-    WHERE rn <= 10
+    WHERE rn <= 12
 ),
 qrsubs AS (
     SELECT query_id, cell, ms, [qr[ms * 8 + d] FOR d IN range(1, 9)] AS qsub
@@ -5844,7 +5816,7 @@ adc AS (
 ),
 shortlist AS (
     SELECT query_id, neighbor_id FROM adc
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) <= 400
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) <= 800
 ),
 rescored AS (
     SELECT s.query_id, s.neighbor_id,
