@@ -426,6 +426,92 @@ def search_ann_index(
     )
 
 
+def forget_vecs(
+    spark: SparkSession,
+    index_dir: str,
+    vec_ids,
+    keep_snapshots: int = 1,
+) -> dict:
+    """Right-to-be-forgotten sweep over the maintained ANN index:
+    remove every codes row of ``vec_ids`` — from the base snapshot AND
+    from delta bytes — so a forgotten document's embedding can no
+    longer be retrieved as anyone's neighbor. The ANN-side completion
+    of ``dedup_ingest.forget_docs`` / ``export.forget_shards``
+    (without it, a forgotten doc's vector keeps surfacing in
+    similarity search: the same privacy bug, different table).
+
+    Same discipline as the dedup sweep:
+
+    * ``keep_snapshots`` defaults to **1** — retaining the pre-forget
+      snapshot would retain the forgotten rows on disk and readable
+      via time travel.
+    * Pending deltas are COMPACTED first (``delete_keys`` refuses to
+      orphan them, and their bytes hold the rows too), then the folded
+      delta dirs are physically purged — the reader-grace retention
+      every other flow enjoys IS the bug in a privacy sweep.
+    * ids are cast to the stored id type before anything joins on
+      them, and the ids' cells are located from the LIVE table rows
+      (one column-pruned scan), never re-derived from a model the
+      caller supplies — the delete then rewrites exactly those cell
+      partitions and hardlinks the rest (``delete_keys``
+      partition_scoped, whose contract this projection satisfies).
+    * The model sidecar is carried through every commit.
+
+    Re-running a completed sweep is a no-op. Returns ``{"snapshot":
+    live snapshot, "deleted_rows": n}`` (rows, not ids — the rows
+    layout holds m rows per id)."""
+    model = read_model(index_dir)
+    id_col = model["id_col"]
+    key = "vid" if model["layout"] == _ROWS else id_col
+    raw_model = M.read_sidecar(index_dir, MODEL_SIDECAR)
+
+    if not isinstance(vec_ids, DataFrame):
+        from pyspark.sql import Row
+
+        vec_ids = list(vec_ids)
+        if not vec_ids:
+            return {
+                "snapshot": M.current_snapshot(index_dir),
+                "deleted_rows": 0,
+            }
+        vec_ids = spark.createDataFrame(
+            [Row(**{key: v}) for v in vec_ids]
+        )
+    else:
+        vec_ids = vec_ids.toDF(key)
+
+    if M.list_deltas(index_dir):
+        compact_ann_index(spark, index_dir, keep_snapshots=keep_snapshots)
+    # folded delta dirs (this compaction's grace tail + any earlier
+    # cadence's) still hold the bytes — purge, don't wait out grace
+    M.purge_dead_deltas(index_dir)
+
+    base = M.read_table_snapshot(spark, index_dir)
+    id_type = base.schema[key].dataType
+    ids = (
+        vec_ids.select(F.col(key).cast(id_type).alias(key))
+        .distinct().localCheckpoint()
+    )
+    # locate the ids' cells from the live rows (column-pruned scan);
+    # also the deleted-row count, measured before the rewrite
+    located = base.select(key, "cell").join(
+        F.broadcast(ids), key, "left_semi"
+    ).localCheckpoint()
+    n_del = located.count()
+    if n_del == 0:
+        return {
+            "snapshot": M.current_snapshot(index_dir),
+            "deleted_rows": 0,
+        }
+    snap = M.delete_keys(
+        spark, index_dir, located.distinct(), keys=[key],
+        partition_by=["cell"], partition_scoped=True,
+        keep_snapshots=keep_snapshots,
+        sidecar={MODEL_SIDECAR: raw_model},
+    )
+    return {"snapshot": snap, "deleted_rows": int(n_del)}
+
+
 # ---------------------------------------------------------------------------
 # maintenance
 # ---------------------------------------------------------------------------

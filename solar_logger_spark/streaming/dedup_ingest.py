@@ -393,6 +393,11 @@ def forget_docs(
     directly. Shard sweeps run LAST (after the index is clean), and
     their deleted-row counts land in the returned dict as
     ``shards:<dir>`` entries.
+
+    A maintained ANN index over the same documents' embeddings is
+    swept separately — ``ann_ingest.forget_vecs(spark, ann_dir, ids)``
+    (vector ids ≡ doc ids in a doc-keyed embedding table); without it
+    the forgotten documents keep surfacing as similarity neighbors.
     """
     from pyspark.sql import Row
 

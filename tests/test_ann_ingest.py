@@ -258,3 +258,72 @@ def test_guards(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         AI.bootstrap_ann_index_deterministic(empty, str(tmp_path / "e"))
+
+
+def test_forget_vecs_removes_every_byte(spark, sf_dir, tmp_path):
+    """RTBF over the maintained index: forgotten ids vanish from
+    search, from every retained snapshot, and from every parquet file
+    left in the index dir — including delta bytes pending at sweep
+    time; retention rewinds to the swept state; re-running converges."""
+    import glob
+
+    emb, initial, delivery, q = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann")
+    AI.bootstrap_ann_index(initial, idx, n_cells=8, m=8, ks=16)
+    AI.ann_ingest_sink(idx)(delivery, 1)  # deltas pending at sweep time
+
+    # forget two bootstrap ids and one delivered id
+    victims = [r.vec_id for r in initial.limit(2).collect()]
+    victims.append(delivery.select("vec_id").first()[0])
+    out = AI.forget_vecs(spark, idx, victims)
+    assert out["deleted_rows"] == 3  # array layout: one row per id
+
+    # gone from search even as generous neighbors
+    res = AI.search_ann_index(
+        spark, idx, q, corpus=emb, k=10, n_probe=8, rerank=400
+    )
+    got_neighbors = {r.neighbor_id for r in res.collect()}
+    assert not (got_neighbors & set(victims))
+
+    # gone from EVERY parquet byte under the index dir (snapshots,
+    # deltas, leftovers) — the privacy property, checked on disk
+    for d in glob.glob(os.path.join(idx, "*")):
+        if not os.path.isdir(d):
+            continue
+        rows = spark.read.parquet(d).filter(
+            __import__("pyspark").sql.functions.col("vec_id").isin(victims)
+        ).count()
+        assert rows == 0, f"forgotten bytes persist in {d}"
+
+    # retention rewound: only the swept snapshot remains
+    snaps = [
+        d for d in os.listdir(idx)
+        if d.startswith("snap-") and os.path.isdir(os.path.join(idx, d))
+    ]
+    assert snaps == [out["snapshot"]]
+    # no visible or invisible delta dirs hold anything
+    assert not M.list_deltas(idx)
+
+    # idempotent re-run
+    again = AI.forget_vecs(spark, idx, victims)
+    assert again["deleted_rows"] == 0
+
+    # survivors still searchable; model sidecar survived the sweep
+    assert AI.read_model(idx)["layout"] == AI._ARRAY
+    assert res.count() > 0
+
+
+def test_forget_vecs_rows_layout_and_empty(spark, sf_dir, tmp_path):
+    emb, initial, delivery, _q = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann")
+    AI.bootstrap_ann_index_deterministic(
+        initial, idx, n_cells=8, m=8, ks=16, lloyd_rounds=0
+    )
+    AI.ann_ingest_sink(idx)(delivery, 1)
+    victim = delivery.select("vec_id").first()[0]
+    out = AI.forget_vecs(spark, idx, [victim])
+    assert out["deleted_rows"] == 8  # rows layout: m rows per id
+    resolved = AI.resolved_codes(spark, idx)
+    assert resolved.filter(F.col("vid") == victim).count() == 0
+    # empty id list: clean no-op
+    assert AI.forget_vecs(spark, idx, [])["deleted_rows"] == 0
