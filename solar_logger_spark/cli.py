@@ -22,13 +22,16 @@ the events table.
 Beyond-reference operations (the LLM-pipeline compliance surface)::
 
     python -m solar_logger_spark forget --index-dir IDX --ids 3,17 \
-        --pairs-dir P --components-dir C --shards-dir SHARDS
+        --pairs-dir P --components-dir C --shards-dir SHARDS \
+        --ann-dir ANN
     python -m solar_logger_spark verify-shards SHARDS
 
 ``forget`` drives ``streaming.dedup_ingest.forget_docs`` — the full
 sweep across index artifacts, pairs, CC labels, and shipped training
-shards; ``verify-shards`` is the consumer-side card audit (exit code
-1 on mismatch).
+shards — plus ``ann_ingest.forget_vecs`` for each ``--ann-dir``
+maintained ANN index (without it, forgotten documents keep surfacing
+as similarity neighbors); ``verify-shards`` is the consumer-side card
+audit (exit code 1 on mismatch).
 """
 
 from __future__ import annotations
@@ -104,6 +107,13 @@ def _build_parser() -> argparse.ArgumentParser:
     fg.add_argument("--components-dir", default=None)
     fg.add_argument("--shards-dir", action="append", default=[],
                     help="carded shard export to sweep too (repeatable)")
+    fg.add_argument("--ann-dir", action="append", default=[],
+                    help="maintained ANN index to sweep too "
+                         "(streaming.ann_ingest.forget_vecs; repeatable)")
+    fg.add_argument("--allow-model-residue", action="store_true",
+                    help="proceed even when an id seeded an ANN "
+                         "index's model (residue reported, not removed"
+                         " — recenter is the complete remedy)")
     fg.add_argument("--id-type", default="long",
                     choices=("long", "str"),
                     help="python type of the ids (default long)")
@@ -195,12 +205,20 @@ def _cmd_forget(args) -> int:
     if not ids:
         print("no ids given", file=sys.stderr)
         return 2
+    spark = _get_spark()
     out = forget_docs(
-        _get_spark(), args.index_dir, ids,
+        spark, args.index_dir, ids,
         pairs_dir=args.pairs_dir,
         components_dir=args.components_dir,
         shards_dirs=args.shards_dir or None,
     )
+    for ann_dir in args.ann_dir:
+        from solar_logger_spark.streaming.ann_ingest import forget_vecs
+
+        out[f"ann:{ann_dir}"] = forget_vecs(
+            spark, ann_dir, ids,
+            allow_model_residue=args.allow_model_residue,
+        )
     print(json.dumps(out, indent=1, sort_keys=True))
     return 0
 

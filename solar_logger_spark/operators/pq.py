@@ -708,10 +708,12 @@ def _subspace_rows(frame, vec_col, m, dsub, out_sub, keep):
     )
 
 
-def _books_init(subs, prefix, ks):
+def _books_init(subs, prefix, ks, with_ids: bool = False):
     """Per-subspace codebook init: the ks subvectors with the smallest
     md5(prefix|ms|vid) per ms; code = hash order. Bounded collect of
-    m*ks rows."""
+    m*ks rows. ``with_ids=True`` also returns the seed vids — the ids
+    whose raw subvectors the init entries ARE (what a maintained
+    index's forget sweep must treat as model residue)."""
     wm = Window.partitionBy("ms").orderBy("h")
     rows = (
         subs.withColumn(
@@ -723,10 +725,13 @@ def _books_init(subs, prefix, ks):
         )
         .withColumn("rn", F.row_number().over(wm))
         .filter(F.col("rn") <= ks)
-        .select("ms", (F.col("rn") - 1).alias("code"), "sub")
+        .select("ms", (F.col("rn") - 1).alias("code"), "sub", "vid")
         .collect()
     )
-    return {(r["ms"], r["code"]): list(r["sub"]) for r in rows}
+    books = {(r["ms"], r["code"]): list(r["sub"]) for r in rows}
+    if with_ids:
+        return books, sorted({r["vid"] for r in rows})
+    return books
 
 
 def _books_bdf(spark, books):

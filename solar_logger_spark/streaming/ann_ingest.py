@@ -76,13 +76,24 @@ _ROWS = "rows"    # (id, cell, ms, code) rows     — pinned-fold layout
 # model sidecar
 # ---------------------------------------------------------------------------
 
-def _model_json(cents, books_dict, layout, id_col, vec_col, m, ks) -> str:
+def _model_json(cents, books_dict, layout, id_col, vec_col, m, ks,
+                seeds=()) -> str:
     """The model as JSON: python floats serialize via repr (shortest
     round-trip), so every centroid/codebook double survives the
-    persistence hop bit-exactly."""
+    persistence hop bit-exactly.
+
+    ``seeds``: the ids whose RAW vectors may appear verbatim in the
+    model (md5/hash-seeded init entries that no Lloyd averaging has
+    replaced — conservative superset). Recorded so a forget sweep can
+    detect that deleting an id's codes rows is NOT enough: the model
+    sidecar itself would retain the embedding (``forget_vecs``'s
+    model-residue guard). Storing the pseudonymous ids is the
+    documented lesser residue, same trade as the dedup sweep's
+    label-value note."""
     return json.dumps({
         "layout": layout, "id_col": id_col, "vec_col": vec_col,
         "m": int(m), "ks": int(ks),
+        "seeds": sorted(int(s) for s in set(seeds)),
         "centroids": [[float(x) for x in c] for c in cents],
         "codebooks": [
             {"ms": int(msi), "code": int(cd),
@@ -102,6 +113,7 @@ def read_model(index_dir: str) -> dict:
             "index (bootstrap_ann_index first)"
         )
     model = json.loads(raw)
+    model.setdefault("seeds", [])
     model["books_dict"] = {
         (b["ms"], b["code"]): list(b["c"]) for b in model["codebooks"]
     }
@@ -126,7 +138,16 @@ def bootstrap_ann_index(
     """Train (numpy — ``pq.build_ivfpq``), encode, and commit snapshot
     0 of the maintained index. Codes land hive-partitioned by ``cell``
     (probes prune to their cells' directories); the model commits as a
-    sidecar of the same snapshot. Returns the snapshot name."""
+    sidecar of the same snapshot. Returns the snapshot name.
+
+    Model residue bookkeeping: with ``refine_iters=0`` the coarse
+    centroids are VERBATIM corpus vectors (``seeded_centroids``) and
+    their ids are recorded as model ``seeds`` for ``forget_vecs``'s
+    residue guard; with sweeps (the default) centroids and codebooks
+    are Lloyd means and the seed list is empty. Caveat, documented not
+    hidden: a trained mean over a SINGLETON cluster still equals one
+    vector — the guard covers the structural verbatim case, recenter
+    covers the rest."""
     import numpy as np
     from solar_logger_spark.operators import pq
 
@@ -134,6 +155,15 @@ def bootstrap_ann_index(
         corpus, n_cells=n_cells, m=m, ks=ks, refine_iters=refine_iters,
         sample_size=sample_size, id_col=id_col, vec_col=vec_col,
     )
+    seeds: list = []
+    if refine_iters == 0:
+        # replicate seeded_centroids' pick to record WHOSE vectors the
+        # un-refined centroids are
+        seeds = [
+            r[0] for r in corpus.select(id_col)
+            .withColumn("_h", F.xxhash64(F.col(id_col)))
+            .orderBy("_h").limit(n_cells).collect()
+        ]
     books = np.asarray(books)
     bdict = {
         (j, c): [float(x) for x in books[j, c]]
@@ -143,7 +173,7 @@ def bootstrap_ann_index(
         encoded, index_dir, partition_by=["cell"],
         sidecar={MODEL_SIDECAR: _model_json(
             [list(map(float, c)) for c in np.asarray(cents)],
-            bdict, _ARRAY, id_col, vec_col, m, ks,
+            bdict, _ARRAY, id_col, vec_col, m, ks, seeds=seeds,
         )},
     )
 
@@ -169,7 +199,7 @@ def bootstrap_ann_index_deterministic(
     pinned-fold ADC search consumes."""
     from solar_logger_spark.operators import pq
 
-    cents, books, rsubs = _det_train(
+    cents, books, rsubs, seeds = _det_train(
         corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col
     )
     # encode FROM the train step's checkpointed residual subvectors —
@@ -181,7 +211,7 @@ def bootstrap_ann_index_deterministic(
     return M.init_table(
         codes, index_dir, partition_by=["cell"],
         sidecar={MODEL_SIDECAR: _model_json(
-            cents, books, _ROWS, id_col, vec_col, m, ks,
+            cents, books, _ROWS, id_col, vec_col, m, ks, seeds=seeds,
         )},
     )
 
@@ -209,10 +239,14 @@ def _det_train(corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col):
         )
     cents = [list(r["v"]) for r in init_rows]
     rsubs = _det_residual_subs(vn, cents, m, dsub).localCheckpoint()
-    books = pq._books_init(rsubs, "ivfpq|", ks)
+    books, book_seeds = pq._books_init(rsubs, "ivfpq|", ks, with_ids=True)
     books = pq._books_lloyd(corpus.sparkSession, rsubs, books, dsub,
                             lloyd_rounds)
-    return cents, books, rsubs
+    # conservative seed superset: Lloyd sweeps REPLACE most init
+    # entries with means, but an empty code keeps its verbatim init
+    # subvector at any lloyd_rounds — so every init id stays flagged
+    seeds = sorted({r["vid"] for r in init_rows} | set(book_seeds))
+    return cents, books, rsubs, seeds
 
 
 def _cents_lit(cents):
@@ -431,6 +465,7 @@ def forget_vecs(
     index_dir: str,
     vec_ids,
     keep_snapshots: int = 1,
+    allow_model_residue: bool = False,
 ) -> dict:
     """Right-to-be-forgotten sweep over the maintained ANN index:
     remove every codes row of ``vec_ids`` — from the base snapshot AND
@@ -457,9 +492,24 @@ def forget_vecs(
       partition_scoped, whose contract this projection satisfies).
     * The model sidecar is carried through every commit.
 
-    Re-running a completed sweep is a no-op. Returns ``{"snapshot":
-    live snapshot, "deleted_rows": n}`` (rows, not ids — the rows
-    layout holds m rows per id)."""
+    Model residue guard: the model sidecar can hold a seed id's RAW
+    vector verbatim (md5/hash-seeded init entries — the bootstraps
+    record those ids as model ``seeds``). Deleting such an id's codes
+    rows would leave its embedding recoverable from the sidecar JSON,
+    so the sweep REFUSES (``ValueError``) and tells the operator to
+    ``recenter_ann_index`` on a victim-free corpus first (which
+    replaces model and codes wholesale). ``allow_model_residue=True``
+    proceeds anyway and reports the retained ids in
+    ``"model_residue_ids"`` — for when the caller knows the entry was
+    Lloyd-replaced. (A trained mean over a singleton cluster can still
+    equal one vector; recenter is the complete remedy, this guard
+    covers the structural verbatim case.)
+
+    Re-running a completed sweep is a no-op that still enforces the
+    retention rewind (an earlier commit at higher ``keep_snapshots``
+    may have left forgotten rows time-travelable). Returns
+    ``{"snapshot": live snapshot, "deleted_rows": n}`` (rows, not ids
+    — the rows layout holds m rows per id)."""
     model = read_model(index_dir)
     id_col = model["id_col"]
     key = "vid" if model["layout"] == _ROWS else id_col
@@ -478,7 +528,20 @@ def forget_vecs(
             [Row(**{key: v}) for v in vec_ids]
         )
     else:
-        vec_ids = vec_ids.toDF(key)
+        # select the id column BY NAME (layout key or the model's
+        # id_col) — a positional toDF rename would crash multi-column
+        # frames and silently rebind a mis-named single column to the
+        # key, deleting the wrong rows
+        cols = vec_ids.columns
+        src = key if key in cols else (id_col if id_col in cols else None)
+        if src is None:
+            if len(cols) != 1:
+                raise ValueError(
+                    f"vec_ids frame must carry {key!r} or {id_col!r} "
+                    f"(or be single-column); got columns {cols}"
+                )
+            src = cols[0]
+        vec_ids = vec_ids.select(F.col(src).alias(key))
 
     if M.list_deltas(index_dir):
         compact_ann_index(spark, index_dir, keep_snapshots=keep_snapshots)
@@ -492,6 +555,26 @@ def forget_vecs(
         vec_ids.select(F.col(key).cast(id_type).alias(key))
         .distinct().localCheckpoint()
     )
+    id_vals = {r[0] for r in ids.collect()}  # bounded: the forget set
+    if not id_vals:
+        M._prune(index_dir, keep=keep_snapshots)
+        return {
+            "snapshot": M.current_snapshot(index_dir),
+            "deleted_rows": 0,
+        }
+    # seeds serialize as ints; Spark long/int ids collect as Python
+    # ints, so plain set intersection is exact
+    residue = sorted(id_vals & set(model["seeds"]))
+    if residue and not allow_model_residue:
+        raise ValueError(
+            f"ids {residue} seeded this index's model: their raw "
+            "vectors live verbatim in the _ann_model sidecar, and "
+            "deleting codes rows alone would retain them. Recenter "
+            "the index on a corpus without them "
+            "(recenter_ann_index) and re-run, or pass "
+            "allow_model_residue=True to proceed with the residue "
+            "documented in the result."
+        )
     # locate the ids' cells from the live rows (column-pruned scan);
     # also the deleted-row count, measured before the rewrite
     located = base.select(key, "cell").join(
@@ -499,17 +582,26 @@ def forget_vecs(
     ).localCheckpoint()
     n_del = located.count()
     if n_del == 0:
-        return {
+        # nothing left to delete, but an earlier commit may have
+        # retained pre-forget snapshots — enforce the rewind anyway
+        M._prune(index_dir, keep=keep_snapshots)
+        out = {
             "snapshot": M.current_snapshot(index_dir),
             "deleted_rows": 0,
         }
+        if residue:
+            out["model_residue_ids"] = residue
+        return out
     snap = M.delete_keys(
-        spark, index_dir, located.distinct(), keys=[key],
+        spark, index_dir, located, keys=[key],
         partition_by=["cell"], partition_scoped=True,
         keep_snapshots=keep_snapshots,
         sidecar={MODEL_SIDECAR: raw_model},
     )
-    return {"snapshot": snap, "deleted_rows": int(n_del)}
+    out = {"snapshot": snap, "deleted_rows": int(n_del)}
+    if residue:
+        out["model_residue_ids"] = residue
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -555,11 +647,19 @@ def recenter_ann_index(
         compact_ann_index(spark, index_dir, keep_snapshots)
     old = read_model(index_dir)
     id_col, vec_col = old["id_col"], old["vec_col"]
+    k_cells = n_cells or len(old["centroids"])
     encoded, cents, books = pq.build_ivfpq(
-        corpus, n_cells=n_cells or len(old["centroids"]),
+        corpus, n_cells=k_cells,
         m=old["m"], ks=old["ks"], refine_iters=refine_iters,
         sample_size=sample_size, id_col=id_col, vec_col=vec_col,
     )
+    seeds: list = []
+    if refine_iters == 0:  # verbatim-centroid case: record whose
+        seeds = [
+            r[0] for r in corpus.select(id_col)
+            .withColumn("_h", F.xxhash64(F.col(id_col)))
+            .orderBy("_h").limit(k_cells).collect()
+        ]
     books = np.asarray(books)
     bdict = {
         (j, c): [float(x) for x in books[j, c]]
@@ -571,5 +671,6 @@ def recenter_ann_index(
         sidecar={MODEL_SIDECAR: _model_json(
             [list(map(float, c)) for c in np.asarray(cents)],
             bdict, _ARRAY, id_col, vec_col, old["m"], old["ks"],
+            seeds=seeds,
         )},
     )

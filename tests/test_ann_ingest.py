@@ -126,7 +126,7 @@ def test_deterministic_layout_roundtrip_bit_exact(spark, sf_dir, tmp_path):
     ).localCheckpoint())
 
     # in-memory twin: same train on initial, encode everything, search
-    cents, books, rsubs = AI._det_train(
+    cents, books, rsubs, _seeds = AI._det_train(
         initial, 8, 8, 16, 1, "vec_id", "embedding"
     )
     codes_boot = pq._encode(rsubs, books, ["vid", "cell"]).select(
@@ -291,7 +291,7 @@ def test_forget_vecs_removes_every_byte(spark, sf_dir, tmp_path):
         if not os.path.isdir(d):
             continue
         rows = spark.read.parquet(d).filter(
-            __import__("pyspark").sql.functions.col("vec_id").isin(victims)
+            F.col("vec_id").isin(victims)
         ).count()
         assert rows == 0, f"forgotten bytes persist in {d}"
 
@@ -327,3 +327,85 @@ def test_forget_vecs_rows_layout_and_empty(spark, sf_dir, tmp_path):
     assert resolved.filter(F.col("vid") == victim).count() == 0
     # empty id list: clean no-op
     assert AI.forget_vecs(spark, idx, [])["deleted_rows"] == 0
+
+
+def test_forget_vecs_model_seed_residue_guard(spark, sf_dir, tmp_path):
+    """An id whose RAW vector seeded the model must not be silently
+    'forgotten' by deleting codes rows alone: the sweep refuses,
+    allow_model_residue proceeds with the residue reported, and a
+    recenter on a victim-free corpus is the complete remedy."""
+    emb, initial, delivery, _q = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann")
+    AI.bootstrap_ann_index_deterministic(
+        initial, idx, n_cells=8, m=8, ks=16, lloyd_rounds=0
+    )
+    seeds = AI.read_model(idx)["seeds"]
+    assert seeds, "md5-seeded bootstrap must record its seed ids"
+    victim = seeds[0]
+
+    with pytest.raises(ValueError, match="seeded this index's model"):
+        AI.forget_vecs(spark, idx, [victim])
+
+    out = AI.forget_vecs(spark, idx, [victim], allow_model_residue=True)
+    assert out["deleted_rows"] == 8  # rows layout
+    assert out["model_residue_ids"] == [victim]
+    assert AI.resolved_codes(spark, idx).filter(
+        F.col("vid") == victim
+    ).count() == 0
+
+    # recenter on a victim-free corpus replaces model AND codes — the
+    # complete remedy; the new model no longer flags the victim
+    AI.recenter_ann_index(
+        spark, idx, emb.filter(F.col("vec_id") != victim)
+    )
+    assert victim not in AI.read_model(idx)["seeds"]
+    again = AI.forget_vecs(spark, idx, [victim])
+    assert again["deleted_rows"] == 0
+
+
+def test_forget_vecs_noop_still_rewinds_retention(spark, sf_dir, tmp_path):
+    """A sweep that finds nothing to delete must STILL rewind snapshot
+    retention: an earlier commit at keep_snapshots>=2 can leave the
+    forgotten rows readable via time travel (r9 review finding)."""
+    emb, initial, delivery, _q = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann")
+    AI.bootstrap_ann_index(initial, idx, n_cells=8, m=8, ks=16)
+    victim = initial.select("vec_id").first()[0]
+    # recenter WITHOUT the victim at default retention: live snapshot
+    # lacks the victim, but the bootstrap snapshot (victim present)
+    # stays time-travelable
+    AI.recenter_ann_index(
+        spark, idx, emb.filter(F.col("vec_id") != victim),
+        keep_snapshots=2,
+    )
+    snaps = sorted(
+        d for d in os.listdir(idx)
+        if d.startswith("snap-") and os.path.isdir(os.path.join(idx, d))
+    )
+    assert len(snaps) == 2  # the retained pre-recenter snapshot
+
+    out = AI.forget_vecs(spark, idx, [victim])
+    assert out["deleted_rows"] == 0  # live rows were already clean
+    snaps = sorted(
+        d for d in os.listdir(idx)
+        if d.startswith("snap-") and os.path.isdir(os.path.join(idx, d))
+    )
+    assert snaps == [M.current_snapshot(idx)]  # retention rewound
+
+
+def test_forget_vecs_ids_frame_by_name(spark, sf_dir, tmp_path):
+    emb, initial, delivery, _q = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann")
+    AI.bootstrap_ann_index(initial, idx, n_cells=8, m=8, ks=16)
+    victim = delivery.select("vec_id").first()[0]
+    AI.ann_ingest_sink(idx)(delivery, 1)
+    # multi-column frame: the id column is selected BY NAME
+    ids_frame = emb.filter(F.col("vec_id") == victim).select(
+        "vec_id", "embedding"
+    )
+    out = AI.forget_vecs(spark, idx, ids_frame)
+    assert out["deleted_rows"] == 1
+    # multi-column frame WITHOUT a recognizable id column: refused
+    bad = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="must carry"):
+        AI.forget_vecs(spark, idx, bad)
