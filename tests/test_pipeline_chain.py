@@ -3,9 +3,10 @@ deliveries stream into the incremental dedup index (+ maintained CC
 labels), the corpus build materializes its staged tables with manifest
 cards, the packed sequences ship as carded training shards, and a
 right-to-be-forgotten sweep then reaches BOTH the index and the
-shipped shards — with every stage manifest and the export card
-re-derived post-hoc in DuckDB from the on-disk bytes (the audit a
-dataset consumer without Spark can run)."""
+shipped shards AND the maintained ANN index over the corpus
+embeddings — with every stage manifest and the export card re-derived
+post-hoc in DuckDB from the on-disk bytes (the audit a dataset
+consumer without Spark can run)."""
 
 from __future__ import annotations
 
@@ -19,6 +20,7 @@ from solar_logger_spark.io import export as EX
 from solar_logger_spark.io import manifest as MF
 from solar_logger_spark.io import merge as M
 from solar_logger_spark.io.tables import load_table
+from solar_logger_spark.streaming import ann_ingest as AI
 from solar_logger_spark.streaming import dedup_ingest as DI
 from tools.run_corpus_pipeline import STAGES, run_staged
 
@@ -73,6 +75,16 @@ def test_full_chain_ingest_build_export_forget(spark, sf_dir, tmp_path):
     sh, bk = DI.read_index(spark, idx)
     assert sh.select("doc_id").distinct().count() == docs.count()
 
+    # -- 1b. the same corpus's embeddings feed a maintained ANN index
+    # (doc-keyed: vec_id ≡ doc_id), same bootstrap/delivery split ----
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = os.path.join(base, "ann")
+    AI.bootstrap_ann_index(
+        emb.filter(F.col("vec_id") % 2 == 0), ann, n_cells=8, m=8, ks=16
+    )
+    AI.ann_ingest_sink(ann)(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    assert AI.resolved_codes(spark, ann).count() == emb.count()
+
     # -- 2. corpus build: staged tables with manifest cards ----------
     funnel = run_staged(spark, sf_dir, work)
     assert funnel.count() > 0
@@ -113,6 +125,9 @@ def test_full_chain_ingest_build_export_forget(spark, sf_dir, tmp_path):
     )
     assert DI.SHINGLES in out
     EX.forget_shards(spark, shards, exp_victims)
+    n_vec_victims = emb.filter(F.col("vec_id").isin(victims)).count()
+    ann_out = AI.forget_vecs(spark, ann, victims)
+    assert ann_out["deleted_rows"] == n_vec_victims
 
     sh2, _ = DI.read_index(spark, idx)
     assert sh2.filter(F.col("doc_id").isin(victims)).count() == 0
@@ -121,6 +136,18 @@ def test_full_chain_ingest_build_export_forget(spark, sf_dir, tmp_path):
     assert EX.verify_shards(spark, shards)["ok"]
     comp_t = M.read_table_snapshot(spark, comp)
     assert comp_t.filter(F.col("node").isin(victims)).count() == 0
+    # the forgotten docs' vectors are gone from the ANN index too —
+    # resolved reads AND raw bytes
+    assert AI.resolved_codes(spark, ann).filter(
+        F.col("vec_id").isin(victims)
+    ).count() == 0
+    res = AI.search_ann_index(
+        spark, ann, emb.filter(F.col("vec_id") < 5), corpus=emb,
+        k=10, n_probe=8, rerank=200,
+    )
+    assert not (
+        {r.neighbor_id for r in res.collect()} & set(victims)
+    )
 
     # the re-committed card still re-derives from shipped bytes in
     # DuckDB (the same consumer-side audit as the export tests)
