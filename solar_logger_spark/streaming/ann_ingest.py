@@ -460,6 +460,143 @@ def search_ann_index(
     )
 
 
+def quantization_report(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+) -> DataFrame:
+    """Per-cell health of the PINNED model against the CURRENT corpus
+    — the measurement behind the recenter cadence. For each coarse
+    cell: how many of the corpus's vectors land there under the pinned
+    model, and the mean/max squared reconstruction error (unit vector
+    vs centroid + decoded residual codes). Drift shows up as both
+    numbers moving: new deliveries that concentrate where the
+    bootstrap corpus was sparse inflate occupancy skew, and vectors
+    the pinned codebooks never saw inflate the error.
+
+    One Arrow-batched map-only pass over ``corpus`` (assign + encode +
+    decode + error against the broadcast model — no index read, no
+    shuffle beyond the final per-cell agg); use
+    :func:`drift_summary` for the scalar report / trigger."""
+    import numpy as np
+    import pandas as pd
+
+    model = read_model(index_dir)
+    id_col, vec_col = model["id_col"], model["vec_col"]
+    cents = np.asarray(model["centroids"], dtype=np.float64)
+    cn = np.sqrt((cents * cents).sum(axis=1))
+    cn[cn == 0] = 1.0
+    cu = cents / cn[:, None]
+    books = _books_array(model)
+    bc = spark.sparkContext.broadcast((cu, books))
+
+    def _err(batches):
+        cents_u, bks = bc.value
+        m, _ks, dsub = bks.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.sqrt((a * a).sum(axis=1))
+            norms[norms == 0] = 1.0
+            a = a / norms[:, None]
+            cell = (a @ cents_u.T).argmax(axis=1)
+            resid = a - cents_u[cell]
+            recon = np.zeros_like(resid)
+            for j in range(m):
+                sub = resid[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                recon[:, j * dsub:(j + 1) * dsub] = bks[j][
+                    d2.argmin(axis=1)
+                ]
+            qerr = ((resid - recon) ** 2).sum(axis=1)
+            yield pd.DataFrame({
+                "cell": cell.astype("int32"), "qerr": qerr,
+            })
+
+    per_vec = corpus.select(id_col, vec_col).mapInPandas(
+        _err, "cell int, qerr double"
+    )
+    return per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("qerr").alias("mean_qerr"),
+        F.max("qerr").alias("max_qerr"),
+    )
+
+
+def drift_summary(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    imbalance_threshold: float = 4.0,
+    qerr_ratio_threshold: float = 2.0,
+) -> dict:
+    """Scalar recenter trigger derived from :func:`quantization_report`
+    plus the model's OWN baseline: at bootstrap/recenter time the
+    commit records the corpus's mean quantization error in the model
+    sidecar when available (older models lack it: the ratio falls back
+    to 1.0 and only imbalance can trigger). Returns::
+
+        {"imbalance": max/mean cell occupancy,
+         "mean_qerr": current, "baseline_qerr": recorded or None,
+         "qerr_ratio": current/baseline,
+         "recenter_recommended": bool}
+    """
+    rep = quantization_report(spark, index_dir, corpus).collect()
+    n = sum(r["n_vectors"] for r in rep)
+    if not rep or n == 0:
+        return {
+            "imbalance": 0.0, "mean_qerr": 0.0,
+            "baseline_qerr": None, "qerr_ratio": 1.0,
+            "recenter_recommended": False,
+        }
+    occ = [r["n_vectors"] for r in rep]
+    n_cells = len(read_model(index_dir)["centroids"])
+    imbalance = max(occ) / (n / n_cells)
+    mean_qerr = sum(r["mean_qerr"] * r["n_vectors"] for r in rep) / n
+    base = read_model(index_dir).get("baseline_qerr")
+    ratio = (mean_qerr / base) if base else 1.0
+    return {
+        "imbalance": float(imbalance),
+        "mean_qerr": float(mean_qerr),
+        "baseline_qerr": base,
+        "qerr_ratio": float(ratio),
+        "recenter_recommended": bool(
+            imbalance > imbalance_threshold
+            or ratio > qerr_ratio_threshold
+        ),
+    }
+
+
+def record_baseline_qerr(
+    spark: SparkSession, index_dir: str, corpus: DataFrame
+) -> float:
+    """Measure the current mean quantization error and commit it into
+    the live snapshot's model sidecar as ``baseline_qerr`` (re-written
+    sidecar file, same snapshot — the baseline is metadata ABOUT the
+    model, not a new model). Call right after bootstrap/recenter, on
+    the corpus the model was trained for; ``drift_summary`` then has a
+    denominator."""
+    rep = quantization_report(spark, index_dir, corpus).collect()
+    n = sum(r["n_vectors"] for r in rep)
+    mean_qerr = (
+        sum(r["mean_qerr"] * r["n_vectors"] for r in rep) / n if n else 0.0
+    )
+    raw = json.loads(M.read_sidecar(index_dir, MODEL_SIDECAR))
+    raw["baseline_qerr"] = float(mean_qerr)
+    snap = M.current_snapshot(index_dir)
+    path = os.path.join(index_dir, snap, MODEL_SIDECAR)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(raw))
+    os.replace(tmp, path)
+    return float(mean_qerr)
+
+
 def forget_vecs(
     spark: SparkSession,
     index_dir: str,

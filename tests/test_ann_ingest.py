@@ -409,3 +409,41 @@ def test_forget_vecs_ids_frame_by_name(spark, sf_dir, tmp_path):
     bad = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="must carry"):
         AI.forget_vecs(spark, idx, bad)
+
+
+def test_quantization_report_and_drift_trigger(spark, sf_dir, tmp_path):
+    """Recenter cadence instrumentation: the per-cell report accounts
+    for every corpus vector; a recorded baseline makes drift_summary's
+    ratio meaningful; recentering on the grown corpus does not degrade
+    quantization (the maintenance op is worth its cost)."""
+    emb, initial, delivery, _q = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann")
+    AI.bootstrap_ann_index(initial, idx, n_cells=8, m=8, ks=16)
+    base_err = AI.record_baseline_qerr(spark, idx, initial)
+    assert base_err > 0.0
+    assert AI.read_model(idx)["baseline_qerr"] == base_err
+
+    AI.ann_ingest_sink(idx)(delivery, 1)
+    rep = AI.quantization_report(spark, idx, emb).collect()
+    assert sum(r.n_vectors for r in rep) == emb.count()
+    assert all(r.mean_qerr >= 0.0 for r in rep)
+
+    summary = AI.drift_summary(spark, idx, emb)
+    assert summary["baseline_qerr"] == base_err
+    assert summary["qerr_ratio"] == summary["mean_qerr"] / base_err
+    assert summary["imbalance"] >= 1.0
+    # same-distribution delivery: no recenter needed at sane thresholds
+    assert not AI.drift_summary(
+        spark, idx, emb, imbalance_threshold=8.0, qerr_ratio_threshold=4.0
+    )["recenter_recommended"]
+    # absurdly tight thresholds do trigger (the knob is live)
+    assert AI.drift_summary(
+        spark, idx, emb, imbalance_threshold=1.0, qerr_ratio_threshold=0.5
+    )["recenter_recommended"]
+
+    before = summary["mean_qerr"]
+    AI.recenter_ann_index(spark, idx, emb, refine_iters=1)
+    AI.record_baseline_qerr(spark, idx, emb)
+    after = AI.drift_summary(spark, idx, emb)
+    assert after["mean_qerr"] <= before * 1.05  # recenter helps (or ties)
+    assert after["qerr_ratio"] == __import__("pytest").approx(1.0)
