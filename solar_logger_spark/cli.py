@@ -212,15 +212,23 @@ def _cmd_forget(args) -> int:
         components_dir=args.components_dir,
         shards_dirs=args.shards_dir or None,
     )
+    rc = 0
     for ann_dir in args.ann_dir:
         from solar_logger_spark.streaming.ann_ingest import forget_vecs
 
-        out[f"ann:{ann_dir}"] = forget_vecs(
-            spark, ann_dir, ids,
-            allow_model_residue=args.allow_model_residue,
-        )
+        try:
+            out[f"ann:{ann_dir}"] = forget_vecs(
+                spark, ann_dir, ids,
+                allow_model_residue=args.allow_model_residue,
+            )
+        except (ValueError, FileNotFoundError) as exc:
+            # a refused/missing ANN sweep must not swallow the already-
+            # completed sweeps' compliance evidence, nor skip the
+            # remaining --ann-dir targets: record, continue, exit 1
+            out[f"ann:{ann_dir}"] = {"error": str(exc)}
+            rc = 1
     print(json.dumps(out, indent=1, sort_keys=True))
-    return 0
+    return rc
 
 
 def _cmd_verify_shards(args) -> int:

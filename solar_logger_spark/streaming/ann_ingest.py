@@ -140,14 +140,17 @@ def bootstrap_ann_index(
     (probes prune to their cells' directories); the model commits as a
     sidecar of the same snapshot. Returns the snapshot name.
 
-    Model residue bookkeeping: with ``refine_iters=0`` the coarse
-    centroids are VERBATIM corpus vectors (``seeded_centroids``) and
-    their ids are recorded as model ``seeds`` for ``forget_vecs``'s
-    residue guard; with sweeps (the default) centroids and codebooks
-    are Lloyd means and the seed list is empty. Caveat, documented not
-    hidden: a trained mean over a SINGLETON cluster still equals one
-    vector — the guard covers the structural verbatim case, recenter
-    covers the rest."""
+    Model residue bookkeeping: the coarse centroids seed from VERBATIM
+    corpus vectors (``seeded_centroids``) and the PQ codebooks from
+    the first-``ks`` rows of the hash-ordered training sample — and
+    although Lloyd sweeps replace most entries with means, an EMPTY
+    cluster keeps its verbatim init vector at ANY iteration count
+    (``kmeans_refine``/``_lloyd`` both skip empty clusters), so ALL
+    init ids are recorded as model ``seeds`` for ``forget_vecs``'s
+    residue guard — a conservative superset, same rule as the
+    deterministic bootstrap. Caveat, documented not hidden: a trained
+    mean over a SINGLETON cluster still equals one vector — the guard
+    covers the structural verbatim cases, recenter covers the rest."""
     import numpy as np
     from solar_logger_spark.operators import pq
 
@@ -155,15 +158,7 @@ def bootstrap_ann_index(
         corpus, n_cells=n_cells, m=m, ks=ks, refine_iters=refine_iters,
         sample_size=sample_size, id_col=id_col, vec_col=vec_col,
     )
-    seeds: list = []
-    if refine_iters == 0:
-        # replicate seeded_centroids' pick to record WHOSE vectors the
-        # un-refined centroids are
-        seeds = [
-            r[0] for r in corpus.select(id_col)
-            .withColumn("_h", F.xxhash64(F.col(id_col)))
-            .orderBy("_h").limit(n_cells).collect()
-        ]
+    seeds = _numpy_seed_ids(corpus, id_col, n_cells, ks)
     books = np.asarray(books)
     bdict = {
         (j, c): [float(x) for x in books[j, c]]
@@ -176,6 +171,26 @@ def bootstrap_ann_index(
             bdict, _ARRAY, id_col, vec_col, m, ks, seeds=seeds,
         )},
     )
+
+
+def _numpy_seed_ids(corpus, id_col, n_cells, ks) -> list:
+    """The ids whose raw vectors can survive verbatim in a
+    numpy-trained model: seeded_centroids' n_cells picks (xxhash
+    order) plus the PQ init rows — the first ks of the hash-ordered
+    training sample (``_collect_sample`` orders by (_h, id);
+    ``_lloyd`` inits from ``data[:k]``). Conservative superset: most
+    are Lloyd-replaced, empty clusters keep them."""
+    coarse = [
+        r[0] for r in corpus.select(id_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h").limit(n_cells).collect()
+    ]
+    book = [
+        r[0] for r in corpus.select(id_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", id_col).limit(ks).collect()
+    ]
+    return sorted(set(coarse) | set(book))
 
 
 def bootstrap_ann_index_deterministic(
@@ -322,11 +337,18 @@ def encode_delivery(batch_df: DataFrame, model: dict) -> DataFrame:
 
 
 def _books_array(model):
+    """Dense (m, ks_eff, dsub) codebook array. ks_eff is the HIGHEST
+    code actually present, not the configured ks: a rows-layout model
+    trained on fewer than ks subvectors has fewer codes, and zero-
+    padding the gap would create phantom all-zero codes the real
+    encoder never emits (they would silently win argmin scoring in the
+    numpy kernels and understate quantization error)."""
     import numpy as np
 
-    m, ks = model["m"], model["ks"]
+    m = model["m"]
+    ks_eff = 1 + max(b["code"] for b in model["codebooks"])
     dsub = len(model["codebooks"][0]["c"])
-    books = np.zeros((m, ks, dsub))
+    books = np.zeros((m, ks_eff, dsub))
     for b in model["codebooks"]:
         books[b["ms"], b["code"]] = np.asarray(b["c"], dtype=np.float64)
     return books
@@ -464,6 +486,7 @@ def quantization_report(
     spark: SparkSession,
     index_dir: str,
     corpus: DataFrame,
+    model: dict | None = None,
 ) -> DataFrame:
     """Per-cell health of the PINNED model against the CURRENT corpus
     — the measurement behind the recenter cadence. For each coarse
@@ -477,12 +500,14 @@ def quantization_report(
     One Arrow-batched map-only pass over ``corpus`` (assign + encode +
     decode + error against the broadcast model — no index read, no
     shuffle beyond the final per-cell agg); use
-    :func:`drift_summary` for the scalar report / trigger."""
+    :func:`drift_summary` for the scalar report / trigger.
+    ``model``: pass an already-loaded :func:`read_model` dict to skip
+    re-parsing the sidecar."""
     import numpy as np
     import pandas as pd
 
-    model = read_model(index_dir)
-    id_col, vec_col = model["id_col"], model["vec_col"]
+    model = model or read_model(index_dir)
+    vec_col = model["vec_col"]
     cents = np.asarray(model["centroids"], dtype=np.float64)
     cn = np.sqrt((cents * cents).sum(axis=1))
     cn[cn == 0] = 1.0
@@ -518,7 +543,7 @@ def quantization_report(
                 "cell": cell.astype("int32"), "qerr": qerr,
             })
 
-    per_vec = corpus.select(id_col, vec_col).mapInPandas(
+    per_vec = corpus.select(vec_col).mapInPandas(
         _err, "cell int, qerr double"
     )
     return per_vec.groupBy("cell").agg(
@@ -546,7 +571,8 @@ def drift_summary(
          "qerr_ratio": current/baseline,
          "recenter_recommended": bool}
     """
-    rep = quantization_report(spark, index_dir, corpus).collect()
+    model = read_model(index_dir)
+    rep = quantization_report(spark, index_dir, corpus, model).collect()
     n = sum(r["n_vectors"] for r in rep)
     if not rep or n == 0:
         return {
@@ -555,11 +581,18 @@ def drift_summary(
             "recenter_recommended": False,
         }
     occ = [r["n_vectors"] for r in rep]
-    n_cells = len(read_model(index_dir)["centroids"])
+    n_cells = len(model["centroids"])
     imbalance = max(occ) / (n / n_cells)
     mean_qerr = sum(r["mean_qerr"] * r["n_vectors"] for r in rep) / n
-    base = read_model(index_dir).get("baseline_qerr")
-    ratio = (mean_qerr / base) if base else 1.0
+    base = model.get("baseline_qerr")
+    if base is None:
+        ratio = 1.0  # no recorded denominator: imbalance-only trigger
+    elif base == 0.0:
+        # a perfectly-quantized baseline is a REAL denominator: any
+        # later error is infinite drift, not "no signal"
+        ratio = float("inf") if mean_qerr > 0.0 else 1.0
+    else:
+        ratio = mean_qerr / base
     return {
         "imbalance": float(imbalance),
         "mean_qerr": float(mean_qerr),
@@ -657,6 +690,11 @@ def forget_vecs(
 
         vec_ids = list(vec_ids)
         if not vec_ids:
+            # "forget nothing" still enforces the retention rewind —
+            # the same no-op semantics as an empty/already-swept
+            # DataFrame (an earlier commit at higher keep_snapshots
+            # may have left forgotten rows time-travelable)
+            M._prune(index_dir, keep=keep_snapshots)
             return {
                 "snapshot": M.current_snapshot(index_dir),
                 "deleted_rows": 0,
@@ -680,25 +718,16 @@ def forget_vecs(
             src = cols[0]
         vec_ids = vec_ids.select(F.col(src).alias(key))
 
-    if M.list_deltas(index_dir):
-        compact_ann_index(spark, index_dir, keep_snapshots=keep_snapshots)
-    # folded delta dirs (this compaction's grace tail + any earlier
-    # cadence's) still hold the bytes — purge, don't wait out grace
-    M.purge_dead_deltas(index_dir)
-
-    base = M.read_table_snapshot(spark, index_dir)
-    id_type = base.schema[key].dataType
+    # cast against the CURRENT base schema and run the residue guard
+    # BEFORE any destructive maintenance — a sweep the guard refuses
+    # must not have already compacted away retained snapshots and
+    # purged delta bytes (r9 review finding)
+    id_type = M.read_table_snapshot(spark, index_dir).schema[key].dataType
     ids = (
         vec_ids.select(F.col(key).cast(id_type).alias(key))
         .distinct().localCheckpoint()
     )
     id_vals = {r[0] for r in ids.collect()}  # bounded: the forget set
-    if not id_vals:
-        M._prune(index_dir, keep=keep_snapshots)
-        return {
-            "snapshot": M.current_snapshot(index_dir),
-            "deleted_rows": 0,
-        }
     # seeds serialize as ints; Spark long/int ids collect as Python
     # ints, so plain set intersection is exact
     residue = sorted(id_vals & set(model["seeds"]))
@@ -712,6 +741,20 @@ def forget_vecs(
             "allow_model_residue=True to proceed with the residue "
             "documented in the result."
         )
+
+    if M.list_deltas(index_dir):
+        compact_ann_index(spark, index_dir, keep_snapshots=keep_snapshots)
+    # folded delta dirs (this compaction's grace tail + any earlier
+    # cadence's) still hold the bytes — purge, don't wait out grace
+    M.purge_dead_deltas(index_dir)
+
+    base = M.read_table_snapshot(spark, index_dir)
+    if not id_vals:
+        M._prune(index_dir, keep=keep_snapshots)
+        return {
+            "snapshot": M.current_snapshot(index_dir),
+            "deleted_rows": 0,
+        }
     # locate the ids' cells from the live rows (column-pruned scan);
     # also the deleted-row count, measured before the rewrite
     located = base.select(key, "cell").join(
@@ -790,13 +833,7 @@ def recenter_ann_index(
         m=old["m"], ks=old["ks"], refine_iters=refine_iters,
         sample_size=sample_size, id_col=id_col, vec_col=vec_col,
     )
-    seeds: list = []
-    if refine_iters == 0:  # verbatim-centroid case: record whose
-        seeds = [
-            r[0] for r in corpus.select(id_col)
-            .withColumn("_h", F.xxhash64(F.col(id_col)))
-            .orderBy("_h").limit(k_cells).collect()
-        ]
+    seeds = _numpy_seed_ids(corpus, id_col, k_cells, old["ks"])
     books = np.asarray(books)
     bdict = {
         (j, c): [float(x) for x in books[j, c]]

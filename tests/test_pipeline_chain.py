@@ -126,7 +126,11 @@ def test_full_chain_ingest_build_export_forget(spark, sf_dir, tmp_path):
     assert DI.SHINGLES in out
     EX.forget_shards(spark, shards, exp_victims)
     n_vec_victims = emb.filter(F.col("vec_id").isin(victims)).count()
-    ann_out = AI.forget_vecs(spark, ann, victims)
+    # a victim that SEEDED the ANN model would be refused (its raw
+    # vector lives in the model sidecar; recenter is the remedy) —
+    # acknowledge explicitly here, the dedicated residue test owns
+    # that path
+    ann_out = AI.forget_vecs(spark, ann, victims, allow_model_residue=True)
     assert ann_out["deleted_rows"] == n_vec_victims
 
     sh2, _ = DI.read_index(spark, idx)
