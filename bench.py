@@ -33,6 +33,14 @@ def _sf_of(sf_dir: str) -> float:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Machine-state snapshot BEFORE the session spins up: a loadavg far
+    # above idle means something (a sweep, pytest) is still competing
+    # for the 32 cores and the total will read slow through no fault of
+    # the code under test.
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
 
     from solar_logger_spark.session import get_spark
 
@@ -49,6 +57,17 @@ def main() -> int:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "events").limit(1000).count()
+
+    # Calibration canary: a pinned, data-independent, pure-CPU Spark job
+    # timed before the registry. Cross-round totals can be deflated by
+    # the canary ratio to separate ambient machine drift from real code
+    # regressions (round-9 lesson: raw totals moved 1.2-1.3x between
+    # runs on untouched code). min-of-2, same discipline as the queries.
+    canary = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(500_000_000).selectExpr("sum(id * id) AS s").collect()
+        canary = min(canary, time.perf_counter() - t0)
 
     # Two passes, min per query: pass 1 absorbs per-plan codegen/JIT
     # compilation (a long-lived cluster service pays that once, not per
@@ -101,6 +120,12 @@ def main() -> int:
         "total": round(total, 3),
         "n_queries": len(per_query),
         "n_failed": len(failed),
+        # Run-context record (round-10): lets any later reader deflate
+        # this total by measured ambient drift instead of guessing.
+        "canary_sec": round(canary, 3),
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "preceded_by": os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "unspecified"),
         "sf": _sf_of(sf_dir),
     }
     print(json.dumps(result))

@@ -780,8 +780,16 @@ def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
     ``collect_list`` of every member vector was the one remaining
     100×-scale skew/OOM hazard): members fold in ``vid`` order WITHIN
     an id block (``vid DIV block`` — ≤ ``block`` rows per group, so
-    every task array is bounded), then block partial sums fold in
-    block order. Same two-level recipe as
+    every FIRST-level task array is bounded), then block partial sums
+    fold in block order. The second level is a ``block``-factor
+    mitigation, not a constant bound: a key spanning N member ids
+    still concentrates O(N/block) partial-sum structs in one task.
+    That residual lives only on this oracle-trainer path (the
+    maintained index delivers via the map-only encoder, never through
+    here), and a third level would change the fold associativity —
+    and therefore every pinned PCA/PQ/IVFPQ hash on both engines —
+    to bound a fold whose key count is ``n_cells``/``m×ks``-sized by
+    construction. Same two-level recipe as
     :func:`solar_logger_spark.operators.pca.pca_fit_deterministic`,
     and each level is replayed verbatim by the ANN SQL twins
     (``list(... ORDER BY vid)`` per ``vid // block`` group, then

@@ -124,6 +124,26 @@ def read_model(index_dir: str) -> dict:
 # bootstrap
 # ---------------------------------------------------------------------------
 
+def _require_integral_id(corpus: DataFrame, id_col: str) -> None:
+    """The maintained-index API assumes integer ids end to end: the
+    model sidecar serializes ``seeds`` via ``int()`` and
+    ``forget_vecs``'s residue guard intersects them as Python ints.
+    Validate at the boundary with a named error instead of letting a
+    string-keyed corpus die in an opaque ``int()`` ValueError mid-
+    bootstrap."""
+    from pyspark.sql import types as T
+
+    dt = corpus.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+        raise TypeError(
+            f"ANN index id column {id_col!r} must be an integral type "
+            f"(the model sidecar's seed registry and forget_vecs's "
+            f"residue guard key on int ids); got {dt.simpleString()}. "
+            f"Map string keys to a surrogate bigint before bootstrap."
+        )
+
+
 def bootstrap_ann_index(
     corpus: DataFrame,
     index_dir: str,
@@ -154,6 +174,7 @@ def bootstrap_ann_index(
     import numpy as np
     from solar_logger_spark.operators import pq
 
+    _require_integral_id(corpus, id_col)
     encoded, cents, books = pq.build_ivfpq(
         corpus, n_cells=n_cells, m=m, ks=ks, refine_iters=refine_iters,
         sample_size=sample_size, id_col=id_col, vec_col=vec_col,
@@ -214,6 +235,7 @@ def bootstrap_ann_index_deterministic(
     pinned-fold ADC search consumes."""
     from solar_logger_spark.operators import pq
 
+    _require_integral_id(corpus, id_col)
     cents, books, rsubs, seeds = _det_train(
         corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col
     )
@@ -427,9 +449,15 @@ def search_ann_index(
 ) -> DataFrame:
     """Top-k over the maintained index: vectors delivered since
     bootstrap are searchable immediately (delta resolution above).
-    ``corpus`` (raw vectors) is required when ``rerank > 0`` — the
-    shortlist re-scores exactly against it. Output matches the other
-    ANN operators: (query_id, neighbor_id, approx_dist, rank)."""
+
+    ``corpus`` (raw vectors): required when ``rerank > 0`` for the
+    ``array`` layout, and ALWAYS required for the ``rows`` layout —
+    its pinned-fold tail (:func:`pq._adc_rank_tail`) exact-rescores
+    the shortlist against the raw vectors even at ``rerank=0`` (that
+    exact rescue is what keeps the rows-layout hashes
+    oracle-replayable); an ADC-only rows-layout mode does not exist.
+    Output matches the other ANN operators:
+    (query_id, neighbor_id, approx_dist, rank)."""
     from solar_logger_spark.operators import pq
 
     model = read_model(index_dir)

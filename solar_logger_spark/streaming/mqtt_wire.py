@@ -241,6 +241,16 @@ class MiniMqttClient:
         sock.settimeout(1.0)
         self._seen_pids: "OrderedDict[int, None]" = OrderedDict()
         self._sock = sock
+        # A disconnect() may have raced this dial: it sets _stop, then
+        # closes whatever self._sock held BEFORE this assignment. Check
+        # after the swap so the fresh subscriber can never outlive a
+        # stopped client (disconnect's own re-close can't see a socket
+        # assigned after its read). __init__'s first connect runs
+        # before _stop exists — hence the getattr.
+        stop = getattr(self, "_stop", None)
+        if stop is not None and stop.is_set():
+            sock.close()
+            raise ConnectionError("client stopped during (re)connect")
 
     def _try_reconnect(self) -> bool:
         """Backoff re-dial loop; True once resubscribed, False when

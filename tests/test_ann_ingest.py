@@ -258,6 +258,15 @@ def test_guards(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         AI.bootstrap_ann_index_deterministic(empty, str(tmp_path / "e"))
+    # String-keyed corpora must fail with a NAMED boundary error, not
+    # an opaque int() ValueError mid-bootstrap: the seed registry and
+    # forget_vecs's residue guard key on integer ids.
+    strkey = spark.createDataFrame(
+        [("a", [0.1] * 8)], "vec_id string, embedding array<float>"
+    )
+    for boot in (AI.bootstrap_ann_index, AI.bootstrap_ann_index_deterministic):
+        with pytest.raises(TypeError, match="integral type"):
+            boot(strkey, str(tmp_path / "s"))
 
 
 def test_forget_vecs_removes_every_byte(spark, sf_dir, tmp_path):
