@@ -1053,7 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_bm25_topk_docs": sca.text_bm25_topk_docs,
             "similarity_ann_pq": sca.similarity_ann_pq,
             "similarity_ann_ivfpq": sca.similarity_ann_ivfpq,
-            "similarity_ann_maintained": sca.similarity_ann_maintained,
+            "ann_maintained_build": sca.ann_maintained_build,
+            "ann_maintained_search": sca.ann_maintained_search,
             "ts_ema_events": sca.ts_ema_events,
             "ts_state_count_events": sca.ts_state_count_events,
             "ts_state_duration_events": sca.ts_state_duration_events,
@@ -1488,7 +1489,8 @@ def oracle_sql() -> dict[str, str]:
             "similarity_ann_ivf": sca.ANN_IVF_SQL,
             "similarity_ann_pq": sca.ANN_PQ_SQL,
             "similarity_ann_ivfpq": sca.ANN_IVFPQ_SQL,
-            "similarity_ann_maintained": sca.ANN_MAINTAINED_SQL,
+            "ann_maintained_build": sca.ANN_MAINTAINED_BUILD_SQL,
+            "ann_maintained_search": sca.ANN_MAINTAINED_SQL,
             "embedding_pca_project": sca.PCA_PROJECT_SQL,
             "embedding_jl_project": sca.JL_PROJECT_SQL,
             "text_length_bucketed_batches": sca.LENGTH_BUCKETED_SQL,

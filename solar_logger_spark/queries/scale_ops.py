@@ -1497,48 +1497,99 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _attach_recall(ann, _exact_topk_shared(spark, sf_dir), k=5)
 
 
-def similarity_ann_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search over the PERSISTED, incrementally-maintained
-    index (``streaming.ann_ingest``): vectors with ``vec_id % 4 != 3``
-    bootstrap the index (deterministic md5-seeded model, pinned as a
-    JSON sidecar of the codes snapshot), the remaining quarter arrives
-    as a delivery that encodes MAP-ONLY against the pinned model and
-    appends an O(batch) codes delta, and the search resolves base ∪
-    delta before probing — the full maintained-index loop, exercised
-    end-to-end through real parquet persistence. Every float is
-    re-derivable: the DuckDB twin replays bootstrap training (initial
-    corpus only), the union encode (≡ encoding everything against the
-    initial-trained model, since encode is per-row), and the
-    pinned-fold ADC search; the JSON-sidecar model round-trip is
-    bit-exact (repr floats), so the driver's value-hash gate applies.
+def _maintained_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The per-session path of the maintained ANN index for ``sf_dir``.
+    Per-session: a concurrent session (pytest plan audit vs a verify
+    run) must never rmtree an index the other is mid-build on; within
+    one session, queries run sequentially and rebuild cleanly."""
+    import os
+    import tempfile
 
-    ``lloyd_rounds=0``: this query pins the PERSISTENCE/delta loop;
+    return os.path.join(
+        tempfile.gettempdir(),
+        "slspark_ann_maintained_"
+        + os.path.basename(os.path.abspath(sf_dir))
+        + "_" + spark.sparkContext.applicationId,
+    )
+
+
+def _maintained_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """The maintained-index maintenance loop (``streaming.ann_ingest``):
+    vectors with ``vec_id % 4 != 3`` bootstrap the index (deterministic
+    md5-seeded model, pinned as a JSON sidecar of the codes snapshot),
+    the remaining quarter arrives as a delivery that encodes MAP-ONLY
+    against the pinned model and appends an O(batch) codes delta, and
+    compaction folds the delta tail into the next base snapshot.
+    Returns the index dir, fully built from scratch.
+
+    ``lloyd_rounds=0``: this pipeline pins the PERSISTENCE/delta loop;
     the pinned-fold Lloyd trainer itself is already hash-verified by
     ``similarity_ann_ivfpq`` — re-running a training sweep here would
     re-pay its cost per bench run for no additional oracle signal."""
-    import os
     import shutil
-    import tempfile
 
     from solar_logger_spark.streaming import ann_ingest as AI
 
     emb = load_table(spark, sf_dir, "embeddings")
     initial = emb.filter(F.col("vec_id") % 4 != 3)
     delivery = emb.filter(F.col("vec_id") % 4 == 3)
-    # per-session path: a concurrent session (pytest plan audit vs a
-    # verify run) must never rmtree an index the other is mid-build on;
-    # within one session, queries run sequentially and rebuild cleanly
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        "slspark_ann_maintained_"
-        + os.path.basename(os.path.abspath(sf_dir))
-        + "_" + spark.sparkContext.applicationId,
-    )
+    idx = _maintained_index_dir(spark, sf_dir)
     shutil.rmtree(idx, ignore_errors=True)
     AI.bootstrap_ann_index_deterministic(
         initial, idx, n_cells=16, m=8, ks=16, lloyd_rounds=0
     )
     AI.ann_ingest_sink(idx)(delivery, 1)
+    AI.compact_ann_index(spark, idx)
+    return idx
+
+
+def ann_maintained_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD half of the maintained-index loop (r10 split of
+    ``similarity_ann_maintained``, so the bench separates the one-time
+    maintenance cost from the steady-state search cost a deployment
+    pays per query): bootstrap → O(batch) delivery → compaction, all
+    through real parquet persistence, then a per-cell summary of the
+    RESOLVED persisted codes. Every value is re-derivable: the DuckDB
+    twin replays bootstrap training (initial corpus only) and the
+    union encode (≡ encoding everything against the initial-trained
+    model, since encode is per-row), then the same aggregate; the
+    JSON-sidecar model round-trip is bit-exact (repr floats).
+    ``vid_code_sum`` discriminates per-vector assignments, not just
+    totals."""
+    from solar_logger_spark.streaming import ann_ingest as AI
+
+    idx = _maintained_index_build(spark, sf_dir)
+    codes = AI.resolved_codes(spark, idx)
+    return (
+        codes.groupBy("cell")
+        .agg(
+            F.countDistinct("vid").cast("bigint").alias("n_vecs"),
+            F.count("*").cast("bigint").alias("n_code_rows"),
+            F.sum("code").cast("bigint").alias("code_sum"),
+            F.sum(F.col("vid") * F.col("code")).cast("bigint")
+            .alias("vid_code_sum"),
+        )
+    )
+
+
+def ann_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEARCH half of the maintained-index loop: resolve + probe
+    over the EXISTING persisted index — the steady-state cost a 100 TB
+    deployment actually pays per query. The index handle is reused
+    across calls in a session (``_exact_topk_shared``'s memo pattern:
+    rebuilt only if missing, e.g. when this query runs without
+    ``ann_maintained_build`` before it); search resolves base ∪ delta
+    before probing, so the result is identical whether or not the tail
+    was compacted. The DuckDB twin is the full replay (train + encode
+    + pinned-fold ADC search) — SQL has no persistence to skip."""
+    import os
+
+    from solar_logger_spark.streaming import ann_ingest as AI
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _maintained_index_dir(spark, sf_dir)
+    if not os.path.exists(os.path.join(idx, "_CURRENT")):
+        _maintained_index_build(spark, sf_dir)
     ann = AI.search_ann_index(
         spark, idx, emb.filter(F.col("vec_id") < 10), corpus=emb,
         k=5, n_probe=12, rerank=800,
@@ -5734,8 +5785,11 @@ FROM ann a LEFT JOIN recall r ON a.query_id = r.query_id
 # run over everything (bootstrap encode ∪ delivery encode ≡ encoding
 # all vectors against the pinned initial-trained model, since encode is
 # per-row). The persistence hop (JSON-sidecar model, parquet codes) is
-# bit-exact, so no SQL-side modeling of it is needed.
-ANN_MAINTAINED_SQL = """
+# bit-exact, so no SQL-side modeling of it is needed. The train+encode
+# prefix (through the ``codes`` CTE) is shared by the r10 build/search
+# split: the build oracle aggregates ``codes`` per cell, the search
+# oracle probes them.
+_ANN_MAINTAINED_PREFIX = """
 WITH raw AS (
     SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
 ),
@@ -5787,7 +5841,18 @@ codes AS (  -- encode everything against the pinned books
                    b.code ASC) AS rn
         FROM rsubs s JOIN books b ON b.ms = s.ms) t
     WHERE rn = 1
-),
+)"""
+
+ANN_MAINTAINED_BUILD_SQL = _ANN_MAINTAINED_PREFIX + """
+SELECT cell,
+       CAST(count(DISTINCT vid) AS BIGINT) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS n_code_rows,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(vid * code) AS BIGINT) AS vid_code_sum
+FROM codes GROUP BY cell
+"""
+
+ANN_MAINTAINED_SQL = _ANN_MAINTAINED_PREFIX + """,
 qn AS (SELECT vid AS query_id, v AS qv FROM vn WHERE vid < 10),
 qprobe AS (
     SELECT query_id, cell, [qv[d] - c[d] FOR d IN range(1, 65)] AS qr FROM (

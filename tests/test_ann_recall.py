@@ -16,7 +16,7 @@ from solar_logger_spark.queries import scale_ops as sca
         "similarity_ann_ivf",
         "similarity_ann_pq",
         "similarity_ann_ivfpq",
-        "similarity_ann_maintained",
+        "ann_maintained_search",
     ],
 )
 def test_ann_query_mean_recall_pinned(spark, sf_dir, name):
