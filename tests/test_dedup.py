@@ -370,6 +370,64 @@ def test_editdistance_edjoin_random_parity(spark):
         assert got == want, method
 
 
+def test_editdistance_dense_band_cap(spark):
+    """dense_band_cap semantics: EXACT (identical full pair set) when
+    every band is at or under the cap; deterministic text-sorted
+    neighborhood above it — adjacent-in-order near-dups survive, and
+    the output is a subset of the uncapped pairs with correct
+    distances."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    # one dense band: 40 same-length strings, incl. mutated near-dups
+    base = ["".join(rng.choice("abcd") for _ in range(24)) for _ in range(30)]
+    texts = list(base)
+    for t in base[:10]:
+        chars = list(t)
+        chars[rng.randrange(24)] = rng.choice("abcd")
+        texts.append("".join(chars))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    d = 3
+    want = {
+        (i, j): dist
+        for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2)
+        if (dist := _lev(a, b)) <= d
+    }
+    assert want
+    # cap ABOVE the band size: bit-identical to the uncapped path
+    exact = {
+        (r.a_id, r.b_id): r.dist
+        for r in dedup.editdistance_pairs(
+            df, block_col=None, max_dist=d, method="band",
+            dense_band_cap=4096,
+        ).collect()
+    }
+    assert exact == want
+    # cap BELOW the band size: bounded subset, correct distances, no
+    # duplicate emissions; a generous window keeps full coverage here
+    # (every doc is within 64 successors of every other)
+    rows = dedup.editdistance_pairs(
+        df, block_col=None, max_dist=d, method="band",
+        dense_band_cap=8, dense_band_window=64,
+    ).collect()
+    capped = {(r.a_id, r.b_id): r.dist for r in rows}
+    assert len(rows) == len(capped)  # no dupes
+    assert capped == want  # window covers the whole band
+    # a tight window returns a strict, still-correct subset
+    tight = {
+        (r.a_id, r.b_id): r.dist
+        for r in dedup.editdistance_pairs(
+            df, block_col=None, max_dist=d, method="band",
+            dense_band_cap=8, dense_band_window=2,
+        ).collect()
+    }
+    assert set(tight) <= set(want)
+    assert all(want[k] == v for k, v in tight.items())
+
+
 def test_editdistance_null_block_values_match_both_methods(spark):
     """NULL block values must behave identically in both candidate
     generators: NULL == NULL for blocking (same as the eqNullSafe
