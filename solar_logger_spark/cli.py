@@ -11,6 +11,7 @@ subcommands::
     python -m solar_logger_spark query --sf-dir /root/testdata/sf0.001
     python -m solar_logger_spark query --sf-dir DIR \
         --flux 'from(bucket: "b") |> range(start: -5m)' --mode csv
+    python -m solar_logger_spark query --sf-dir DIR --config config.ini
     python -m solar_logger_spark sql --sf-dir DIR "SELECT count(*) FROM events"
     python -m solar_logger_spark logger --input DIR --store DIR --timeout 30
     python -m solar_logger_spark health
@@ -62,9 +63,16 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--flux", default=None, help="Flux query text (default: example)")
     q.add_argument(
         "--mode",
-        default="flux",
+        default=None,
         choices=("csv", "flux", "stream"),
-        help="result mode (reference S6)",
+        help="result mode (reference S6; default: config query_mode, else flux)",
+    )
+    q.add_argument(
+        "--config",
+        default=None,
+        help="reference-format config.ini — reads [query_settings] "
+             "query_mode/csv_location/csv_name/csv_mode "
+             "(src/helpers/py_functions.py compatibility shim)",
     )
     q.add_argument("--out", default=None, help="write result CSV to this path")
     q.add_argument("--limit", type=int, default=20, help="max rows to print")
@@ -134,7 +142,15 @@ def _get_spark():
 
 def _cmd_query(args) -> int:
     from solar_logger_spark.engine import SolarEngine
-    from solar_logger_spark.io.results import write_results_to_csv
+    from solar_logger_spark.io.results import csv_lines, write_results_to_csv
+
+    file_settings = None
+    if args.config:
+        from solar_logger_spark.config import read_query_settings
+
+        file_settings = read_query_settings(args.config)
+    # precedence: explicit --mode flag > config.ini query_mode > flux
+    mode = args.mode or (file_settings.query_mode if file_settings else "flux")
 
     engine = SolarEngine(_get_spark())
     flux = args.flux or EXAMPLE_FLUX
@@ -144,8 +160,36 @@ def _cmd_query(args) -> int:
         write_results_to_csv(df, args.out)
         print(f"wrote {args.out}")
         return 0
-    result = engine.execute(df.limit(args.limit), args.mode)
-    if args.mode == "csv":
+    # csv + config ⇒ the reference's file sink. Binds when the mode came
+    # from the config itself (then a missing csv_location is a named
+    # fail-fast error, like every other missing setting) or when the
+    # config carries a destination; an explicit --mode csv against a
+    # destination-less config falls through to stdout.
+    use_file_sink = (
+        mode == "csv"
+        and file_settings is not None
+        and (args.mode is None or file_settings.csv_location is not None)
+    )
+    if use_file_sink:
+        # reference behavior (py_functions.write_results_to_csv:13-35):
+        # csv mode + config ⇒ one local file at csv_location + csv_name,
+        # honoring csv_mode ('w' overwrite / 'a' append), creating the
+        # directory. Driver-side on purpose — this is the reference's
+        # interactive small-result path; the distributed sink stays
+        # write_results_to_csv (--out).
+        import os
+
+        path = file_settings.csv_path()
+        loc = file_settings.csv_location
+        if loc and not os.path.exists(loc):
+            os.makedirs(loc)
+        lines = csv_lines(df.limit(args.limit))
+        with open(path, file_settings.csv_mode) as fh:
+            fh.write("\n".join(lines) + "\n")
+        print(f"wrote {path}")
+        return 0
+    result = engine.execute(df.limit(args.limit), mode)
+    if mode == "csv":
         for line in result:
             print(line)
     else:  # flux (list of dicts) or stream (lazy iterator)

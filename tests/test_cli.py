@@ -131,3 +131,55 @@ def test_cli_forget_and_verify_shards(spark, tmp_path, capsys):
     assert rc == 0 and out["ok"]
     shipped = spark.read.parquet(shards)
     assert shipped.filter(F.col("doc_id").isin([2, 5])).count() == 0
+
+
+# ---- config.ini compatibility shim (reference py_functions.py) --------
+
+
+def test_query_config_ini_reference_template(spark, sf_dir, capsys):
+    """The reference's own config.ini drives the query: query_mode=flux
+    is read from the file (no --mode flag) and record dicts print."""
+    import os
+
+    ini = "/root/reference/src/config/config.ini"
+    if not os.path.exists(ini):
+        pytest.skip("reference config.ini not present")
+    assert main(["query", "--sf-dir", sf_dir, "--config", ini,
+                 "--limit", "3"]) == 0
+    assert "event_type" in capsys.readouterr().out
+
+
+def test_query_config_ini_csv_sink_write_and_append(spark, sf_dir, tmp_path,
+                                                    capsys):
+    """query_mode=csv + config ⇒ one local file at csv_location+csv_name
+    (reference write_results_to_csv), honoring csv_mode w then a."""
+    loc = str(tmp_path / "out") + "/"
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[query_settings]\n"
+        "query_mode = csv\n"
+        f"csv_location = {loc}\n"
+        "csv_name = query_result.csv\n"
+        "csv_mode = w\n"
+    )
+    assert main(["query", "--sf-dir", sf_dir, "--config", str(ini),
+                 "--limit", "3"]) == 0
+    out_file = tmp_path / "out" / "query_result.csv"
+    assert out_file.exists()
+    first = out_file.read_text().strip().splitlines()
+    assert len(first) <= 4 and "," in first[0]  # header + ≤3 rows
+
+    ini.write_text(ini.read_text().replace("csv_mode = w", "csv_mode = a"))
+    assert main(["query", "--sf-dir", sf_dir, "--config", str(ini),
+                 "--limit", "3"]) == 0
+    appended = out_file.read_text().strip().splitlines()
+    assert len(appended) == 2 * len(first)
+
+
+def test_query_mode_flag_beats_config(spark, sf_dir, tmp_path, capsys):
+    ini = tmp_path / "config.ini"
+    ini.write_text("[query_settings]\nquery_mode = flux\n")
+    assert main(["query", "--sf-dir", sf_dir, "--config", str(ini),
+                 "--mode", "csv", "--limit", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert "," in lines[0]  # csv header, not record dicts

@@ -73,3 +73,73 @@ def test_engine_settings_defaults():
     assert s.checkpoint_dir is None
     s2 = engine_settings({"SOLAR_STORE_DIR": "/data/p", "SOLAR_CHECKPOINT_DIR": "/ck"})
     assert (s2.store_dir, s2.checkpoint_dir) == ("/data/p", "/ck")
+
+
+# ---- config.ini shim (reference py_functions.py:13-45) ----------------
+
+REFERENCE_INI = "/root/reference/src/config/config.ini"
+
+
+def _reference_ini_or_skip():
+    import os
+
+    if not os.path.exists(REFERENCE_INI):
+        pytest.skip("reference config.ini not present in this environment")
+    return REFERENCE_INI
+
+
+def test_read_query_settings_reference_template():
+    """The shim parses the reference's own config.ini verbatim —
+    including the logging sections' %%-escaped format strings."""
+    from solar_logger_spark.config import read_query_settings
+
+    qs = read_query_settings(_reference_ini_or_skip())
+    assert qs.query_mode == "flux"
+    assert qs.csv_location == "output/"
+    assert qs.csv_name == "query_result.csv"
+    assert qs.csv_mode == "w"
+    assert qs.csv_path() == "output/query_result.csv"
+
+
+def test_read_query_settings_missing_file():
+    from solar_logger_spark.config import read_query_settings
+
+    with pytest.raises(MissingCredentialsError, match="missing or unreadable"):
+        read_query_settings("/nonexistent/config.ini")
+
+
+def test_read_query_settings_missing_section(tmp_path):
+    from solar_logger_spark.config import read_query_settings
+
+    p = tmp_path / "config.ini"
+    p.write_text("[other]\nx = 1\n")
+    with pytest.raises(MissingCredentialsError, match="query_settings"):
+        read_query_settings(str(p))
+
+
+def test_read_query_settings_missing_mode(tmp_path):
+    from solar_logger_spark.config import read_query_settings
+
+    p = tmp_path / "config.ini"
+    p.write_text("[query_settings]\ncsv_location = out/\n")
+    with pytest.raises(MissingCredentialsError, match="query_mode"):
+        read_query_settings(str(p))
+
+
+def test_read_query_settings_bad_csv_mode(tmp_path):
+    from solar_logger_spark.config import read_query_settings
+
+    p = tmp_path / "config.ini"
+    p.write_text("[query_settings]\nquery_mode = csv\ncsv_mode = x\n")
+    with pytest.raises(MissingCredentialsError, match="csv_mode"):
+        read_query_settings(str(p))
+
+
+def test_read_query_settings_csv_path_requires_location(tmp_path):
+    from solar_logger_spark.config import read_query_settings
+
+    p = tmp_path / "config.ini"
+    p.write_text("[query_settings]\nquery_mode = csv\n")
+    qs = read_query_settings(str(p))
+    with pytest.raises(MissingCredentialsError, match="csv_location"):
+        qs.csv_path()
