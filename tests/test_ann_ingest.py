@@ -461,3 +461,92 @@ def test_quantization_report_and_drift_trigger(spark, sf_dir, tmp_path):
     after = AI.drift_summary(spark, idx, emb)
     assert after["mean_qerr"] <= before * 1.05  # recenter helps (or ties)
     assert after["qerr_ratio"] == __import__("pytest").approx(1.0)
+
+
+def test_drift_policy_loop_end_to_end(spark, sf_dir, tmp_path):
+    """The full maintenance policy loop, driven end-to-end: a
+    distribution-shifted delivery pushes the drift trigger over its
+    DEFAULT thresholds, recentering on the grown corpus recovers
+    search recall, resets the trigger, and resets the model-residue
+    seed set so a previously-refused forget_vecs proceeds."""
+    emb, initial, _d, _q = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann")
+    AI.bootstrap_ann_index(initial, idx, n_cells=8, m=8, ks=16)
+    AI.record_baseline_qerr(spark, idx, initial)
+    old_seeds = set(AI.read_model(idx)["seeds"])
+
+    # a translated clone of the corpus: same internal geometry, far
+    # outside every trained cell — the classic ingest-drift shape
+    shifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x + F.lit(25.0)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    AI.ann_ingest_sink(idx)(shifted, 1)
+    grown = initial.unionByName(shifted)
+
+    # 1. the trigger crosses at DEFAULT thresholds (imbalance: the
+    #    whole shifted cloud lands in a handful of stale cells)
+    summary = AI.drift_summary(spark, idx, grown)
+    assert summary["recenter_recommended"]
+    assert summary["imbalance"] > 4.0 or summary["qerr_ratio"] > 2.0
+
+    # 2. search quality in the shifted region is degraded: the stale
+    #    model gives near-identical codes to every shifted vector, so
+    #    the ADC shortlist is arbitrary (measured ~0.5 here)
+    q = shifted.filter(F.col("vec_id") < 100005)
+    from solar_logger_spark.operators.similarity import topk_bruteforce
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(grown, q, k=5).collect()
+    }
+
+    def recall():
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in AI.search_ann_index(
+                spark, idx, q, corpus=grown, k=5, n_probe=8, rerank=200
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    before = recall()
+    assert before <= 0.7
+
+    # 3. while the trigger is pending, forget for a model-seed id is
+    #    refused (its raw vector survives in the sidecar)
+    victim = sorted(old_seeds)[0]
+    with pytest.raises(ValueError, match="model"):
+        AI.forget_vecs(spark, idx, [victim])
+
+    # 4. run the recommended maintenance: retrain on the grown corpus
+    AI.recenter_ann_index(spark, idx, grown, refine_iters=2)
+    AI.record_baseline_qerr(spark, idx, grown)
+
+    # 5. recall recovers (measured 0.84 vs 0.48 at these params)...
+    after = recall()
+    assert after >= 0.75 and after >= before + 0.1
+
+    # 6. ...the trigger resets...
+    post = AI.drift_summary(spark, idx, grown)
+    assert not post["recenter_recommended"]
+    assert post["qerr_ratio"] == pytest.approx(1.0)
+
+    # 7. ...and the seed set reset: ids that seeded the OLD model but
+    #    not the new one are now forgettable (the refused sweep above
+    #    is unblocked by the maintenance op, as documented)
+    new_seeds = set(AI.read_model(idx)["seeds"])
+    assert old_seeds != new_seeds
+    forgettable = sorted(old_seeds - new_seeds)
+    assert forgettable, "recenter on the grown corpus re-picked every seed"
+    victim = forgettable[0]
+    out = AI.forget_vecs(spark, idx, [victim])
+    assert out["deleted_rows"] >= 1
+    hits = AI.search_ann_index(
+        spark, idx, q, corpus=grown.filter(F.col("vec_id") != victim),
+        k=5, n_probe=8, rerank=200,
+    ).filter(F.col("neighbor_id") == victim)
+    assert hits.count() == 0
