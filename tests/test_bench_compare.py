@@ -1,0 +1,70 @@
+"""tools/bench_compare.py: drift-deflated cross-round comparison."""
+
+import json
+import sys
+
+sys.path.insert(0, "tools")
+from bench_compare import compare, load_bench  # noqa: E402
+
+
+def _rec(queries, canary=None):
+    return {
+        "queries": queries,
+        "total": sum(queries.values()),
+        "canary_sec": canary,
+    }
+
+
+def test_canary_deflation_preferred():
+    old = _rec({"a": 1.0, "b": 2.0}, canary=1.0)
+    new = _rec({"a": 1.5, "b": 3.0}, canary=1.5)  # pure 1.5x ambient
+    out = compare(old, new)
+    assert out["ambient_used"] == "canary"
+    assert out["canary_ratio"] == 1.5
+    assert out["deflated_ratio"] == 1.0
+    assert out["outliers"] == {}
+
+
+def test_median_fallback_and_outlier_flag():
+    old = _rec({"a": 1.0, "b": 2.0, "c": 1.0})
+    # ambient ~1.1x, but c regressed 4x: flagged beyond ambient*band
+    new = _rec({"a": 1.1, "b": 2.2, "c": 4.0})
+    out = compare(old, new, band=1.5)
+    assert out["ambient_used"] == "median"
+    assert out["median_query_ratio"] == 1.1
+    assert list(out["outliers"]) == ["c"]
+    assert out["outliers"]["c"]["ratio"] == 4.0
+
+
+def test_sub_threshold_queries_excluded_from_ratio():
+    # queries under 0.3s are stage-overhead noise, not drift signal
+    old = _rec({"tiny": 0.05, "big": 2.0})
+    new = _rec({"tiny": 0.25, "big": 2.0})  # tiny "5x" must not skew
+    out = compare(old, new)
+    assert out["n_ratioed"] == 1
+    assert out["median_query_ratio"] == 1.0
+
+
+def test_load_bench_driver_tail_format(tmp_path):
+    # the driver keeps a 2000-char tail: totals + slowest queries only
+    p = tmp_path / "BENCH.json"
+    p.write_text(json.dumps({
+        "n": 1, "rc": 0,
+        "tail": '"q_fast": 0.4, "q_slow": 5.0, "total": 5.4, '
+                '"n_queries": 2, "n_failed": 0, "canary_sec": 2.5, '
+                '"loadavg_1m": 0.5, "loadavg_5m": 1.0, "sf": 0.1}',
+        "parsed": None,
+    }))
+    rec = load_bench(str(p))
+    assert rec["queries"] == {"q_fast": 0.4, "q_slow": 5.0}
+    assert rec["total"] == 5.4
+    assert rec["canary_sec"] == 2.5
+
+
+def test_load_bench_raw_line(tmp_path):
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps({
+        "queries": {"a": 1.0, "b": -1.0}, "total": 1.0, "canary_sec": 2.0,
+    }))
+    rec = load_bench(str(p))
+    assert rec["queries"] == {"a": 1.0}  # failures (-1) dropped

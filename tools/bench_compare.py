@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Compare two bench records with ambient-drift deflation.
+
+Round-9 lesson (VERDICT r9 "what's wrong" #1): raw cross-round bench
+totals moved 1.2-1.3x on untouched code between recording times, so a
+bare "faster/slower than last round" claim is unfalsifiable. This tool
+makes the comparison defensible:
+
+* parses either a raw ``bench.py`` JSON line or the driver's
+  ``BENCH_r{N}.json`` wrapper (which keeps only a 2000-char tail of the
+  line — per-query pairs are recovered from the tail);
+* computes the **canary ratio** when both records carry ``canary_sec``
+  (the pinned pure-CPU job bench.py times before the registry), else
+  falls back to the **median per-query ratio over shared queries** —
+  both estimate ambient machine drift independent of code changes;
+* reports raw totals, the deflated total, and the per-query outliers
+  whose ratio exceeds the ambient band (the actual regression
+  candidates).
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [--band 1.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import statistics
+import sys
+
+
+def load_bench(path: str) -> dict:
+    """Return {queries: {name: sec}, total, canary_sec or None}."""
+    with open(path) as fh:
+        d = json.load(fh)
+    if "queries" in d and isinstance(d["queries"], dict):
+        src = d  # raw bench.py line
+    elif isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        src = d["parsed"]  # driver wrapper, line short enough to parse
+    else:
+        # driver wrapper with a truncated tail: recover what survives
+        tail = d.get("tail", "")
+        pairs = dict(re.findall(r'"([a-z0-9_]+)": (-?\d+\.?\d*)', tail))
+        meta_keys = {
+            "total", "n_queries", "n_failed", "canary_sec",
+            "loadavg_1m", "loadavg_5m", "sf", "passes",
+        }
+        src = {
+            "queries": {
+                k: float(v) for k, v in pairs.items() if k not in meta_keys
+            },
+            "total": float(pairs["total"]) if "total" in pairs else None,
+            "canary_sec": (
+                float(pairs["canary_sec"]) if "canary_sec" in pairs else None
+            ),
+        }
+    return {
+        "queries": {
+            k: float(v) for k, v in src["queries"].items() if float(v) >= 0
+        },
+        "total": src.get("total") or sum(
+            float(v) for v in src["queries"].values() if float(v) >= 0
+        ),
+        "canary_sec": src.get("canary_sec"),
+    }
+
+
+def compare(old: dict, new: dict, band: float = 1.5) -> dict:
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    ratios = {
+        q: new["queries"][q] / old["queries"][q]
+        for q in shared
+        if old["queries"][q] >= 0.3  # below that, stage overhead is noise
+    }
+    med = statistics.median(ratios.values()) if ratios else None
+    canary = (
+        new["canary_sec"] / old["canary_sec"]
+        if old.get("canary_sec") and new.get("canary_sec")
+        else None
+    )
+    ambient = canary if canary is not None else med
+    out = {
+        "old_total": round(old["total"], 1),
+        "new_total": round(new["total"], 1),
+        "raw_ratio": round(new["total"] / old["total"], 3),
+        "n_shared": len(shared),
+        "n_ratioed": len(ratios),
+        "median_query_ratio": round(med, 3) if med is not None else None,
+        "canary_ratio": round(canary, 3) if canary is not None else None,
+        "ambient_used": "canary" if canary is not None else "median",
+        "deflated_new_total": (
+            round(new["total"] / ambient, 1) if ambient else None
+        ),
+        "deflated_ratio": (
+            round(new["total"] / ambient / old["total"], 3) if ambient else None
+        ),
+        # regression candidates: per-query ratio beyond ambient * band
+        "outliers": {
+            q: {
+                "old": old["queries"][q],
+                "new": new["queries"][q],
+                "ratio": round(r, 2),
+            }
+            for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+            if ambient and r > ambient * band
+        },
+        "only_in_new": sorted(set(new["queries"]) - set(old["queries"])),
+        "only_in_old": sorted(set(old["queries"]) - set(new["queries"])),
+    }
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--band", type=float, default=1.5,
+                    help="flag queries whose ratio exceeds ambient*band")
+    args = ap.parse_args()
+    out = compare(load_bench(args.old), load_bench(args.new), args.band)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
