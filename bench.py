@@ -57,16 +57,27 @@ def main() -> int:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "events").limit(1000).count()
+    # ...and the Python/Arrow worker pool: the first Pandas-UDF query
+    # otherwise pays a ~7 s one-time worker spawn (measured on
+    # packet_decode_points, SCALING round-10 batch two) that belongs to
+    # session startup, not to whichever query reaches it first.
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Calibration canary: a pinned, data-independent, pure-CPU Spark job
     # timed before the registry. Cross-round totals can be deflated by
     # the canary ratio to separate ambient machine drift from real code
     # regressions (round-9 lesson: raw totals moved 1.2-1.3x between
     # runs on untouched code). min-of-2, same discipline as the queries.
+    # (double-cast: a long sum of id*id overflows at this range, which
+    # under the engine session's ANSI mode is a hard error)
     canary = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        spark.range(500_000_000).selectExpr("sum(id * id) AS s").collect()
+        spark.range(500_000_000).selectExpr(
+            "sum(CAST(id AS DOUBLE) * id) AS s"
+        ).collect()
         canary = min(canary, time.perf_counter() - t0)
 
     # Two passes, min per query: pass 1 absorbs per-plan codegen/JIT
