@@ -939,8 +939,13 @@ def topk_pq_deterministic(
     # subvectors: one row per (vid, subspace). Checkpointed: the frame
     # feeds the init collect, each Lloyd sweep, AND the final encode —
     # without a barrier every job re-runs the upstream normalize+explode
-    # (the Catalyst no-subplan-dedup lesson).
-    subs = _subspace_rows(vn, "v", m, dsub, "sub", ["vid"]).localCheckpoint()
+    # (the Catalyst no-subplan-dedup lesson). Lazy: the init collect
+    # right below scans every partition (orderBy+limit), so it
+    # materializes the checkpoint as a side effect — one fewer
+    # scheduler job than an eager checkpoint, same compute-once.
+    subs = _subspace_rows(vn, "v", m, dsub, "sub", ["vid"]).localCheckpoint(
+        eager=False
+    )
     books = _books_init(subs, "pq|", ks)
     books = _books_lloyd(spark, subs, books, dsub, lloyd_rounds)
     codes = _encode(subs, books, ["vid"]).select(
@@ -994,10 +999,6 @@ def topk_ivfpq_deterministic(
     purpose (each mirrors its own SQL twin)."""
     spark = corpus.sparkSession
     vn = _unit_rows(corpus, id_col, vec_col, "vid", "v")
-    dim = _vec_dim(corpus, vec_col, "topk_ivfpq_deterministic")
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
     if coarse_rounds is None:
         coarse_rounds = lloyd_rounds
 
@@ -1008,6 +1009,14 @@ def topk_ivfpq_deterministic(
         )
         .orderBy("h").limit(n_cells).collect()
     )  # bounded: n_cells rows
+    if not init_rows:
+        raise ValueError("topk_ivfpq_deterministic: empty corpus")
+    # dim from the seed rows — saves the separate _vec_dim head() job
+    # (one scheduler round-trip per call; same one-row sample)
+    dim = len(init_rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     cents = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
 
     def _cdf(cs):
@@ -1043,6 +1052,8 @@ def topk_ivfpq_deterministic(
     # Checkpointed: rsubs feeds the residual-codebook init collect,
     # each Lloyd sweep, and the final encode — a barrier stops every
     # one of those jobs re-running the coarse assignment upstream.
+    # Lazy: the init collect scans every partition, materializing the
+    # checkpoint as a side effect (one fewer job than eager).
     assigned = (
         _assign(cents)
         .join(_cdf(cents), "cell")
@@ -1053,7 +1064,7 @@ def topk_ivfpq_deterministic(
     )
     rsubs = _subspace_rows(
         assigned, "r", m, dsub, "sub", ["vid", "cell"]
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     books = _books_init(rsubs, "ivfpq|", ks)
     books = _books_lloyd(spark, rsubs, books, dsub, lloyd_rounds)

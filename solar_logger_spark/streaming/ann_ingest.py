@@ -260,10 +260,6 @@ def _det_train(corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col):
     from solar_logger_spark.operators import pq
 
     vn = pq._unit_rows(corpus, id_col, vec_col, "vid", "v")
-    dim = pq._vec_dim(corpus, vec_col, "bootstrap_ann_index_deterministic")
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
     init_rows = (
         vn.withColumn(
             "h", F.md5(F.concat(F.lit("ivfpq|"), F.col("vid").cast("string")))
@@ -274,8 +270,17 @@ def _det_train(corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col):
         raise ValueError(
             "bootstrap_ann_index_deterministic: empty corpus"
         )
+    # dim from the seed rows — saves the separate _vec_dim head() job
+    dim = len(init_rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     cents = [list(r["v"]) for r in init_rows]
-    rsubs = _det_residual_subs(vn, cents, m, dsub).localCheckpoint()
+    # lazy checkpoint: _books_init's orderBy+limit collect scans every
+    # partition, materializing it as a side effect (one fewer job)
+    rsubs = _det_residual_subs(vn, cents, m, dsub).localCheckpoint(
+        eager=False
+    )
     books, book_seeds = pq._books_init(rsubs, "ivfpq|", ks, with_ids=True)
     books = pq._books_lloyd(corpus.sparkSession, rsubs, books, dsub,
                             lloyd_rounds)
@@ -389,13 +394,17 @@ def ann_ingest_sink(index_dir: str):
     """
 
     def _write(batch_df: DataFrame, _batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
+        # No separate empty-batch probe: append_delta's take(1) is the
+        # single emptiness check, and the lazy checkpoint means that
+        # probe materializes the encoded partitions it touches while
+        # the write reuses them — two scheduler jobs per delivery
+        # instead of four. (read_model runs first even for an empty
+        # trigger; the sink's contract already requires a bootstrapped
+        # index before the stream starts.)
         model = read_model(index_dir)
-        # checkpoint the encoded frame: append_delta probes emptiness
-        # with take(1) before writing, which would otherwise execute
-        # the normalize/assign/encode pipeline twice per delivery
-        encoded = encode_delivery(batch_df, model).localCheckpoint()
+        encoded = encode_delivery(batch_df, model).localCheckpoint(
+            eager=False
+        )
         M.append_delta(index_dir, encoded, partition_by=["cell"])
 
     return _write
