@@ -48,15 +48,51 @@ def shingle_array(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def exploded_shingles(
+    df: DataFrame,
+    keep: list,
+    text_col: str = "text",
+    n: int = 3,
+    pos_col: str | None = None,
+    out_col: str = "shingle",
+) -> DataFrame:
+    """One row per (kept columns, shingle position). The shingle
+    string is built AFTER the index explode, so the per-gram concat
+    (and any downstream hash) evaluates inside whole-stage codegen.
+    Building the array first with ``shingle_array``'s transform() ran
+    the same expressions as INTERPRETED higher-order-function lambdas
+    — outside codegen, measured ~5× slower on the winnowing operator
+    at sf0.1 for identical output — so every explode-immediately
+    consumer routes through here. Documents shorter than ``n`` tokens
+    emit nothing (same as ``shingle_array``'s empty array under
+    explode). ``pos_col``: also emit the 0-based shingle index."""
+    toks = tokens(text_col)
+    nsh = F.size(toks) - F.lit(n - 1)
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at(F.col("_t"), F.col("_i") + j + 1) for j in range(n)],
+    )
+    head = [F.col(c) for c in keep]
+    out = head + (
+        [F.col("_i").cast("int").alias(pos_col)] if pos_col else []
+    )
+    return (
+        df.select(*head, toks.alias("_t"), nsh.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            *head, "_t",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i"),
+        )
+        .select(*out, gram.alias(out_col))
+    )
+
+
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Long-format distinct (doc, shingle) pairs — the inverted-index
     input. Distinct-per-doc because Jaccard is over shingle *sets*."""
-    return (
-        df.select(F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle"))
-        .distinct()
-    )
+    return exploded_shingles(df, [id_col], text_col, n).distinct()
 
 
 def exact_dedup(
@@ -657,9 +693,8 @@ def duplicate_ngram_spans(
     # would serialize the gram/hash stage (same rationale as
     # minhash_lsh_pairs)
     spread = df.sparkSession.sparkContext.defaultParallelism
-    grams = df.repartition(spread).select(
-        F.col(id_col),
-        F.explode(shingle_array(text_col, n)).alias("gram"),
+    grams = exploded_shingles(
+        df.repartition(spread), [id_col], text_col, n, out_col="gram"
     ).select(F.col(id_col), F.xxhash64("gram").alias("gh"))
     per_gram_doc = grams.groupBy("gh", id_col).agg(
         F.count(F.lit(1)).alias("k")
@@ -716,14 +751,16 @@ def benchmark_contamination(
     """
     spread = corpus.sparkSession.sparkContext.defaultParallelism
     bench_grams = (
-        benchmark.repartition(spread)
-        .select(F.explode(shingle_array(text_col, n)).alias("g"))
+        exploded_shingles(
+            benchmark.repartition(spread), [], text_col, n, out_col="g"
+        )
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     doc_grams = (
-        corpus.repartition(spread)
-        .select(F.col(id_col), F.explode(shingle_array(text_col, n)).alias("g"))
+        exploded_shingles(
+            corpus.repartition(spread), [id_col], text_col, n, out_col="g"
+        )
         .select(F.col(id_col), F.xxhash64("g").alias("gh"))
         .distinct()
     )
@@ -791,10 +828,9 @@ def _positional_gram_hashes(
     one shuffle (nothing pinned in executor storage)."""
     spread = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(spread)
-        .select(
-            F.col(id_col),
-            F.posexplode(shingle_array(text_col, n)).alias("pos", "gram"),
+        exploded_shingles(
+            df.repartition(spread), [id_col], text_col, n,
+            pos_col="pos", out_col="gram",
         )
         .select(F.col(id_col), "pos", F.xxhash64("gram").alias("gh"))
         .repartition(spread, "gh")
@@ -824,7 +860,7 @@ def remove_benchmark_spans(
     """
     grams = _positional_gram_hashes(df, id_col, text_col, n)
     bad = (
-        bench.select(F.explode(shingle_array(text_col, n)).alias("gram"))
+        exploded_shingles(bench, [], text_col, n, out_col="gram")
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
     )
