@@ -943,30 +943,38 @@ def _edjoin_candidates(
     pad_l = "\x01" * (q - 1)
     pad_r = "\x02" * (q - 1)
     padded = F.concat(F.lit(pad_l), F.col(text_col), F.lit(pad_r))
-    gram_arr = F.transform(
-        F.sequence(F.lit(1), F.length(padded) - (q - 1)),
-        lambda i: F.substring(padded, i, q),
-    )
     spread = df.sparkSession.sparkContext.defaultParallelism
+    # grams built AFTER exploding the position sequence, and occurrence
+    # keys hashed AFTER exploding the occurrence sequence — both
+    # formerly transform() lambdas, which evaluate interpreted outside
+    # whole-stage codegen (the exploded_shingles lesson)
     base = df.repartition(spread).select(
-        F.col(id_col), F.length(text_col).alias("_len"), gram_arr.alias("_gs")
+        F.col(id_col), F.length(text_col).alias("_len"), padded.alias("_pt")
     )
     # multiset -> (gram hash, occurrence#) keys: the j-th copy of gram g
     # in doc a can only match the j-th copy in doc b, which turns
     # multiset intersection into plain key-set intersection
     occs = (
-        base.select(F.col(id_col), "_len", F.explode("_gs").alias("_g"))
+        base.select(
+            F.col(id_col), "_len", "_pt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_pt") - (q - 1))
+            ).alias("_i"),
+        )
+        .select(
+            F.col(id_col), "_len",
+            F.substring(F.col("_pt"), F.col("_i"), F.lit(q)).alias("_g"),
+        )
         .groupBy(id_col, "_len", F.xxhash64("_g").alias("g0"))
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .select(
+            F.col(id_col), "_len", "g0",
+            F.explode(F.sequence(F.lit(1), F.col("_cnt"))).alias("_occ"),
+        )
+        .select(
             F.col(id_col),
             "_len",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("_cnt")),
-                    lambda occ: F.xxhash64(F.col("g0"), occ),
-                )
-            ).alias("k"),
+            F.xxhash64(F.col("g0"), F.col("_occ")).alias("k"),
         )
     )
     kdf = occs.groupBy("k").agg(F.count(F.lit(1)).alias("kdf"))

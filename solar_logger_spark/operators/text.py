@@ -1112,8 +1112,11 @@ def ngram_lm_score(
     training (the out-of-domain signal — a doc from another
     distribution scores high here even when its vocabulary overlaps).
 
-    Spark shape: gram arrays are built per row with zero-shuffle
-    higher-order functions; the model is TWO aggregations over the
+    Spark shape: gram rows come from exploding the position sequence
+    and reading the ``n`` words per row with ``element_at`` — all
+    inside whole-stage codegen (building the struct array first with
+    transform() lambdas ran interpreted, the measured-5×-slower HOF
+    path); the model is TWO aggregations over the
     training gram stream (full-gram counts, then context counts derived
     from them — never a second corpus scan); scoring is a broadcast
     join of the model onto the target gram stream plus one per-doc
@@ -1128,34 +1131,39 @@ def ngram_lm_score(
         raise ValueError("ngram_lm_score needs n >= 2")
     train_df = train_df if train_df is not None else df
     # A small corpus often arrives as one parquet file -> one input
-    # partition, and the interpreted gram-builder HOF below would run
-    # serially; spread rows first (cheap: pre-explode row count).
+    # partition, which would serialize the gram explode/join stages;
+    # spread rows first (cheap: pre-explode row count).
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par)
     train_df = train_df.repartition(par)
     ws = F.split(F.col(text_col), " ")
     gram_fields = [f"w{k}" for k in range(n)]
 
-    def grams(with_pos: bool) -> Column:
-        def mk(i: Column) -> Column:
-            parts = ([i.alias("pos")] if with_pos else []) + [
-                F.element_at(ws, i + k).alias(gram_fields[k])
+    def gram_rows(src: DataFrame, keep: list, with_pos: bool) -> DataFrame:
+        # explode the 1-based position sequence, THEN read the n words
+        # per row — short docs (fewer than n tokens) drop at the filter
+        base = src.select(
+            *[F.col(c) for c in keep], ws.alias("_ws")
+        ).filter(F.size("_ws") >= n)
+        idx = base.select(
+            *keep, "_ws",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_ws") - (n - 1))
+            ).alias("pos"),
+        )
+        cols = (
+            [F.col(c) for c in keep]
+            + ([F.col("pos")] if with_pos else [])
+            + [
+                F.element_at(F.col("_ws"), F.col("pos") + k).alias(
+                    gram_fields[k]
+                )
                 for k in range(n)
             ]
-            return F.struct(*parts)
+        )
+        return idx.select(*cols)
 
-        # sequence(1, 0) is DESCENDING, not empty — guard short docs
-        return F.when(
-            F.size(ws) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), mk),
-        ).otherwise(F.array().cast(
-            f"array<struct<{'pos:int,' if with_pos else ''}"
-            + ",".join(f"{g}:string" for g in gram_fields) + ">>"
-        ))
-
-    train_grams = train_df.select(
-        F.explode(grams(with_pos=False)).alias("g")
-    ).select("g.*")
+    train_grams = gram_rows(train_df, [], with_pos=False)
     c_full = train_grams.groupBy(*gram_fields).agg(
         F.count(F.lit(1)).alias("c_full")
     )
@@ -1177,8 +1185,7 @@ def ngram_lm_score(
     model_full = F.broadcast(c_full) if broadcast_model else c_full
     model_ctx = F.broadcast(c_ctx) if broadcast_model else c_ctx
     scored = (
-        df.select(F.col(id_col), F.explode(grams(with_pos=True)).alias("g"))
-        .select(id_col, "g.*")
+        gram_rows(df, [id_col], with_pos=True)
         .join(model_full, on=gram_fields, how="left")
         .join(model_ctx, on=gram_fields[:-1], how="left")
         .withColumn(
