@@ -76,6 +76,18 @@ def test_numpy_index_delivery_replay_compact(spark, sf_dir, tmp_path):
     assert 1 < len(cells) <= 8
 
 
+def test_empty_delivery_is_a_no_op(spark, sf_dir, tmp_path):
+    """An empty foreachBatch trigger against a bootstrapped index must
+    append no delta (append_delta's take(1) is the sink's single
+    emptiness probe since the two-job delivery rework)."""
+    _, initial, _, _ = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann")
+    AI.bootstrap_ann_index(initial, idx, n_cells=8, m=8, ks=16)
+    empty = initial.filter(F.lit(False))
+    AI.ann_ingest_sink(idx)(empty, 1)
+    assert M.list_deltas(idx) == []
+
+
 def test_numpy_index_recall_and_recenter(spark, sf_dir, tmp_path):
     from solar_logger_spark.operators.similarity import topk_bruteforce
 
