@@ -1242,7 +1242,37 @@ def _registry_order(
         # r7: lineage barriers on the kept frames (plan-only, output
         # identical — verified sf0.001 + vanilla sf0.01); supersedes
         # the r5 schema-change pin (one key, latest round)
-        "pipeline_corpus_build": 7,
+        # (pipeline_corpus_build superseded again by the r10 pin below)
+        # r10 plan-only rewrites, output identical (full sf0.001 sweep
+        # + per-query sf0.01 oracle checks green at the change HEAD):
+        # shingles/grams built AFTER the explode so the concat+hash
+        # runs in whole-stage codegen instead of interpreted HOF
+        # lambdas (every shingle consumer), the winnowing selection as
+        # a sliding-window struct-min, the connected-components star
+        # round as a window instead of groupBy+join, basket pair
+        # fan-out as two Generates, and trainer/delivery job-count
+        # cuts (lazy checkpoints, seed-row dims) in the deterministic
+        # PQ paths
+        "dedup_ngram_jaccard_docs": 10,
+        "dedup_minhash_lsh_docs": 10,
+        "dedup_containment_docs": 10,
+        "dedup_ngram_span_coverage": 10,
+        "dedup_benchmark_contamination": 10,
+        "dedup_scrub_duplicate_spans": 10,
+        "dedup_scrub_benchmark_spans": 10,
+        "dedup_incremental_batch": 10,
+        "dedup_leakage_matrix": 10,
+        "text_repetition_signals_docs": 10,
+        "pipeline_corpus_build": 10,
+        "dedup_cluster_assignments": 10,
+        "dedup_keep_best_quality": 10,
+        "embedding_semantic_dedup": 10,
+        "text_winnow_fingerprints": 10,
+        "text_trigram_lm_quality": 10,
+        "dedup_editdistance_docs": 10,
+        "basket_affinity_parts": 10,
+        "similarity_ann_pq": 10,
+        "similarity_ann_ivfpq": 10,
     }
     latest_green_round: dict[str, int] = {}
     for rnd in sorted(records):
