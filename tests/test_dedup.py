@@ -41,6 +41,38 @@ def test_exact_dedup_keeps_min_id(docs):
     assert out[3] == 1
 
 
+def test_exploded_shingles_matches_array_form(spark):
+    """The explode-first gram builder (r10 codegen rewrite) must emit
+    exactly the rows of ``explode(shingle_array(...))`` on adversarial
+    text: empty strings, single words, repeated spaces (empty tokens),
+    docs exactly at/below the window, duplicated grams, and a
+    pos_col check against posexplode."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    words = ["a", "bb", "ccc", "a", ""]
+    rows = [("", ), (" ", ), ("a", ), ("a b", ), ("a b c", )]
+    for i in range(40):
+        k = random.randint(0, 12)
+        rows.append((" ".join(random.choice(words) for _ in range(k)),))
+    df = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(rows)], "doc_id long, text string"
+    )
+    for n in (1, 2, 3, 5):
+        old = df.select(
+            "doc_id",
+            F.posexplode(dedup.shingle_array("text", n)).alias(
+                "pos", "shingle"
+            ),
+        ).collect()
+        new = dedup.exploded_shingles(
+            df, ["doc_id"], "text", n, pos_col="pos"
+        ).collect()
+        assert sorted(map(tuple, old)) == sorted(map(tuple, new)), n
+
+
 def test_shingles_window_and_short_doc(docs):
     sh = dedup.doc_shingles(docs).collect()
     by_doc = {}
