@@ -66,6 +66,12 @@ def exploded_shingles(
     consumer routes through here. Documents shorter than ``n`` tokens
     emit nothing (same as ``shingle_array``'s empty array under
     explode). ``pos_col``: also emit the 0-based shingle index."""
+    clash = {"_t", "_n", "_i"} & (set(keep) | {out_col, pos_col})
+    if clash:
+        raise ValueError(
+            f"exploded_shingles: column name(s) {sorted(clash)} collide "
+            "with reserved helper columns; rename them first"
+        )
     toks = tokens(text_col)
     nsh = F.size(toks) - F.lit(n - 1)
     gram = F.concat_ws(
