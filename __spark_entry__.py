@@ -1138,6 +1138,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _registry_order(out)
 
 
+# Queries whose implementation or oracle changed AFTER their last
+# committed green row, mapped to the round the change shipped in: a
+# green record for the OLD shape must not count as settled, so they
+# re-check right after standing reds in _registry_order. SELF-
+# RETIRING: once a green row exists from a round >= the change round,
+# the entry is ignored (no human edit needed — the r3/r4 lesson that
+# hand-repointed head lists go stale). Module-level so tools
+# (tools/bench_compare.py) can exclude changed queries from ambient-
+# drift estimates.
+CHANGED_IN_ROUND = {
+    # r5: schema changed (new columns) — old green rows are stale
+    "profile_columns_lineitem": 5,
+    # r5: oracle join made NULL-safe (same results on current data)
+    "dedup_editdistance_docs": 5,
+    # r5: ANN query batch changed from emb.limit(10) to the
+    # deterministic vec_id < 10 — records predating r5 describe a
+    # possibly-different row set (ADVICE r5); the r5 driver rows
+    # themselves ran at post-change HEAD and satisfy the pin
+    # r9: the Lloyd member means switched from flat id-ordered
+    # folds (full per-cell member lists — the r8 skew hazard) to
+    # bounded hierarchical 256-id-block folds, on BOTH engines:
+    # different float association, different (still matching)
+    # hashes — r8 green rows describe the old bits
+    "similarity_ann_ivf": 9,
+    "similarity_ann_pq": 9,
+    "similarity_ann_ivfpq": 9,
+    # r6: similarity_ann_lsh gained a DuckDB oracle (deterministic
+    # md5 hyperplanes); embedding_pca_project's declared output
+    # reshaped to scalar pc0..pc7 columns after its array column
+    # crashed the driver canonicalizer in r5
+    "similarity_ann_lsh": 6,
+    # r8: embedding_pca_project flipped rows-only -> oracle-backed
+    # (pinned-fold moments + md5-seeded power-iteration eigensolve,
+    # replayed in SQL as a recursive CTE)
+    "embedding_pca_project": 8,
+    # r7: NULL-basket/item filter added to operator AND oracle
+    # (same results on lineitem, where keys are non-null) plus the
+    # apriori min_item_support prefilter (output-invariant by
+    # construction); BPE encode gained the vocab-frame lineage
+    # barrier (plan-only change, output identical)
+    "basket_affinity_parts": 7,
+    "text_bpe_encode_docs": 7,
+    # r7: lineage barriers on the kept frames (plan-only, output
+    # identical — verified sf0.001 + vanilla sf0.01); supersedes
+    # the r5 schema-change pin (one key, latest round)
+    # (pipeline_corpus_build superseded again by the r10 pin below)
+    # r10 plan-only rewrites, output identical (full sf0.001 sweep
+    # + per-query sf0.01 oracle checks green at the change HEAD):
+    # shingles/grams built AFTER the explode so the concat+hash
+    # runs in whole-stage codegen instead of interpreted HOF
+    # lambdas (every shingle consumer), the winnowing selection as
+    # a sliding-window struct-min, the connected-components star
+    # round as a window instead of groupBy+join, basket pair
+    # fan-out as two Generates, and trainer/delivery job-count
+    # cuts (lazy checkpoints, seed-row dims) in the deterministic
+    # PQ paths
+    "dedup_ngram_jaccard_docs": 10,
+    "dedup_minhash_lsh_docs": 10,
+    "dedup_containment_docs": 10,
+    "dedup_ngram_span_coverage": 10,
+    "dedup_benchmark_contamination": 10,
+    "dedup_scrub_duplicate_spans": 10,
+    "dedup_scrub_benchmark_spans": 10,
+    "dedup_incremental_batch": 10,
+    "dedup_leakage_matrix": 10,
+    "text_repetition_signals_docs": 10,
+    "pipeline_corpus_build": 10,
+    "dedup_cluster_assignments": 10,
+    "dedup_keep_best_quality": 10,
+    "embedding_semantic_dedup": 10,
+    "text_winnow_fingerprints": 10,
+    "text_trigram_lm_quality": 10,
+    "dedup_editdistance_docs": 10,
+    "basket_affinity_parts": 10,
+    "similarity_ann_pq": 10,
+    "similarity_ann_ivfpq": 10,
+    }
+
+
 def _registry_order(
     out: dict, records: dict[int, dict] | None = None
 ) -> dict:
@@ -1199,81 +1278,7 @@ def _registry_order(
 
     oracle_backed = set(oracle_sql())
 
-    # Queries whose implementation or oracle changed AFTER their last
-    # committed green row, mapped to the round the change shipped in:
-    # a green record for the OLD shape must not count as settled, so
-    # they re-check right after standing reds. SELF-RETIRING: once a
-    # green row exists from a round >= the change round, the entry is
-    # ignored (no human edit needed — the r3/r4 lesson that
-    # hand-repointed head lists go stale).
-    changed_in_round = {
-        # r5: schema changed (new columns) — old green rows are stale
-        "profile_columns_lineitem": 5,
-        # r5: oracle join made NULL-safe (same results on current data)
-        "dedup_editdistance_docs": 5,
-        # r5: ANN query batch changed from emb.limit(10) to the
-        # deterministic vec_id < 10 — records predating r5 describe a
-        # possibly-different row set (ADVICE r5); the r5 driver rows
-        # themselves ran at post-change HEAD and satisfy the pin
-        # r9: the Lloyd member means switched from flat id-ordered
-        # folds (full per-cell member lists — the r8 skew hazard) to
-        # bounded hierarchical 256-id-block folds, on BOTH engines:
-        # different float association, different (still matching)
-        # hashes — r8 green rows describe the old bits
-        "similarity_ann_ivf": 9,
-        "similarity_ann_pq": 9,
-        "similarity_ann_ivfpq": 9,
-        # r6: similarity_ann_lsh gained a DuckDB oracle (deterministic
-        # md5 hyperplanes); embedding_pca_project's declared output
-        # reshaped to scalar pc0..pc7 columns after its array column
-        # crashed the driver canonicalizer in r5
-        "similarity_ann_lsh": 6,
-        # r8: embedding_pca_project flipped rows-only -> oracle-backed
-        # (pinned-fold moments + md5-seeded power-iteration eigensolve,
-        # replayed in SQL as a recursive CTE)
-        "embedding_pca_project": 8,
-        # r7: NULL-basket/item filter added to operator AND oracle
-        # (same results on lineitem, where keys are non-null) plus the
-        # apriori min_item_support prefilter (output-invariant by
-        # construction); BPE encode gained the vocab-frame lineage
-        # barrier (plan-only change, output identical)
-        "basket_affinity_parts": 7,
-        "text_bpe_encode_docs": 7,
-        # r7: lineage barriers on the kept frames (plan-only, output
-        # identical — verified sf0.001 + vanilla sf0.01); supersedes
-        # the r5 schema-change pin (one key, latest round)
-        # (pipeline_corpus_build superseded again by the r10 pin below)
-        # r10 plan-only rewrites, output identical (full sf0.001 sweep
-        # + per-query sf0.01 oracle checks green at the change HEAD):
-        # shingles/grams built AFTER the explode so the concat+hash
-        # runs in whole-stage codegen instead of interpreted HOF
-        # lambdas (every shingle consumer), the winnowing selection as
-        # a sliding-window struct-min, the connected-components star
-        # round as a window instead of groupBy+join, basket pair
-        # fan-out as two Generates, and trainer/delivery job-count
-        # cuts (lazy checkpoints, seed-row dims) in the deterministic
-        # PQ paths
-        "dedup_ngram_jaccard_docs": 10,
-        "dedup_minhash_lsh_docs": 10,
-        "dedup_containment_docs": 10,
-        "dedup_ngram_span_coverage": 10,
-        "dedup_benchmark_contamination": 10,
-        "dedup_scrub_duplicate_spans": 10,
-        "dedup_scrub_benchmark_spans": 10,
-        "dedup_incremental_batch": 10,
-        "dedup_leakage_matrix": 10,
-        "text_repetition_signals_docs": 10,
-        "pipeline_corpus_build": 10,
-        "dedup_cluster_assignments": 10,
-        "dedup_keep_best_quality": 10,
-        "embedding_semantic_dedup": 10,
-        "text_winnow_fingerprints": 10,
-        "text_trigram_lm_quality": 10,
-        "dedup_editdistance_docs": 10,
-        "basket_affinity_parts": 10,
-        "similarity_ann_pq": 10,
-        "similarity_ann_ivfpq": 10,
-    }
+    changed_in_round = CHANGED_IN_ROUND
     latest_green_round: dict[str, int] = {}
     for rnd in sorted(records):
         for name, row in records[rnd].items():

@@ -65,29 +65,57 @@ def load_bench(path: str) -> dict:
     }
 
 
-def compare(old: dict, new: dict, band: float = 1.5) -> dict:
+def compare(
+    old: dict,
+    new: dict,
+    band: float = 1.5,
+    changed: set[str] | None = None,
+) -> dict:
+    """``changed``: queries whose CODE changed between the two records
+    (e.g. from ``__spark_entry__.CHANGED_IN_ROUND``). They are excluded
+    from the ambient-drift estimate — otherwise a round's genuine
+    improvements deflate themselves away (the round-10 lesson: 20
+    rewritten queries inside the shared-median pool dragged 'ambient'
+    down and reported real wins as flat) — and get their own
+    subtotal."""
+    changed = changed or set()
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     ratios = {
         q: new["queries"][q] / old["queries"][q]
         for q in shared
         if old["queries"][q] >= 0.3  # below that, stage overhead is noise
     }
-    med = statistics.median(ratios.values()) if ratios else None
+    ambient_pool = {q: r for q, r in ratios.items() if q not in changed}
+    med = (
+        statistics.median(ambient_pool.values()) if ambient_pool
+        else (statistics.median(ratios.values()) if ratios else None)
+    )
     canary = (
         new["canary_sec"] / old["canary_sec"]
         if old.get("canary_sec") and new.get("canary_sec")
         else None
     )
-    ambient = canary if canary is not None else med
+    # The canary measures pure-CPU contention only — it misses memory-
+    # bandwidth/GC pressure and can contradict the per-query evidence
+    # (observed: canary 0.84 while the untouched-query median read
+    # 1.07). Prefer the untouched-query median whenever it rests on a
+    # reasonable sample; the canary stays reported for context.
+    if med is not None and len(ambient_pool) >= 10:
+        ambient, ambient_src = med, "median"
+    elif canary is not None:
+        ambient, ambient_src = canary, "canary"
+    else:
+        ambient, ambient_src = med, "median"
     out = {
         "old_total": round(old["total"], 1),
         "new_total": round(new["total"], 1),
         "raw_ratio": round(new["total"] / old["total"], 3),
         "n_shared": len(shared),
         "n_ratioed": len(ratios),
+        "n_ambient_pool": len(ambient_pool),
         "median_query_ratio": round(med, 3) if med is not None else None,
         "canary_ratio": round(canary, 3) if canary is not None else None,
-        "ambient_used": "canary" if canary is not None else "median",
+        "ambient_used": ambient_src,
         "deflated_new_total": (
             round(new["total"] / ambient, 1) if ambient else None
         ),
@@ -104,6 +132,32 @@ def compare(old: dict, new: dict, band: float = 1.5) -> dict:
             for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
             if ambient and r > ambient * band
         },
+        "changed_subtotal": (
+            {
+                "n": len([q for q in shared if q in changed]),
+                "old": round(
+                    sum(old["queries"][q] for q in shared if q in changed), 1
+                ),
+                "new": round(
+                    sum(new["queries"][q] for q in shared if q in changed), 1
+                ),
+                "deflated_ratio": (
+                    round(
+                        sum(new["queries"][q] for q in shared if q in changed)
+                        / sum(
+                            old["queries"][q] for q in shared if q in changed
+                        )
+                        / ambient,
+                        3,
+                    )
+                    if ambient
+                    and sum(old["queries"][q] for q in shared if q in changed)
+                    else None
+                ),
+            }
+            if changed & set(shared)
+            else None
+        ),
         "only_in_new": sorted(set(new["queries"]) - set(old["queries"])),
         "only_in_old": sorted(set(old["queries"]) - set(new["queries"])),
     }
@@ -116,8 +170,32 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--band", type=float, default=1.5,
                     help="flag queries whose ratio exceeds ambient*band")
+    ap.add_argument(
+        "--changed-since", type=int, default=None, metavar="ROUND",
+        help="exclude queries with __spark_entry__.CHANGED_IN_ROUND >= "
+             "ROUND from the ambient estimate and report their subtotal "
+             "separately (use the round the OLD record was taken in + 1)",
+    )
+    ap.add_argument(
+        "--changed", default="", metavar="Q1,Q2",
+        help="extra comma-separated query names to treat as changed",
+    )
     args = ap.parse_args()
-    out = compare(load_bench(args.old), load_bench(args.new), args.band)
+    changed = {q for q in args.changed.split(",") if q}
+    if args.changed_since is not None:
+        import os as _os
+        sys.path.insert(
+            0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+        import __spark_entry__ as _entry
+
+        changed |= {
+            q for q, rnd in _entry.CHANGED_IN_ROUND.items()
+            if rnd >= args.changed_since
+        }
+    out = compare(
+        load_bench(args.old), load_bench(args.new), args.band, changed
+    )
     print(json.dumps(out, indent=1))
     return 0
 
