@@ -68,3 +68,30 @@ def test_load_bench_raw_line(tmp_path):
     }))
     rec = load_bench(str(p))
     assert rec["queries"] == {"a": 1.0}  # failures (-1) dropped
+
+
+def test_changed_queries_excluded_from_ambient():
+    # 12 untouched queries at exactly 1.2x ambient; one rewritten query
+    # genuinely 3x faster. Without exclusion the improvement would drag
+    # the 'ambient' median down and deflate itself away.
+    old = _rec({f"u{i}": 1.0 for i in range(12)} | {"rewritten": 6.0})
+    new = _rec({f"u{i}": 1.2 for i in range(12)} | {"rewritten": 2.0})
+    out = compare(old, new, changed={"rewritten"})
+    assert out["n_ambient_pool"] == 12
+    assert out["median_query_ratio"] == 1.2
+    sub = out["changed_subtotal"]
+    assert sub["n"] == 1 and sub["old"] == 6.0 and sub["new"] == 2.0
+    # deflated: (2/6)/1.2 — the real improvement survives deflation
+    # (the tool rounds to 3 decimals)
+    assert abs(sub["deflated_ratio"] - (2.0 / 6.0) / 1.2) < 5e-4
+
+
+def test_median_preferred_over_canary_on_large_pool():
+    # the pure-CPU canary misses memory/GC pressure; with >= 10
+    # untouched queries the per-query median wins, canary stays visible
+    old = _rec({f"u{i}": 1.0 for i in range(10)}, canary=1.0)
+    new = _rec({f"u{i}": 1.1 for i in range(10)}, canary=0.8)
+    out = compare(old, new)
+    assert out["ambient_used"] == "median"
+    assert out["median_query_ratio"] == 1.1
+    assert out["canary_ratio"] == 0.8
