@@ -357,6 +357,76 @@ def q_flux_text_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flux_text_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT ``relativeStrengthIndex(n:)`` — the momentum stage of
+    the stdlib transform family, reaching the native
+    ``operators.timeseries.rsi`` (already hash-verified standalone as
+    ``ts_rsi_events``) through a parsed pipeline string. Value is
+    replaced in place; warm-up rows and flat windows stay null (the
+    operator's documented divergence from Flux's row drop)."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "click")'
+        "\n\t|> aggregateWindow(every: 6h, fn: mean)"
+        "\n\t|> relativeStrengthIndex(n: 14)"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_RSI_SQL = """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
+               event_type, avg(value) AS value
+        FROM events
+        WHERE {range} AND event_type = 'click'
+        GROUP BY 1, 2
+    ), d AS (
+        SELECT ts, event_type,
+               CAST(value - lag(value) OVER w AS DECIMAL(18,6)) AS diff
+        FROM agg
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ), g AS (
+        -- CASE, not greatest(): DuckDB's greatest() on decimals
+        -- returns DOUBLE (the RSI_SQL lesson); null deltas stay null
+        -- so cnt counts deltas
+        SELECT *,
+               CASE WHEN diff IS NULL THEN NULL
+                    WHEN diff > 0 THEN diff
+                    ELSE CAST(0 AS DECIMAL(18,6)) END AS gain,
+               CASE WHEN diff IS NULL THEN NULL
+                    WHEN diff < 0 THEN -diff
+                    ELSE CAST(0 AS DECIMAL(18,6)) END AS loss
+        FROM d
+    ), s AS (
+        SELECT ts, event_type,
+               CAST(sum(gain) OVER c AS DOUBLE) AS sg,
+               CAST(sum(loss) OVER c AS DOUBLE) AS sl,
+               count(gain) OVER c AS cnt
+        FROM g
+        WINDOW c AS (PARTITION BY event_type ORDER BY ts
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT ts, event_type,
+           CASE WHEN cnt >= 14 AND sg + sl > 0
+                THEN 100.0 * sg / (sg + sl) END AS value
+    FROM s
+"""
+
+
 FLUX_TEXT_TRANSFORMS_SQL = """
     WITH agg AS (
         SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
@@ -953,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_agg_integral": q_flux_agg_integral,
         "flux_text_pipeline": q_flux_text_pipeline,
         "flux_text_transforms": q_flux_text_transforms,
+        "flux_text_rsi": q_flux_text_rsi,
         "flux_text_top": q_flux_text_top,
         "flux_text_unique": q_flux_text_unique,
         "flux_agg_offset": q_flux_agg_offset,
@@ -1470,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_transforms": FLUX_TEXT_TRANSFORMS_SQL.format(
                 range=_RANGE
             ),
+            "flux_text_rsi": FLUX_TEXT_RSI_SQL.format(range=_RANGE),
             "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),
             "flux_text_unique": FLUX_TEXT_UNIQUE_SQL.format(range=_RANGE),
             "flux_text_pivot": FLUX_TEXT_PIVOT_SQL.format(range=_RANGE),

@@ -195,7 +195,7 @@ class QueryBuilder:
         "histogram", "quantile", "duplicate", "window",
         "tail", "sample",
         "interpolate.linear", "holtWinters", "integral",
-        "timedMovingAverage",
+        "timedMovingAverage", "relativeStrengthIndex",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -553,6 +553,15 @@ class QueryBuilder:
             ),
             "exponentialMovingAverage": lambda d: T.exponential_moving_average(
                 d, n=int(params.get("n", 5)), series=series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+            # Flux relativeStrengthIndex(n:): value replaced in place;
+            # warm-up rows (fewer than n deltas) and flat windows stay
+            # null rather than Flux's row drop / 100-vs-0 edge — the
+            # ts_rsi_events operator's documented, oracle-replayable
+            # semantics (operators/timeseries.rsi)
+            "relativeStrengthIndex": lambda d: T.rsi(
+                d, n=int(params.get("n", 14)), series=series, ts_col=ts,
                 value_col=val, tiebreak=tiebreak, alias="_t",
             ),
         }[name]

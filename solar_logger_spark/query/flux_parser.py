@@ -261,7 +261,7 @@ _TRANSFORM_STAGES = {
     "histogram", "quantile", "duplicate", "window",
     "tail", "sample",
     "interpolate.linear", "holtWinters", "integral",
-    "timedMovingAverage",
+    "timedMovingAverage", "relativeStrengthIndex",
 } | _BARE_AGGS
 
 
@@ -284,6 +284,8 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
     if name in ("movingAverage", "exponentialMovingAverage", "top", "bottom",
                 "tail"):
         params["n"] = int(str(_unquote(args.get("n", "5"))).rstrip(")"))
+    elif name == "relativeStrengthIndex":
+        params["n"] = int(str(_unquote(args.get("n", "14"))).rstrip(")"))
     elif name == "sample":
         if "n" not in args:
             raise ValueError(f"sample needs n:: {body!r}")

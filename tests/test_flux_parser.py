@@ -819,6 +819,43 @@ def test_execute_text_holtwinters_and_integral(spark, sf_dir):
     assert all(isinstance(r.value, float) and r.value != 0.0 for r in rows)
 
 
+def test_execute_text_relative_strength_index(spark, sf_dir):
+    """r10: relativeStrengthIndex(n:) through TEXT == the native
+    timeseries.rsi, value replaced in place (warm-up/flat rows null —
+    the operator's documented divergence from Flux's row drop)."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    got = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> relativeStrengthIndex(n: 5)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    want = T.rsi(
+        events.filter(F.col("ts") >= "2024-01-01"),
+        n=5, series=["event_type"], tiebreak=["event_id"],
+    )
+
+    def hx(vals):
+        return sorted(
+            (r.ts, r.event_type, None if r.v is None else r.v.hex())
+            for r in vals
+        )
+
+    a = hx(got.selectExpr("ts", "event_type", "value AS v").collect())
+    b = hx(want.selectExpr("ts", "event_type", "rsi AS v").collect())
+    assert a == b
+    # default window is Flux's 14
+    p = parse_flux('from(bucket: "e") |> relativeStrengthIndex()')
+    assert ("relativeStrengthIndex", {"n": 14}) in p.transforms
+
+
 def test_execute_text_timed_moving_average(spark, sf_dir):
     """r9: timedMovingAverage(every:, period:) through TEXT ==
     aggregate_window(width=period, stride=every, fn=mean)."""
