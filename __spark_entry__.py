@@ -1170,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_holtwinters_events": sca.ts_holtwinters_events,
             "dedup_scrub_duplicate_spans": sca.dedup_scrub_duplicate_spans,
             "ts_rsi_events": sca.ts_rsi_events,
+            "ts_cmo_events": sca.ts_cmo_events,
+            "ts_kaufmans_er_events": sca.ts_kaufmans_er_events,
             "corpus_token_budget_select": sca.corpus_token_budget_select,
             "dedup_editdistance_docs": sca.dedup_editdistance_docs,
             "profile_columns_lineitem": sca.profile_columns_lineitem,
@@ -1668,6 +1670,8 @@ def oracle_sql() -> dict[str, str]:
             "ts_holtwinters_events": sca.HOLT_WINTERS_SQL,
             "dedup_scrub_duplicate_spans": sca.SCRUB_SPANS_SQL,
             "ts_rsi_events": sca.RSI_SQL,
+            "ts_cmo_events": sca.CMO_SQL,
+            "ts_kaufmans_er_events": sca.KAUFMANS_ER_SQL,
             "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,
             "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,
             "profile_columns_lineitem": sca.PROFILE_COLUMNS_SQL,

@@ -776,6 +776,88 @@ def rsi(
     return out.drop("_gain", "_loss")
 
 
+def cmo(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "cmo",
+) -> DataFrame:
+    """Chande Momentum Oscillator over the trailing ``n`` deltas per
+    series — Flux ``chandeMomentumOscillator(n:)``:
+    ``100·(Σgain − Σloss)/(Σgain + Σloss)``. Same exact-decimal
+    gain/loss machinery as :func:`rsi` (the two transforms differ only
+    in the final formula): numerator and denominator are DECIMAL sums
+    combined in decimal, each cast to double once, then
+    ``100.0 * num / den`` — the float ops mirror the SQL twin
+    verbatim. Null until a full window of deltas exists; null on a
+    flat window (denominator 0)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    w = _series_window(series, ts_col, tiebreak)
+    cum = w.rowsBetween(-(n - 1), Window.currentRow)
+    diff = (F.col(value_col) - F.lag(value_col).over(w)).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    staged = df.withColumns(
+        {
+            "_gain": F.when(diff.isNotNull(), F.greatest(diff, zero)),
+            "_loss": F.when(diff.isNotNull(), F.greatest(-diff, zero)),
+        }
+    )
+    num = (F.sum("_gain").over(cum) - F.sum("_loss").over(cum)).cast(
+        "double"
+    )
+    den = (F.sum("_gain").over(cum) + F.sum("_loss").over(cum)).cast(
+        "double"
+    )
+    full = F.count("_gain").over(cum) >= n
+    out = staged.withColumn(
+        alias,
+        F.when(full & (den > 0), F.lit(100.0) * num / den),
+    )
+    return out.drop("_gain", "_loss")
+
+
+def kaufmans_er(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "er",
+) -> DataFrame:
+    """Kaufman's Efficiency Ratio over the trailing ``n`` deltas per
+    series — Flux ``kaufmansER(n:)``: ``|value − value_{t−n}| /
+    Σ|delta|`` in [0, 1]. Direction (net change over the window) and
+    volatility (path length) are both exact-decimal before the single
+    float division. Null until a full window of deltas exists; null on
+    a flat window (path length 0)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    w = _series_window(series, ts_col, tiebreak)
+    cum = w.rowsBetween(-(n - 1), Window.currentRow)
+    diff = (F.col(value_col) - F.lag(value_col).over(w)).cast(
+        "decimal(18,6)"
+    )
+    # stage the delta as a plain column first — window sums cannot
+    # nest the lag window expression (the rsi staging pattern)
+    staged = df.withColumn("_d", diff)
+    # net change over the window = decimal sum of its deltas (exactly
+    # value − value_{t−n}, association-free because decimals are exact)
+    net = F.abs(F.sum("_d").over(cum)).cast("double")
+    path = F.sum(F.abs(F.col("_d"))).over(cum).cast("double")
+    full = F.count("_d").over(cum) >= n
+    out = staged.withColumn(
+        alias, F.when(full & (path > 0), net / path)
+    )
+    return out.drop("_d")
+
+
 def rolling_median_despike(
     df: DataFrame,
     k: int,

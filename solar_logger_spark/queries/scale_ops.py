@@ -3592,6 +3592,87 @@ RSI_SQL = """
 """
 
 
+def ts_cmo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-delta Chande Momentum Oscillator per event_type series
+    (operators.timeseries.cmo) — Flux chandeMomentumOscillator, the
+    signed sibling of ts_rsi_events: 100*(sum_gain - sum_loss) /
+    (sum_gain + sum_loss). Exact-decimal sums combined in decimal,
+    cast once, one mul + one div mirrored verbatim in the oracle."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.cmo(events, n=14, series=["event_type"], tiebreak=["event_id"])
+    return out.select("event_id", "event_type", "value", "cmo")
+
+
+CMO_SQL = """
+    WITH d AS (
+        SELECT event_id, event_type, ts, value,
+               CAST(value - lag(value) OVER w AS DECIMAL(18,6)) AS diff
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), g AS (
+        SELECT *,
+               CASE WHEN diff IS NULL THEN NULL
+                    WHEN diff > 0 THEN diff
+                    ELSE CAST(0 AS DECIMAL(18,6)) END AS gain,
+               CASE WHEN diff IS NULL THEN NULL
+                    WHEN diff < 0 THEN -diff
+                    ELSE CAST(0 AS DECIMAL(18,6)) END AS loss
+        FROM d
+    ), s AS (
+        SELECT event_id, event_type, value,
+               CAST(sum(gain) OVER c - sum(loss) OVER c AS DOUBLE) AS num,
+               CAST(sum(gain) OVER c + sum(loss) OVER c AS DOUBLE) AS den,
+               count(gain) OVER c AS cnt
+        FROM g
+        WINDOW c AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, value,
+           CASE WHEN cnt >= 14 AND den > 0
+                THEN 100.0 * num / den END AS cmo
+    FROM s
+"""
+
+
+def ts_kaufmans_er_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-delta Kaufman Efficiency Ratio per event_type series
+    (operators.timeseries.kaufmans_er) — Flux kaufmansER:
+    |net change| / path length over the trailing window, in [0, 1].
+    Net and path are exact-decimal window sums (net = decimal sum of
+    the window's deltas = value - value[t-n] exactly); one division."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.kaufmans_er(
+        events, n=14, series=["event_type"], tiebreak=["event_id"]
+    )
+    return out.select("event_id", "event_type", "value", "er")
+
+
+KAUFMANS_ER_SQL = """
+    WITH d AS (
+        SELECT event_id, event_type, ts, value,
+               CAST(value - lag(value) OVER w AS DECIMAL(18,6)) AS diff
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), s AS (
+        SELECT event_id, event_type, value,
+               CAST(abs(sum(diff) OVER c) AS DOUBLE) AS net,
+               CAST(sum(abs(diff)) OVER c AS DOUBLE) AS path,
+               count(diff) OVER c AS cnt
+        FROM d
+        WINDOW c AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, value,
+           CASE WHEN cnt >= 14 AND path > 0
+                THEN net / path END AS er
+    FROM s
+"""
+
+
 def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection per source shard: rank each
     source's documents by quality score (ties to lowest doc_id), admit

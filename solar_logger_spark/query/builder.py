@@ -196,6 +196,7 @@ class QueryBuilder:
         "tail", "sample",
         "interpolate.linear", "holtWinters", "integral",
         "timedMovingAverage", "relativeStrengthIndex",
+        "chandeMomentumOscillator", "kaufmansER",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -562,6 +563,16 @@ class QueryBuilder:
             # semantics (operators/timeseries.rsi)
             "relativeStrengthIndex": lambda d: T.rsi(
                 d, n=int(params.get("n", 14)), series=series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+            # CMO/ER share rsi's in-place-replace, null-on-warm-up
+            # contract (operators/timeseries.cmo / kaufmans_er)
+            "chandeMomentumOscillator": lambda d: T.cmo(
+                d, n=int(params.get("n", 10)), series=series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+            "kaufmansER": lambda d: T.kaufmans_er(
+                d, n=int(params.get("n", 10)), series=series, ts_col=ts,
                 value_col=val, tiebreak=tiebreak, alias="_t",
             ),
         }[name]

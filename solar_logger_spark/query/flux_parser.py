@@ -262,6 +262,7 @@ _TRANSFORM_STAGES = {
     "tail", "sample",
     "interpolate.linear", "holtWinters", "integral",
     "timedMovingAverage", "relativeStrengthIndex",
+    "chandeMomentumOscillator", "kaufmansER",
 } | _BARE_AGGS
 
 
@@ -286,6 +287,11 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
         params["n"] = int(str(_unquote(args.get("n", "5"))).rstrip(")"))
     elif name == "relativeStrengthIndex":
         params["n"] = int(str(_unquote(args.get("n", "14"))).rstrip(")"))
+    elif name in ("chandeMomentumOscillator", "kaufmansER"):
+        # Flux requires n: on both — fail at parse time, not plan time
+        if "n" not in args:
+            raise ValueError(f"{name} needs n:: {body!r}")
+        params["n"] = int(str(_unquote(args["n"])).rstrip(")"))
     elif name == "sample":
         if "n" not in args:
             raise ValueError(f"sample needs n:: {body!r}")
