@@ -1171,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_scrub_duplicate_spans": sca.dedup_scrub_duplicate_spans,
             "ts_rsi_events": sca.ts_rsi_events,
             "ts_cmo_events": sca.ts_cmo_events,
+            "ts_dema_events": sca.ts_dema_events,
+            "ts_tema_events": sca.ts_tema_events,
             "ts_kaufmans_er_events": sca.ts_kaufmans_er_events,
             "corpus_token_budget_select": sca.corpus_token_budget_select,
             "dedup_editdistance_docs": sca.dedup_editdistance_docs,
@@ -1671,6 +1673,8 @@ def oracle_sql() -> dict[str, str]:
             "dedup_scrub_duplicate_spans": sca.SCRUB_SPANS_SQL,
             "ts_rsi_events": sca.RSI_SQL,
             "ts_cmo_events": sca.CMO_SQL,
+            "ts_dema_events": sca.DEMA_SQL,
+            "ts_tema_events": sca.TEMA_SQL,
             "ts_kaufmans_er_events": sca.KAUFMANS_ER_SQL,
             "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,
             "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,

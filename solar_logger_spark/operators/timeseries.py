@@ -776,6 +776,61 @@ def rsi(
     return out.drop("_gain", "_loss")
 
 
+def double_ema(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "dema",
+) -> DataFrame:
+    """Flux ``doubleEMA(n:)``: ``2·EMA_n(x) − EMA_n(EMA_n(x))`` — the
+    lag-reduced moving average. Composes two passes of the
+    bit-reproducible :func:`exponential_moving_average` recursion and
+    one mirrored float expression (``2.0·e1 − e2``, evaluated in the
+    same order on both engines). Defined from the first row (y₀ = x₀
+    seeds both recursions) — the ts_ema family's documented divergence
+    from Flux's warm-up drop."""
+    e1 = exponential_moving_average(
+        df, n, series, ts_col, value_col, tiebreak, alias="_e1"
+    )
+    e2 = exponential_moving_average(
+        e1, n, series, ts_col, "_e1", tiebreak, alias="_e2"
+    )
+    return e2.withColumn(
+        alias, F.lit(2.0) * F.col("_e1") - F.col("_e2")
+    ).drop("_e1", "_e2")
+
+
+def triple_ema(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "tema",
+) -> DataFrame:
+    """Flux ``tripleEMA(n:)``: ``3·e1 − 3·e2 + e3`` over the EMA
+    tower — same composition/float discipline as :func:`double_ema`
+    (``(3·e1 − 3·e2) + e3``, left-to-right on both engines)."""
+    e1 = exponential_moving_average(
+        df, n, series, ts_col, value_col, tiebreak, alias="_e1"
+    )
+    e2 = exponential_moving_average(
+        e1, n, series, ts_col, "_e1", tiebreak, alias="_e2"
+    )
+    e3 = exponential_moving_average(
+        e2, n, series, ts_col, "_e2", tiebreak, alias="_e3"
+    )
+    return e3.withColumn(
+        alias,
+        F.lit(3.0) * F.col("_e1") - F.lit(3.0) * F.col("_e2")
+        + F.col("_e3"),
+    ).drop("_e1", "_e2", "_e3")
+
+
 def cmo(
     df: DataFrame,
     n: int,

@@ -3592,6 +3592,96 @@ RSI_SQL = """
 """
 
 
+def ts_dema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux doubleEMA(n: 9) per user: 2*EMA - EMA(EMA), alpha = 0.2
+    (operators.timeseries.double_ema). The oracle materializes the
+    first EMA as a per-series list and re-folds its prefixes."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    return T.double_ema(
+        events, n=9, series=["user_id"], tiebreak=["event_id"]
+    ).select("event_id", "user_id", "dema")
+
+
+DEMA_SQL = """
+    WITH s AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM events GROUP BY user_id
+    ),
+    e1 AS (
+        SELECT user_id, ids,
+               list_transform(
+                   generate_series(1, len(vals)),
+                   i -> list_reduce(vals[1:i],
+                                    (acc, x) -> 0.2 * x + 0.8 * acc)
+               ) AS em1
+        FROM s
+    ),
+    r AS (
+        SELECT user_id, unnest(ids) AS event_id,
+               generate_subscripts(ids, 1) AS rn, em1
+        FROM e1
+    )
+    SELECT event_id, user_id,
+           2.0 * em1[rn]
+           - list_reduce(em1[1:rn], (acc, x) -> 0.2 * x + 0.8 * acc)
+               AS dema
+    FROM r
+"""
+
+
+def ts_tema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux tripleEMA(n: 9) per user: 3*e1 - 3*e2 + e3 over the EMA
+    tower (operators.timeseries.triple_ema)."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    return T.triple_ema(
+        events, n=9, series=["user_id"], tiebreak=["event_id"]
+    ).select("event_id", "user_id", "tema")
+
+
+TEMA_SQL = """
+    WITH s AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM events GROUP BY user_id
+    ),
+    e1 AS (
+        SELECT user_id, ids,
+               list_transform(
+                   generate_series(1, len(vals)),
+                   i -> list_reduce(vals[1:i],
+                                    (acc, x) -> 0.2 * x + 0.8 * acc)
+               ) AS em1
+        FROM s
+    ),
+    e2 AS (
+        SELECT user_id, ids, em1,
+               list_transform(
+                   generate_series(1, len(em1)),
+                   i -> list_reduce(em1[1:i],
+                                    (acc, x) -> 0.2 * x + 0.8 * acc)
+               ) AS em2
+        FROM e1
+    ),
+    r AS (
+        SELECT user_id, unnest(ids) AS event_id,
+               generate_subscripts(ids, 1) AS rn, em1, em2
+        FROM e2
+    )
+    SELECT event_id, user_id,
+           3.0 * em1[rn] - 3.0 * em2[rn]
+           + list_reduce(em2[1:rn], (acc, x) -> 0.2 * x + 0.8 * acc)
+               AS tema
+    FROM r
+"""
+
+
 def ts_cmo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """14-delta Chande Momentum Oscillator per event_type series
     (operators.timeseries.cmo) — Flux chandeMomentumOscillator, the

@@ -197,6 +197,7 @@ class QueryBuilder:
         "interpolate.linear", "holtWinters", "integral",
         "timedMovingAverage", "relativeStrengthIndex",
         "chandeMomentumOscillator", "kaufmansER",
+        "doubleEMA", "tripleEMA",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -572,6 +573,17 @@ class QueryBuilder:
                 value_col=val, tiebreak=tiebreak, alias="_t",
             ),
             "kaufmansER": lambda d: T.kaufmans_er(
+                d, n=int(params.get("n", 10)), series=series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+            # EMA tower (operators/timeseries.double_ema/triple_ema):
+            # in-sample from the first row, the ts_ema family's
+            # documented divergence from Flux's warm-up drop
+            "doubleEMA": lambda d: T.double_ema(
+                d, n=int(params.get("n", 10)), series=series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+            "tripleEMA": lambda d: T.triple_ema(
                 d, n=int(params.get("n", 10)), series=series, ts_col=ts,
                 value_col=val, tiebreak=tiebreak, alias="_t",
             ),

@@ -263,6 +263,7 @@ _TRANSFORM_STAGES = {
     "interpolate.linear", "holtWinters", "integral",
     "timedMovingAverage", "relativeStrengthIndex",
     "chandeMomentumOscillator", "kaufmansER",
+    "doubleEMA", "tripleEMA",
 } | _BARE_AGGS
 
 
@@ -287,7 +288,8 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
         params["n"] = int(str(_unquote(args.get("n", "5"))).rstrip(")"))
     elif name == "relativeStrengthIndex":
         params["n"] = int(str(_unquote(args.get("n", "14"))).rstrip(")"))
-    elif name in ("chandeMomentumOscillator", "kaufmansER"):
+    elif name in ("chandeMomentumOscillator", "kaufmansER",
+                  "doubleEMA", "tripleEMA"):
         # Flux requires n: on both — fail at parse time, not plan time
         if "n" not in args:
             raise ValueError(f"{name} needs n:: {body!r}")

@@ -896,6 +896,45 @@ def test_execute_text_cmo_and_kaufmans_er(spark, sf_dir):
             parse_flux(f'from(bucket: "e") |> {stage}()')
 
 
+def test_execute_text_double_and_triple_ema(spark, sf_dir):
+    """r10: doubleEMA(n:)/tripleEMA(n:) through TEXT == the native EMA
+    tower; n: is required at parse time."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") >= "2024-01-01")
+
+    def hx(rows):
+        return sorted(
+            (r.ts, r.event_type, None if r.v is None else r.v.hex())
+            for r in rows
+        )
+
+    for stage, fn, out_col in (
+        ("doubleEMA", T.double_ema, "dema"),
+        ("tripleEMA", T.triple_ema, "tema"),
+    ):
+        got = (
+            parse_flux(
+                'from(bucket: "e") |> range(start: 2024-01-01)'
+                f" |> {stage}(n: 4)"
+            )
+            .to_builder(events, series_cols=("event_type",))
+            .to_df()
+        )
+        want = fn(base, n=4, series=["event_type"], tiebreak=["event_id"])
+        a = hx(got.selectExpr("ts", "event_type", "value AS v").collect())
+        b = hx(want.selectExpr("ts", "event_type", f"{out_col} AS v").collect())
+        assert a == b, stage
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="needs n:"):
+            parse_flux(f'from(bucket: "e") |> {stage}()')
+
+
 def test_execute_text_timed_moving_average(spark, sf_dir):
     """r9: timedMovingAverage(every:, period:) through TEXT ==
     aggregate_window(width=period, stride=every, fn=mean)."""
