@@ -1225,8 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 CHANGED_IN_ROUND = {
     # r5: schema changed (new columns) — old green rows are stale
     "profile_columns_lineitem": 5,
-    # r5: oracle join made NULL-safe (same results on current data)
-    "dedup_editdistance_docs": 5,
+    # (dedup_editdistance_docs r5 NULL-safe-oracle pin superseded by
+    # the r10 pin below — one key, latest round)
     # r5: ANN query batch changed from emb.limit(10) to the
     # deterministic vec_id < 10 — records predating r5 describe a
     # possibly-different row set (ADVICE r5); the r5 driver rows
@@ -1236,9 +1236,9 @@ CHANGED_IN_ROUND = {
     # bounded hierarchical 256-id-block folds, on BOTH engines:
     # different float association, different (still matching)
     # hashes — r8 green rows describe the old bits
+    # (similarity_ann_pq / similarity_ann_ivfpq r9 pins superseded
+    # by the r10 pins below — one key, latest round)
     "similarity_ann_ivf": 9,
-    "similarity_ann_pq": 9,
-    "similarity_ann_ivfpq": 9,
     # r6: similarity_ann_lsh gained a DuckDB oracle (deterministic
     # md5 hyperplanes); embedding_pca_project's declared output
     # reshaped to scalar pc0..pc7 columns after its array column
@@ -1253,7 +1253,7 @@ CHANGED_IN_ROUND = {
     # apriori min_item_support prefilter (output-invariant by
     # construction); BPE encode gained the vocab-frame lineage
     # barrier (plan-only change, output identical)
-    "basket_affinity_parts": 7,
+    # (basket_affinity_parts r7 pin superseded by the r10 pin below)
     "text_bpe_encode_docs": 7,
     # r7: lineage barriers on the kept frames (plan-only, output
     # identical — verified sf0.001 + vanilla sf0.01); supersedes

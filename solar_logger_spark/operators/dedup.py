@@ -72,6 +72,14 @@ def exploded_shingles(
             f"exploded_shingles: column name(s) {sorted(clash)} collide "
             "with reserved helper columns; rename them first"
         )
+    emitted = {out_col} | ({pos_col} if pos_col else set())
+    dup = set(keep) & emitted
+    if dup or (pos_col and pos_col == out_col):
+        raise ValueError(
+            "exploded_shingles: output column name(s) "
+            f"{sorted(dup or {out_col})} collide with kept/other output "
+            "columns; the result would carry duplicate-named columns"
+        )
     toks = tokens(text_col)
     nsh = F.size(toks) - F.lit(n - 1)
     gram = F.concat_ws(

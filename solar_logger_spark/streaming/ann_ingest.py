@@ -398,10 +398,23 @@ def ann_ingest_sink(index_dir: str):
         # single emptiness check, and the lazy checkpoint means that
         # probe materializes the encoded partitions it touches while
         # the write reuses them — two scheduler jobs per delivery
-        # instead of four. (read_model runs first even for an empty
-        # trigger; the sink's contract already requires a bootstrapped
-        # index before the stream starts.)
-        model = read_model(index_dir)
+        # instead of four. read_model runs first even for an empty
+        # trigger, so the bootstrap-first contract is enforced
+        # explicitly here (ADVICE r10): an empty trigger against a
+        # not-yet-bootstrapped index is a harmless no-op (the probe
+        # job is paid only on this error path), a non-empty one is a
+        # real misuse and raises a named error.
+        try:
+            model = read_model(index_dir)
+        except FileNotFoundError:
+            if not batch_df.take(1):
+                return
+            raise RuntimeError(
+                f"ann_ingest_sink: delivery for {index_dir} arrived "
+                "before the index was bootstrapped — run "
+                "bootstrap_ann_index on a seed corpus before starting "
+                "the stream"
+            ) from None
         encoded = encode_delivery(batch_df, model).localCheckpoint(
             eager=False
         )

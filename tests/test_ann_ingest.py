@@ -88,6 +88,21 @@ def test_empty_delivery_is_a_no_op(spark, sf_dir, tmp_path):
     assert M.list_deltas(idx) == []
 
 
+def test_pre_bootstrap_delivery_contract(spark, sf_dir, tmp_path):
+    """Before bootstrap: an empty trigger no-ops (streams can start
+    with idle triggers), a non-empty delivery raises the named
+    bootstrap-first error instead of an opaque FileNotFoundError
+    (ADVICE r10)."""
+    _, initial, delivery, _ = _load(spark, sf_dir)
+    idx = str(tmp_path / "never_bootstrapped")
+    os.makedirs(idx, exist_ok=True)
+    sink = AI.ann_ingest_sink(idx)
+    sink(initial.filter(F.lit(False)), 0)      # empty: clean no-op
+    assert M.list_deltas(idx) == []
+    with pytest.raises(RuntimeError, match="before the index was bootstrapped"):
+        sink(delivery, 1)
+
+
 def test_numpy_index_recall_and_recenter(spark, sf_dir, tmp_path):
     from solar_logger_spark.operators.similarity import topk_bruteforce
 

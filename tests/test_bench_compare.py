@@ -95,3 +95,23 @@ def test_median_preferred_over_canary_on_large_pool():
     assert out["ambient_used"] == "median"
     assert out["median_query_ratio"] == 1.1
     assert out["canary_ratio"] == 0.8
+
+
+def test_all_changed_fallback_labelled_distinctly():
+    # When EVERY shared query changed (no untouched pool, no canary),
+    # the only median available is over the changed queries themselves
+    # — the self-deflation bias must be visible in the label (ADVICE
+    # r10), never silently reported as an untouched-query 'median'.
+    old = _rec({"a": 2.0, "b": 4.0})
+    new = _rec({"a": 1.0, "b": 2.0})
+    out = compare(old, new, changed={"a", "b"})
+    assert out["n_ambient_pool"] == 0
+    assert out["ambient_used"] == "median-all-changed"
+    assert out["median_query_ratio"] is None  # no untouched median
+
+
+def test_all_changed_prefers_canary_when_present():
+    old = _rec({"a": 2.0, "b": 4.0}, canary=1.0)
+    new = _rec({"a": 1.0, "b": 2.0}, canary=1.1)
+    out = compare(old, new, changed={"a", "b"})
+    assert out["ambient_used"] == "canary"

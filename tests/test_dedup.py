@@ -73,6 +73,29 @@ def test_exploded_shingles_matches_array_form(spark):
         assert sorted(map(tuple, old)) == sorted(map(tuple, new)), n
 
 
+def test_exploded_shingles_rejects_column_clashes(spark):
+    """Reserved helpers (_t/_n/_i), keep-vs-output collisions, and
+    pos_col == out_col are all named errors (ADVICE r10) — a silent
+    duplicate-named column poisons every downstream select."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="reserved helper"):
+        dedup.exploded_shingles(df, ["_t"], "text", 2)
+    with pytest.raises(ValueError, match="reserved helper"):
+        dedup.exploded_shingles(df, ["doc_id"], "text", 2, out_col="_i")
+    with pytest.raises(ValueError, match="duplicate-named"):
+        dedup.exploded_shingles(df, ["doc_id"], "text", 2, out_col="doc_id")
+    with pytest.raises(ValueError, match="duplicate-named"):
+        dedup.exploded_shingles(
+            df, ["doc_id"], "text", 2, pos_col="doc_id"
+        )
+    with pytest.raises(ValueError, match="duplicate-named"):
+        dedup.exploded_shingles(
+            df, ["doc_id"], "text", 2, pos_col="gram", out_col="gram"
+        )
+
+
 def test_shingles_window_and_short_doc(docs):
     sh = dedup.doc_shingles(docs).collect()
     by_doc = {}

@@ -86,10 +86,7 @@ def compare(
         if old["queries"][q] >= 0.3  # below that, stage overhead is noise
     }
     ambient_pool = {q: r for q, r in ratios.items() if q not in changed}
-    med = (
-        statistics.median(ambient_pool.values()) if ambient_pool
-        else (statistics.median(ratios.values()) if ratios else None)
-    )
+    med = statistics.median(ambient_pool.values()) if ambient_pool else None
     canary = (
         new["canary_sec"] / old["canary_sec"]
         if old.get("canary_sec") and new.get("canary_sec")
@@ -100,12 +97,22 @@ def compare(
     # (observed: canary 0.84 while the untouched-query median read
     # 1.07). Prefer the untouched-query median whenever it rests on a
     # reasonable sample; the canary stays reported for context.
+    # When EVERY shared query changed, there is no untouched pool at
+    # all — the canary (or, failing that, a clearly-labelled median
+    # over the changed queries themselves) is the only estimate left;
+    # the distinct label keeps the self-deflation bias visible.
     if med is not None and len(ambient_pool) >= 10:
         ambient, ambient_src = med, "median"
     elif canary is not None:
         ambient, ambient_src = canary, "canary"
-    else:
+    elif med is not None:
         ambient, ambient_src = med, "median"
+    elif ratios:
+        ambient, ambient_src = (
+            statistics.median(ratios.values()), "median-all-changed"
+        )
+    else:
+        ambient, ambient_src = None, "none"
     out = {
         "old_total": round(old["total"], 1),
         "new_total": round(new["total"], 1),
