@@ -1237,8 +1237,8 @@ CHANGED_IN_ROUND = {
     # different float association, different (still matching)
     # hashes — r8 green rows describe the old bits
     # (similarity_ann_pq / similarity_ann_ivfpq r9 pins superseded
-    # by the r10 pins below — one key, latest round)
-    "similarity_ann_ivf": 9,
+    # by the r11 pins below — one key, latest round; similarity_ann_ivf
+    # r9 pin superseded by the r11 pin below)
     # r6: similarity_ann_lsh gained a DuckDB oracle (deterministic
     # md5 hyperplanes); embedding_pca_project's declared output
     # reshaped to scalar pc0..pc7 columns after its array column
@@ -1247,7 +1247,7 @@ CHANGED_IN_ROUND = {
     # r8: embedding_pca_project flipped rows-only -> oracle-backed
     # (pinned-fold moments + md5-seeded power-iteration eigensolve,
     # replayed in SQL as a recursive CTE)
-    "embedding_pca_project": 8,
+    # (embedding_pca_project r8 pin superseded by the r11 pin below)
     # r7: NULL-basket/item filter added to operator AND oracle
     # (same results on lineitem, where keys are non-null) plus the
     # apriori min_item_support prefilter (output-invariant by
@@ -1287,8 +1287,18 @@ CHANGED_IN_ROUND = {
     "text_trigram_lm_quality": 10,
     "dedup_editdistance_docs": 10,
     "basket_affinity_parts": 10,
-    "similarity_ann_pq": 10,
-    "similarity_ann_ivfpq": 10,
+    # r11: the pinned hierarchical mean fold gained a THIRD level
+    # (block partials fold within b DIV 256 superblocks before the
+    # top fold) on BOTH engines — closes the O(N/block) hot-key
+    # struct pile-up, the last named 100x-scale skew hazard. At
+    # registry id ranges (vid < 65536: one superblock, and
+    # 0.0 + x == x bit-exact) the outputs are bit-identical — verified
+    # by a bitwise sf0.01 cross-engine sweep — but the association
+    # CONTRACT changed, so the stale green rows re-verify.
+    "similarity_ann_ivf": 11,
+    "similarity_ann_pq": 11,
+    "similarity_ann_ivfpq": 11,
+    "embedding_pca_project": 11,
     }
 
 

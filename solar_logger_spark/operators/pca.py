@@ -228,10 +228,12 @@ def pca_fit_deterministic(
 
     * **Moments** (mean, scatter matrix) are hierarchical pinned
       folds: rows fold WITHIN a block (``id DIV block``) in id order,
-      block partials fold in block order — deterministic float
-      association AND distributed (blocks are independent groups; the
-      final fold is |blocks| array adds). No DECIMAL trick exists for
-      float32 products, so pinned folds are the whole story.
+      block partials fold in block order within a superblock
+      (``b DIV block``), superblock partials fold in superblock order
+      — deterministic float association AND distributed with every
+      intermediate task bounded at ``block`` entries (final fold:
+      O(N/block²) array adds). No DECIMAL trick exists for float32
+      products, so pinned folds are the whole story.
     * **Eigenvectors** come from ``iters`` fixed power-iteration steps
       per component with deflation, seeded by md5-derived start
       vectors — driver-side pure Python over the collected scatter
@@ -261,8 +263,14 @@ def pca_fit_deterministic(
     zeros = F.array_repeat(F.lit(0.0), dim)
 
     def _hier_fold(frame, arr_col, width):
-        """blocks (id order) -> block partials (block order) -> one
-        array; returns the single collected row's array + row count."""
+        """blocks (id order) -> block partials (block order, within a
+        superblock) -> superblock partials (superblock order) -> one
+        array; returns the single collected row's array + row count.
+        Three levels (r11, matching ``pq._pinned_hier_mean``): this
+        fold has ONE key — the whole corpus — so a two-level form
+        concentrated O(N/block) structs in the single final task;
+        the middle level bounds it at ``block`` structs per task and
+        leaves O(N/block²) for the top."""
         z = F.array_repeat(F.lit(0.0), width)
         per_block = (
             frame.withColumn("b", F.expr(f"vid DIV {block}"))
@@ -280,15 +288,30 @@ def pca_fit_deterministic(
                 F.size("ms").alias("cnt"),
             )
         )
-        row = (
-            per_block.groupBy()
+        per_super = (
+            per_block.withColumn("sb", F.expr(f"b DIV {block}"))
+            .groupBy("sb")
             .agg(
                 F.array_sort(F.collect_list(F.struct("b", "s"))).alias("bl"),
-                F.sum("cnt").alias("n"),
+                F.sum("cnt").alias("scnt"),
+            )
+            .select(
+                "sb",
+                F.aggregate(
+                    "bl", z, lambda acc, t: _zip_add(acc, t["s"])
+                ).alias("s2"),
+                "scnt",
+            )
+        )
+        row = (
+            per_super.groupBy()
+            .agg(
+                F.array_sort(F.collect_list(F.struct("sb", "s2"))).alias("sl"),
+                F.sum("scnt").alias("n"),
             )
             .select(
                 F.aggregate(
-                    "bl", z, lambda acc, t: _zip_add(acc, t["s"])
+                    "sl", z, lambda acc, t: _zip_add(acc, t["s2"])
                 ).alias("total"),
                 "n",
             )

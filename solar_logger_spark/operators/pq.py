@@ -778,22 +778,23 @@ def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
     BOUNDED, hierarchical fold — the distributed replacement for the
     r8 full per-key member-list materialization (a hot cell's
     ``collect_list`` of every member vector was the one remaining
-    100×-scale skew/OOM hazard): members fold in ``vid`` order WITHIN
-    an id block (``vid DIV block`` — ≤ ``block`` rows per group, so
-    every FIRST-level task array is bounded), then block partial sums
-    fold in block order. The second level is a ``block``-factor
-    mitigation, not a constant bound: a key spanning N member ids
-    still concentrates O(N/block) partial-sum structs in one task.
-    That residual lives only on this oracle-trainer path (the
-    maintained index delivers via the map-only encoder, never through
-    here), and a third level would change the fold associativity —
-    and therefore every pinned PCA/PQ/IVFPQ hash on both engines —
-    to bound a fold whose key count is ``n_cells``/``m×ks``-sized by
-    construction. Same two-level recipe as
+    100×-scale skew/OOM hazard). THREE order-pinned levels (r11 —
+    previously two; the second level concentrated O(N/block)
+    partial-sum structs on a hot key, the last named skew residual):
+    members fold in ``vid`` order WITHIN an id block (``vid DIV
+    block`` — ≤ ``block`` rows per group), block partials fold in
+    block order WITHIN a superblock (``b DIV block`` — ≤ ``block``
+    structs per group), superblock partials fold in superblock order.
+    Levels 1–2 are constant-bounded per task; the final level holds
+    O(N / block²) structs — at ``block=256`` a key needs > 2²⁴
+    member ids before the top fold even exceeds 256 entries, and a
+    10¹⁰-id hot key tops out near 1.5×10⁵ structs (a few tens of MB
+    at trainer widths), comfortably inside one task. Same recipe as
     :func:`solar_logger_spark.operators.pca.pca_fit_deterministic`,
     and each level is replayed verbatim by the ANN SQL twins
-    (``list(... ORDER BY vid)`` per ``vid // block`` group, then
-    ``list(s ORDER BY b)``), so the result stays cross-engine
+    (``list(... ORDER BY vid)`` per ``vid // block`` group,
+    ``list(s ORDER BY b)`` per ``b // block`` group, then
+    ``list(s2 ORDER BY sb)``), so the result stays cross-engine
     bit-identical AND partition-invariant. Input must carry ``vid``;
     returns one row per key with the mean array as ``c``."""
     z = F.array_repeat(F.lit(0.0), width)
@@ -814,17 +815,32 @@ def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
             F.size("_ms").alias("_cnt"),
         )
     )
-    return (
-        per_block.groupBy(*keys)
+    per_super = (
+        per_block.withColumn("_sb", F.expr(f"_b DIV {block}"))
+        .groupBy(*keys, "_sb")
         .agg(
             F.array_sort(F.collect_list(F.struct("_b", "_s"))).alias("_bl"),
-            F.sum("_cnt").alias("_n"),
+            F.sum("_cnt").alias("_scnt"),
+        )
+        .select(
+            *keys, "_sb",
+            F.aggregate(
+                "_bl", z, lambda acc, t: zadd(acc, t["_s"])
+            ).alias("_s2"),
+            "_scnt",
+        )
+    )
+    return (
+        per_super.groupBy(*keys)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_sb", "_s2"))).alias("_sl"),
+            F.sum("_scnt").alias("_n"),
         )
         .select(
             *keys,
             F.transform(
                 F.aggregate(
-                    "_bl", z, lambda acc, t: zadd(acc, t["_s"])
+                    "_sl", z, lambda acc, t: zadd(acc, t["_s2"])
                 ),
                 lambda x: x / F.col("_n"),
             ).alias("c"),

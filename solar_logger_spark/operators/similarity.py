@@ -837,7 +837,8 @@ def topk_ivf_deterministic(
 
     Cost shape: assignment is a broadcast of ``n_cells`` centroid rows
     against the corpus (map-only per round); the pinned mean folds
-    members WITHIN 256-id blocks, then block partials in block order
+    members WITHIN 256-id blocks, block partials within 256-block
+    superblocks, then superblock partials in order
     (``pq._pinned_hier_mean``) — every task array bounded, no per-cell
     member list anywhere. :func:`kmeans_refine` (partition-ordered
     numpy partial sums) remains the throughput trainer at corpus

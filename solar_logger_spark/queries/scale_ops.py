@@ -638,16 +638,25 @@ ANN_IVF_SQL = """
                                         FOR d IN range(1, 65)]) AS s
         FROM cblk
     ),
-    cent1 AS (  -- ...then fold block partials in block order
+    csb AS (  -- ...block partials in block order within a superblock...
+        SELECT cell, b // 256 AS sb,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 64)],
+                                        list(s ORDER BY b)),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 65)]) AS s2,
+               sum(cnt) AS scnt
+        FROM cbsum GROUP BY cell, b // 256
+    ),
+    cent1 AS (  -- ...then superblock partials in superblock order
         SELECT cell, [t[d] / n FOR d IN range(1, 65)] AS c
         FROM (
             SELECT cell,
                    list_reduce(list_prepend([0.0 FOR d IN range(0, 64)],
-                                            list(s ORDER BY b)),
+                                            list(s2 ORDER BY sb)),
                                (acc, x) -> [acc[d] + x[d]
                                             FOR d IN range(1, 65)]) AS t,
-                   CAST(sum(cnt) AS BIGINT) AS n
-            FROM cbsum GROUP BY cell) g
+                   CAST(sum(scnt) AS BIGINT) AS n
+            FROM csb GROUP BY cell) g
     ),
     cents AS (  -- empty cells keep their init centroid
         SELECT i.cell, coalesce(c1.c, i.c) AS c
@@ -1355,16 +1364,25 @@ ANN_PQ_SQL = """
                                         FOR d IN range(1, 9)]) AS s
         FROM mblk
     ),
-    mean1 AS (  -- ...then fold block partials in block order
+    msb AS (  -- ...block partials in block order within a superblock...
+        SELECT ms, code, b // 256 AS sb,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 8)],
+                                        list(s ORDER BY b)),
+                           (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 9)]) AS s2,
+               sum(cnt) AS scnt
+        FROM mbsum GROUP BY ms, code, b // 256
+    ),
+    mean1 AS (  -- ...then superblock partials in superblock order
         SELECT ms, code, [t[d] / n FOR d IN range(1, 9)] AS c
         FROM (
             SELECT ms, code,
                    list_reduce(list_prepend([0.0 FOR d IN range(0, 8)],
-                                            list(s ORDER BY b)),
+                                            list(s2 ORDER BY sb)),
                                (acc, x) -> [acc[d] + x[d]
                                             FOR d IN range(1, 9)]) AS t,
-                   CAST(sum(cnt) AS BIGINT) AS n
-            FROM mbsum GROUP BY ms, code) g
+                   CAST(sum(scnt) AS BIGINT) AS n
+            FROM msb GROUP BY ms, code) g
     ),
     books AS (
         SELECT i.ms, i.code, coalesce(m1.c, i.c) AS c
@@ -2409,7 +2427,8 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pca_project_sql() -> str:
     """The SQL twin of the deterministic-PCA pipeline: hierarchical
     pinned-fold moments (rows fold in id order within ``id DIV 256``
-    blocks, blocks fold in block order), an md5-seeded power-iteration
+    blocks, blocks fold in block order within ``b DIV 256``
+    superblocks, superblocks fold in order), an md5-seeded power-iteration
     + deflation eigensolve as a RECURSIVE CTE (40 fixed steps per
     component, 8 components, sign-fixed), and fold-order projections —
     bit-identical to the Spark side at every stage (moments, each
@@ -2441,13 +2460,22 @@ def _pca_project_sql() -> str:
                                         FOR d IN range(1, 65)]) AS s
         FROM blocks
     ),
-    msum AS (
-        SELECT list_reduce(list_prepend([0.0 FOR d IN range(0, 64)],
+    bsb AS (
+        SELECT b // 256 AS sb,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 64)],
                                         list(s ORDER BY b)),
                            (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 65)]) AS s2,
+               sum(cnt) AS scnt
+        FROM bsum GROUP BY b // 256
+    ),
+    msum AS (
+        SELECT list_reduce(list_prepend([0.0 FOR d IN range(0, 64)],
+                                        list(s2 ORDER BY sb)),
+                           (acc, x) -> [acc[d] + x[d]
                                         FOR d IN range(1, 65)]) AS total,
-               sum(cnt) AS n
-        FROM bsum
+               sum(scnt) AS n
+        FROM bsb
     ),
     meanv AS (SELECT [total[d] / n FOR d IN range(1, 65)] AS mu FROM msum),
     cent AS (
@@ -2470,12 +2498,20 @@ def _pca_project_sql() -> str:
                                         FOR d IN range(1, 4097)]) AS s
         FROM oblocks
     ),
-    cov AS (
-        SELECT list_reduce(list_prepend([0.0 FOR d IN range(0, 4096)],
+    osb AS (
+        SELECT b // 256 AS sb,
+               list_reduce(list_prepend([0.0 FOR d IN range(0, 4096)],
                                         list(s ORDER BY b)),
                            (acc, x) -> [acc[d] + x[d]
+                                        FOR d IN range(1, 4097)]) AS s2
+        FROM obsum GROUP BY b // 256
+    ),
+    cov AS (
+        SELECT list_reduce(list_prepend([0.0 FOR d IN range(0, 4096)],
+                                        list(s2 ORDER BY sb)),
+                           (acc, x) -> [acc[d] + x[d]
                                         FOR d IN range(1, 4097)]) AS cf
-        FROM obsum
+        FROM osb
     ),
     pit AS (
         SELECT 0 AS comp, 0 AS iter, cf,
@@ -5898,16 +5934,25 @@ bbsum AS (
                        (acc, x) -> [acc[d] + x[d] FOR d IN range(1, 9)]) AS s
     FROM bblk
 ),
-bmean AS (  -- ...then fold block partials in block order
+bsb AS (  -- ...block partials in block order within a superblock...
+    SELECT ms, code, b // 256 AS sb,
+           list_reduce(list_prepend([0.0 FOR d IN range(0, 8)],
+                                    list(s ORDER BY b)),
+                       (acc, x) -> [acc[d] + x[d]
+                                    FOR d IN range(1, 9)]) AS s2,
+           sum(cnt) AS scnt
+    FROM bbsum GROUP BY ms, code, b // 256
+),
+bmean AS (  -- ...then superblock partials in superblock order
     SELECT ms, code, [t[d] / n FOR d IN range(1, 9)] AS c
     FROM (
         SELECT ms, code,
                list_reduce(list_prepend([0.0 FOR d IN range(0, 8)],
-                                        list(s ORDER BY b)),
+                                        list(s2 ORDER BY sb)),
                            (acc, x) -> [acc[d] + x[d]
                                         FOR d IN range(1, 9)]) AS t,
-               CAST(sum(cnt) AS BIGINT) AS n
-        FROM bbsum GROUP BY ms, code) g
+               CAST(sum(scnt) AS BIGINT) AS n
+        FROM bsb GROUP BY ms, code) g
 ),
 books AS (
     SELECT i.ms, i.code, coalesce(m1.c, i.c) AS c
