@@ -710,6 +710,48 @@ FLUX_TEXT_HISTOGRAM_SQL = """
 """
 
 
+def q_flux_text_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``histogram(bins:) |> histogramQuantile(quantile: 0.9)``
+    via text: the cumulative-histogram quantile estimate — linear
+    interpolation inside the first bin whose cumulative count reaches
+    ``q·total`` (operators/timeseries.histogram_quantile; the oracle
+    mirrors the bin selection and interpolation verbatim). The
+    histogram is one conditional hash aggregate; the quantile pass is
+    a window + min_by over the |bins|-sized histogram — never
+    data-sized."""
+    return _flux_text_events(
+        spark, sf_dir,
+        'from(bucket: "B")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> histogram(bins: [25.0, 50.0, 100.0, 250.0])"
+        "\n\t|> histogramQuantile(quantile: 0.9)",
+    )
+
+
+FLUX_TEXT_HIST_QUANTILE_SQL = """
+    WITH h AS (
+        SELECT event_type, b.le,
+               CAST(count(*) FILTER (WHERE value <= b.le) AS DOUBLE) AS c
+        FROM events, (VALUES (25.0), (50.0), (100.0), (250.0)) b(le)
+        WHERE {range}
+        GROUP BY 1, 2
+    ), x AS (
+        SELECT event_type, le, c,
+               coalesce(lag(c) OVER w, 0.0) AS pc,
+               coalesce(lag(le) OVER w, 0.0) AS pl,
+               max(c) OVER (PARTITION BY event_type) AS tot
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY le)
+    )
+    SELECT event_type,
+           min_by(pl + (le - pl) * ((0.9 * tot - pc) / (c - pc)), le)
+               AS value
+    FROM x
+    WHERE c >= 0.9 * tot AND c > pc
+    GROUP BY event_type
+"""
+
+
 def q_flux_text_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux ``quantile(q:)`` via text as the exact linearly-interpolated
     per-series quantile (documented divergence from Flux's t-digest
@@ -1033,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_group_keys": q_flux_text_group_keys,
         "flux_text_map": q_flux_text_map,
         "flux_text_histogram": q_flux_text_histogram,
+        "flux_text_hist_quantile": q_flux_text_hist_quantile,
         "flux_text_quantile": q_flux_text_quantile,
         "flux_text_window_agg": q_flux_text_window_agg,
         "flux_text_dup_limit": q_flux_text_dup_limit,
@@ -1174,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_dema_events": sca.ts_dema_events,
             "ts_tema_events": sca.ts_tema_events,
             "ts_kaufmans_er_events": sca.ts_kaufmans_er_events,
+            "ts_trix_events": sca.ts_trix_events,
+            "ts_covariance_click_view": sca.ts_covariance_click_view,
             "corpus_token_budget_select": sca.corpus_token_budget_select,
             "dedup_editdistance_docs": sca.dedup_editdistance_docs,
             "profile_columns_lineitem": sca.profile_columns_lineitem,
@@ -1564,6 +1609,8 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_group_keys": FLUX_TEXT_GROUP_KEYS_SQL.format(range=_RANGE),
             "flux_text_map": FLUX_TEXT_MAP_SQL.format(range=_RANGE),
             "flux_text_histogram": FLUX_TEXT_HISTOGRAM_SQL.format(range=_RANGE),
+            "flux_text_hist_quantile":
+                FLUX_TEXT_HIST_QUANTILE_SQL.format(range=_RANGE),
             "flux_text_quantile": FLUX_TEXT_QUANTILE_SQL.format(range=_RANGE),
             "flux_text_window_agg": FLUX_TEXT_WINDOW_AGG_SQL.format(range=_RANGE),
             "flux_text_dup_limit": FLUX_TEXT_DUP_LIMIT_SQL.format(range=_RANGE),
@@ -1686,6 +1733,8 @@ def oracle_sql() -> dict[str, str]:
             "ts_dema_events": sca.DEMA_SQL,
             "ts_tema_events": sca.TEMA_SQL,
             "ts_kaufmans_er_events": sca.KAUFMANS_ER_SQL,
+            "ts_trix_events": sca.TRIX_SQL,
+            "ts_covariance_click_view": sca.COVARIANCE_SQL,
             "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,
             "dedup_editdistance_docs": sca.DEDUP_EDITDISTANCE_SQL,
             "profile_columns_lineitem": sca.PROFILE_COLUMNS_SQL,

@@ -831,6 +831,101 @@ def triple_ema(
     ).drop("_e1", "_e2", "_e3")
 
 
+def trix(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "trix",
+) -> DataFrame:
+    """Flux ``tripleExponentialDerivative(n:)`` (TRIX): the 1-lag
+    percent change of the triple-smoothed EMA,
+    ``100·(e3_t − e3_{t−1}) / e3_{t−1}`` with
+    ``e3 = EMA_n(EMA_n(EMA_n(x)))``. Composes three passes of the
+    bit-reproducible :func:`exponential_moving_average` recursion
+    (same tower as :func:`triple_ema`) and one mirrored float
+    expression evaluated left-to-right on both engines. Null on each
+    series' first row (no lag) and wherever ``e3_{t−1} = 0`` (Flux
+    would emit ±Inf; a null is hash-stable and filterable) — the
+    ts_ema family's documented in-sample-from-row-0 divergence from
+    Flux's warm-up drop."""
+    e1 = exponential_moving_average(
+        df, n, series, ts_col, value_col, tiebreak, alias="_e1"
+    )
+    e2 = exponential_moving_average(
+        e1, n, series, ts_col, "_e1", tiebreak, alias="_e2"
+    )
+    e3 = exponential_moving_average(
+        e2, n, series, ts_col, "_e2", tiebreak, alias="_e3"
+    )
+    w = _series_window(series, ts_col, tiebreak)
+    prev = F.lag("_e3").over(w)
+    out = e3.withColumn(
+        alias,
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.lit(100.0) * (F.col("_e3") - prev) / prev,
+        ),
+    )
+    return out.drop("_e1", "_e2", "_e3")
+
+
+def histogram_quantile(
+    df: DataFrame,
+    q: float,
+    series: Sequence[str],
+    le_col: str = "le",
+    count_col: str = "value",
+    min_value: float = 0.0,
+    alias: str = "quantile",
+) -> DataFrame:
+    """Flux ``histogramQuantile(quantile:)`` over a CUMULATIVE
+    histogram (the ``histogram(bins:)`` stage's output: one row per
+    series per upper bound ``le``, count of values ≤ le). Documented
+    semantics, mirrored verbatim by the SQL twin: ``total`` = the
+    largest cumulative count, ``pos = q·total``; the selected bin is
+    the first (ascending ``le``) with ``count ≥ pos`` and
+    ``count > prev_count`` (empty bins can't be "first reached");
+    the estimate interpolates linearly inside it,
+    ``lower + (le − lower)·((pos − prev)/(count − prev))`` with
+    ``lower`` = the previous bound (``min_value`` for the first bin —
+    Flux's ``minValue``, default 0). Series with an all-empty
+    histogram produce no row (nothing is eligible). One window over
+    the |bins|-sized histogram plus a min_by aggregate — both
+    bin-bounded, never data-sized."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1]: {q}")
+    series = list(series)
+    parts = [F.col(c) for c in series] if series else [F.lit(1)]
+    w = Window.partitionBy(*parts).orderBy(le_col)
+    ww = Window.partitionBy(*parts)
+    staged = df.select(
+        *series,
+        F.col(le_col).cast("double").alias("_le"),
+        F.col(count_col).cast("double").alias("_c"),
+        F.coalesce(
+            F.lag(F.col(count_col).cast("double")).over(w), F.lit(0.0)
+        ).alias("_pc"),
+        F.coalesce(
+            F.lag(F.col(le_col).cast("double")).over(w),
+            F.lit(float(min_value)),
+        ).alias("_pl"),
+        F.max(F.col(count_col).cast("double")).over(ww).alias("_tot"),
+    )
+    pos = F.lit(float(q)) * F.col("_tot")
+    est = F.col("_pl") + (F.col("_le") - F.col("_pl")) * (
+        (pos - F.col("_pc")) / (F.col("_c") - F.col("_pc"))
+    )
+    return (
+        staged.filter((F.col("_c") >= pos) & (F.col("_c") > F.col("_pc")))
+        .select(*series, F.col("_le"), est.alias("_est"))
+        .groupBy(*series)
+        .agg(F.min_by("_est", "_le").alias(alias))
+    )
+
+
 def cmo(
     df: DataFrame,
     n: int,

@@ -3799,6 +3799,162 @@ KAUFMANS_ER_SQL = """
 """
 
 
+def ts_trix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux tripleExponentialDerivative(n: 9) per user — TRIX, the
+    1-lag percent change of the triple-smoothed EMA
+    (operators.timeseries.trix). The oracle materializes the EMA tower
+    as per-series lists (the DEMA/TEMA recipe, one level deeper) and
+    mirrors ``100·(e3 − prev)/prev`` verbatim; null on each series
+    head and on a zero previous e3."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    return T.trix(
+        events, n=9, series=["user_id"], tiebreak=["event_id"]
+    ).select("event_id", "user_id", "trix")
+
+
+TRIX_SQL = """
+    WITH s AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM events GROUP BY user_id
+    ),
+    e1 AS (
+        SELECT user_id, ids,
+               list_transform(
+                   generate_series(1, len(vals)),
+                   i -> list_reduce(vals[1:i],
+                                    (acc, x) -> 0.2 * x + 0.8 * acc)
+               ) AS em1
+        FROM s
+    ),
+    e2 AS (
+        SELECT user_id, ids,
+               list_transform(
+                   generate_series(1, len(em1)),
+                   i -> list_reduce(em1[1:i],
+                                    (acc, x) -> 0.2 * x + 0.8 * acc)
+               ) AS em2
+        FROM e1
+    ),
+    e3 AS (
+        SELECT user_id, ids,
+               list_transform(
+                   generate_series(1, len(em2)),
+                   i -> list_reduce(em2[1:i],
+                                    (acc, x) -> 0.2 * x + 0.8 * acc)
+               ) AS em3
+        FROM e2
+    ),
+    r AS (
+        SELECT user_id, unnest(ids) AS event_id,
+               generate_subscripts(ids, 1) AS rn, em3
+        FROM e3
+    )
+    SELECT event_id, user_id,
+           CASE WHEN rn > 1 AND em3[rn - 1] <> 0
+                THEN 100.0 * (em3[rn] - em3[rn - 1]) / em3[rn - 1]
+           END AS trix
+    FROM r
+"""
+
+
+def ts_covariance_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``covariance(columns: [x, y], pearsonr:)`` over two series
+    of the same measurement — the rank-paired SELF-JOIN alignment
+    (the shape ``flux_correlation_click_view``'s bucket-sum alignment
+    deliberately avoids): the r-th click pairs with the r-th view per
+    user, sample covariance and Pearson r per user over the pairs.
+
+    Both sides shuffle once on the join key (user_id, rn); the
+    moments are EXACT DECIMAL sums (values cast to decimal(12,2),
+    products exact decimal) cast to double once, and the remaining
+    float expressions — ``(sxy − sx·sy/n)/(n−1)`` and the
+    pearson quotient — are mirrored verbatim by the oracle, so every
+    output hash-matches. Users with fewer than 2 pairs drop (sample
+    covariance needs n ≥ 2)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(12,2)")
+
+    def _side(et: str, name: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            events.filter(F.col("event_type") == et)
+            .select("user_id", "ts", "event_id", xd.alias(name))
+            .withColumn("rn", F.row_number().over(w))
+            .select("user_id", "rn", name)
+        )
+
+    j = _side("click", "x").join(_side("view", "y"), ["user_id", "rn"])
+    m = (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        )
+        .filter(F.col("n_pairs") >= 2)
+    )
+    n = F.col("n_pairs").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "user_id",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        cov.alias("cov_xy"),
+        F.when(den > 0, num / den).alias("pearson_r"),
+    )
+
+
+COVARIANCE_SQL = """
+    WITH x AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CAST(value AS DECIMAL(12,2)) AS x
+        FROM events WHERE event_type = 'click'
+    ), y AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CAST(value AS DECIMAL(12,2)) AS y
+        FROM events WHERE event_type = 'view'
+    ), m AS (
+        SELECT x.user_id,
+               count(*) AS n_pairs,
+               CAST(sum(x.x) AS DOUBLE) AS sx,
+               CAST(sum(y.y) AS DOUBLE) AS sy,
+               CAST(sum(x.x * y.y) AS DOUBLE) AS sxy,
+               CAST(sum(x.x * x.x) AS DOUBLE) AS sxx,
+               CAST(sum(y.y * y.y) AS DOUBLE) AS syy
+        FROM x JOIN y ON x.user_id = y.user_id AND x.rn = y.rn
+        GROUP BY 1
+        HAVING count(*) >= 2
+    )
+    SELECT user_id,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           (sxy - sx * sy / CAST(n_pairs AS DOUBLE))
+               / (CAST(n_pairs AS DOUBLE) - 1.0) AS cov_xy,
+           CASE WHEN sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+           END AS pearson_r
+    FROM m
+"""
+
+
 def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection per source shard: rank each
     source's documents by quality score (ties to lowest doc_id), admit

@@ -197,7 +197,8 @@ class QueryBuilder:
         "interpolate.linear", "holtWinters", "integral",
         "timedMovingAverage", "relativeStrengthIndex",
         "chandeMomentumOscillator", "kaufmansER",
-        "doubleEMA", "tripleEMA",
+        "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
+        "histogramQuantile",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -393,6 +394,29 @@ class QueryBuilder:
             return agg.select(*series, F.explode(pairs).alias("_p")).select(
                 *series, F.col("_p.le").alias("le"), F.col("_p.v").alias(val)
             )
+        if name == "histogramQuantile":
+            # Flux histogramQuantile(quantile:, minValue:) — consumes
+            # the cumulative histogram(bins:) stage's (le, count)
+            # rows; linear interpolation inside the first bin whose
+            # cumulative count reaches q·total (documented semantics,
+            # operators/timeseries.histogram_quantile — the SQL twin
+            # mirrors the selection and the interpolation verbatim).
+            # One window + one min_by aggregate over |bins|-sized
+            # input, never data-sized.
+            if "le" not in df.columns:
+                raise ValueError(
+                    "histogramQuantile needs the histogram(bins:) "
+                    "stage's output (no 'le' column found)"
+                )
+            return T.histogram_quantile(
+                df,
+                q=float(params.get("quantile", 0.5)),
+                series=series,
+                le_col="le",
+                count_col=val,
+                min_value=float(params.get("min_value", 0.0)),
+                alias=val,
+            )
         if name == "pivot":
             # Flux pivot(rowKey:, columnKey:, valueColumn:) — wide view.
             # (rowKey, columnKey) pairs are unique in Flux output tables
@@ -584,6 +608,14 @@ class QueryBuilder:
                 value_col=val, tiebreak=tiebreak, alias="_t",
             ),
             "tripleEMA": lambda d: T.triple_ema(
+                d, n=int(params.get("n", 10)), series=series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+            # TRIX (operators/timeseries.trix): 1-lag percent change
+            # of the triple-smoothed EMA; null on each series head and
+            # on a zero previous e3 (documented divergence from Flux's
+            # warm-up drop / Inf)
+            "tripleExponentialDerivative": lambda d: T.trix(
                 d, n=int(params.get("n", 10)), series=series, ts_col=ts,
                 value_col=val, tiebreak=tiebreak, alias="_t",
             ),

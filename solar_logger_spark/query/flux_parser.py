@@ -263,7 +263,8 @@ _TRANSFORM_STAGES = {
     "interpolate.linear", "holtWinters", "integral",
     "timedMovingAverage", "relativeStrengthIndex",
     "chandeMomentumOscillator", "kaufmansER",
-    "doubleEMA", "tripleEMA",
+    "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
+    "histogramQuantile",
 } | _BARE_AGGS
 
 
@@ -289,11 +290,24 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
     elif name == "relativeStrengthIndex":
         params["n"] = int(str(_unquote(args.get("n", "14"))).rstrip(")"))
     elif name in ("chandeMomentumOscillator", "kaufmansER",
-                  "doubleEMA", "tripleEMA"):
+                  "doubleEMA", "tripleEMA",
+                  "tripleExponentialDerivative"):
         # Flux requires n: on both — fail at parse time, not plan time
         if "n" not in args:
             raise ValueError(f"{name} needs n:: {body!r}")
         params["n"] = int(str(_unquote(args["n"])).rstrip(")"))
+    elif name == "histogramQuantile":
+        # histogramQuantile(quantile: 0.9, minValue: 0.0) — consumes
+        # the cumulative histogram(bins:) stage upstream
+        if "quantile" not in args:
+            raise ValueError(f"histogramQuantile needs quantile:: {body!r}")
+        params["quantile"] = float(
+            str(_unquote(args["quantile"])).rstrip(")")
+        )
+        if "minValue" in args:
+            params["min_value"] = float(
+                str(_unquote(args["minValue"])).rstrip(")")
+            )
     elif name == "sample":
         if "n" not in args:
             raise ValueError(f"sample needs n:: {body!r}")

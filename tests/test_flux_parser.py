@@ -935,6 +935,93 @@ def test_execute_text_double_and_triple_ema(spark, sf_dir):
             parse_flux(f'from(bucket: "e") |> {stage}()')
 
 
+def test_execute_text_trix(spark, sf_dir):
+    """r11: tripleExponentialDerivative(n:) through TEXT == the native
+    TRIX operator; n: is required at parse time."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") >= "2024-01-01")
+
+    def hx(rows):
+        return sorted(
+            (r.ts, r.event_type, None if r.v is None else r.v.hex())
+            for r in rows
+        )
+
+    got = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> tripleExponentialDerivative(n: 4)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    want = T.trix(base, n=4, series=["event_type"], tiebreak=["event_id"])
+    a = hx(got.selectExpr("ts", "event_type", "value AS v").collect())
+    b = hx(want.selectExpr("ts", "event_type", "trix AS v").collect())
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs n:"):
+        parse_flux('from(bucket: "e") |> tripleExponentialDerivative()')
+
+
+def test_execute_text_histogram_quantile(spark, sf_dir):
+    """r11: histogram(bins:) |> histogramQuantile(quantile:) through
+    TEXT == the native histogram_quantile over the same cumulative
+    counts; quantile: is required at parse time, and the stage demands
+    a histogram upstream (no 'le' column -> named error)."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") >= "2024-01-01")
+    bins = [25.0, 50.0, 100.0, 250.0]
+
+    got = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> histogram(bins: [25.0, 50.0, 100.0, 250.0])"
+            " |> histogramQuantile(quantile: 0.75)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    hist = base.groupBy("event_type").agg(
+        *[F.sum((F.col("value") <= b).cast("long")).alias(f"_b{i}")
+          for i, b in enumerate(bins)]
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(b).alias("le"), F.col(f"_b{i}").cast("double").alias("c"))
+        for i, b in enumerate(bins)
+    ])
+    long = hist.select(
+        "event_type", F.explode(pairs).alias("_p")
+    ).select("event_type", "_p.le", F.col("_p.c").alias("value"))
+    want = T.histogram_quantile(
+        long, q=0.75, series=["event_type"], count_col="value",
+        alias="value",
+    )
+    a = sorted((r.event_type, r.value.hex()) for r in got.collect())
+    b = sorted((r.event_type, r.value.hex()) for r in want.collect())
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs quantile:"):
+        parse_flux('from(bucket: "e") |> histogramQuantile()')
+    with _pytest.raises(ValueError, match="histogram"):
+        (parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> histogramQuantile(quantile: 0.5)")
+         .to_builder(events, series_cols=("event_type",)).to_df())
+
+
 def test_execute_text_timed_moving_average(spark, sf_dir):
     """r9: timedMovingAverage(every:, period:) through TEXT ==
     aggregate_window(width=period, stride=every, fn=mean)."""

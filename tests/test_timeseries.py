@@ -790,3 +790,87 @@ def test_autocorrelation_zero_variance_and_dup_lags(spark):
     assert all(r.acf is None for r in out)
     with pytest.raises(ValueError, match="distinct"):
         T.autocorrelation(df, lags=(2, 2))
+
+
+def test_trix_matches_hand_ema_tower(spark):
+    """TRIX == 100·(e3 − lag e3)/lag e3 over the hand-rolled EMA
+    tower (alpha = 2/(n+1), y0 = x0), bit-compared; series head is
+    null."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.operators.timeseries import trix
+
+    vals = [10.0, 12.0, 9.0, 15.0, 14.0, 11.0, 18.0]
+    rows = [(i, "a", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        [(i, k, v, i) for i, k, v in rows],
+        "ts long, event_type string, value double, event_id long",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    n = 3
+    alpha = 2.0 / (n + 1)
+
+    def ema(xs):
+        out = []
+        for x in xs:
+            out.append(x if not out else alpha * x + (1 - alpha) * out[-1])
+        return out
+
+    e3 = ema(ema(ema(vals)))
+    want = [None] + [
+        None if e3[i - 1] == 0 else 100.0 * (e3[i] - e3[i - 1]) / e3[i - 1]
+        for i in range(1, len(e3))
+    ]
+    got = [
+        r.trix
+        for r in trix(df, n=n, series=["event_type"], tiebreak=["event_id"])
+        .orderBy("ts").collect()
+    ]
+    assert got[0] is None
+    for g, w in zip(got[1:], want[1:]):
+        assert g.hex() == w.hex()
+
+
+def test_histogram_quantile_hand_computed(spark):
+    """Interpolation, empty-bin skip, q=1 upper edge, and the
+    all-empty-series drop, against hand-worked values."""
+    from solar_logger_spark.operators.timeseries import histogram_quantile
+
+    # series 'a': cumulative counts [2, 2, 8, 10] over bounds
+    # [1, 2, 3, 4] — bin 2 is empty (2 -> 2); total 10
+    # series 'z': all-empty histogram -> no output row
+    rows = [
+        ("a", 1.0, 2.0), ("a", 2.0, 2.0), ("a", 3.0, 8.0), ("a", 4.0, 10.0),
+        ("z", 1.0, 0.0), ("z", 2.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, le double, value double")
+    # q=0.5: pos=5 -> first bin with c>=5 and c>prev is le=3
+    # (prev c=2 at le=2): est = 2 + (3-2)*((5-2)/(8-2)) = 2.5
+    got = {
+        r.k: r.q
+        for r in histogram_quantile(
+            df, q=0.5, series=["k"], count_col="value", alias="q"
+        ).collect()
+    }
+    assert set(got) == {"a"}
+    assert got["a"] == 2.5
+    # q=1.0: pos=10 -> le=4 bin: est = 3 + (4-3)*((10-8)/(10-8)) = 4.0
+    got1 = {
+        r.k: r.q
+        for r in histogram_quantile(
+            df, q=1.0, series=["k"], count_col="value", alias="q"
+        ).collect()
+    }
+    assert got1["a"] == 4.0
+    # q=0.1: pos=1 -> first bin le=1 (prev 0, lower=min_value=0):
+    # est = 0 + (1-0)*((1-0)/(2-0)) = 0.5
+    got0 = {
+        r.k: r.q
+        for r in histogram_quantile(
+            df, q=0.1, series=["k"], count_col="value", alias="q"
+        ).collect()
+    }
+    assert got0["a"] == 0.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quantile"):
+        histogram_quantile(df, q=1.5, series=["k"])
