@@ -77,7 +77,7 @@ _ROWS = "rows"    # (id, cell, ms, code) rows     — pinned-fold layout
 # ---------------------------------------------------------------------------
 
 def _model_json(cents, books_dict, layout, id_col, vec_col, m, ks,
-                seeds=()) -> str:
+                seeds=(), string_ids=False) -> str:
     """The model as JSON: python floats serialize via repr (shortest
     round-trip), so every centroid/codebook double survives the
     persistence hop bit-exactly.
@@ -93,6 +93,7 @@ def _model_json(cents, books_dict, layout, id_col, vec_col, m, ks,
     return json.dumps({
         "layout": layout, "id_col": id_col, "vec_col": vec_col,
         "m": int(m), "ks": int(ks),
+        "string_ids": bool(string_ids),
         "seeds": sorted(int(s) for s in set(seeds)),
         "centroids": [[float(x) for x in c] for c in cents],
         "codebooks": [
@@ -114,6 +115,7 @@ def read_model(index_dir: str) -> dict:
         )
     model = json.loads(raw)
     model.setdefault("seeds", [])
+    model.setdefault("string_ids", False)
     model["books_dict"] = {
         (b["ms"], b["code"]): list(b["c"]) for b in model["codebooks"]
     }
@@ -125,12 +127,13 @@ def read_model(index_dir: str) -> dict:
 # ---------------------------------------------------------------------------
 
 def _require_integral_id(corpus: DataFrame, id_col: str) -> None:
-    """The maintained-index API assumes integer ids end to end: the
+    """The maintained-index core assumes integer ids end to end: the
     model sidecar serializes ``seeds`` via ``int()`` and
     ``forget_vecs``'s residue guard intersects them as Python ints.
-    Validate at the boundary with a named error instead of letting a
-    string-keyed corpus die in an opaque ``int()`` ValueError mid-
-    bootstrap."""
+    STRING ids are bridged automatically through the pinned xxhash64
+    surrogate map (see ``_bridge_bootstrap``); any other type is a
+    named error at the boundary instead of an opaque ``int()``
+    ValueError mid-bootstrap."""
     from pyspark.sql import types as T
 
     dt = corpus.schema[id_col].dataType
@@ -139,9 +142,91 @@ def _require_integral_id(corpus: DataFrame, id_col: str) -> None:
         raise TypeError(
             f"ANN index id column {id_col!r} must be an integral type "
             f"(the model sidecar's seed registry and forget_vecs's "
-            f"residue guard key on int ids); got {dt.simpleString()}. "
-            f"Map string keys to a surrogate bigint before bootstrap."
+            f"residue guard key on int ids) or a string (bridged via "
+            f"the pinned xxhash64 id map); got {dt.simpleString()}."
         )
+
+
+# ---------------------------------------------------------------------------
+# string-id bridge (pinned xxhash64 surrogate map)
+# ---------------------------------------------------------------------------
+
+ID_MAP_DIR = "_id_map"
+
+
+def _map_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, ID_MAP_DIR)
+
+
+def _is_string_id(df: DataFrame, id_col: str) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(df.schema[id_col].dataType, T.StringType)
+
+
+def _sid(col):
+    """The pinned surrogate: Spark's ``xxhash64`` with its default
+    fixed seed (42) — deterministic across sessions and engines, so a
+    string id always maps to the same bigint without consulting any
+    state (bootstrap, deliveries, queries, and forget requests can all
+    re-derive it independently)."""
+    return F.xxhash64(col)
+
+
+def _id_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct ``(sid, orig)`` rows for ``df``'s string ids."""
+    return (
+        df.select(F.col(id_col).cast("string").alias("orig"))
+        .distinct()
+        .select(_sid(F.col("orig")).alias("sid"), "orig")
+    )
+
+
+def _check_sid_collisions(pairs: DataFrame, where: str) -> None:
+    """Refuse with a named error if two distinct strings share an
+    xxhash64 surrogate (2⁻⁶⁴-scale event, but silence would merge two
+    documents' vectors under one id). ``pairs`` must already be
+    distinct on (sid, orig)."""
+    hit = (
+        pairs.groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("orig").alias("o"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        raise ValueError(
+            f"xxhash64 surrogate collision in {where}: ids "
+            f"{hit[0]['o']} share sid {hit[0]['sid']} — assign these "
+            "documents explicit bigint ids before indexing"
+        )
+
+
+def _bridge_bootstrap(corpus: DataFrame, index_dir: str,
+                      id_col: str) -> DataFrame:
+    """Replace a string id column with its pinned xxhash64 surrogate
+    and persist the ``(sid, orig)`` map as a sibling snapshot table
+    under ``index_dir/_id_map`` (same copy-on-write store as the codes
+    — deliveries append O(batch) map deltas, compaction folds them,
+    ``forget_vecs`` deletes rows so the forgotten string itself leaves
+    the map). Collision-checked over the full bootstrap corpus.
+    Idempotent under bootstrap replay (replace, never collide)."""
+    pairs = _id_pairs(corpus, id_col)
+    _check_sid_collisions(pairs, "bootstrap corpus")
+    mdir = _map_dir(index_dir)
+    if M.current_snapshot(mdir) is None:
+        M.init_table(pairs, mdir)
+    else:  # replayed bootstrap after a crash: replace, don't collide
+        M.replace_table(pairs, mdir, keep_snapshots=1)
+    return corpus.withColumn(id_col, _sid(F.col(id_col)))
+
+
+def read_id_map(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The live ``(sid, orig)`` map including O(batch) delta appends
+    not yet folded by ``compact_ann_index``."""
+    return M.read_table_with_deltas(spark, _map_dir(index_dir)).select(
+        "sid", "orig"
+    ).distinct()
 
 
 def bootstrap_ann_index(
@@ -174,7 +259,11 @@ def bootstrap_ann_index(
     import numpy as np
     from solar_logger_spark.operators import pq
 
-    _require_integral_id(corpus, id_col)
+    string_ids = _is_string_id(corpus, id_col)
+    if string_ids:
+        corpus = _bridge_bootstrap(corpus, index_dir, id_col)
+    else:
+        _require_integral_id(corpus, id_col)
     encoded, cents, books = pq.build_ivfpq(
         corpus, n_cells=n_cells, m=m, ks=ks, refine_iters=refine_iters,
         sample_size=sample_size, id_col=id_col, vec_col=vec_col,
@@ -190,6 +279,7 @@ def bootstrap_ann_index(
         sidecar={MODEL_SIDECAR: _model_json(
             [list(map(float, c)) for c in np.asarray(cents)],
             bdict, _ARRAY, id_col, vec_col, m, ks, seeds=seeds,
+            string_ids=string_ids,
         )},
     )
 
@@ -235,7 +325,11 @@ def bootstrap_ann_index_deterministic(
     pinned-fold ADC search consumes."""
     from solar_logger_spark.operators import pq
 
-    _require_integral_id(corpus, id_col)
+    string_ids = _is_string_id(corpus, id_col)
+    if string_ids:
+        corpus = _bridge_bootstrap(corpus, index_dir, id_col)
+    else:
+        _require_integral_id(corpus, id_col)
     cents, books, rsubs, seeds = _det_train(
         corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col
     )
@@ -249,6 +343,7 @@ def bootstrap_ann_index_deterministic(
         codes, index_dir, partition_by=["cell"],
         sidecar={MODEL_SIDECAR: _model_json(
             cents, books, _ROWS, id_col, vec_col, m, ks, seeds=seeds,
+            string_ids=string_ids,
         )},
     )
 
@@ -415,6 +510,18 @@ def ann_ingest_sink(index_dir: str):
                 "bootstrap_ann_index on a seed corpus before starting "
                 "the stream"
             ) from None
+        if model["string_ids"]:
+            # O(batch) map maintenance: the batch's (sid, orig) pairs
+            # append as a map delta (folded at compaction, which also
+            # re-runs the cross-corpus collision check); only the
+            # within-batch collision check runs per delivery — a
+            # full-map join here would make every delivery O(index)
+            pairs = _id_pairs(batch_df, model["id_col"]).localCheckpoint()
+            _check_sid_collisions(pairs, "delivery batch")
+            M.append_delta(_map_dir(index_dir), pairs)
+            batch_df = batch_df.withColumn(
+                model["id_col"], _sid(F.col(model["id_col"]))
+            )
         encoded = encode_delivery(batch_df, model).localCheckpoint(
             eager=False
         )
@@ -485,15 +592,25 @@ def search_ann_index(
     model = read_model(index_dir)
     codes = resolved_codes(spark, index_dir, model)
     id_col, vec_col = model["id_col"], model["vec_col"]
+    if model["string_ids"]:
+        # bridge string-keyed inputs to surrogates, search on bigints
+        # below, then translate the result back to the original
+        # strings via the persisted map (two joins; the shortlist side
+        # is (queries × k)-sized, the map side joins on its key)
+        if _is_string_id(queries, id_col):
+            queries = queries.withColumn(id_col, _sid(F.col(id_col)))
+        if corpus is not None and _is_string_id(corpus, id_col):
+            corpus = corpus.withColumn(id_col, _sid(F.col(id_col)))
     if model["layout"] == _ARRAY:
         import numpy as np
 
-        return pq.topk_ivfpq(
+        res = pq.topk_ivfpq(
             codes, queries, np.asarray(model["centroids"]),
             _books_array(model), k=k, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col,
             rerank=rerank, raw=corpus,
         )
+        return _restore_string_ids(spark, index_dir, model, res)
     if corpus is None:
         raise ValueError(
             "rows-layout search re-ranks exactly against the raw "
@@ -527,8 +644,32 @@ def search_ann_index(
         "query_id", "cell", "ms", "code",
         pq._d2(F.col("qsub"), F.col("c")).alias("d2"),
     )
-    return pq._adc_rank_tail(
+    res = pq._adc_rank_tail(
         codes, dtab, qn, vn, rerank, k, ["cell", "ms", "code"]
+    )
+    return _restore_string_ids(spark, index_dir, model, res)
+
+
+def _restore_string_ids(spark, index_dir, model, res: DataFrame):
+    """For a string-keyed index: translate the surrogate query/neighbor
+    ids of a search result back to the original strings via the
+    persisted map. No-op for integer-keyed indexes."""
+    if not model["string_ids"]:
+        return res
+    mp = read_id_map(spark, index_dir)
+    qm = mp.select(
+        F.col("sid").alias("query_id"), F.col("orig").alias("_qo")
+    )
+    nm = mp.select(
+        F.col("sid").alias("neighbor_id"), F.col("orig").alias("_no")
+    )
+    return (
+        res.join(qm, "query_id").join(nm, "neighbor_id")
+        .select(
+            F.col("_qo").alias("query_id"),
+            F.col("_no").alias("neighbor_id"),
+            "approx_dist", "rank",
+        )
     )
 
 
@@ -768,6 +909,13 @@ def forget_vecs(
             src = cols[0]
         vec_ids = vec_ids.select(F.col(src).alias(key))
 
+    # string-keyed index: forget requests arrive as the original
+    # strings — translate to the pinned surrogate (re-derivable, no
+    # map lookup needed) so the codes delete and the residue guard
+    # run on the stored bigint key; the map rows themselves (which
+    # hold the forgotten string verbatim) are deleted further down
+    if model["string_ids"] and _is_string_id(vec_ids, key):
+        vec_ids = vec_ids.withColumn(key, _sid(F.col(key)))
     # cast against the CURRENT base schema and run the residue guard
     # BEFORE any destructive maintenance — a sweep the guard refuses
     # must not have already compacted away retained snapshots and
@@ -797,6 +945,12 @@ def forget_vecs(
     # folded delta dirs (this compaction's grace tail + any earlier
     # cadence's) still hold the bytes — purge, don't wait out grace
     M.purge_dead_deltas(index_dir)
+    if model["string_ids"] and id_vals:
+        # the (sid, orig) map rows hold the forgotten STRING verbatim —
+        # a privacy sweep must remove them even when no codes rows
+        # remain (e.g. a replayed sweep); same compact-purge-delete-
+        # prune discipline as the codes table
+        _forget_map_ids(spark, index_dir, ids, key, keep_snapshots)
 
     base = M.read_table_snapshot(spark, index_dir)
     if not id_vals:
@@ -838,6 +992,26 @@ def forget_vecs(
 # maintenance
 # ---------------------------------------------------------------------------
 
+def _forget_map_ids(spark, index_dir, ids, key, keep_snapshots):
+    """Delete the forgotten sids' ``(sid, orig)`` rows from the id
+    map: compact its delta tail first (``delete_keys`` refuses to
+    orphan visible deltas, and the delta bytes hold the strings too),
+    purge the folded dirs, delete, and rewind retention — the same
+    no-time-travel discipline as the codes table."""
+    mdir = _map_dir(index_dir)
+    if M.list_deltas(mdir):
+        M.compact_deltas(
+            spark, mdir, keys=["sid", "orig"],
+            keep_snapshots=keep_snapshots,
+        )
+    M.purge_dead_deltas(mdir)
+    M.delete_keys(
+        spark, mdir, ids.select(F.col(key).alias("sid")), keys=["sid"],
+        keep_snapshots=keep_snapshots,
+    )
+    M._prune(mdir, keep=keep_snapshots)
+
+
 def compact_ann_index(
     spark: SparkSession, index_dir: str, keep_snapshots: int = 2
 ) -> str:
@@ -848,6 +1022,18 @@ def compact_ann_index(
     model = read_model(index_dir)
     raw = M.read_sidecar(index_dir, MODEL_SIDECAR)
     key = "vid" if model["layout"] == _ROWS else model["id_col"]
+    if model["string_ids"] and M.list_deltas(_map_dir(index_dir)):
+        # fold the id-map delta tail on the same cadence, dedupe the
+        # redelivered pairs ((sid, orig) is the full row), and run the
+        # cross-corpus collision check the O(batch) delivery skipped
+        M.compact_deltas(
+            spark, _map_dir(index_dir), keys=["sid", "orig"],
+            keep_snapshots=keep_snapshots,
+        )
+        _check_sid_collisions(
+            M.read_table_snapshot(spark, _map_dir(index_dir)).distinct(),
+            "compacted id map",
+        )
     return M.compact_deltas(
         spark, index_dir, keys=[key], partition_by=["cell"],
         keep_snapshots=keep_snapshots,
@@ -877,6 +1063,12 @@ def recenter_ann_index(
         compact_ann_index(spark, index_dir, keep_snapshots)
     old = read_model(index_dir)
     id_col, vec_col = old["id_col"], old["vec_col"]
+    if old["string_ids"] and _is_string_id(corpus, id_col):
+        # surrogates are re-derivable (pinned hash), so a retrain on a
+        # string-keyed corpus bridges in place; the persisted map only
+        # needs rows for ids the index has SEEN, which deliveries and
+        # bootstrap already wrote
+        corpus = corpus.withColumn(id_col, _sid(F.col(id_col)))
     k_cells = n_cells or len(old["centroids"])
     encoded, cents, books = pq.build_ivfpq(
         corpus, n_cells=k_cells,
@@ -895,6 +1087,6 @@ def recenter_ann_index(
         sidecar={MODEL_SIDECAR: _model_json(
             [list(map(float, c)) for c in np.asarray(cents)],
             bdict, _ARRAY, id_col, vec_col, old["m"], old["ks"],
-            seeds=seeds,
+            seeds=seeds, string_ids=old["string_ids"],
         )},
     )
