@@ -1085,7 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_script_join_left": q_flux_script_join_left,
     }
     for fn in ("mean", "min", "max", "sum", "count", "first", "last",
-               "median", "stddev", "spread"):
+               "median", "stddev", "spread", "mode", "skew", "kurtosis"):
         out[f"flux_agg_{fn}"] = _agg_query(fn)
     out.update(
         {
@@ -1495,6 +1495,66 @@ _AGG_ORACLE = {
 
 _RANGE = "ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'"
 
+# mode/skew/kurtosis (r11 Flux-stdlib tail) need more than the one-
+# expression template: mode's tie rule is (count desc, value asc) —
+# arg_min over a (-count, value) struct; skew/kurtosis derive from
+# exact HUGEINT power sums (mirroring Spark's decimal sums bit-for-bit)
+# with the float formula mirrored verbatim.
+MODE_AGG_SQL = """
+    WITH c AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
+               event_type, value, count(*) AS cnt
+        FROM events WHERE {range}
+        GROUP BY 1, 2, 3
+    )
+    SELECT ts, event_type, value
+    FROM c
+    QUALIFY row_number() OVER (
+        PARTITION BY ts, event_type ORDER BY cnt DESC, value ASC) = 1
+"""
+
+_MOMENT_PRELUDE = """
+    WITH x AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
+               event_type,
+               CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS HUGEINT) AS xi
+        FROM events WHERE {range}
+    ), s AS (
+        SELECT ts, event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(xi) AS DOUBLE) AS s1,
+               CAST(sum(xi * xi) AS DOUBLE) AS s2,
+               CAST(sum(xi * xi * xi) AS DOUBLE) AS s3,
+               CAST(sum(xi * xi * xi * xi) AS DOUBLE) AS s4
+        FROM x GROUP BY 1, 2
+    )
+"""
+
+SKEW_AGG_SQL = _MOMENT_PRELUDE + """
+    SELECT ts, event_type,
+           CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0
+                THEN (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                     / ((s2 / n - (s1 / n) * (s1 / n))
+                        * sqrt(s2 / n - (s1 / n) * (s1 / n)))
+           END AS value
+    FROM s
+"""
+
+KURTOSIS_AGG_SQL = _MOMENT_PRELUDE + """
+    SELECT ts, event_type,
+           CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0
+                THEN (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                     / ((s2 / n - (s1 / n) * (s1 / n))
+                        * (s2 / n - (s1 / n) * (s1 / n)))
+                     - 3.0
+           END AS value
+    FROM s
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     out = {
@@ -1573,6 +1633,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE {_RANGE}
             GROUP BY 1, 2
         """
+    out["flux_agg_mode"] = MODE_AGG_SQL.format(range=_RANGE)
+    out["flux_agg_skew"] = SKEW_AGG_SQL.format(range=_RANGE)
+    out["flux_agg_kurtosis"] = KURTOSIS_AGG_SQL.format(range=_RANGE)
     out.update(
         {
             "tpch_q1_pricing_summary": rel.TPCH_Q1_SQL,

@@ -31,6 +31,51 @@ from solar_logger_spark.durations import (
 # `fn` is free-form, reference src/classes/query_classes.py:134-137).
 # first/last are time-ordered in Flux, hence min_by/max_by on the event
 # time — still a single-pass hash aggregate, no sort needed.
+def _power_sums(v):
+    """Exact integer power sums for the moment aggregates: the value
+    quantizes to 2 decimals (the data's own precision — the same
+    ``decimal(12,2)`` hop the momentum transforms use), scales to an
+    integer, and the Σxⁱ accumulate as exact decimals (DuckDB mirrors
+    with HUGEINT), so BOTH engines derive skew/kurtosis from identical
+    integers and only the final mirrored float expression is IEEE.
+    skew/kurtosis are scale-invariant, so the ×100 never cancels out
+    wrong."""
+    xi = (v.cast("decimal(12,2)") * 100).cast("bigint").cast("decimal(19,0)")
+    x2 = xi * xi              # decimal(38,0) — scale 0, values tiny: exact
+    n = F.count(xi).cast("double")
+    s1 = F.sum(xi).cast("double")
+    s2 = F.sum(x2).cast("double")
+    s3 = F.sum(x2 * xi).cast("double")
+    s4 = F.sum(x2 * x2).cast("double")
+    return n, s1, s2, s3, s4
+
+
+def _skew_expr(v):
+    """Population skewness m₃/m₂^(3/2) from exact power sums; null on
+    a zero-variance group. Documented divergence from Flux's estimator
+    (same trade as the quantile stage: exact + cross-engine
+    hash-checkable beats replicating a streaming approximation)."""
+    n, s1, s2, s3, _ = _power_sums(v)
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    m3 = s3 / n - F.lit(3.0) * m1 * (s2 / n) + F.lit(2.0) * m1 * m1 * m1
+    return F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+
+
+def _kurtosis_expr(v):
+    """Population EXCESS kurtosis m₄/m₂² − 3 from exact power sums;
+    null on a zero-variance group."""
+    n, s1, s2, s3, s4 = _power_sums(v)
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    m4 = (
+        s4 / n - F.lit(4.0) * m1 * (s3 / n)
+        + F.lit(6.0) * m1 * m1 * (s2 / n)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0))
+
+
 AGG_FNS: dict[str, object] = {
     "mean": lambda v, t: F.avg(v),
     "median": lambda v, t: F.median(v),
@@ -42,6 +87,14 @@ AGG_FNS: dict[str, object] = {
     "first": lambda v, t: F.min_by(v, t),
     "last": lambda v, t: F.max_by(v, t),
     "spread": lambda v, t: F.max(v) - F.min(v),  # Flux spread(): max - min
+    # r11 Flux-stdlib tail. mode: most frequent value, ties to the
+    # LOWEST (deterministic=True), defined even when nothing repeats —
+    # documented divergence from Flux's null-on-no-repeat. skew /
+    # kurtosis: population formulas from exact integer power sums
+    # (documented divergence from Flux's estimators).
+    "mode": lambda v, t: F.mode(v, True),
+    "skew": lambda v, t: _skew_expr(v),
+    "kurtosis": lambda v, t: _kurtosis_expr(v),
 }
 
 

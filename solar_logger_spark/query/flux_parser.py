@@ -249,6 +249,7 @@ def parse_flux(text: str) -> FluxPipeline:
 _BARE_AGGS = {
     "mean", "median", "min", "max", "sum", "count", "stddev",
     "first", "last", "spread",
+    "mode", "skew", "kurtosis",
 }
 
 _TRANSFORM_STAGES = {

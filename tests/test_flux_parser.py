@@ -1075,3 +1075,52 @@ def test_timed_moving_average_rejects_period_below_every():
     assert dict(p.transforms)["timedMovingAverage"] == {
         "every": "1d", "period": "1d",
     }
+
+
+def test_execute_text_mode_skew_kurtosis(spark, sf_dir):
+    """r11: mode()/skew()/kurtosis() through TEXT — both as the
+    aggregateWindow fn and as a bare per-series collapse — equal the
+    native aggregate_window / AGG_FNS paths bitwise."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.window_agg import (
+        AGG_FNS, aggregate_window,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") >= "2024-01-01")
+
+    def hx(rows):
+        return sorted(
+            (r.ts, r.event_type, None if r.v is None else r.v.hex())
+            for r in rows
+        )
+
+    for fn in ("mode", "skew", "kurtosis"):
+        got = (
+            parse_flux(
+                'from(bucket: "e") |> range(start: 2024-01-01)'
+                f" |> aggregateWindow(every: 6h, fn: {fn})"
+            )
+            .to_builder(events, series_cols=("event_type",))
+            .to_df()
+        )
+        want = aggregate_window(base, "6h", fn, by=["event_type"])
+        a = hx(got.selectExpr("ts", "event_type", "value AS v").collect())
+        b = hx(want.selectExpr("ts", "event_type", "value AS v").collect())
+        assert a == b, fn
+
+    # bare collapse: one row per series, time column dropped
+    bare = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01) |> mode()'
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    assert "ts" not in bare.columns
+    want = base.groupBy("event_type").agg(
+        AGG_FNS["mode"](F.col("value"), F.col("ts")).alias("value"))
+    assert sorted((r.event_type, r.value) for r in bare.collect()) == sorted(
+        (r.event_type, r.value) for r in want.collect())

@@ -257,3 +257,37 @@ def test_offset_shifts_alignment(spark):
     assert shifted.ts == datetime(2024, 1, 1, 3, 15)
     negative = aggregate_window(df, "1h", "count", offset="-15m").collect()[0]
     assert negative.ts == datetime(2024, 1, 1, 2, 45)
+
+
+def test_mode_skew_kurtosis_first_window(series):
+    """r11 Flux-stdlib tail on the 0..5 first window: mode with no
+    repeats returns the LOWEST value (deterministic divergence from
+    Flux's null-on-no-repeat), the symmetric uniform has skewness 0,
+    and its excess kurtosis is m4/m2^2 - 3 = (707/48)/(35/12)^2 - 3
+    = 2121/1225 - 3 (hand-computed)."""
+    first = datetime(2024, 1, 1, 1)
+    mode = {r.ts: r.value for r in aggregate_window(
+        series, "1h", "mode", by=["measurement"]).collect()}
+    assert mode[first] == 0.0
+    skew = {r.ts: r.value for r in aggregate_window(
+        series, "1h", "skew", by=["measurement"]).collect()}
+    assert abs(skew[first]) < 1e-9
+    kurt = {r.ts: r.value for r in aggregate_window(
+        series, "1h", "kurtosis", by=["measurement"]).collect()}
+    assert kurt[first] == pytest.approx(2121.0 / 1225.0 - 3.0, rel=1e-12)
+    # the lone 02:05 point: mode is itself; zero variance → moments null
+    lone = datetime(2024, 1, 1, 3)
+    assert mode[lone] == 100.0
+    assert skew[lone] is None and kurt[lone] is None
+
+
+def test_mode_tie_breaks_to_lowest(spark):
+    # counts {3.0: 2, 1.0: 2, 2.0: 1} — tie on the max count, the
+    # LOWEST tied value wins (mirrors the oracle's cnt DESC, value ASC)
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, i), v)
+         for i, v in enumerate([3.0, 3.0, 1.0, 1.0, 2.0])],
+        "ts timestamp, value double",
+    )
+    out = aggregate_window(df, "1h", "mode", by=[]).collect()
+    assert [(r.ts, r.value) for r in out] == [(datetime(2024, 1, 1, 1), 1.0)]
