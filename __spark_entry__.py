@@ -1217,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_dema_events": sca.ts_dema_events,
             "ts_tema_events": sca.ts_tema_events,
             "ts_kaufmans_er_events": sca.ts_kaufmans_er_events,
+            "ts_kama_events": sca.ts_kama_events,
             "ts_trix_events": sca.ts_trix_events,
             "ts_covariance_click_view": sca.ts_covariance_click_view,
             "corpus_token_budget_select": sca.corpus_token_budget_select,
@@ -1796,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
             "ts_dema_events": sca.DEMA_SQL,
             "ts_tema_events": sca.TEMA_SQL,
             "ts_kaufmans_er_events": sca.KAUFMANS_ER_SQL,
+            "ts_kama_events": sca.KAMA_SQL,
             "ts_trix_events": sca.TRIX_SQL,
             "ts_covariance_click_view": sca.COVARIANCE_SQL,
             "corpus_token_budget_select": sca.TOKEN_BUDGET_SQL,

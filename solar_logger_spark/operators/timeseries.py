@@ -1124,3 +1124,97 @@ def autocorrelation(
             (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
         ).alias("acf"),
     )
+
+
+def kaufmans_ama(
+    df: DataFrame,
+    n: int,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "kama",
+) -> DataFrame:
+    """Kaufman's Adaptive Moving Average — Flux ``kaufmansAMA(n:)``:
+    an EMA whose smoothing constant adapts per step to the trailing
+    Efficiency Ratio (:func:`kaufmans_er`),
+
+        sc_t   = (ER_t·(2/(2+1) − 2/(30+1)) + 2/(30+1))²
+        KAMA_t = KAMA_{t−1} + sc_t·(x_t − KAMA_{t−1})
+
+    Documented semantics, mirrored verbatim by the SQL twin:
+
+    * warm-up rows (fewer than ``n`` trailing deltas) are null;
+    * the first full-window row SEEDS the recursion with its own
+      value (``KAMA = x``, no sc applied) — in-sample from the first
+      defined row, the momentum family's divergence from Flux's drop;
+    * a flat full window (path length 0, where :func:`kaufmans_er`
+      is null) uses ER = 0 so the recursion never develops holes.
+
+    ER's direction/path sums are exact-decimal before the one float
+    division (the :func:`kaufmans_er` discipline); sc and the
+    recursion are IEEE doubles evaluated in the same order on both
+    engines, so results stay bit-identical to the DuckDB
+    ``list_reduce`` struct-fold oracle. The recursion itself is
+    inherently sequential per series with a PER-STEP coefficient —
+    pandas ``ewm`` can't run it, so the EMA carry-dict recipe drops
+    to a per-row Python loop inside each Arrow batch (the only one in
+    this module; linear, hash-partitioned on the series key, carry
+    continues groups across batch boundaries)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    fast, slow = 2.0 / (2 + 1), 2.0 / (30 + 1)
+    c1 = fast - slow
+    series = list(series)
+    w = _series_window(series, ts_col, tiebreak)
+    cum = w.rowsBetween(-(n - 1), Window.currentRow)
+    diff = (F.col(value_col) - F.lag(value_col).over(w)).cast(
+        "decimal(18,6)"
+    )
+    staged = df.withColumn("_d", diff)
+    net = F.abs(F.sum("_d").over(cum)).cast("double")
+    path = F.sum(F.abs(F.col("_d"))).over(cum).cast("double")
+    full = F.count("_d").over(cum) >= n
+    er_eff = F.when(path > 0, net / path).otherwise(F.lit(0.0))
+    t = er_eff * F.lit(c1) + F.lit(slow)
+    staged = staged.withColumn("_sc", F.when(full, t * t)).drop("_d")
+
+    sort_cols = series + [ts_col, *tiebreak]
+    out_schema = StructType(
+        list(staged.schema.fields) + [StructField(alias, DoubleType())]
+    )
+
+    def _kama_batches(batches):
+        carry: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = [None] * len(pdf)
+            grouped = pdf.groupby(series, sort=False, dropna=False)
+            xs_all = pdf[value_col].to_numpy(dtype=float)
+            sc_all = pdf["_sc"].to_numpy(dtype=float)
+            for raw_key, idx in grouped.indices.items():
+                key = _normalize_group_key(raw_key)
+                acc = carry.get(key)
+                for i in idx:
+                    sc = sc_all[i]
+                    if math.isnan(sc):
+                        continue  # warm-up: stays null
+                    x = xs_all[i]
+                    acc = x if acc is None else acc + sc * (x - acc)
+                    res[i] = acc
+                if acc is not None:
+                    carry[key] = acc
+            pdf = pdf.copy()
+            pdf[alias] = pd.array(res, dtype="float64")
+            yield pdf
+
+    parted = staged.repartition(
+        *[F.col(c) for c in series]
+    ).sortWithinPartitions(*sort_cols)
+    return parted.mapInPandas(_kama_batches, out_schema).drop("_sc")

@@ -3861,6 +3861,73 @@ TRIX_SQL = """
 """
 
 
+def ts_kama_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux kaufmansAMA(n: 10) per user — Kaufman's Adaptive Moving
+    Average (operators.timeseries.kaufmans_ama): an EMA whose smoothing
+    constant adapts per step to the trailing Efficiency Ratio. ER's
+    direction/path sums are exact-decimal (the kaufmansER discipline);
+    the per-step recursion is mirrored by the oracle as a struct fold
+    over the qualified prefix (seed = the first full-window row's own
+    value, flat windows use ER = 0), so every output hash-matches."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    return T.kaufmans_ama(
+        events, n=10, series=["user_id"], tiebreak=["event_id"]
+    ).select("event_id", "user_id", "kama")
+
+
+KAMA_SQL = """
+    WITH d AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(value - lag(value) OVER w AS DECIMAL(18,6)) AS diff
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(abs(sum(diff) OVER c) AS DOUBLE) AS net,
+               CAST(sum(abs(diff)) OVER c AS DOUBLE) AS path,
+               count(diff) OVER c AS cnt
+        FROM d
+        WINDOW c AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ), q AS (
+        -- t = er_eff*(fast - slow) + slow with fast = 2/(2+1),
+        -- slow = 2/(30+1); sc = t*t. Constant folding evaluates the
+        -- same IEEE ops as the Python-side literals.
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN cnt >= 10 THEN
+                   (CASE WHEN path > 0 THEN net / path ELSE 0.0 END)
+                   * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0
+               END AS t
+        FROM s
+    ), l AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS xs,
+               list(t * t ORDER BY ts, event_id) AS scs,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM q GROUP BY user_id
+    ), r AS (
+        SELECT user_id, unnest(ids) AS event_id,
+               generate_subscripts(ids, 1) AS rn, xs, scs
+        FROM l
+    )
+    -- fold over the qualified prefix: list_reduce seeds with the
+    -- first element (KAMA = x, no sc applied), then
+    -- acc + sc*(x - acc) per step — the operator's loop verbatim
+    SELECT event_id, user_id,
+           CASE WHEN scs[rn] IS NOT NULL THEN
+               (list_reduce(
+                   [struct_pack(x := xs[i], sc := scs[i])
+                    FOR i IN range(1, rn + 1) IF scs[i] IS NOT NULL],
+                   (acc, e) -> struct_pack(
+                       x := acc.x + e.sc * (e.x - acc.x), sc := e.sc)
+               )).x
+           END AS kama
+    FROM r
+"""
+
+
 def ts_covariance_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux ``covariance(columns: [x, y], pearsonr:)`` over two series
     of the same measurement — the rank-paired SELF-JOIN alignment

@@ -196,7 +196,7 @@ class QueryBuilder:
         "tail", "sample",
         "interpolate.linear", "holtWinters", "integral",
         "timedMovingAverage", "relativeStrengthIndex",
-        "chandeMomentumOscillator", "kaufmansER",
+        "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
         "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
         "histogramQuantile",
         # bare Flux aggregates: collapse each series table to one row
@@ -597,6 +597,13 @@ class QueryBuilder:
                 value_col=val, tiebreak=tiebreak, alias="_t",
             ),
             "kaufmansER": lambda d: T.kaufmans_er(
+                d, n=int(params.get("n", 10)), series=series, ts_col=ts,
+                value_col=val, tiebreak=tiebreak, alias="_t",
+            ),
+            # KAMA (operators/timeseries.kaufmans_ama): the ER-adaptive
+            # EMA; null warm-up, first full-window row seeds with its
+            # own value, flat windows use ER = 0
+            "kaufmansAMA": lambda d: T.kaufmans_ama(
                 d, n=int(params.get("n", 10)), series=series, ts_col=ts,
                 value_col=val, tiebreak=tiebreak, alias="_t",
             ),

@@ -263,7 +263,7 @@ _TRANSFORM_STAGES = {
     "tail", "sample",
     "interpolate.linear", "holtWinters", "integral",
     "timedMovingAverage", "relativeStrengthIndex",
-    "chandeMomentumOscillator", "kaufmansER",
+    "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
     "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
     "histogramQuantile",
 } | _BARE_AGGS
@@ -291,7 +291,7 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
     elif name == "relativeStrengthIndex":
         params["n"] = int(str(_unquote(args.get("n", "14"))).rstrip(")"))
     elif name in ("chandeMomentumOscillator", "kaufmansER",
-                  "doubleEMA", "tripleEMA",
+                  "kaufmansAMA", "doubleEMA", "tripleEMA",
                   "tripleExponentialDerivative"):
         # Flux requires n: on both — fail at parse time, not plan time
         if "n" not in args:

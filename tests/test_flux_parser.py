@@ -1124,3 +1124,42 @@ def test_execute_text_mode_skew_kurtosis(spark, sf_dir):
         AGG_FNS["mode"](F.col("value"), F.col("ts")).alias("value"))
     assert sorted((r.event_type, r.value) for r in bare.collect()) == sorted(
         (r.event_type, r.value) for r in want.collect())
+
+
+def test_execute_text_kaufmans_ama(spark, sf_dir):
+    """r11: kaufmansAMA(n:) through TEXT == the native
+    timeseries.kaufmans_ama, value replaced in place; n: required at
+    parse time (Flux has no default)."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    got = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> kaufmansAMA(n: 5)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    want = T.kaufmans_ama(
+        events.filter(F.col("ts") >= "2024-01-01"),
+        n=5, series=["event_type"], tiebreak=["event_id"],
+    )
+
+    def hx(rows):
+        return sorted(
+            (r.ts, r.event_type, None if r.v is None else r.v.hex())
+            for r in rows
+        )
+
+    a = hx(got.selectExpr("ts", "event_type", "value AS v").collect())
+    b = hx(want.selectExpr("ts", "event_type", "kama AS v").collect())
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs n:"):
+        parse_flux('from(bucket: "e") |> kaufmansAMA()')

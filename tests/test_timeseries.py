@@ -874,3 +874,58 @@ def test_histogram_quantile_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="quantile"):
         histogram_quantile(df, q=1.5, series=["k"])
+
+
+def test_kaufmans_ama_matches_reference_loop(spark):
+    """r11: kaufmans_ama vs a pure-Python KAMA loop (n=2): null
+    warm-up, seed = the first full-window row's own value, flat
+    windows use ER = 0, then acc + sc*(x - acc) per step — exact
+    float equality (the loop IS the documented semantics)."""
+    from datetime import datetime, timedelta
+
+    from solar_logger_spark.operators.timeseries import kaufmans_ama
+
+    base = datetime(2024, 1, 1)
+    series = {
+        "a": [1.0, 2.0, 4.0, 8.0, 6.0, 6.0, 6.0, 7.0],
+        "b": [5.0, 5.0, 5.0, 9.0],  # flat full window at row 2
+        "c": [3.0],                 # all warm-up
+    }
+    rows = [
+        (s, base + timedelta(minutes=i), v, i)
+        for s, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, ts timestamp, value double, event_id long"
+    )
+    got = {
+        (r.s, r.event_id): r.kama
+        for r in kaufmans_ama(df, 2, ["s"], tiebreak=["event_id"]).collect()
+    }
+
+    fast, slow = 2.0 / 3, 2.0 / 31
+    c1 = fast - slow
+
+    def ref(vs, n=2):
+        out, acc = [], None
+        for t in range(len(vs)):
+            if t < n:
+                out.append(None)
+                continue
+            deltas = [vs[i + 1] - vs[i] for i in range(t - n, t)]
+            net, path = abs(sum(deltas)), sum(abs(d) for d in deltas)
+            er = net / path if path > 0 else 0.0
+            sc = (er * c1 + slow) ** 2
+            acc = vs[t] if acc is None else acc + sc * (vs[t] - acc)
+            out.append(acc)
+        return out
+
+    for s, vs in series.items():
+        for i, want in enumerate(ref(vs)):
+            assert got[(s, i)] == want, (s, i, got[(s, i)], want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        kaufmans_ama(df, 0, ["s"])
