@@ -427,6 +427,46 @@ FLUX_TEXT_RSI_SQL = """
 """
 
 
+def q_flux_text_hour_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT ``hourSelection(start:, stop:)`` — business-hours
+    rows only (09:00–17:59, both hours inclusive per Flux), then a
+    daily count per series. Placed BEFORE the aggregate it is a raw-
+    row filter: a native ``hour(ts)`` conjunct that stays inside the
+    scan's codegen stage (query/builder.py hour_selection)."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> hourSelection(start: 9, stop: 17)"
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "click"'
+        ' or r["_measurement"] == "view")'
+        "\n\t|> aggregateWindow(every: 1d, fn: count)"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_HOUR_SELECTION_SQL = """
+    SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+           event_type, count(value) AS value
+    FROM events
+    WHERE {range} AND hour(ts) BETWEEN 9 AND 17
+          AND (event_type = 'click' OR event_type = 'view')
+    GROUP BY 1, 2
+"""
+
+
 FLUX_TEXT_TRANSFORMS_SQL = """
     WITH agg AS (
         SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
@@ -1066,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_pipeline": q_flux_text_pipeline,
         "flux_text_transforms": q_flux_text_transforms,
         "flux_text_rsi": q_flux_text_rsi,
+        "flux_text_hour_selection": q_flux_text_hour_selection,
         "flux_text_top": q_flux_text_top,
         "flux_text_unique": q_flux_text_unique,
         "flux_agg_offset": q_flux_agg_offset,
@@ -1498,7 +1539,7 @@ _RANGE = "ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'"
 
 # mode/skew/kurtosis (r11 Flux-stdlib tail) need more than the one-
 # expression template: mode's tie rule is (count desc, value asc) —
-# arg_min over a (-count, value) struct; skew/kurtosis derive from
+# a QUALIFY row_number over that ordering; skew/kurtosis derive from
 # exact HUGEINT power sums (mirroring Spark's decimal sums bit-for-bit)
 # with the float formula mirrored verbatim.
 MODE_AGG_SQL = """
@@ -1665,6 +1706,8 @@ def oracle_sql() -> dict[str, str]:
                 range=_RANGE
             ),
             "flux_text_rsi": FLUX_TEXT_RSI_SQL.format(range=_RANGE),
+            "flux_text_hour_selection":
+                FLUX_TEXT_HOUR_SELECTION_SQL.format(range=_RANGE),
             "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),
             "flux_text_unique": FLUX_TEXT_UNIQUE_SQL.format(range=_RANGE),
             "flux_text_pivot": FLUX_TEXT_PIVOT_SQL.format(range=_RANGE),

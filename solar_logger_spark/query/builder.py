@@ -136,6 +136,7 @@ class QueryBuilder:
         self._sorts: list[tuple[str, bool]] = []
         self._projection: list[str] | None = None
         self._limit: int | None = None
+        self._hour_sel: tuple[int, int] | None = None
         self._bucket = source if isinstance(source, str) else "df"
 
     # -- range -------------------------------------------------------
@@ -144,6 +145,25 @@ class QueryBuilder:
         stop defaults to now (reference src/classes/query_classes.py:95-106)."""
         self._start, self._end = start, stop
         return self
+
+    def hour_selection(self, start: int, stop: int):
+        """Flux ``hourSelection(start:, stop:)`` BEFORE the aggregate:
+        keep raw rows whose naive hour-of-day lies in ``[start, stop]``
+        (both inclusive, Flux semantics); ``start > stop`` wraps
+        midnight. A native ``hour(ts)`` conjunct next to the range
+        filter — stays inside the scan's codegen stage, no UDF."""
+        start, stop = int(start), int(stop)
+        if not (0 <= start <= 23 and 0 <= stop <= 23):
+            raise ValueError(f"hours must be in 0..23: {start}, {stop}")
+        self._hour_sel = (start, stop)
+        return self
+
+    @staticmethod
+    def _hour_pred(col: Column, start: int, stop: int) -> Column:
+        h = F.hour(col)
+        if start <= stop:
+            return (h >= start) & (h <= stop)
+        return (h >= start) | (h <= stop)
 
     # -- filter ------------------------------------------------------
     def filter(
@@ -198,7 +218,7 @@ class QueryBuilder:
         "timedMovingAverage", "relativeStrengthIndex",
         "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
         "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
-        "histogramQuantile",
+        "histogramQuantile", "hourSelection",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -268,6 +288,14 @@ class QueryBuilder:
                 df.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= n)
                 .drop("_rk")
+            )
+        if name == "hourSelection":
+            # post-aggregate hourSelection: filter the CURRENT rows by
+            # their (possibly window-labeled) time's hour-of-day
+            return df.filter(
+                self._hour_pred(
+                    F.col(ts), int(params["start"]), int(params["stop"])
+                )
             )
         if name == "fill":
             if "value" in params:
@@ -693,6 +721,8 @@ class QueryBuilder:
             df = df.filter(ts >= _time_bound(self._start, self._now))
         if self._end is not None:
             df = df.filter(ts < _time_bound(self._end, self._now))
+        if self._hour_sel is not None:
+            df = df.filter(self._hour_pred(ts, *self._hour_sel))
         for band in self._bands:
             df = df.filter(band.column())
         if self._agg is not None:
@@ -748,6 +778,11 @@ class QueryBuilder:
             if self._end is not None:
                 rng += f", stop: {_bound(self._end)}"
             parts.append(f"range({rng})")
+        if self._hour_sel is not None:
+            parts.append(
+                f"hourSelection(start: {self._hour_sel[0]}, "
+                f"stop: {self._hour_sel[1]})"
+            )
         for band in self._bands:
             terms = []
             for i, p in enumerate(band.predicates):
@@ -772,6 +807,9 @@ class QueryBuilder:
                 args.append(f"value: {params['value']}")
             if "unit_seconds" in params:
                 args.append(f"unit: {int(params['unit_seconds'])}s")
+            if name == "hourSelection":
+                args.append(f"start: {params['start']}, "
+                            f"stop: {params['stop']}")
             if "predicate" in params:
                 # Column predicates don't round-trip to Flux source; a
                 # placeholder keeps the rendering total (debug aid only)

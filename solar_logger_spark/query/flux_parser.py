@@ -56,6 +56,7 @@ class FluxPipeline:
     )  # [(field, op, value, joiner-to-previous)]
     agg: tuple[str, str, bool] | None = None  # (every, fn, create_empty)
     group_cols: list[str] | None = None  # group() BEFORE the aggregate
+    hour_sel: tuple[int, int] | None = None  # hourSelection() BEFORE it
     transforms: list[tuple[str, dict]] = dc_field(default_factory=list)
     sorts: list[tuple[str, bool]] = dc_field(default_factory=list)
     limit: int | None = None
@@ -77,6 +78,8 @@ class FluxPipeline:
             qb = qb.group([fmap.get(c, c) for c in self.group_cols])
         if self.start is not None or self.stop is not None:
             qb = qb.range(self.start, self.stop)
+        if self.hour_sel is not None:
+            qb = qb.hour_selection(*self.hour_sel)
         for band in self.bands:
             for i, (fld, op, value, joiner) in enumerate(band):
                 qb = qb.filter(
@@ -234,6 +237,23 @@ def parse_flux(text: str) -> FluxPipeline:
                 pipe.group_cols = cols
             else:
                 pipe.transforms.append(("group", {"columns": cols}))
+        elif name == "hourSelection":
+            # like group(): before the aggregate it filters the raw
+            # rows (a scan-side conjunct); after it, it filters the
+            # aggregated rows by their window label's hour
+            args = _parse_args(body)
+            if "start" not in args or "stop" not in args:
+                raise ValueError(f"hourSelection needs start:+stop:: {body!r}")
+            hs = (
+                int(str(_unquote(args["start"])).rstrip(")")),
+                int(str(_unquote(args["stop"])).rstrip(")")),
+            )
+            if pipe.agg is None and not pipe.transforms:
+                pipe.hour_sel = hs
+            else:
+                pipe.transforms.append(
+                    ("hourSelection", {"start": hs[0], "stop": hs[1]})
+                )
         elif name == "yield":
             # yield(name:) names a result stream; with one result per
             # pipeline it is a no-op — accepted so real user strings

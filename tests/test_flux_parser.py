@@ -1163,3 +1163,79 @@ def test_execute_text_kaufmans_ama(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="needs n:"):
         parse_flux('from(bucket: "e") |> kaufmansAMA()')
+
+
+def test_execute_text_hour_selection(spark, sf_dir):
+    """r11: hourSelection(start:, stop:) — BEFORE the aggregate it
+    filters raw rows (hours inclusive, start > stop wraps midnight);
+    AFTER it, it filters the aggregated rows by their window label's
+    hour. Both required at parse time."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") >= "2024-01-01")
+
+    # pre-agg: parsed position puts it on the builder, not transforms
+    p = parse_flux(
+        'from(bucket: "e") |> range(start: 2024-01-01)'
+        " |> hourSelection(start: 9, stop: 17) |> count()"
+    )
+    assert p.hour_sel == (9, 17) and p.transforms == [("count", {})]
+    got = {
+        r.event_type: r.value
+        for r in p.to_builder(events, series_cols=("event_type",))
+        .to_df().collect()
+    }
+    want = {
+        r.event_type: r.value
+        for r in base.filter(F.hour("ts").between(9, 17))
+        .groupBy("event_type").agg(F.count("value").alias("value"))
+        .collect()
+    }
+    assert got == want
+
+    # wrap: start > stop crosses midnight (22..23 + 0..2)
+    wrapped = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> hourSelection(start: 22, stop: 2) |> count()"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    wrap_want = {
+        r.event_type: r.value
+        for r in base.filter((F.hour("ts") >= 22) | (F.hour("ts") <= 2))
+        .groupBy("event_type").agg(F.count("value").alias("value"))
+        .collect()
+    }
+    assert {
+        r.event_type: r.value for r in wrapped.collect()
+    } == wrap_want
+
+    # post-agg position: filters aggregated rows by the LABEL's hour —
+    # 6h stop-labels land on 00/06/12/18; keeping 6..13 keeps 06 and 12
+    post = parse_flux(
+        'from(bucket: "e") |> range(start: 2024-01-01)'
+        " |> aggregateWindow(every: 6h, fn: mean)"
+        " |> hourSelection(start: 6, stop: 13)"
+    )
+    assert post.hour_sel is None
+    assert ("hourSelection", {"start": 6, "stop": 13}) in post.transforms
+    hours = {
+        r.ts.hour
+        for r in post.to_builder(events, series_cols=("event_type",))
+        .to_df().collect()
+    }
+    assert hours == {6, 12}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="start:\\+stop:"):
+        parse_flux('from(bucket: "e") |> hourSelection(start: 9)')
+    with _pytest.raises(ValueError, match="0..23"):
+        parse_flux(
+            'from(bucket: "e") |> hourSelection(start: 9, stop: 24)'
+        ).to_builder(events)
