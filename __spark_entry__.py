@@ -467,6 +467,83 @@ FLUX_TEXT_HOUR_SELECTION_SQL = """
 """
 
 
+def q_flux_text_highest_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT ``highestMax(n:)`` over user-keyed series: the
+    maximum record of each user's table, then the global top 10 of
+    those records by value (operators/timeseries.series_selector).
+    Per-series reduce is one ranked window; the selection is a
+    TakeOrdered over |series| rows — never a full sort."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> group(columns: ["user_id"])'
+        "\n\t|> highestMax(n: 10)"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events, ts_col="ts", value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+        .select("user_id", "ts", "value")
+    )
+
+
+FLUX_TEXT_HIGHEST_MAX_SQL = """
+    WITH m AS (
+        SELECT user_id, ts, value FROM events
+        WHERE {range}
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY value DESC, ts, event_id) = 1
+    )
+    SELECT user_id, ts, value FROM m
+    ORDER BY value DESC, user_id LIMIT 10
+"""
+
+
+def q_flux_text_lowest_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT ``lowestAverage(n:)``: each user's table reduced to
+    its mean (exact decimal sum, one float division — mirrored
+    verbatim), then the bottom 10 means. Hash aggregate with map-side
+    combine + TakeOrdered over |series| rows."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> group(columns: ["user_id"])'
+        "\n\t|> lowestAverage(n: 10)"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events, ts_col="ts", value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+        .select("user_id", "value")
+    )
+
+
+FLUX_TEXT_LOWEST_AVERAGE_SQL = """
+    WITH a AS (
+        SELECT user_id,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               / count(value) AS value
+        FROM events WHERE {range}
+        GROUP BY user_id
+    )
+    SELECT user_id, value FROM a
+    ORDER BY value ASC, user_id LIMIT 10
+"""
+
+
 FLUX_TEXT_TRANSFORMS_SQL = """
     WITH agg AS (
         SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS ts,
@@ -1107,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_transforms": q_flux_text_transforms,
         "flux_text_rsi": q_flux_text_rsi,
         "flux_text_hour_selection": q_flux_text_hour_selection,
+        "flux_text_highest_max": q_flux_text_highest_max,
+        "flux_text_lowest_average": q_flux_text_lowest_average,
         "flux_text_top": q_flux_text_top,
         "flux_text_unique": q_flux_text_unique,
         "flux_agg_offset": q_flux_agg_offset,
@@ -1708,6 +1787,10 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_rsi": FLUX_TEXT_RSI_SQL.format(range=_RANGE),
             "flux_text_hour_selection":
                 FLUX_TEXT_HOUR_SELECTION_SQL.format(range=_RANGE),
+            "flux_text_highest_max":
+                FLUX_TEXT_HIGHEST_MAX_SQL.format(range=_RANGE),
+            "flux_text_lowest_average":
+                FLUX_TEXT_LOWEST_AVERAGE_SQL.format(range=_RANGE),
             "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),
             "flux_text_unique": FLUX_TEXT_UNIQUE_SQL.format(range=_RANGE),
             "flux_text_pivot": FLUX_TEXT_PIVOT_SQL.format(range=_RANGE),

@@ -1218,3 +1218,65 @@ def kaufmans_ama(
         *[F.col(c) for c in series]
     ).sortWithinPartitions(*sort_cols)
     return parted.mapInPandas(_kama_batches, out_schema).drop("_sc")
+
+
+def series_selector(
+    df: DataFrame,
+    n: int,
+    stat: str,
+    lowest: bool,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """The Flux ``highest*``/``lowest*`` table-stream selectors —
+    ``highestMax``/``lowestMin`` (``stat='extreme'``),
+    ``highestAverage``/``lowestAverage`` (``'average'``),
+    ``highestCurrent``/``lowestCurrent`` (``'current'``): reduce each
+    series table to ONE record (its extreme-value record, its mean, or
+    its last record), then keep the global top/bottom ``n`` of those
+    records by value.
+
+    Two-phase distributed shape: the per-series reduce is one ranked
+    window (extreme/current) or one hash aggregate with map-side
+    combine (average) — parallel over series; the selection then runs
+    on |series| rows as a TakeOrdered top-n, never a full sort. Ties
+    are deterministic: within a series by (ts, tiebreak), across
+    series by the series key. ``average`` sums exact decimals and
+    divides once (``CAST(sum(decimal) AS DOUBLE)/count`` — mirrored
+    verbatim by the SQL twin) and drops the time column (no single
+    record carries the mean — Flux's own shape)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if stat not in ("extreme", "average", "current"):
+        raise ValueError(f"unknown selector stat {stat!r}")
+    series = list(series)
+    vcol = F.col(value_col)
+    sel_order = [vcol.asc() if lowest else vcol.desc()] + [
+        F.col(c) for c in series
+    ]
+    if stat == "average":
+        dec = F.sum(vcol.cast("decimal(12,2)")).cast("double")
+        reduced = df.groupBy(*series).agg(
+            (dec / F.count(value_col)).alias(value_col)
+        )
+        return reduced.orderBy(*sel_order).limit(n)
+    if stat == "extreme":
+        per_series = [
+            vcol.asc() if lowest else vcol.desc(),
+            F.col(ts_col).asc(),
+            *[F.col(c).asc() for c in tiebreak],
+        ]
+    else:  # current: the last record per series
+        per_series = [
+            F.col(ts_col).desc(),
+            *[F.col(c).desc() for c in tiebreak],
+        ]
+    w = _series_window(series, ts_col, tiebreak).orderBy(*per_series)
+    reduced = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return reduced.orderBy(*sel_order).limit(n)

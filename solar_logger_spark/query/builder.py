@@ -219,6 +219,8 @@ class QueryBuilder:
         "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
         "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
         "histogramQuantile", "hourSelection",
+        "highestMax", "highestAverage", "highestCurrent",
+        "lowestMin", "lowestAverage", "lowestCurrent",
         # bare Flux aggregates: collapse each series table to one row
         *sorted(AGG_FNS),
     )
@@ -288,6 +290,22 @@ class QueryBuilder:
                 df.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= n)
                 .drop("_rk")
+            )
+        _SELECTORS = {
+            "highestMax": ("extreme", False),
+            "highestAverage": ("average", False),
+            "highestCurrent": ("current", False),
+            "lowestMin": ("extreme", True),
+            "lowestAverage": ("average", True),
+            "lowestCurrent": ("current", True),
+        }
+        if name in _SELECTORS:
+            # Flux table-stream selectors: one record per series, then
+            # the global top/bottom n (operators/timeseries.series_selector)
+            stat, lowest = _SELECTORS[name]
+            return T.series_selector(
+                df, int(params.get("n", 10)), stat, lowest, series,
+                ts_col=ts, value_col=val, tiebreak=tiebreak,
             )
         if name == "hourSelection":
             # post-aggregate hourSelection: filter the CURRENT rows by

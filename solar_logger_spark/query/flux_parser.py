@@ -286,6 +286,8 @@ _TRANSFORM_STAGES = {
     "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
     "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
     "histogramQuantile",
+    "highestMax", "highestAverage", "highestCurrent",
+    "lowestMin", "lowestAverage", "lowestCurrent",
 } | _BARE_AGGS
 
 
@@ -312,7 +314,9 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
         params["n"] = int(str(_unquote(args.get("n", "14"))).rstrip(")"))
     elif name in ("chandeMomentumOscillator", "kaufmansER",
                   "kaufmansAMA", "doubleEMA", "tripleEMA",
-                  "tripleExponentialDerivative"):
+                  "tripleExponentialDerivative",
+                  "highestMax", "highestAverage", "highestCurrent",
+                  "lowestMin", "lowestAverage", "lowestCurrent"):
         # Flux requires n: on both — fail at parse time, not plan time
         if "n" not in args:
             raise ValueError(f"{name} needs n:: {body!r}")

@@ -1239,3 +1239,40 @@ def test_execute_text_hour_selection(spark, sf_dir):
         parse_flux(
             'from(bucket: "e") |> hourSelection(start: 9, stop: 24)'
         ).to_builder(events)
+
+
+def test_execute_text_selectors(spark, sf_dir):
+    """r11: highest*/lowest* through TEXT == the native
+    series_selector; n: required at parse time."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.timeseries import series_selector
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") >= "2024-01-01")
+    for stage, stat, lowest in (
+        ("highestMax", "extreme", False),
+        ("lowestAverage", "average", True),
+        ("highestCurrent", "current", False),
+    ):
+        got = (
+            parse_flux(
+                'from(bucket: "e") |> range(start: 2024-01-01)'
+                f' |> group(columns: ["user_id"]) |> {stage}(n: 5)'
+            )
+            .to_builder(events, series_cols=("event_type",))
+            .to_df()
+        )
+        want = series_selector(
+            base, 5, stat, lowest, ["user_id"], tiebreak=["event_id"]
+        )
+        cols = ["user_id", "value"]
+        a = [tuple(r) for r in got.select(*cols).collect()]
+        b = [tuple(r) for r in want.select(*cols).collect()]
+        assert a == b, stage
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs n:"):
+        parse_flux('from(bucket: "e") |> highestMax()')

@@ -929,3 +929,64 @@ def test_kaufmans_ama_matches_reference_loop(spark):
 
     with _pytest.raises(ValueError, match="n must be"):
         kaufmans_ama(df, 0, ["s"])
+
+
+def test_series_selector_six_variants(spark):
+    """r11: the Flux highest*/lowest* table-stream selectors — one
+    record per series (extreme/average/current), then the global
+    top/bottom n; deterministic ties (within series by ts+tiebreak,
+    across series by the series key)."""
+    from datetime import datetime, timedelta
+
+    from solar_logger_spark.operators.timeseries import series_selector
+
+    base = datetime(2024, 1, 1)
+    data = {  # series -> values in time order
+        "a": [1.0, 9.0, 3.0],
+        "b": [8.0, 2.0, 8.0],   # tied max: earliest (ts) wins
+        "c": [5.0, 5.0, 5.0],
+        "d": [0.0, 7.0, 2.0],
+    }
+    rows = [
+        (s, base + timedelta(minutes=i), v, i)
+        for s, vs in data.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, ts timestamp, value double, event_id long"
+    )
+
+    def run(stat, lowest, n=2):
+        out = series_selector(
+            df, n, stat, lowest, ["s"], tiebreak=["event_id"]
+        ).collect()
+        return [(r.s, r.value) for r in out]
+
+    # highestMax: per-series maxes a=9 b=8 c=5 d=7 -> top2 [a, b];
+    # b's tied 8s reduce to the earliest record (minute 0)
+    assert run("extreme", False) == [("a", 9.0), ("b", 8.0)]
+    hm = series_selector(df, 2, "extreme", False, ["s"],
+                         tiebreak=["event_id"]).collect()
+    assert hm[1].ts == base  # b's earliest tied record
+    # lowestMin: mins a=1 b=2 c=5 d=0 -> bottom2 [d, a]
+    assert run("extreme", True) == [("d", 0.0), ("a", 1.0)]
+    # highestCurrent: last records a=3 b=8 c=5 d=2 -> top2 [b, c]
+    assert run("current", False) == [("b", 8.0), ("c", 5.0)]
+    # lowestCurrent -> bottom2 [d, a]
+    assert run("current", True) == [("d", 2.0), ("a", 3.0)]
+    # averages: a=13/3 b=6 c=5 d=3 -> highest2 [b, c], lowest2 [d, a]
+    got = run("average", False)
+    assert got[0] == ("b", 6.0) and got[1] == ("c", 5.0)
+    low = run("average", True)
+    assert low[0] == ("d", 3.0) and low[1][0] == "a"
+    assert low[1][1] == 13.0 / 3.0
+    # average drops the time column (no record carries the mean)
+    cols = series_selector(df, 2, "average", False, ["s"]).columns
+    assert cols == ["s", "value"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        series_selector(df, 0, "extreme", False, ["s"])
+    with _pytest.raises(ValueError, match="unknown selector"):
+        series_selector(df, 1, "sum", False, ["s"])
