@@ -467,6 +467,56 @@ FLUX_TEXT_HOUR_SELECTION_SQL = """
 """
 
 
+def q_flux_text_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT ``timeWeightedAvg(unit:)``: whole-table trapezoid
+    mean per series (operators/timeseries.time_weighted_avg). Exact
+    scaled-int64 trapezoid terms over exact µs deltas, one mirrored
+    float quotient at the end; ``unit`` cancels and is ignored."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "click"'
+        ' or r["_measurement"] == "view")'
+        "\n\t|> timeWeightedAvg(unit: 1s)"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_TWA_SQL = """
+    WITH x AS (
+        SELECT event_type, ts, event_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS xi,
+               epoch_us(ts) AS eus
+        FROM events
+        WHERE {range} AND (event_type = 'click' OR event_type = 'view')
+    ), seg AS (
+        SELECT event_type, eus,
+               (xi + lag(xi) OVER win) * (eus - lag(eus) OVER win) AS t2
+        FROM x
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, xi, event_id)
+    )
+    SELECT event_type,
+           CASE WHEN max(eus) - min(eus) > 0
+                THEN CAST(sum(t2) AS DOUBLE) / 200.0
+                     / CAST(max(eus) - min(eus) AS DOUBLE)
+           END AS value
+    FROM seg GROUP BY event_type
+"""
+
+
 def q_flux_text_highest_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux TEXT ``highestMax(n:)`` over user-keyed series: the
     maximum record of each user's table, then the global top 10 of
@@ -1186,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_hour_selection": q_flux_text_hour_selection,
         "flux_text_highest_max": q_flux_text_highest_max,
         "flux_text_lowest_average": q_flux_text_lowest_average,
+        "flux_text_twa": q_flux_text_twa,
         "flux_text_top": q_flux_text_top,
         "flux_text_unique": q_flux_text_unique,
         "flux_agg_offset": q_flux_agg_offset,
@@ -1791,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
                 FLUX_TEXT_HIGHEST_MAX_SQL.format(range=_RANGE),
             "flux_text_lowest_average":
                 FLUX_TEXT_LOWEST_AVERAGE_SQL.format(range=_RANGE),
+            "flux_text_twa": FLUX_TEXT_TWA_SQL.format(range=_RANGE),
             "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),
             "flux_text_unique": FLUX_TEXT_UNIQUE_SQL.format(range=_RANGE),
             "flux_text_pivot": FLUX_TEXT_PIVOT_SQL.format(range=_RANGE),

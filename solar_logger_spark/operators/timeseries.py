@@ -1280,3 +1280,61 @@ def series_selector(
         .drop("_rk")
     )
     return reduced.orderBy(*sel_order).limit(n)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    alias: str = "value",
+) -> DataFrame:
+    """Flux ``timeWeightedAvg(unit:)``: per series, the trapezoid
+    integral over the WHOLE table divided by its total time span —
+    ``unit`` cancels out of the quotient, so the stage accepts and
+    ignores it (documented; the result is unit-invariant). Series
+    whose span is zero (single point, or all points at one instant)
+    are null.
+
+    Exactness discipline: values quantize to scaled int64
+    (``decimal(12,2)·100`` — the moment-aggregate hop), timestamps
+    are exact µs ints, so every trapezoid term ``(xi + prev_xi)·Δus``
+    is an exact int64 (≤ ~3.4e17) and the per-series sum accumulates
+    as an exact decimal (DuckDB: HUGEINT) — association-free. One
+    mirrored float expression at the end:
+    ``CAST(s AS DOUBLE) / 200.0 / CAST(span_us AS DOUBLE)``
+    (÷2 for the trapezoid, ÷100 for the value scale). Plan: one
+    analytic lag over the series partitioning + a hash agg on the
+    same keys (the integral shape — the exchange is reused)."""
+    series = list(series)
+    eus = epoch_us(F.col(ts_col)).alias("_eus")
+    xi = (
+        (F.col(value_col).cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("_xi")
+    )
+    staged = df.select(*series, F.col(ts_col), *[F.col(c) for c in tiebreak],
+                       eus, xi)
+    # value (then tiebreak) as secondary order: equal timestamps would
+    # otherwise pair with lag() nondeterministically (the integral rule)
+    spec = Window.partitionBy(*[F.col(c) for c in series]).orderBy(
+        F.col(ts_col), F.col("_xi"), *[F.col(c) for c in tiebreak]
+    )
+    term = (
+        (F.col("_xi") + F.lag("_xi").over(spec))
+        * (F.col("_eus") - F.lag("_eus").over(spec))
+    ).cast("decimal(38,0)")
+    seg = staged.select(*series, F.col("_eus"), term.alias("_t2"))
+    agg = seg.groupBy(*series).agg(
+        F.sum("_t2").alias("_s"),
+        (F.max("_eus") - F.min("_eus")).alias("_span"),
+    )
+    return agg.select(
+        *series,
+        F.when(
+            F.col("_span") > 0,
+            F.col("_s").cast("double") / F.lit(200.0)
+            / F.col("_span").cast("double"),
+        ).alias(alias),
+    )

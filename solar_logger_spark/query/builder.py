@@ -218,7 +218,7 @@ class QueryBuilder:
         "timedMovingAverage", "relativeStrengthIndex",
         "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
         "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
-        "histogramQuantile", "hourSelection",
+        "histogramQuantile", "hourSelection", "timeWeightedAvg",
         "highestMax", "highestAverage", "highestCurrent",
         "lowestMin", "lowestAverage", "lowestCurrent",
         # bare Flux aggregates: collapse each series table to one row
@@ -290,6 +290,14 @@ class QueryBuilder:
                 df.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= n)
                 .drop("_rk")
+            )
+        if name == "timeWeightedAvg":
+            # bare Flux timeWeightedAvg(unit:): whole-table trapezoid
+            # mean per series; unit cancels out of the quotient, so it
+            # is accepted and ignored (operators/timeseries.time_weighted_avg)
+            return T.time_weighted_avg(
+                df, series, ts_col=ts, value_col=val,
+                tiebreak=tiebreak, alias=val,
             )
         _SELECTORS = {
             "highestMax": ("extreme", False),

@@ -285,7 +285,7 @@ _TRANSFORM_STAGES = {
     "timedMovingAverage", "relativeStrengthIndex",
     "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
     "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
-    "histogramQuantile",
+    "histogramQuantile", "timeWeightedAvg",
     "highestMax", "highestAverage", "highestCurrent",
     "lowestMin", "lowestAverage", "lowestCurrent",
 } | _BARE_AGGS

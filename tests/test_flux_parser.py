@@ -1276,3 +1276,34 @@ def test_execute_text_selectors(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="needs n:"):
         parse_flux('from(bucket: "e") |> highestMax()')
+
+
+def test_execute_text_time_weighted_avg(spark, sf_dir):
+    """r11: timeWeightedAvg(unit:) through TEXT == the native
+    transform; unit cancels out of the quotient so any unit (or none)
+    yields the same table."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.timeseries import time_weighted_avg
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") >= "2024-01-01")
+    want = sorted(
+        (r.event_type, r.value.hex())
+        for r in time_weighted_avg(
+            base, ["event_type"], tiebreak=["event_id"]
+        ).collect()
+    )
+    for unit in ("unit: 1s", "unit: 5m", ""):
+        got = (
+            parse_flux(
+                'from(bucket: "e") |> range(start: 2024-01-01)'
+                f" |> timeWeightedAvg({unit})"
+            )
+            .to_builder(events, series_cols=("event_type",))
+            .to_df()
+        )
+        assert sorted(
+            (r.event_type, r.value.hex()) for r in got.collect()
+        ) == want, unit

@@ -990,3 +990,30 @@ def test_series_selector_six_variants(spark):
         series_selector(df, 0, "extreme", False, ["s"])
     with _pytest.raises(ValueError, match="unknown selector"):
         series_selector(df, 1, "sum", False, ["s"])
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """r11: timeWeightedAvg — trapezoid integral / span, hand-checked:
+    (0,0s),(10,10s),(10,30s) -> (50 + 200)/30 = 25/3; zero-span and
+    single-point series are null."""
+    from datetime import datetime, timedelta
+
+    from solar_logger_spark.operators.timeseries import time_weighted_avg
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 0.0, 0),
+        ("a", base + timedelta(seconds=10), 10.0, 1),
+        ("a", base + timedelta(seconds=30), 10.0, 2),
+        ("b", base, 5.0, 3),                      # single point
+        ("c", base, 1.0, 4), ("c", base, 9.0, 5),  # zero span
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, ts timestamp, value double, event_id long"
+    )
+    got = {
+        r.s: r.value
+        for r in time_weighted_avg(df, ["s"], tiebreak=["event_id"]).collect()
+    }
+    assert got["a"] == 250.0 / 30.0
+    assert got["b"] is None and got["c"] is None
