@@ -517,6 +517,43 @@ FLUX_TEXT_TWA_SQL = """
 """
 
 
+def q_flux_text_to_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT type conversion: daily counts cast back to float with
+    ``toFloat()`` (int -> double is exact, so the oracle mirror is
+    trivially deterministic; toInt/toString/toBool edge semantics are
+    unit-test-pinned in test_flux_parser)."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        '\n\t|> filter(fn: (r) => r["_measurement"] == "purchase")'
+        "\n\t|> aggregateWindow(every: 1d, fn: count)"
+        "\n\t|> toFloat()"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_TO_FLOAT_SQL = """
+    SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS ts,
+           event_type, CAST(count(value) AS DOUBLE) AS value
+    FROM events
+    WHERE {range} AND event_type = 'purchase'
+    GROUP BY 1, 2
+"""
+
+
 def q_flux_text_highest_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux TEXT ``highestMax(n:)`` over user-keyed series: the
     maximum record of each user's table, then the global top 10 of
@@ -1237,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_highest_max": q_flux_text_highest_max,
         "flux_text_lowest_average": q_flux_text_lowest_average,
         "flux_text_twa": q_flux_text_twa,
+        "flux_text_to_float": q_flux_text_to_float,
         "flux_text_top": q_flux_text_top,
         "flux_text_unique": q_flux_text_unique,
         "flux_agg_offset": q_flux_agg_offset,
@@ -1843,6 +1881,8 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_lowest_average":
                 FLUX_TEXT_LOWEST_AVERAGE_SQL.format(range=_RANGE),
             "flux_text_twa": FLUX_TEXT_TWA_SQL.format(range=_RANGE),
+            "flux_text_to_float":
+                FLUX_TEXT_TO_FLOAT_SQL.format(range=_RANGE),
             "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),
             "flux_text_unique": FLUX_TEXT_UNIQUE_SQL.format(range=_RANGE),
             "flux_text_pivot": FLUX_TEXT_PIVOT_SQL.format(range=_RANGE),

@@ -219,6 +219,7 @@ class QueryBuilder:
         "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
         "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
         "histogramQuantile", "hourSelection", "timeWeightedAvg",
+        "toFloat", "toInt", "toString", "toBool",
         "highestMax", "highestAverage", "highestCurrent",
         "lowestMin", "lowestAverage", "lowestCurrent",
         # bare Flux aggregates: collapse each series table to one row
@@ -291,6 +292,23 @@ class QueryBuilder:
                 .filter(F.col("_rk") <= n)
                 .drop("_rk")
             )
+        if name in ("toFloat", "toInt", "toString", "toBool"):
+            # Flux type-conversion stages over the value column.
+            # toInt truncates toward zero (Flux/Go semantics — Spark's
+            # double->long cast already does); toString uses Spark's
+            # native cast rendering (documented divergence from Go
+            # strconv); toBool accepts only exact 0/1 numerics, else
+            # null (Flux errors — null is filterable and hash-stable).
+            v = F.col(val)
+            conv = {
+                "toFloat": v.cast("double"),
+                "toInt": v.cast("bigint"),
+                "toString": v.cast("string"),
+                "toBool": F.when(v == 1, F.lit(True)).when(
+                    v == 0, F.lit(False)
+                ),
+            }[name]
+            return df.withColumn(val, conv)
         if name == "timeWeightedAvg":
             # bare Flux timeWeightedAvg(unit:): whole-table trapezoid
             # mean per series; unit cancels out of the quotient, so it

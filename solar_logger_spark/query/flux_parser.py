@@ -286,6 +286,7 @@ _TRANSFORM_STAGES = {
     "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
     "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
     "histogramQuantile", "timeWeightedAvg",
+    "toFloat", "toInt", "toString", "toBool",
     "highestMax", "highestAverage", "highestCurrent",
     "lowestMin", "lowestAverage", "lowestCurrent",
 } | _BARE_AGGS

@@ -1307,3 +1307,36 @@ def test_execute_text_time_weighted_avg(spark, sf_dir):
         assert sorted(
             (r.event_type, r.value.hex()) for r in got.collect()
         ) == want, unit
+
+
+def test_execute_text_type_conversions(spark):
+    """r11: toFloat/toInt/toString/toBool over the value column.
+    toInt truncates toward zero (Flux/Go semantics); toBool accepts
+    only exact 0/1 and nulls everything else (documented divergence
+    from Flux's hard error); toString uses Spark's cast rendering."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    vals = [2.7, -2.7, 1.0, 0.0, 3.5]
+    df = spark.createDataFrame(
+        [("a", base + timedelta(minutes=i), v) for i, v in enumerate(vals)],
+        "event_type string, ts timestamp, value double",
+    )
+
+    def run(stage):
+        return [
+            r.value
+            for r in parse_flux(
+                'from(bucket: "e") |> range(start: 2024-01-01)'
+                f" |> {stage}()"
+            )
+            .to_builder(df, series_cols=("event_type",))
+            .to_df()
+            .orderBy("ts")
+            .collect()
+        ]
+
+    assert run("toInt") == [2, -2, 1, 0, 3]  # truncation toward zero
+    assert run("toFloat") == vals
+    assert run("toBool") == [None, None, True, False, None]
+    assert run("toString") == ["2.7", "-2.7", "1.0", "0.0", "3.5"]
