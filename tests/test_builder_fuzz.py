@@ -447,3 +447,118 @@ def test_transform_stage_matches_duckdb(spark, duck, p):
                 assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
             else:
                 assert gv == wv
+
+
+# ---------------------------------------------------------------------------
+# r11 stage differential: hourSelection (incl. midnight wrap) + an
+# optional highest*/lowest* selector over count-valued aggregates
+# (exact ints, so ranking ties resolve identically on both engines)
+# ---------------------------------------------------------------------------
+
+_SELECTOR_NAMES = [
+    "highestMax", "lowestMin", "highestCurrent", "lowestCurrent",
+    "highestAverage", "lowestAverage",
+]
+
+r11_pipelines = st.fixed_dictionaries(
+    {
+        "t0_day": st.integers(1, 22),
+        "span_days": st.integers(2, 8),
+        "every": st.sampled_from(sorted(EVERY_SECONDS)),
+        "hours": st.tuples(st.integers(0, 23), st.integers(0, 23)),
+        "stage": st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(_SELECTOR_NAMES), st.integers(1, 4)),
+        ),
+    }
+)
+
+
+def _r11_oracle_sql(t0, t1, every: str, hours: tuple, stage) -> str:
+    sec = EVERY_SECONDS[every]
+    h0, h1 = hours
+    hour_pred = (
+        f"hour(ts) BETWEEN {h0} AND {h1}"
+        if h0 <= h1
+        else f"(hour(ts) >= {h0} OR hour(ts) <= {h1})"
+    )
+    agg = f"""
+        SELECT time_bucket(INTERVAL '{sec} seconds', ts)
+               + INTERVAL '{sec} seconds' AS ts,
+               event_type, CAST(count(value) AS BIGINT) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '{t0}' AND ts < TIMESTAMP '{t1}'
+              AND {hour_pred}
+        GROUP BY 1, 2
+    """
+    if stage is None:
+        return agg
+    name, n = stage
+    direction = "ASC" if name.startswith("lowest") else "DESC"
+    if name in ("highestAverage", "lowestAverage"):
+        return f"""
+            WITH agg AS ({agg})
+            SELECT event_type,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / count(value) AS value
+            FROM agg GROUP BY event_type
+            ORDER BY value {direction}, event_type LIMIT {n}
+        """
+    reduce_order = (
+        "ts DESC"
+        if name in ("highestCurrent", "lowestCurrent")
+        else f"value {direction}, ts"
+    )
+    return f"""
+        WITH agg AS ({agg}), m AS (
+            SELECT ts, event_type, value FROM agg
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY {reduce_order}) = 1
+        )
+        SELECT ts, event_type, value FROM m
+        ORDER BY value {direction}, event_type LIMIT {n}
+    """
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(p=r11_pipelines)
+def test_hour_selection_and_selectors_match_duckdb(spark, duck, p):
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    t0 = datetime(2024, 1, p["t0_day"])
+    t1 = t0 + timedelta(days=p["span_days"])
+    qb = (
+        QueryBuilder(
+            load_table(spark, "/root/testdata/sf0.001", "events"),
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .range(t0, t1)
+        .hour_selection(*p["hours"])
+        .aggregate_window(p["every"], "count")
+    )
+    if p["stage"] is not None:
+        name, n = p["stage"]
+        qb = qb.transform(name, n=n)
+    got = _norm([tuple(r) for r in qb.to_df().collect()], None)
+    want = _norm(
+        duck.execute(
+            _r11_oracle_sql(t0, t1, p["every"], p["hours"], p["stage"])
+        ).fetchall(),
+        None,
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            gv = gv.replace(tzinfo=None) if isinstance(gv, datetime) else gv
+            wv = wv.replace(tzinfo=None) if isinstance(wv, datetime) else wv
+            if isinstance(gv, float) and isinstance(wv, float):
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
+            else:
+                assert gv == wv

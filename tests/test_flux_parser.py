@@ -1340,3 +1340,57 @@ def test_execute_text_type_conversions(spark):
     assert run("toFloat") == vals
     assert run("toBool") == [None, None, True, False, None]
     assert run("toString") == ["2.7", "-2.7", "1.0", "0.0", "3.5"]
+
+
+def test_roundtrip_renderer_r11_stages(spark, sf_dir):
+    """r11: the new stages render to parseable corrected Flux and the
+    reparsed pipeline reproduces the original rows — hourSelection
+    (pre-agg builder form), a selector, a conversion, and the
+    mode aggregate in one pipeline; timeWeightedAvg+kaufmansAMA in a
+    second."""
+    from datetime import datetime
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.query.builder import QueryBuilder
+
+    events = load_table(spark, sf_dir, "events")
+
+    def roundtrip(qb):
+        text = qb.to_flux()
+        reparsed = parse_flux(text).to_builder(
+            events, ts_col="ts", value_col="value",
+            series_cols=("event_type",),
+        )
+        want = sorted(map(tuple, qb.to_df().collect()))
+        got = sorted(map(tuple, reparsed.to_df().collect()))
+        assert got == want and len(got) > 0, text
+
+    roundtrip(
+        QueryBuilder(
+            events, ts_col="ts", value_col="value",
+            series_cols=("event_type",),
+        )
+        .range(datetime(2024, 1, 5), datetime(2024, 1, 25))
+        .hour_selection(22, 2)  # renders + reparses the wrap form
+        .aggregate_window("6h", "mode")
+        .transform("toFloat")
+        .transform("highestMax", n=3)
+    )
+    roundtrip(
+        QueryBuilder(
+            events, ts_col="ts", value_col="value",
+            series_cols=("event_type",),
+        )
+        .range(datetime(2024, 1, 5), datetime(2024, 1, 25))
+        .aggregate_window("6h", "mean")
+        .transform("kaufmansAMA", n=5)
+        .transform("hourSelection", start=6, stop=13)
+    )
+    roundtrip(
+        QueryBuilder(
+            events, ts_col="ts", value_col="value",
+            series_cols=("event_type",),
+        )
+        .range(datetime(2024, 1, 5), datetime(2024, 1, 25))
+        .transform("timeWeightedAvg")
+    )
