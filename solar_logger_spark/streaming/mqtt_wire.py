@@ -7,9 +7,10 @@ is an optional dependency that is absent in the test environment, which
 left the live-socket path of the ``"mqtt"`` data source untested. This
 module closes that gap: a from-scratch client for the (public, OASIS)
 MQTT 3.1.1 protocol covering exactly the subset the source needs —
-CONNECT with optional username/password, one SUBSCRIBE, QoS 0/1 PUBLISH
-receive (with PUBACK), PINGREQ keepalive, DISCONNECT — over a real TCP
-(optionally TLS) socket.
+CONNECT with optional username/password, one SUBSCRIBE, QoS 0/1/2
+PUBLISH receive (PUBACK for QoS 1; the PUBREC/PUBREL/PUBCOMP
+exactly-once handshake for QoS 2), PINGREQ keepalive, DISCONNECT —
+over a real TCP (optionally TLS) socket.
 
 ``socket_client(options, push)`` matches the transport-factory contract
 of :class:`solar_logger_spark.streaming.mqtt_source.MqttStreamReader`,
@@ -30,6 +31,7 @@ import threading
 from collections import OrderedDict
 
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+PUBREC, PUBREL, PUBCOMP = 5, 6, 7
 SUBSCRIBE, SUBACK = 8, 9
 PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
 
@@ -91,6 +93,19 @@ def encode_publish(
 
 def encode_puback(packet_id: int) -> bytes:
     return encode_packet(PUBACK, 0, struct.pack(">H", packet_id))
+
+
+def encode_pubrec(packet_id: int) -> bytes:
+    return encode_packet(PUBREC, 0, struct.pack(">H", packet_id))
+
+
+def encode_pubrel(packet_id: int) -> bytes:
+    # MQTT 3.1.1 [MQTT-3.6.1-1]: PUBREL's fixed-header flags MUST be 0x02
+    return encode_packet(PUBREL, 0x02, struct.pack(">H", packet_id))
+
+
+def encode_pubcomp(packet_id: int) -> bytes:
+    return encode_packet(PUBCOMP, 0, struct.pack(">H", packet_id))
 
 
 def read_packet(sock: socket.socket) -> tuple[int, int, bytes] | None:
@@ -182,6 +197,13 @@ class MiniMqttClient:
       id memory, cleared on reconnect — MQTT 3.1.1 packet ids are only
       meaningful within a connection). Cross-connection duplicates
       remain at-least-once, deduped downstream.
+    * **QoS 2 (r11)** — the full receiver-side exactly-once handshake
+      (method A): deliver on the first PUBLISH of a pid, answer every
+      transmission with PUBREC, hold the pid until the broker's
+      PUBREL (retransmits in the window are PUBREC'd, not
+      re-delivered), then PUBCOMP — including for an unknown pid,
+      which is a PUBREL retransmit after a lost PUBCOMP. Pending ids
+      clear on reconnect with the rest of the per-connection state.
     """
 
     _DUP_MEMORY = 4096  # recently-delivered QoS-1 packet ids per conn
@@ -240,6 +262,10 @@ class MiniMqttClient:
             raise ConnectionError(f"MQTT SUBSCRIBE refused: {pkt!r}")
         sock.settimeout(1.0)
         self._seen_pids: "OrderedDict[int, None]" = OrderedDict()
+        # QoS-2 pids delivered on THIS connection, awaiting PUBREL —
+        # a retransmitted PUBLISH whose pid is still here is PUBREC'd
+        # again but not re-delivered (exactly-once, method-A receiver)
+        self._qos2_pending: "OrderedDict[int, None]" = OrderedDict()
         self._sock = sock
         # A disconnect() may have raced this dial: it sets _stop, then
         # closes whatever self._sock held BEFORE this assignment. Check
@@ -310,7 +336,25 @@ class MiniMqttClient:
                 dup = bool(flags & 0x08)
                 topic, at = decode_string(body, 0)
                 pid = None
-                if qos > 0:
+                if qos == 2:
+                    # exactly-once, method-A receiver: deliver on the
+                    # FIRST PUBLISH of a pid, hold the pid until PUBREL,
+                    # PUBREC every transmission (the broker keeps
+                    # re-PUBLISHing until it sees our PUBREC)
+                    (pid,) = struct.unpack_from(">H", body, at)
+                    at += 2
+                    try:
+                        self._sock.sendall(encode_pubrec(pid))
+                    except OSError:
+                        if not self._try_reconnect():
+                            return
+                        continue  # rec lost with the socket: broker re-sends
+                    if pid in self._qos2_pending:
+                        continue  # retransmit before PUBREL: rec-only
+                    self._qos2_pending[pid] = None
+                    while len(self._qos2_pending) > self._DUP_MEMORY:
+                        self._qos2_pending.popitem(last=False)
+                elif qos == 1:
                     (pid,) = struct.unpack_from(">H", body, at)
                     at += 2
                     try:
@@ -326,6 +370,17 @@ class MiniMqttClient:
                     while len(self._seen_pids) > self._DUP_MEMORY:
                         self._seen_pids.popitem(last=False)
                 self._on_message(topic, body[at:])
+            elif ptype == PUBREL:
+                # release the pid (delivery already happened on the
+                # first PUBLISH); PUBCOMP even for an unknown pid — a
+                # PUBREL retransmit after our PUBCOMP was lost
+                (pid,) = struct.unpack_from(">H", body, 0)
+                self._qos2_pending.pop(pid, None)
+                try:
+                    self._sock.sendall(encode_pubcomp(pid))
+                except OSError:
+                    if not self._try_reconnect():
+                        return
             # PINGRESP / SUBACK dups need no action
 
     def loop_stop(self) -> None:

@@ -102,6 +102,7 @@ class EmbeddedBroker:
             conn.sendall(w.encode_packet(w.CONNACK, 0, bytes([0, rc])))
             if rc != 0:
                 return
+            pub_pending: set[int] = set()  # inbound QoS-2 pids awaiting PUBREL
             while not self._stop.is_set():
                 pkt = w.read_packet(conn)
                 if pkt is None:
@@ -114,9 +115,9 @@ class EmbeddedBroker:
                         filt, at = w.decode_string(body, at)
                         qos = body[at]
                         at += 1
-                        grants.append(min(qos, 1))
+                        grants.append(min(qos, 2))
                         with self._lock:
-                            self._subs.append((conn, filt, min(qos, 1)))
+                            self._subs.append((conn, filt, min(qos, 2)))
                     conn.sendall(
                         w.encode_packet(
                             w.SUBACK, 0, struct.pack(">H", pid) + bytes(grants)
@@ -133,13 +134,30 @@ class EmbeddedBroker:
                     # PUBACK, so ack-first would let a second publisher
                     # overtake this fan-out and reorder deliveries the
                     # live tests assert on
-                    self._route(topic, body[at:])
-                    if pid is not None:
-                        conn.sendall(w.encode_puback(pid))
+                    if qos == 2:
+                        # exactly-once inbound: route only the first
+                        # PUBLISH of a pid, PUBREC every transmission
+                        if pid not in pub_pending:
+                            pub_pending.add(pid)
+                            self._route(topic, body[at:])
+                        conn.sendall(w.encode_pubrec(pid))
+                    else:
+                        self._route(topic, body[at:])
+                        if pid is not None:
+                            conn.sendall(w.encode_puback(pid))
+                elif ptype == w.PUBREL:
+                    # publisher releasing a QoS-2 pid
+                    (pid,) = struct.unpack_from(">H", body, 0)
+                    pub_pending.discard(pid)
+                    conn.sendall(w.encode_pubcomp(pid))
+                elif ptype == w.PUBREC:
+                    # subscriber acked our QoS-2 PUBLISH: release it
+                    (pid,) = struct.unpack_from(">H", body, 0)
+                    conn.sendall(w.encode_pubrel(pid))
                 elif ptype == w.PINGREQ:
                     conn.sendall(w.encode_packet(w.PINGRESP, 0, b""))
-                elif ptype == w.PUBACK:
-                    pass  # QoS-1 delivery ack — nothing pending to retry
+                elif ptype in (w.PUBACK, w.PUBCOMP):
+                    pass  # delivery acks — nothing pending to retry
                 elif ptype == w.DISCONNECT:
                     return
         finally:
@@ -205,6 +223,29 @@ class EmbeddedBroker:
                 except OSError:
                     pass
 
+    def send_qos2_duplicate(
+        self, topic: str, payload: bytes, packet_id: int
+    ) -> None:
+        """Inject a QoS-2 PUBLISH and its DUP retransmit back-to-back
+        (ONE sendall, so no PUBREL can land between them) straight to
+        matching subscribers — the in-window retransmit the client's
+        exactly-once pending set must suppress. The subscriber's
+        PUBRECs route back to `_serve_client`, which completes the
+        PUBREL/PUBCOMP handshake."""
+        frames = w.encode_publish(
+            topic, payload, qos=2, packet_id=packet_id
+        ) + w.encode_publish(
+            topic, payload, qos=2, packet_id=packet_id, dup=True
+        )
+        with self._lock:
+            subs = list(self._subs)
+        for conn, filt, _qos in subs:
+            if topic_matches(filt, topic):
+                try:
+                    conn.sendall(frames)
+                except OSError:
+                    pass
+
     def _route(self, topic: str, payload: bytes) -> None:
         self.messages.append((topic, payload))
         with self._lock:
@@ -235,7 +276,13 @@ def publish_once(
         pkt = w.read_packet(sock)
         assert pkt is not None and pkt[0] == w.CONNACK and pkt[2][1] == 0, pkt
         sock.sendall(w.encode_publish(topic, payload, qos=qos, packet_id=7))
-        if qos > 0:
+        if qos == 2:
+            pkt = w.read_packet(sock)
+            assert pkt is not None and pkt[0] == w.PUBREC, pkt
+            sock.sendall(w.encode_pubrel(7))
+            pkt = w.read_packet(sock)
+            assert pkt is not None and pkt[0] == w.PUBCOMP, pkt
+        elif qos == 1:
             pkt = w.read_packet(sock)
             assert pkt is not None and pkt[0] == w.PUBACK, pkt
         sock.sendall(w.encode_packet(w.DISCONNECT, 0, b""))

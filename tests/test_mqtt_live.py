@@ -260,3 +260,91 @@ def test_reconnect_disabled_dies_on_drop():
             assert client.reconnects == 0
         finally:
             client.disconnect()
+
+
+def test_qos2_publish_exactly_once_end_to_end():
+    """r11: QoS-2 end to end over a live socket — a qos=2 subscription
+    is granted at 2, a QoS-2 publisher's PUBREC/PUBREL/PUBCOMP
+    handshake completes, the message is delivered exactly once, and
+    the client's pending set drains after the broker's PUBREL."""
+    got: list[tuple[str, bytes]] = []
+    with EmbeddedBroker() as broker:
+        client = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)), qos=2,
+        )
+        try:
+            # publish_once itself asserts the publisher-side handshake
+            publish_once(broker.port, "mate/q2", b"exactly-once", qos=2)
+            assert _wait_until(lambda: len(got) >= 1)
+            assert got == [("mate/q2", b"exactly-once")]
+            # broker's PUBREL releases the pid on the subscriber side
+            assert _wait_until(lambda: len(client._qos2_pending) == 0)
+            publish_once(broker.port, "mate/q2", b"second", qos=2)
+            assert _wait_until(lambda: len(got) == 2)
+            assert got[1] == ("mate/q2", b"second")
+        finally:
+            client.disconnect()
+
+
+def test_qos2_retransmit_before_pubrel_not_redelivered():
+    """r11: a QoS-2 PUBLISH retransmitted (DUP) while its pid is still
+    pending (no PUBREL yet) is PUBREC'd but NOT delivered twice; after
+    the handshake releases the pid, a NEW message reusing that packet
+    id is a fresh lifecycle and must be delivered."""
+    got: list[bytes] = []
+    with EmbeddedBroker() as broker:
+        client = MiniMqttClient(
+            "127.0.0.1", broker.port, "#", lambda t, p: got.append(p),
+            qos=2,
+        )
+        try:
+            # PUBLISH + its DUP retransmit in one TCP write: the client
+            # must see both before any PUBREL can interleave
+            broker.send_qos2_duplicate("t", b"only-once", packet_id=41)
+            assert _wait_until(lambda: len(got) == 1)
+            assert got == [b"only-once"]
+            # handshake completes via the broker's PUBREC->PUBREL reply
+            assert _wait_until(lambda: len(client._qos2_pending) == 0)
+            # pid 41 reused AFTER release: a new message, delivered
+            broker.send_qos2_duplicate("t", b"new-lifecycle",
+                                       packet_id=41)
+            assert _wait_until(lambda: len(got) == 2)
+            assert got[1] == b"new-lifecycle"
+        finally:
+            client.disconnect()
+
+
+def test_qos2_pubrel_retransmit_gets_pubcomp():
+    """r11: a PUBREL for an already-released (or never-seen) pid — a
+    retransmit after our PUBCOMP was lost — is answered with PUBCOMP
+    and delivers nothing."""
+    import socket as _socket
+    import struct as _struct
+
+    from solar_logger_spark.streaming import mqtt_wire as w
+
+    got: list[bytes] = []
+    with EmbeddedBroker() as broker:
+        client = MiniMqttClient(
+            "127.0.0.1", broker.port, "#", lambda t, p: got.append(p),
+            qos=2,
+        )
+        try:
+            # drive the client's socket directly: inject a bare PUBREL
+            # from the broker side by publishing first (so a connection
+            # exists), then reusing send_qos2_duplicate's path for a
+            # normal delivery and finally a stray PUBREL
+            broker.send_qos2_duplicate("t", b"m", packet_id=7)
+            assert _wait_until(lambda: len(got) == 1)
+            assert _wait_until(lambda: len(client._qos2_pending) == 0)
+            with broker._lock:
+                conn = broker._subs[0][0]
+            conn.sendall(w.encode_pubrel(7))   # retransmit after release
+            conn.sendall(w.encode_pubrel(999))  # never-seen pid
+            # client must stay alive and deliver nothing new
+            broker.send_qos2_duplicate("t", b"after", packet_id=8)
+            assert _wait_until(lambda: len(got) == 2)
+            assert got == [b"m", b"after"]
+        finally:
+            client.disconnect()
