@@ -1381,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_ema_events": sca.ts_ema_events,
             "ts_state_count_events": sca.ts_state_count_events,
             "ts_state_duration_events": sca.ts_state_duration_events,
+            "ts_state_changes_events": sca.ts_state_changes_events,
+            "ts_event_duration_events": sca.ts_event_duration_events,
             "dedup_ngram_span_coverage": sca.dedup_ngram_span_coverage,
             "text_unigram_rarity_docs": sca.text_unigram_rarity_docs,
             "ts_derivative_nonneg_events": sca.ts_derivative_nonneg_events,
@@ -1978,6 +1980,8 @@ def oracle_sql() -> dict[str, str]:
             "sketch_heavy_hitters": sca.HEAVY_HITTERS_SQL,
             "sketch_distinct_users_daily": sca.SKETCH_DISTINCT_SQL,
             "ts_state_duration_events": sca.STATE_DURATION_SQL,
+            "ts_state_changes_events": sca.STATE_CHANGES_SQL,
+            "ts_event_duration_events": sca.EVENT_DURATION_SQL,
             "dedup_ngram_span_coverage": sca.NGRAM_SPAN_SQL,
             "text_unigram_rarity_docs": sca.UNIGRAM_RARITY_SQL,
             "ts_derivative_nonneg_events": sca.TS_DERIVATIVE_NONNEG_SQL,

@@ -1338,3 +1338,55 @@ def time_weighted_avg(
             / F.col("_span").cast("double"),
         ).alias(alias),
     )
+
+
+def state_changes(
+    df: DataFrame,
+    predicate: Column,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak: Sequence[str] = (),
+    alias: str = "state",
+) -> DataFrame:
+    """Rows where the predicate's truth value FLIPS relative to the
+    previous row of the series — the Flux ``monitor.stateChanges``
+    shape expressed over this dialect's ``fn:`` predicates (the
+    ``stateCount``/``stateDuration`` family's third member). Each kept
+    row carries its NEW state in ``alias``. The first row of a series
+    has no previous level and is not a transition (documented; Flux's
+    monitor package likewise needs two levels to report a change).
+    One lag over the series partitioning — single exchange+sort."""
+    w = _series_window(series, ts_col, tiebreak)
+    staged = df.withColumn("_flag", predicate)
+    prev = F.lag("_flag").over(w)
+    return (
+        staged.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNotNull()
+                & (F.col("_flag") != F.col("_prev")))
+        .withColumn(alias, F.col("_flag"))
+        .drop("_flag", "_prev")
+    )
+
+
+def event_duration(
+    df: DataFrame,
+    series: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak: Sequence[str] = (),
+    unit_seconds: float = 1.0,
+    alias: str = "duration",
+) -> DataFrame:
+    """Flux contrib ``events.duration(unit:)``: per row, the time until
+    the NEXT row of its series, in ``unit`` (default 1s here — Flux's
+    1ns default is a documented divergence; the gap itself is an exact
+    µs integer, so the single mirrored division is the only float op).
+    The last row of each series has no successor and is null (Flux
+    substitutes a stopColumn; null is filterable and hash-stable)."""
+    if unit_seconds <= 0:
+        raise ValueError(f"unit must be positive: {unit_seconds}")
+    w = _series_window(series, ts_col, tiebreak)
+    eus = epoch_us(F.col(ts_col))
+    gap = (F.lead(eus).over(w) - eus).cast("bigint")
+    return df.withColumn(
+        alias, gap.cast("double") / F.lit(1_000_000.0 * unit_seconds)
+    )

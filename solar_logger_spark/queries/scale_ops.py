@@ -1208,6 +1208,54 @@ STATE_DURATION_SQL = """
 """
 
 
+def ts_state_changes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux ``stateChanges`` (r11): only the rows where the value>50
+    predicate FLIPS per event_type series, each carrying its new state
+    (operators.timeseries.state_changes). One lag per series — single
+    exchange; the first row of a series is not a transition."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.state_changes(
+        events, F.col("value") > 50.0, ["event_type"], tiebreak=["event_id"]
+    )
+    return out.select("event_id", "event_type", "value", "state")
+
+
+STATE_CHANGES_SQL = """
+    WITH flagged AS (
+        SELECT event_id, event_type, value, (value > 50.0) AS flag,
+               lag(value > 50.0) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS prev_flag
+        FROM events
+    )
+    SELECT event_id, event_type, value, flag AS state
+    FROM flagged
+    WHERE prev_flag IS NOT NULL AND flag <> prev_flag
+"""
+
+
+def ts_event_duration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux contrib ``events.duration`` (r11): per row, seconds until
+    the NEXT row of its event_type series; the last row of a series is
+    null (operators.timeseries.event_duration). The gap is an exact µs
+    integer — the single mirrored division is the only float op."""
+    from solar_logger_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    out = T.event_duration(events, ["event_type"], tiebreak=["event_id"])
+    return out.select("event_id", "event_type", "duration")
+
+
+EVENT_DURATION_SQL = """
+    SELECT event_id, event_type,
+           CAST(lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)
+                - epoch_us(ts) AS DOUBLE) / 1000000.0 AS duration
+    FROM events
+"""
+
+
 def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day HLL sketches of user_id, merged to a per-event-type
     distinct estimate — the store-sketches-not-rows pattern.

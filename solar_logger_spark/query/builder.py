@@ -209,6 +209,7 @@ class QueryBuilder:
         "difference", "derivative", "cumulativeSum", "increase",
         "movingAverage", "exponentialMovingAverage", "elapsed",
         "timeShift", "fill", "stateCount", "stateDuration",
+        "stateChanges", "events.duration",
         "top", "bottom", "distinct", "unique",
         "keep", "drop", "rename",
         "group", "pivot", "map", "truncateTimeColumn",
@@ -626,6 +627,19 @@ class QueryBuilder:
                 df, params["predicate"], series, ts_col=ts,
                 tiebreak=tiebreak, alias="state_duration",
                 unit_seconds=params.get("unit_seconds", 1.0),
+            )
+        if name == "stateChanges":
+            # transitions only, new state in `state`
+            # (operators/timeseries.state_changes)
+            return T.state_changes(
+                df, params["predicate"], series, ts_col=ts,
+                tiebreak=tiebreak, alias="state",
+            )
+        if name == "events.duration":
+            return T.event_duration(
+                df, series, ts_col=ts, tiebreak=tiebreak,
+                unit_seconds=params.get("unit_seconds", 1.0),
+                alias="duration",
             )
         fn = {
             "difference": lambda d: T.difference(

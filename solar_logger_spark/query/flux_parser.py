@@ -276,6 +276,7 @@ _TRANSFORM_STAGES = {
     "difference", "derivative", "cumulativeSum", "increase",
     "movingAverage", "exponentialMovingAverage", "elapsed",
     "timeShift", "fill", "stateCount", "stateDuration",
+    "stateChanges", "events.duration",
     "top", "bottom", "distinct", "unique",
     "keep", "drop", "rename",
     "pivot", "map", "truncateTimeColumn",
@@ -416,7 +417,7 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
         if not mapping:
             raise ValueError(f"rename needs columns: {{old: \"new\"}}")
         params["columns"] = mapping
-    if name in ("stateCount", "stateDuration"):
+    if name in ("stateCount", "stateDuration", "stateChanges"):
         m = _PRED.search(body) or _DOT_PRED.search(body)
         if not m:
             raise ValueError(f"{name} needs fn: (r) => r.<field> <op> <v>")
@@ -424,6 +425,10 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
             m.group("field"),
             m.group("op"),
             _unquote(m.group("value").rstrip("),")),
+        )
+    if name == "events.duration" and "unit" in args:
+        params["unit_seconds"] = _unit_seconds(
+            str(_unquote(args["unit"])).rstrip(")")
         )
     if name == "histogram":
         # histogram(bins: [0.0, 10.0, 20.0])

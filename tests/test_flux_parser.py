@@ -1394,3 +1394,58 @@ def test_roundtrip_renderer_r11_stages(spark, sf_dir):
         .range(datetime(2024, 1, 5), datetime(2024, 1, 25))
         .transform("timeWeightedAvg")
     )
+
+
+def test_execute_text_state_changes_and_event_duration(spark, sf_dir):
+    """r11: stateChanges(fn:) and events.duration(unit:) through TEXT
+    == the native transforms."""
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.io.tables import load_table
+    from solar_logger_spark.operators.timeseries import (
+        event_duration, state_changes,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") >= "2024-01-01")
+
+    got = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            ' |> stateChanges(fn: (r) => r["_value"] > 50)'
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    want = state_changes(
+        base, F.col("value") > 50, ["event_type"], tiebreak=["event_id"]
+    )
+    a = sorted((r.event_id, r.state) for r in got.collect())
+    b = sorted((r.event_id, r.state) for r in want.collect())
+    assert a == b and len(a) > 0
+
+    got_d = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> events.duration(unit: 1m)"
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    want_d = event_duration(
+        base, ["event_type"], tiebreak=["event_id"], unit_seconds=60.0
+    )
+
+    def hx(rows):
+        return sorted(
+            (r.event_id, None if r.v is None else r.v.hex()) for r in rows
+        )
+
+    assert hx(got_d.selectExpr("event_id", "duration AS v").collect()) == hx(
+        want_d.selectExpr("event_id", "duration AS v").collect()
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs fn:"):
+        parse_flux('from(bucket: "e") |> stateChanges()')

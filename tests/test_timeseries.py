@@ -1017,3 +1017,55 @@ def test_time_weighted_avg_hand_computed(spark):
     }
     assert got["a"] == 250.0 / 30.0
     assert got["b"] is None and got["c"] is None
+
+
+def test_state_changes_and_event_duration(spark):
+    """r11: stateChanges keeps only predicate flips (first row of a
+    series is not a transition) with the new state attached;
+    events.duration is seconds-to-next-row, null on each series tail."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from solar_logger_spark.operators.timeseries import (
+        event_duration, state_changes,
+    )
+
+    base = datetime(2024, 1, 1)
+    vals = {"a": [1.0, 9.0, 9.0, 2.0, 8.0], "b": [9.0, 9.0]}
+    rows = [
+        (s, base + timedelta(seconds=10 * (i + 1) * (i + 1)), v, i)
+        for s, vs in vals.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, ts timestamp, value double, event_id long"
+    )
+    flips = state_changes(
+        df, F.col("value") > 5.0, ["s"], tiebreak=["event_id"]
+    ).collect()
+    got = sorted((r.s, r.event_id, r.state) for r in flips)
+    # a: off->on at i=1, on->off at i=3, off->on at i=4; b: no flips
+    assert got == [("a", 1, True), ("a", 3, False), ("a", 4, True)]
+
+    dur = {
+        (r.s, r.event_id): r.duration
+        for r in event_duration(df, ["s"], tiebreak=["event_id"]).collect()
+    }
+    # quadratic spacing: gaps 30, 50, 70, 90s for a; 30s for b
+    assert dur[("a", 0)] == 30.0 and dur[("a", 3)] == 90.0
+    assert dur[("b", 0)] == 30.0
+    assert dur[("a", 4)] is None and dur[("b", 1)] is None
+    # unit conversion: 1m -> minutes
+    m = {
+        (r.s, r.event_id): r.duration
+        for r in event_duration(
+            df, ["s"], tiebreak=["event_id"], unit_seconds=60.0
+        ).collect()
+    }
+    assert m[("a", 0)] == 0.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unit must be"):
+        event_duration(df, ["s"], unit_seconds=0.0)
