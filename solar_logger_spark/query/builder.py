@@ -220,7 +220,7 @@ class QueryBuilder:
         "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
         "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
         "histogramQuantile", "hourSelection", "timeWeightedAvg",
-        "toFloat", "toInt", "toString", "toBool",
+        "toFloat", "toInt", "toString", "toBool", "set",
         "highestMax", "highestAverage", "highestCurrent",
         "lowestMin", "lowestAverage", "lowestCurrent",
         # bare Flux aggregates: collapse each series table to one row
@@ -292,6 +292,12 @@ class QueryBuilder:
                 df.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= n)
                 .drop("_rk")
+            )
+        if name == "set":
+            # Flux set(key:, value:): add/overwrite a STRING column —
+            # the tag-before-union idiom. A literal column, no shuffle.
+            return df.withColumn(
+                str(params["key"]), F.lit(str(params["value"]))
             )
         if name in ("toFloat", "toInt", "toString", "toBool"):
             # Flux type-conversion stages over the value column.
@@ -861,7 +867,10 @@ class QueryBuilder:
                 args.append(f"n: {params['n']}")
             if "duration" in params:
                 args.append(f"duration: {params['duration']}")
-            if "value" in params:
+            if name == "set":
+                args.append(f"key: \"{params['key']}\", "
+                            f"value: \"{params['value']}\"")
+            elif "value" in params:
                 args.append(f"value: {params['value']}")
             if "unit_seconds" in params:
                 args.append(f"unit: {int(params['unit_seconds'])}s")

@@ -287,7 +287,7 @@ _TRANSFORM_STAGES = {
     "chandeMomentumOscillator", "kaufmansER", "kaufmansAMA",
     "doubleEMA", "tripleEMA", "tripleExponentialDerivative",
     "histogramQuantile", "timeWeightedAvg",
-    "toFloat", "toInt", "toString", "toBool",
+    "toFloat", "toInt", "toString", "toBool", "set",
     "highestMax", "highestAverage", "highestCurrent",
     "lowestMin", "lowestAverage", "lowestCurrent",
 } | _BARE_AGGS
@@ -430,6 +430,11 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
         params["unit_seconds"] = _unit_seconds(
             str(_unquote(args["unit"])).rstrip(")")
         )
+    if name == "set":
+        if "key" not in args or "value" not in args:
+            raise ValueError(f"set needs key:+value:: {body!r}")
+        params["key"] = str(_unquote(args["key"]))
+        params["value"] = str(_unquote(args["value"])).rstrip(")")
     if name == "histogram":
         # histogram(bins: [0.0, 10.0, 20.0])
         nums = re.findall(r"-?\d+\.?\d*(?:[eE]-?\d+)?", args.get("bins", ""))

@@ -1449,3 +1449,30 @@ def test_execute_text_state_changes_and_event_duration(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="needs fn:"):
         parse_flux('from(bucket: "e") |> stateChanges()')
+
+
+def test_execute_text_set_stage(spark, sf_dir):
+    """r11: set(key:, value:) adds/overwrites a string column — the
+    tag-before-union idiom; key:+value: required at parse time."""
+    from solar_logger_spark.io.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            ' |> aggregateWindow(every: 1d, fn: count)'
+            ' |> set(key: "source", value: "prod-a")'
+            ' |> set(key: "event_type", value: "tagged")'  # overwrite
+        )
+        .to_builder(events, series_cols=("event_type",))
+        .to_df()
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.source == "prod-a" for r in rows)
+    assert all(r.event_type == "tagged" for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs key:"):
+        parse_flux('from(bucket: "e") |> set(key: "a")')
