@@ -504,7 +504,8 @@ FLUX_TEXT_TWA_SQL = """
         WHERE {range} AND (event_type = 'click' OR event_type = 'view')
     ), seg AS (
         SELECT event_type, eus,
-               (xi + lag(xi) OVER win) * (eus - lag(eus) OVER win) AS t2
+               CAST(xi + lag(xi) OVER win AS HUGEINT)
+                 * (eus - lag(eus) OVER win) AS t2
         FROM x
         WINDOW win AS (PARTITION BY event_type ORDER BY ts, xi, event_id)
     )
@@ -1734,7 +1735,7 @@ _MOMENT_PRELUDE = """
         FROM events WHERE {range}
     ), s AS (
         SELECT ts, event_type,
-               CAST(count(*) AS DOUBLE) AS n,
+               CAST(count(xi) AS DOUBLE) AS n,
                CAST(sum(xi) AS DOUBLE) AS s1,
                CAST(sum(xi * xi) AS DOUBLE) AS s2,
                CAST(sum(xi * xi * xi) AS DOUBLE) AS s3,

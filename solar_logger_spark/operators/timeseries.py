@@ -1299,9 +1299,11 @@ def time_weighted_avg(
 
     Exactness discipline: values quantize to scaled int64
     (``decimal(12,2)·100`` — the moment-aggregate hop), timestamps
-    are exact µs ints, so every trapezoid term ``(xi + prev_xi)·Δus``
-    is an exact int64 (≤ ~3.4e17) and the per-series sum accumulates
-    as an exact decimal (DuckDB: HUGEINT) — association-free. One
+    are exact µs ints, and every trapezoid term ``(xi + prev_xi)·Δus``
+    is computed in decimal(38,0) (the pair-sum is cast BEFORE the
+    multiplication — an int64 product overflows for large values with
+    gaps over a few seconds); the per-series sum accumulates as an
+    exact decimal (DuckDB: HUGEINT) — association-free. One
     mirrored float expression at the end:
     ``CAST(s AS DOUBLE) / 200.0 / CAST(span_us AS DOUBLE)``
     (÷2 for the trapezoid, ÷100 for the value scale). Plan: one
@@ -1321,8 +1323,14 @@ def time_weighted_avg(
     spec = Window.partitionBy(*[F.col(c) for c in series]).orderBy(
         F.col(ts_col), F.col("_xi"), *[F.col(c) for c in tiebreak]
     )
+    # the pair-sum is cast to decimal BEFORE the multiplication: with
+    # decimal(12,2) values xi reaches ~1e12, so (xi + prev_xi)·Δus
+    # overflows int64 for gaps over ~4.6s — Spark (ANSI off) would
+    # wrap silently while the DuckDB twin raises (r12 ADVICE fix).
+    # decimal(38,0)·bigint stays exact for the full domain
+    # (≤ 2e12 · span_us, far under 38 digits).
     term = (
-        (F.col("_xi") + F.lag("_xi").over(spec))
+        (F.col("_xi") + F.lag("_xi").over(spec)).cast("decimal(38,0)")
         * (F.col("_eus") - F.lag("_eus").over(spec))
     ).cast("decimal(38,0)")
     seg = staged.select(*series, F.col("_eus"), term.alias("_t2"))

@@ -150,6 +150,19 @@ def _unquote(tok: str):
         return tok
 
 
+def _strarg(tok: str) -> str:
+    """A string argument from a ``_parse_args`` token: quoted tokens
+    already exclude the call's closing paren (the regex's quoted
+    alternative stops at the closing quote), so only an UNQUOTED token
+    may carry a trailing ``)`` to strip — rstrip-ing after unquoting
+    would corrupt a legitimate value ending in ')' (r12 ADVICE fix,
+    e.g. ``set(key: "src", value: "region(east)")``)."""
+    tok = tok.strip()
+    if tok[:1] in "\"'":
+        return str(_unquote(tok))
+    return str(_unquote(tok.rstrip(")")))
+
+
 def _parse_args(body: str) -> dict[str, str]:
     """``key: value`` pairs from a stage body; tolerant of a missing
     closing paren and of list values (``columns: ["a", "b"]``)."""
@@ -433,8 +446,8 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
     if name == "set":
         if "key" not in args or "value" not in args:
             raise ValueError(f"set needs key:+value:: {body!r}")
-        params["key"] = str(_unquote(args["key"]))
-        params["value"] = str(_unquote(args["value"])).rstrip(")")
+        params["key"] = _strarg(args["key"])
+        params["value"] = _strarg(args["value"])
     if name == "histogram":
         # histogram(bins: [0.0, 10.0, 20.0])
         nums = re.findall(r"-?\d+\.?\d*(?:[eE]-?\d+)?", args.get("bins", ""))

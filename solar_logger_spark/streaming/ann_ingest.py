@@ -592,12 +592,22 @@ def search_ann_index(
     model = read_model(index_dir)
     codes = resolved_codes(spark, index_dir, model)
     id_col, vec_col = model["id_col"], model["vec_col"]
+    qpairs = None
     if model["string_ids"]:
         # bridge string-keyed inputs to surrogates, search on bigints
         # below, then translate the result back to the original
-        # strings via the persisted map (two joins; the shortlist side
-        # is (queries × k)-sized, the map side joins on its key)
+        # strings. Neighbor ids are always corpus members, so the
+        # persisted map resolves them; query ids need NOT be indexed
+        # (a fresh query vector is the normal case), so their
+        # (sid, orig) pairs are captured from the queries DataFrame
+        # itself BEFORE bridging — an inner join against the persisted
+        # map alone would silently drop every fresh query's rows.
         if _is_string_id(queries, id_col):
+            qpairs = queries.select(
+                _sid(F.col(id_col)).alias("sid"),
+                F.col(id_col).alias("orig"),
+            ).distinct()
+            _check_sid_collisions(qpairs, "query set")
             queries = queries.withColumn(id_col, _sid(F.col(id_col)))
         if corpus is not None and _is_string_id(corpus, id_col):
             corpus = corpus.withColumn(id_col, _sid(F.col(id_col)))
@@ -610,7 +620,7 @@ def search_ann_index(
             id_col=id_col, vec_col=vec_col,
             rerank=rerank, raw=corpus,
         )
-        return _restore_string_ids(spark, index_dir, model, res)
+        return _restore_string_ids(spark, index_dir, model, res, qpairs)
     if corpus is None:
         raise ValueError(
             "rows-layout search re-ranks exactly against the raw "
@@ -647,26 +657,46 @@ def search_ann_index(
     res = pq._adc_rank_tail(
         codes, dtab, qn, vn, rerank, k, ["cell", "ms", "code"]
     )
-    return _restore_string_ids(spark, index_dir, model, res)
+    return _restore_string_ids(spark, index_dir, model, res, qpairs)
 
 
-def _restore_string_ids(spark, index_dir, model, res: DataFrame):
+def _restore_string_ids(spark, index_dir, model, res: DataFrame,
+                        qpairs: DataFrame | None = None):
     """For a string-keyed index: translate the surrogate query/neighbor
-    ids of a search result back to the original strings via the
-    persisted map. No-op for integer-keyed indexes."""
+    ids of a search result back to the original strings. No-op for
+    integer-keyed indexes.
+
+    Neighbor ids are always corpus members, so the persisted map
+    resolves them (inner join — a miss there would be a real index
+    inconsistency). Query ids are translated from ``qpairs``, the
+    (sid, orig) pairs captured from the caller's queries DataFrame
+    before bridging: a fresh query vector whose id was never indexed
+    (the normal case) has no persisted-map row, and an inner join
+    against the map alone would silently drop all of its result rows
+    (round-12 ADVICE fix). When the caller passed pre-bridged bigint
+    query ids (``qpairs is None``), fall back to a LEFT join against
+    the map, coalescing unmapped surrogates to their decimal string."""
     if not model["string_ids"]:
         return res
     mp = read_id_map(spark, index_dir)
-    qm = mp.select(
-        F.col("sid").alias("query_id"), F.col("orig").alias("_qo")
-    )
+    if qpairs is not None:
+        # query-set-sized: always broadcastable
+        qm = F.broadcast(qpairs.select(
+            F.col("sid").alias("query_id"), F.col("orig").alias("_qo")
+        ))
+    else:
+        qm = mp.select(
+            F.col("sid").alias("query_id"), F.col("orig").alias("_qo")
+        )
     nm = mp.select(
         F.col("sid").alias("neighbor_id"), F.col("orig").alias("_no")
     )
     return (
-        res.join(qm, "query_id").join(nm, "neighbor_id")
+        res.join(qm, "query_id", "left")
+        .join(nm, "neighbor_id")
         .select(
-            F.col("_qo").alias("query_id"),
+            F.coalesce(F.col("_qo"), F.col("query_id").cast("string"))
+            .alias("query_id"),
             F.col("_no").alias("neighbor_id"),
             "approx_dist", "rank",
         )

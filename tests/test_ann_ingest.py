@@ -703,3 +703,54 @@ def test_string_keyed_deterministic_bootstrap_and_collision_guard(
             )
     finally:
         ai_mod._sid = orig_sid
+
+
+def test_string_keyed_search_with_fresh_query_ids(spark, sf_dir, tmp_path):
+    """r12 (ADVICE high): query ids that were NEVER indexed — the
+    normal case for fresh query vectors — must still come back with
+    their original strings. The old restore inner-joined the persisted
+    _id_map on query_id too, which only holds corpus/delivery ids, so
+    a fresh query's rows were silently dropped (empty shortlist)."""
+    emb, initial, delivery, q = _load(spark, sf_dir)
+    idx = str(tmp_path / "ann_fresh_q")
+    AI.bootstrap_ann_index(_string_corpus(initial), idx,
+                           n_cells=8, m=8, ks=16)
+    AI.ann_ingest_sink(idx)(_string_corpus(delivery), 1)
+
+    fresh_q = q.select(
+        F.concat(F.lit("query/"), F.col("vec_id").cast("string"))
+        .alias("vec_id"),
+        "embedding",
+    )
+    # sanity: none of the fresh ids are in the persisted map
+    mp = AI.read_id_map(spark, idx)
+    assert mp.filter(F.col("orig").startswith("query/")).count() == 0
+
+    got = AI.search_ann_index(
+        spark, idx, fresh_q, corpus=_string_corpus(emb),
+        k=5, n_probe=4, rerank=50,
+    ).collect()
+    assert len(got) == 25
+    assert {r.query_id for r in got} == {f"query/{i}" for i in range(5)}
+    assert all(r.neighbor_id.startswith("doc-") for r in got)
+
+    # and the fresh-id results mirror the same vectors queried under
+    # corpus-member ids, modulo the designed self-pair drop: a member
+    # id excludes itself, a fresh id legitimately surfaces its corpus
+    # twin at rank 1 (distance 0), then the member ranks 1..4 follow
+    member = {}
+    for r in AI.search_ann_index(
+        spark, idx, _string_corpus(q), corpus=_string_corpus(emb),
+        k=5, n_probe=4, rerank=50,
+    ).collect():
+        member.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id)
+        )
+    fresh = {}
+    for r in got:
+        fresh.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for i in range(5):
+        fr = [n for _, n in sorted(fresh[f"query/{i}"])]
+        mr = [n for _, n in sorted(member[f"doc-{i}"])]
+        assert fr[0] == f"doc-{i}"   # the corpus twin, self-pair kept
+        assert fr[1:] == mr[:4]

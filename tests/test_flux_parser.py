@@ -1476,3 +1476,23 @@ def test_execute_text_set_stage(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="needs key:"):
         parse_flux('from(bucket: "e") |> set(key: "a")')
+
+
+def test_parse_set_value_with_trailing_paren():
+    """r12 (ADVICE low): a quoted value legitimately ending in ')' —
+    the old rstrip-after-unquote corrupted "region(east)" to
+    "region(east"; quoted tokens never include the call's closing
+    paren, so nothing should be stripped. Key/value order-reversed
+    form pins the same handling for key."""
+    pipe = parse_flux(
+        'from(bucket: "e") |> set(key: "src", value: "region(east)")'
+    )
+    [(name, params)] = [t for t in pipe.transforms if t[0] == "set"]
+    assert params["value"] == "region(east)"
+    assert params["key"] == "src"
+    pipe2 = parse_flux(
+        'from(bucket: "e") |> set(value: "x)", key: "k(1)")'
+    )
+    [(name2, params2)] = [t for t in pipe2.transforms if t[0] == "set"]
+    assert params2["value"] == "x)"
+    assert params2["key"] == "k(1)"

@@ -1019,6 +1019,70 @@ def test_time_weighted_avg_hand_computed(spark):
     assert got["b"] is None and got["c"] is None
 
 
+def test_time_weighted_avg_large_values_long_gaps_no_overflow(spark):
+    """r12 (ADVICE medium): the trapezoid term used to multiply two
+    BIGINTs — with decimal(12,2)-scale values (xi up to ~1e12) a gap
+    over ~4.6s wrapped int64 silently (ANSI off) while the DuckDB twin
+    raised. The pair-sum is now cast to decimal before the multiply;
+    pin exactness at the domain corner: max-magnitude values, hour
+    gaps, against both the exact Python trapezoid and DuckDB."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from solar_logger_spark.operators.timeseries import time_weighted_avg
+
+    big = 9999999999.99            # decimal(12,2) max magnitude
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("a", base, big, 0),
+        ("a", base + timedelta(hours=1), big, 1),
+        ("a", base + timedelta(hours=3), -big, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, ts timestamp, value double, event_id long"
+    )
+    got = {
+        r.s: r.value
+        for r in time_weighted_avg(df, ["s"], tiebreak=["event_id"]).collect()
+    }
+    # exact integer trapezoid (scaled by 100), one float division
+    xi = round(big * 100)
+    h = 3_600_000_000              # 1h in us
+    s_exact = (xi + xi) * h + (xi + (-xi)) * 2 * h
+    want = float(s_exact) / 200.0 / float(3 * h)
+    assert got["a"] == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "('a', TIMESTAMP '2024-01-01 00:00:00', 9999999999.99, 0), "
+        "('a', TIMESTAMP '2024-01-01 01:00:00', 9999999999.99, 1), "
+        "('a', TIMESTAMP '2024-01-01 03:00:00', -9999999999.99, 2)"
+        ") v(s, ts, value, event_id)"
+    )
+    [(duck,)] = con.execute("""
+        WITH x AS (
+            SELECT s, ts, event_id,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS xi,
+                   epoch_us(ts) AS eus
+            FROM t
+        ), seg AS (
+            SELECT s, eus,
+                   CAST(xi + lag(xi) OVER win AS HUGEINT)
+                     * (eus - lag(eus) OVER win) AS t2
+            FROM x
+            WINDOW win AS (PARTITION BY s ORDER BY ts, xi, event_id)
+        )
+        SELECT CASE WHEN max(eus) - min(eus) > 0
+                    THEN CAST(sum(t2) AS DOUBLE) / 200.0
+                         / CAST(max(eus) - min(eus) AS DOUBLE)
+               END AS value
+        FROM seg GROUP BY s
+    """).fetchall()
+    assert duck == want
+
+
 def test_state_changes_and_event_duration(spark):
     """r11: stateChanges keeps only predicate flips (first row of a
     series is not a transition) with the new state attached;

@@ -291,3 +291,52 @@ def test_mode_tie_breaks_to_lowest(spark):
     )
     out = aggregate_window(df, "1h", "mode", by=[]).collect()
     assert [(r.ts, r.value) for r in out] == [(datetime(2024, 1, 1, 1), 1.0)]
+
+
+def test_skew_kurtosis_null_values_match_oracle_semantics(spark):
+    """r12 (ADVICE low): _power_sums' n is F.count(xi) — the non-null
+    count — and the DuckDB moment prelude must use count(xi) too (it
+    used count(*), so any group containing nulls diverged
+    cross-engine). Pin: a group with nulls equals the same group with
+    the nulls REMOVED, on both engines."""
+    import duckdb
+
+    vals = [0.0, 1.0, None, 2.0, None, 3.0, 4.0, 5.0]
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, i), v) for i, v in enumerate(vals)],
+        "ts timestamp, value double",
+    )
+    dense = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, i), v)
+         for i, v in enumerate([v for v in vals if v is not None])],
+        "ts timestamp, value double",
+    )
+    for fn in ("skew", "kurtosis"):
+        with_nulls = aggregate_window(df, "1h", fn, by=[]).collect()
+        without = aggregate_window(dense, "1h", fn, by=[]).collect()
+        assert [r.value for r in with_nulls] == [r.value for r in without]
+
+    # and the mirrored SQL (count(xi) form) agrees bit-for-bit
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(value DOUBLE); INSERT INTO t VALUES "
+        + ", ".join("(NULL)" if v is None else f"({v})" for v in vals)
+    )
+    [(n, s1, s2)] = con.execute("""
+        SELECT count(xi), CAST(sum(xi) AS DOUBLE),
+               CAST(sum(xi*xi) AS DOUBLE)
+        FROM (SELECT CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                     AS BIGINT) AS HUGEINT) AS xi FROM t)
+    """).fetchall()
+    assert n == 6  # count(xi) skips nulls, count(*) would say 8
+    want_skew = aggregate_window(df, "1h", "skew", by=[]).collect()[0].value
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    [(s3,)] = con.execute("""
+        SELECT CAST(sum(xi*xi*xi) AS DOUBLE)
+        FROM (SELECT CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                     AS BIGINT) AS HUGEINT) AS xi FROM t)
+    """).fetchall()
+    m3 = s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * m1 * m1 * m1
+    import math
+    assert want_skew == m3 / (m2 * math.sqrt(m2))
