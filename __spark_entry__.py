@@ -555,6 +555,94 @@ FLUX_TEXT_TO_FLOAT_SQL = """
 """
 
 
+def q_flux_text_map_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT ``map()`` with the r12 expression-language extension
+    (VERDICT task #4): an ``if/then/else`` conditional choosing
+    between ``strings.toUpper``/``toLower`` calls, plus a ``math.abs``
+    arithmetic rewrite — all compiled to native JVM expressions
+    (query/flux_parser._ast_to_column; never a Python UDF). Every op
+    is IEEE-exact/string-exact, so the oracle mirror hash-matches."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> map(fn: (r) => ({ r with band: "
+        'if r._value >= 50.0 then strings.toUpper(v: r["_measurement"])'
+        ' else strings.toLower(v: r["_measurement"]) }))'
+        "\n\t|> map(fn: (r) => ({ r with dev: "
+        "math.abs(x: r._value - 50.0) }))"
+        '\n\t|> keep(columns: ["event_id", "band", "dev"])'
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_MAP_COND_SQL = """
+    SELECT event_id,
+           CASE WHEN value >= 50.0 THEN upper(event_type)
+                ELSE lower(event_type) END AS band,
+           abs(value - 50.0) AS dev
+    FROM events
+    WHERE {range}
+"""
+
+
+def q_flux_text_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux TEXT ``reduce(fn:, identity:)`` (r12, VERDICT task #4):
+    running count + running max/min accumulators lowered to ONE native
+    hash aggregate per series table (flux_parser._reduce_aggs) — the
+    identity folds in as ``identity + SUM`` / ``greatest(identity,
+    MAX)`` exactly as Flux's fold-from-identity defines. Count/extreme
+    accumulators are order-free exact, so the mirror hash-matches."""
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    text = (
+        'from(bucket: "Bucket")'
+        "\n\t|> range(start: 2024-01-05, stop: 2024-01-25)"
+        "\n\t|> reduce(fn: (r, accumulator) => ({ "
+        "cnt: accumulator.cnt + 1.0, "
+        "mx: if r._value > accumulator.mx then r._value"
+        " else accumulator.mx, "
+        "mn: if r._value < accumulator.mn then r._value"
+        " else accumulator.mn }), "
+        "identity: {cnt: 0.0, mx: -1.0, mn: 99999.0})"
+    )
+    events = load_table(spark, sf_dir, "events", ns_range={"ts": (T0, T1)})
+    return (
+        parse_flux(text)
+        .to_builder(
+            events,
+            field_map={"_measurement": "event_type"},
+            ts_col="ts",
+            value_col="value",
+            series_cols=("event_type",),
+        )
+        .to_df()
+    )
+
+
+FLUX_TEXT_REDUCE_SQL = """
+    SELECT event_type,
+           0.0 + CAST(count(*) AS DOUBLE) AS cnt,
+           greatest(-1.0, max(value)) AS mx,
+           least(99999.0, min(value)) AS mn
+    FROM events
+    WHERE {range}
+    GROUP BY event_type
+"""
+
+
 def q_flux_text_highest_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux TEXT ``highestMax(n:)`` over user-keyed series: the
     maximum record of each user's table, then the global top 10 of
@@ -1276,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flux_text_lowest_average": q_flux_text_lowest_average,
         "flux_text_twa": q_flux_text_twa,
         "flux_text_to_float": q_flux_text_to_float,
+        "flux_text_map_cond": q_flux_text_map_cond,
+        "flux_text_reduce": q_flux_text_reduce,
         "flux_text_top": q_flux_text_top,
         "flux_text_unique": q_flux_text_unique,
         "flux_agg_offset": q_flux_agg_offset,
@@ -1557,6 +1647,20 @@ CHANGED_IN_ROUND = {
     "similarity_ann_pq": 11,
     "similarity_ann_ivfpq": 11,
     "embedding_pca_project": 11,
+    # r12: the EMA-family recursions were rewritten as segmented
+    # affine prefix scans (operators/affine_scan.py — within-series
+    # parallel, JVM-side; VERDICT r11 task #1). Float association is
+    # pinned to the hierarchical fold order and the oracles replay it
+    # (queries/affine_scan_sql.py), so outputs carry different (still
+    # bitwise cross-engine-verified at sf0.001 AND sf0.01) bits than
+    # the retired sequential forms; the towers additionally collapsed
+    # to single d=2/d=3 vector scans with closed-form constants.
+    "ts_ema_events": 12,
+    "ts_dema_events": 12,
+    "ts_tema_events": 12,
+    "ts_trix_events": 12,
+    "ts_holt_smoothing_events": 12,
+    "ts_kama_events": 12,
     }
 
 
@@ -1884,6 +1988,12 @@ def oracle_sql() -> dict[str, str]:
             "flux_text_lowest_average":
                 FLUX_TEXT_LOWEST_AVERAGE_SQL.format(range=_RANGE),
             "flux_text_twa": FLUX_TEXT_TWA_SQL.format(range=_RANGE),
+            "flux_text_map_cond": FLUX_TEXT_MAP_COND_SQL.format(
+                range=_RANGE
+            ),
+            "flux_text_reduce": FLUX_TEXT_REDUCE_SQL.format(
+                range=_RANGE
+            ),
             "flux_text_to_float":
                 FLUX_TEXT_TO_FLOAT_SQL.format(range=_RANGE),
             "flux_text_top": FLUX_TEXT_TOP_SQL.format(range=_RANGE),

@@ -72,13 +72,39 @@ def main() -> int:
     # runs on untouched code). min-of-2, same discipline as the queries.
     # (double-cast: a long sum of id*id overflows at this range, which
     # under the engine session's ANSI mode is a hard error)
-    canary = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(500_000_000).selectExpr(
-            "sum(CAST(id AS DOUBLE) * id) AS s"
-        ).collect()
-        canary = min(canary, time.perf_counter() - t0)
+    def _canary() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(500_000_000).selectExpr(
+                "sum(CAST(id AS DOUBLE) * id) AS s"
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    canary = _canary()
+
+    # Ambient guard (r12; the BENCH_r11 lesson): that record went into
+    # the permanent history at canary 0.624 s / loadavg 9 and read as a
+    # fake 1.23x regression. If the start looks busy — canary beyond
+    # ~1.5x the best committed quiet canary (0.244 s, BENCH_r10/r11
+    # quiet runs), or a loaded machine — sleep once, re-measure, and
+    # flag the record either way so bench_compare and any later reader
+    # can discount mechanically instead of forensically.
+    REF_CANARY = 0.28  # best committed quiet-run canary band
+    ambient_flag = "clean"
+    if canary > 1.5 * REF_CANARY or load1 > 4.0:
+        time.sleep(30)
+        canary = min(canary, _canary())
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            pass
+        ambient_flag = (
+            "busy_retried_clean"
+            if canary <= 1.5 * REF_CANARY
+            else "busy"
+        )
 
     # Two passes, min per query: pass 1 absorbs per-plan codegen/JIT
     # compilation (a long-lived cluster service pays that once, not per
@@ -134,6 +160,10 @@ def main() -> int:
         # Run-context record (round-10): lets any later reader deflate
         # this total by measured ambient drift instead of guessing.
         "canary_sec": round(canary, 3),
+        # "clean" | "busy_retried_clean" | "busy" — a "busy" record's
+        # total is ambient-contaminated and should be read only
+        # through bench_compare's deflation
+        "ambient_flag": ambient_flag,
         "loadavg_1m": round(load1, 2),
         "loadavg_5m": round(load5, 2),
         "preceded_by": os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "unspecified"),

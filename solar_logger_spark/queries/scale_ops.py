@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from solar_logger_spark.durations import epoch_us
 from solar_logger_spark.io.tables import load_table
+from solar_logger_spark.queries import affine_scan_sql as _scan_sql
 from solar_logger_spark.operators import (
     basket,
     cleaning,
@@ -1113,7 +1114,11 @@ MOVING_AVERAGE_SQL = """
 
 
 def ts_ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flux exponentialMovingAverage(n: 9) per user (α = 0.2)."""
+    """Flux exponentialMovingAverage(n: 9) per user (α = 0.2). r12:
+    runs as a segmented affine prefix scan (operators/affine_scan.py
+    — within-series parallel, JVM-side); the oracle replays the
+    pinned hierarchical fold order (queries/affine_scan_sql.py),
+    bitwise-verified at sf0.001 and sf0.01."""
     from solar_logger_spark.operators import timeseries as T
 
     events = load_table(spark, sf_dir, "events")
@@ -1122,22 +1127,18 @@ def ts_ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ema")
 
 
-EMA_SQL = """
-    WITH s AS (
-        SELECT user_id,
-               list(value ORDER BY ts, event_id) AS vals,
-               list(event_id ORDER BY ts, event_id) AS ids
-        FROM events GROUP BY user_id
-    ),
-    e AS (
-        SELECT user_id, unnest(ids) AS event_id,
-               generate_subscripts(vals, 1) AS rn, vals
-        FROM s
-    )
-    SELECT event_id, user_id,
-           list_reduce(vals[1:rn], (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
-    FROM e
-"""
+EMA_SQL = _scan_sql.scan_query_sql(
+    tag="ema_",
+    base="SELECT user_id, ts, event_id, value FROM events",
+    series=["user_id"],
+    order="ts, event_id",
+    d=1,
+    maps={
+        "a11": "CASE WHEN rn = 1 THEN 0.0 ELSE 0.8 END",
+        "c1": "CASE WHEN rn = 1 THEN value ELSE 0.2 * value END",
+    },
+    select="x.event_id, x.user_id, y.v1 AS ema",
+)
 
 
 def ts_state_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3477,12 +3478,16 @@ CUSUM_SQL = """
 def ts_holt_smoothing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential (level + trend) smoothing per user
     series (operators.timeseries.holt_smoothing) — the non-seasonal
-    core of Flux's holtWinters forecaster. The oracle replays the
-    identical recursion through a RECURSIVE CTE (O(n) per series; a
-    ``list_reduce`` struct accumulator was rejected — DuckDB evaluates
-    result-struct fields sequentially with ``acc`` aliased in place, so
-    a field reading another field's input silently sees the updated
-    value)."""
+    core of Flux's holtWinters forecaster. r12: runs as a 2-state
+    affine scan in closed matrix form (the coupled recursion
+    substituted value-independent, operators/timeseries.py); the
+    oracle replays the pinned fold order with POSITIONAL DOUBLE[]
+    map lists — a ``list_reduce`` STRUCT accumulator is unusable
+    because DuckDB v1.0.0 evaluates result-struct fields sequentially
+    with ``acc`` aliased in place (a field reading another field's
+    input silently sees the updated value; nested single-field
+    structs do not escape it), while list construction is atomic.
+    Bitwise-verified at sf0.001 and sf0.01."""
     from solar_logger_spark.operators import timeseries as T
 
     events = load_table(spark, sf_dir, "events")
@@ -3492,34 +3497,33 @@ def ts_holt_smoothing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "level", "trend")
 
 
-HOLT_SMOOTHING_SQL = """
-    -- The recursion carries only (user_id, rn, l, b); the per-series
-    -- value/id arrays live once in CTE s and are joined per step /
-    -- at the end — O(L) per series, not O(L^2) as carrying the arrays
-    -- through every recursion row would be.
-    WITH RECURSIVE s AS (
-        SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
-               list(event_id ORDER BY ts, event_id) AS ids
-        FROM events GROUP BY user_id
-    ), r AS (
-        SELECT user_id, 1 AS rn,
-               CAST(vals[1] AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
-        FROM s
-        UNION ALL
-        SELECT r.user_id, r.rn + 1,
-               0.2::DOUBLE * CAST(s.vals[r.rn + 1] AS DOUBLE)
-                   + 0.8::DOUBLE * (r.l + r.b),
-               0.1::DOUBLE * ((0.2::DOUBLE * CAST(s.vals[r.rn + 1] AS DOUBLE)
-                               + 0.8::DOUBLE * (r.l + r.b)) - r.l)
-                   + 0.9::DOUBLE * r.b
-        -- IS NOT DISTINCT FROM: USING would drop a null series key
-        -- that the Spark operator deliberately keeps (dropna=False)
-        FROM r JOIN s ON r.user_id IS NOT DISTINCT FROM s.user_id
-        WHERE r.rn < len(s.vals)
-    )
-    SELECT s.ids[r.rn] AS event_id, r.user_id, r.l AS level, r.b AS trend
-    FROM r JOIN s ON r.user_id IS NOT DISTINCT FROM s.user_id
-"""
+# Holt closed matrix constants (alpha = 0.2, beta = 0.1) — the exact
+# doubles timeseries.holt_smoothing computes in Python
+_HA, _HB = 0.2, 0.1
+_H = {
+    "a": repr(1.0 - _HA),           # 0.8
+    "nba": repr(-(_HB * _HA)),      # -beta*alpha
+    "iba": repr(1.0 - _HB * _HA),   # 1 - beta*alpha
+    "ba": repr(_HB * _HA),          # beta*alpha
+    "al": repr(_HA),
+}
+
+HOLT_SMOOTHING_SQL = _scan_sql.scan_query_sql(
+    tag="holt_",
+    base="SELECT user_id, ts, event_id, value FROM events",
+    series=["user_id"],
+    order="ts, event_id",
+    d=2,
+    maps={
+        "a11": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_H['a']} END",
+        "a12": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_H['a']} END",
+        "a21": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_H['nba']} END",
+        "a22": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_H['iba']} END",
+        "c1": f"CASE WHEN rn = 1 THEN value ELSE {_H['al']} * value END",
+        "c2": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_H['ba']} * value END",
+    },
+    select="x.event_id, x.user_id, y.v1 AS level, y.v2 AS trend",
+)
 
 
 def ts_holtwinters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3678,8 +3682,9 @@ RSI_SQL = """
 
 def ts_dema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux doubleEMA(n: 9) per user: 2*EMA - EMA(EMA), alpha = 0.2
-    (operators.timeseries.double_ema). The oracle materializes the
-    first EMA as a per-series list and re-folds its prefixes."""
+    (operators.timeseries.double_ema). r12: the tower runs as ONE
+    2-state affine scan (closed-form matrix constants); the oracle
+    replays the same pinned fold order, bitwise-verified."""
     from solar_logger_spark.operators import timeseries as T
 
     events = load_table(spark, sf_dir, "events")
@@ -3688,38 +3693,41 @@ def ts_dema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "dema")
 
 
-DEMA_SQL = """
-    WITH s AS (
-        SELECT user_id,
-               list(value ORDER BY ts, event_id) AS vals,
-               list(event_id ORDER BY ts, event_id) AS ids
-        FROM events GROUP BY user_id
-    ),
-    e1 AS (
-        SELECT user_id, ids,
-               list_transform(
-                   generate_series(1, len(vals)),
-                   i -> list_reduce(vals[1:i],
-                                    (acc, x) -> 0.2 * x + 0.8 * acc)
-               ) AS em1
-        FROM s
-    ),
-    r AS (
-        SELECT user_id, unnest(ids) AS event_id,
-               generate_subscripts(ids, 1) AS rn, em1
-        FROM e1
-    )
-    SELECT event_id, user_id,
-           2.0 * em1[rn]
-           - list_reduce(em1[1:rn], (acc, x) -> 0.2 * x + 0.8 * acc)
-               AS dema
-    FROM r
-"""
+# closed-form tower constants (alpha = 0.2 for n = 9), embedded via
+# repr so both engines hold the identical doubles the Spark operator
+# computes in Python (timeseries.double_ema/_ema_tower3)
+_AL = 2.0 / (9 + 1)
+_T = {
+    "a": repr(1.0 - _AL),                 # 1-alpha
+    "ab": repr(_AL * (1.0 - _AL)),        # alpha(1-alpha)
+    "abb": repr(_AL * _AL * (1.0 - _AL)), # alpha^2(1-alpha)
+    "c1": repr(_AL),
+    "c2": repr(_AL * _AL),
+    "c3": repr(_AL * _AL * _AL),
+}
+
+DEMA_SQL = _scan_sql.scan_query_sql(
+    tag="dema_",
+    base="SELECT user_id, ts, event_id, value FROM events",
+    series=["user_id"],
+    order="ts, event_id",
+    d=2,
+    maps={
+        "a11": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['a']} END",
+        "a12": "0.0",
+        "a21": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['ab']} END",
+        "a22": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['a']} END",
+        "c1": f"CASE WHEN rn = 1 THEN value ELSE {_T['c1']} * value END",
+        "c2": f"CASE WHEN rn = 1 THEN value ELSE {_T['c2']} * value END",
+    },
+    select="x.event_id, x.user_id, 2.0 * y.v1 - y.v2 AS dema",
+)
 
 
 def ts_tema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux tripleEMA(n: 9) per user: 3*e1 - 3*e2 + e3 over the EMA
-    tower (operators.timeseries.triple_ema)."""
+    tower (operators.timeseries.triple_ema). r12: one 3-state affine
+    scan; fold-order-mirrored oracle, bitwise-verified."""
     from solar_logger_spark.operators import timeseries as T
 
     events = load_table(spark, sf_dir, "events")
@@ -3728,42 +3736,30 @@ def ts_tema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "tema")
 
 
-TEMA_SQL = """
-    WITH s AS (
-        SELECT user_id,
-               list(value ORDER BY ts, event_id) AS vals,
-               list(event_id ORDER BY ts, event_id) AS ids
-        FROM events GROUP BY user_id
-    ),
-    e1 AS (
-        SELECT user_id, ids,
-               list_transform(
-                   generate_series(1, len(vals)),
-                   i -> list_reduce(vals[1:i],
-                                    (acc, x) -> 0.2 * x + 0.8 * acc)
-               ) AS em1
-        FROM s
-    ),
-    e2 AS (
-        SELECT user_id, ids, em1,
-               list_transform(
-                   generate_series(1, len(em1)),
-                   i -> list_reduce(em1[1:i],
-                                    (acc, x) -> 0.2 * x + 0.8 * acc)
-               ) AS em2
-        FROM e1
-    ),
-    r AS (
-        SELECT user_id, unnest(ids) AS event_id,
-               generate_subscripts(ids, 1) AS rn, em1, em2
-        FROM e2
-    )
-    SELECT event_id, user_id,
-           3.0 * em1[rn] - 3.0 * em2[rn]
-           + list_reduce(em2[1:rn], (acc, x) -> 0.2 * x + 0.8 * acc)
-               AS tema
-    FROM r
-"""
+_TOWER3_MAPS = {
+    "a11": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['a']} END",
+    "a12": "0.0", "a13": "0.0",
+    "a21": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['ab']} END",
+    "a22": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['a']} END",
+    "a23": "0.0",
+    "a31": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['abb']} END",
+    "a32": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['ab']} END",
+    "a33": f"CASE WHEN rn = 1 THEN 0.0 ELSE {_T['a']} END",
+    "c1": f"CASE WHEN rn = 1 THEN value ELSE {_T['c1']} * value END",
+    "c2": f"CASE WHEN rn = 1 THEN value ELSE {_T['c2']} * value END",
+    "c3": f"CASE WHEN rn = 1 THEN value ELSE {_T['c3']} * value END",
+}
+
+TEMA_SQL = _scan_sql.scan_query_sql(
+    tag="tema_",
+    base="SELECT user_id, ts, event_id, value FROM events",
+    series=["user_id"],
+    order="ts, event_id",
+    d=3,
+    maps=_TOWER3_MAPS,
+    select="x.event_id, x.user_id, "
+           "3.0 * y.v1 - 3.0 * y.v2 + y.v3 AS tema",
+)
 
 
 def ts_cmo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3850,10 +3846,10 @@ KAUFMANS_ER_SQL = """
 def ts_trix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux tripleExponentialDerivative(n: 9) per user — TRIX, the
     1-lag percent change of the triple-smoothed EMA
-    (operators.timeseries.trix). The oracle materializes the EMA tower
-    as per-series lists (the DEMA/TEMA recipe, one level deeper) and
-    mirrors ``100·(e3 − prev)/prev`` verbatim; null on each series
-    head and on a zero previous e3."""
+    (operators.timeseries.trix). r12: the tower runs as ONE 3-state
+    affine scan; the oracle replays the pinned fold order and mirrors
+    ``100·(e3 − prev)/prev`` verbatim; null on each series head and
+    on a zero previous e3. Bitwise-verified."""
     from solar_logger_spark.operators import timeseries as T
 
     events = load_table(spark, sf_dir, "events")
@@ -3862,50 +3858,26 @@ def ts_trix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "trix")
 
 
-TRIX_SQL = """
-    WITH s AS (
-        SELECT user_id,
-               list(value ORDER BY ts, event_id) AS vals,
-               list(event_id ORDER BY ts, event_id) AS ids
-        FROM events GROUP BY user_id
-    ),
-    e1 AS (
-        SELECT user_id, ids,
-               list_transform(
-                   generate_series(1, len(vals)),
-                   i -> list_reduce(vals[1:i],
-                                    (acc, x) -> 0.2 * x + 0.8 * acc)
-               ) AS em1
-        FROM s
-    ),
-    e2 AS (
-        SELECT user_id, ids,
-               list_transform(
-                   generate_series(1, len(em1)),
-                   i -> list_reduce(em1[1:i],
-                                    (acc, x) -> 0.2 * x + 0.8 * acc)
-               ) AS em2
-        FROM e1
-    ),
-    e3 AS (
-        SELECT user_id, ids,
-               list_transform(
-                   generate_series(1, len(em2)),
-                   i -> list_reduce(em2[1:i],
-                                    (acc, x) -> 0.2 * x + 0.8 * acc)
-               ) AS em3
-        FROM e2
-    ),
-    r AS (
-        SELECT user_id, unnest(ids) AS event_id,
-               generate_subscripts(ids, 1) AS rn, em3
-        FROM e3
-    )
-    SELECT event_id, user_id,
-           CASE WHEN rn > 1 AND em3[rn - 1] <> 0
-                THEN 100.0 * (em3[rn] - em3[rn - 1]) / em3[rn - 1]
-           END AS trix
-    FROM r
+TRIX_SQL = "WITH " + _scan_sql.affine_scan_ctes(
+    tag="trix_",
+    base="SELECT user_id, ts, event_id, value FROM events",
+    series=["user_id"],
+    order="ts, event_id",
+    d=3,
+    maps=_TOWER3_MAPS,
+) + """,
+j AS (
+    SELECT x.event_id, x.user_id, x.rn, y.v3 AS e3
+    FROM trix_x x JOIN trix__y y
+      ON x.rn = y.rn AND x.user_id IS NOT DISTINCT FROM y.user_id
+)
+SELECT event_id, user_id,
+       CASE WHEN prev IS NOT NULL AND prev <> 0
+            THEN 100.0 * (e3 - prev) / prev
+       END AS trix
+FROM (SELECT *, lag(e3) OVER (PARTITION BY user_id ORDER BY rn)
+             AS prev
+      FROM j)
 """
 
 
@@ -3913,10 +3885,12 @@ def ts_kama_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux kaufmansAMA(n: 10) per user — Kaufman's Adaptive Moving
     Average (operators.timeseries.kaufmans_ama): an EMA whose smoothing
     constant adapts per step to the trailing Efficiency Ratio. ER's
-    direction/path sums are exact-decimal (the kaufmansER discipline);
-    the per-step recursion is mirrored by the oracle as a struct fold
-    over the qualified prefix (seed = the first full-window row's own
-    value, flat windows use ER = 0), so every output hash-matches."""
+    direction/path sums are exact-decimal (the kaufmansER discipline).
+    r12: the recursion y' = (1−sc)·y + sc·x runs as a segmented
+    affine scan (warm-ups = identity maps emitting null, seed = the
+    first full-window row's own value, flat windows use ER = 0) —
+    the former per-row Python loop is gone; the oracle replays the
+    pinned fold order, bitwise-verified."""
     from solar_logger_spark.operators import timeseries as T
 
     events = load_table(spark, sf_dir, "events")
@@ -3925,55 +3899,49 @@ def ts_kama_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "kama")
 
 
-KAMA_SQL = """
-    WITH d AS (
-        SELECT event_id, user_id, ts, value,
-               CAST(value - lag(value) OVER w AS DECIMAL(18,6)) AS diff
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-        SELECT event_id, user_id, ts, value,
-               CAST(abs(sum(diff) OVER c) AS DOUBLE) AS net,
-               CAST(sum(abs(diff)) OVER c AS DOUBLE) AS path,
-               count(diff) OVER c AS cnt
-        FROM d
-        WINDOW c AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-    ), q AS (
-        -- t = er_eff*(fast - slow) + slow with fast = 2/(2+1),
-        -- slow = 2/(30+1); sc = t*t. Constant folding evaluates the
-        -- same IEEE ops as the Python-side literals.
+_KAMA_BASE = """
+    SELECT event_id, user_id, ts, value, t * t AS sc,
+           count(t) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sqn
+    FROM (
         SELECT event_id, user_id, ts, value,
                CASE WHEN cnt >= 10 THEN
                    (CASE WHEN path > 0 THEN net / path ELSE 0.0 END)
                    * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0
                END AS t
-        FROM s
-    ), l AS (
-        SELECT user_id,
-               list(value ORDER BY ts, event_id) AS xs,
-               list(t * t ORDER BY ts, event_id) AS scs,
-               list(event_id ORDER BY ts, event_id) AS ids
-        FROM q GROUP BY user_id
-    ), r AS (
-        SELECT user_id, unnest(ids) AS event_id,
-               generate_subscripts(ids, 1) AS rn, xs, scs
-        FROM l
+        FROM (
+            SELECT event_id, user_id, ts, value,
+                   CAST(abs(sum(diff) OVER c) AS DOUBLE) AS net,
+                   CAST(sum(abs(diff)) OVER c AS DOUBLE) AS path,
+                   count(diff) OVER c AS cnt
+            FROM (
+                SELECT event_id, user_id, ts, value,
+                       CAST(value - lag(value) OVER w
+                            AS DECIMAL(18,6)) AS diff
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            WINDOW c AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
     )
-    -- fold over the qualified prefix: list_reduce seeds with the
-    -- first element (KAMA = x, no sc applied), then
-    -- acc + sc*(x - acc) per step — the operator's loop verbatim
-    SELECT event_id, user_id,
-           CASE WHEN scs[rn] IS NOT NULL THEN
-               (list_reduce(
-                   [struct_pack(x := xs[i], sc := scs[i])
-                    FOR i IN range(1, rn + 1) IF scs[i] IS NOT NULL],
-                   (acc, e) -> struct_pack(
-                       x := acc.x + e.sc * (e.x - acc.x), sc := e.sc)
-               )).x
-           END AS kama
-    FROM r
 """
+
+KAMA_SQL = _scan_sql.scan_query_sql(
+    tag="kama_",
+    base=_KAMA_BASE,
+    series=["user_id"],
+    order="ts, event_id",
+    d=1,
+    maps={
+        "a11": "CASE WHEN sc IS NULL THEN 1.0"
+               " WHEN sqn = 1 THEN 0.0 ELSE 1.0 - sc END",
+        "c1": "CASE WHEN sc IS NULL THEN 0.0"
+              " WHEN sqn = 1 THEN value ELSE sc * value END",
+    },
+    select="x.event_id, x.user_id, "
+           "CASE WHEN x.sc IS NOT NULL THEN y.v1 END AS kama",
+)
 
 
 def ts_covariance_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:

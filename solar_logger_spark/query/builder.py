@@ -212,7 +212,7 @@ class QueryBuilder:
         "stateChanges", "events.duration",
         "top", "bottom", "distinct", "unique",
         "keep", "drop", "rename",
-        "group", "pivot", "map", "truncateTimeColumn",
+        "group", "pivot", "map", "reduce", "truncateTimeColumn",
         "histogram", "quantile", "duplicate", "window",
         "tail", "sample",
         "interpolate.linear", "holtWinters", "integral",
@@ -439,6 +439,12 @@ class QueryBuilder:
                 df, series, ts_col=ts, value_col=val,
                 tiebreak=tiebreak, **kw,
             )
+        if name == "reduce":
+            # Flux reduce(fn:, identity:) lowered to native aggregates
+            # per series table (the parser recognizes running-sum /
+            # running-extreme accumulator updates — flux_parser.
+            # _reduce_aggs); one hash aggregate, map-side combinable.
+            return df.groupBy(*series).agg(*params["aggs"])
         if name == "quantile":
             # Flux quantile(q:) as a bare aggregate. Flux's default
             # method is a t-digest estimate; ours is the EXACT linearly-
@@ -892,6 +898,12 @@ class QueryBuilder:
             if name == "map":
                 src = params.get("source", "<expr>")
                 args.append(f"fn: (r) => ({{ r with {params.get('target', '_value')}: {src} }})")
+            if name == "reduce":
+                args.append(
+                    f"fn: (r, accumulator) => "
+                    f"({{ {params.get('fn_src', '<fn>')} }}), "
+                    f"identity: {{{params.get('identity_src', '')}}}"
+                )
             parts.append(f"{name}({', '.join(args)})")
         for fld, desc in self._sorts:
             parts.append(f'sort(columns: ["{fld}"], desc: {str(desc).lower()})')

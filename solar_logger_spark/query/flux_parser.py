@@ -128,6 +128,10 @@ class FluxPipeline:
                 ast = params.pop("expr_ast")
                 params["target"] = fmap.get(params["target"], params["target"])
                 params["column"] = _ast_to_column(ast, fmap)
+            if "reduce_fields" in params:
+                params["aggs"] = _reduce_aggs(
+                    params.pop("reduce_fields"), fmap
+                )
             qb = qb.transform(name, **params)
         for fld, desc in self.sorts:
             qb = qb.sort(fmap.get(fld, fld), desc=desc)
@@ -292,7 +296,7 @@ _TRANSFORM_STAGES = {
     "stateChanges", "events.duration",
     "top", "bottom", "distinct", "unique",
     "keep", "drop", "rename",
-    "pivot", "map", "truncateTimeColumn",
+    "pivot", "map", "reduce", "truncateTimeColumn",
     "histogram", "quantile", "duplicate", "window",
     "tail", "sample",
     "interpolate.linear", "holtWinters", "integral",
@@ -500,38 +504,217 @@ def _parse_transform(name: str, body: str) -> tuple[str, dict]:
         params["target"] = next(g for g in tm.groups() if g) if tm else target
         params["source"] = m.group(2).strip()
         params["expr_ast"] = _parse_arith(params["source"])
+    if name == "reduce":
+        # reduce(fn: (r, accumulator) => ({ f: <expr>, ... }),
+        #        identity: {f: <literal>, ...}) — restricted to
+        # accumulator updates lowerable to native aggregates (see
+        # _reduce_aggs): running sums/counts and if/then/else
+        # extremes. r12 (VERDICT task #4).
+        mfn = re.search(
+            r"fn\s*:\s*\(\s*r\s*,\s*accumulator\s*\)\s*=>\s*"
+            r"\(\s*\{(.*?)\}\s*\)",
+            body, re.S,
+        )
+        mid = re.search(r"identity\s*:\s*\{([^}]*)\}", body)
+        if not mfn or not mid:
+            raise ValueError(
+                "reduce needs fn: (r, accumulator) => ({..}) and "
+                f"identity: {{..}}: {body!r}"
+            )
+        idents: dict[str, float] = {}
+        for part in _split_top(mid.group(1)):
+            pm = re.match(r"\s*(\w+)\s*:\s*(.*)$", part, re.S)
+            if not pm:
+                raise ValueError(f"reduce identity field: {part!r}")
+            lit = _parse_arith(pm.group(2).strip())
+            if lit[0] == "neg" and lit[1][0] == "num":
+                lit = ("num", -lit[1][1])
+            if lit[0] != "num":
+                raise ValueError(
+                    f"reduce identity must be numeric: {part!r}"
+                )
+            idents[pm.group(1)] = float(lit[1])
+        fields = []
+        for part in _split_top(mfn.group(1)):
+            pm = re.match(r"\s*(\w+)\s*:\s*(.*)$", part, re.S)
+            if not pm:
+                raise ValueError(f"reduce fn field: {part!r}")
+            fname = pm.group(1)
+            if fname not in idents:
+                raise ValueError(
+                    f"reduce field {fname!r} missing from identity"
+                )
+            fields.append(
+                (fname, _parse_arith(pm.group(2).strip()),
+                 idents[fname])
+            )
+        params["reduce_fields"] = fields
+        params["fn_src"] = mfn.group(1).strip()
+        params["identity_src"] = mid.group(1).strip()
     return (name, params)
 
 
-# -- restricted arithmetic for map() -----------------------------------
+def _split_top(src: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0 (call arguments keep
+    their commas)."""
+    parts, depth, cur = [], 0, []
+    for ch in src:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    return parts
+
+
+def _reduce_aggs(fields, fmap):
+    """Lower reduce() accumulator updates to native aggregates. The
+    recognized shapes (each with its fold-from-identity composition):
+
+    * ``accumulator.f + <expr(r)>`` (either operand order) — a running
+      sum -> ``identity + SUM(expr)``. Summing a constant is a count.
+      NOTE the standing SQL caveat: a float SUM is evaluation-order
+      dependent; exactness-critical reductions should sum integers or
+      integer-valued doubles (the registry query does).
+    * ``if <expr(r)> >(=) accumulator.f then <expr(r)> else
+      accumulator.f`` (and the mirrored comparison) — a running max
+      -> ``greatest(identity, MAX(expr))``; ``<``/``<=`` -> min.
+    """
+    from pyspark.sql import functions as F
+
+    def no_acc(n):
+        if n[0] == "accfield":
+            return False
+        return all(
+            no_acc(c) for c in n[1:] if isinstance(c, tuple)
+        )
+
+    out = []
+    for fname, ast, ident in fields:
+        def is_acc(n, _f=fname):
+            return n[0] == "accfield" and n[1] == _f
+
+        col = None
+        if ast[0] == "bin" and ast[1] == "+":
+            l, r = ast[2], ast[3]
+            if is_acc(l) and no_acc(r):
+                col = F.lit(ident) + F.sum(_ast_to_column(r, fmap))
+            elif is_acc(r) and no_acc(l):
+                col = F.lit(ident) + F.sum(_ast_to_column(l, fmap))
+        elif ast[0] == "if" and ast[1][0] == "cmp":
+            _, op, cl, cr = ast[1]
+            a, b = ast[2], ast[3]
+            ext = None
+            if (is_acc(cr) and no_acc(cl) and a == cl and is_acc(b)):
+                ext = "max" if op in (">", ">=") else "min"
+                expr = cl
+            elif (is_acc(cl) and no_acc(cr) and is_acc(a) and b == cr):
+                ext = "max" if op in (">", ">=") else "min"
+                expr = cr
+            if ext == "max":
+                col = F.greatest(
+                    F.lit(ident), F.max(_ast_to_column(expr, fmap))
+                )
+            elif ext == "min":
+                col = F.least(
+                    F.lit(ident), F.min(_ast_to_column(expr, fmap))
+                )
+        if col is None:
+            raise ValueError(
+                f"reduce: unsupported accumulator update for "
+                f"{fname!r} — supported: accumulator.{fname} + "
+                f"<expr>, if <expr> OP accumulator.{fname} then ... "
+                f"else accumulator.{fname}"
+            )
+        out.append(col.alias(fname))
+    return out
+
+
+# -- restricted expression language for map()/reduce() ------------------
+#
+# r12 (VERDICT task #4): grown from pure arithmetic to the next stages
+# a Flux user actually writes — conditionals (``if c then a else b``),
+# comparisons, and/or/not, string literals, and a compiled subset of
+# the ``strings.*`` / ``math.*`` stdlib packages (named-argument call
+# syntax), all lowered to native JVM Column expressions.
 _TOKEN = re.compile(
     r"\s*(?:(?P<field>r\[\"[^\"]+\"\]|r\.\w+)"
+    r"|(?P<acc>accumulator\.\w+)"
+    r"|(?P<str>\"[^\"]*\")"
     r"|(?P<num>\d+\.\d*|\.\d+|\d+)"
-    r"|(?P<op>[-+*/%()]))"
+    r"|(?P<name>[A-Za-z_][\w.]*)"
+    r"|(?P<op>==|!=|<=|>=|[-+*/%()<>:,]))"
 )
 
+_KEYWORDS = {"if", "then", "else", "and", "or", "not", "true", "false"}
 
-def _parse_arith(src: str):
-    """Parse ``r._value * 2.0 + 1.0`` into a pure-data AST:
-    ``("num", x) | ("field", name) | ("neg", ast) | ("bin", op, l, r)``.
-    Standard precedence (* / % over + -), parens, unary minus."""
+# Flux stdlib subset -> (package.fn, positional arg-name order)
+_CALLS = {
+    "strings.toUpper": ("v",),
+    "strings.toLower": ("v",),
+    "strings.trimSpace": ("v",),
+    "strings.replaceAll": ("v", "t", "u"),
+    "strings.containsStr": ("v", "substr"),
+    "strings.strlen": ("v",),
+    "strings.substring": ("v", "start", "end"),
+    "math.abs": ("x",),
+    "math.floor": ("x",),
+    "math.ceil": ("x",),
+    "math.sqrt": ("x",),
+    "math.pow": ("x", "y"),
+    "math.exp": ("x",),
+    "math.log": ("x",),
+}
+
+
+def _tokenize(src: str) -> list[tuple[str, object]]:
     tokens: list[tuple[str, object]] = []
     pos = 0
     while pos < len(src):
         m = _TOKEN.match(src, pos)
         if not m:
             if src[pos:].strip():
-                raise ValueError(f"map: unparseable expression at {src[pos:]!r}")
+                raise ValueError(
+                    f"map: unparseable expression at {src[pos:]!r}"
+                )
             break
         if m.group("field"):
             f = m.group("field")
             name = f[3:-2] if f.startswith('r["') else f[2:]
             tokens.append(("field", name))
+        elif m.group("acc"):
+            tokens.append(("accfield", m.group("acc")[12:]))
+        elif m.group("str"):
+            tokens.append(("str", m.group("str")[1:-1]))
         elif m.group("num"):
             tokens.append(("num", float(m.group("num"))))
+        elif m.group("name"):
+            name = m.group("name")
+            if name in _KEYWORDS:
+                tokens.append(("kw", name))
+            else:
+                tokens.append(("name", name))
         else:
             tokens.append(("op", m.group("op")))
         pos = m.end()
+    return tokens
+
+
+def _parse_arith(src: str):
+    """Parse a map()/reduce() expression into a pure-data AST:
+    ``("num", x) | ("str", s) | ("bool-lit", b) | ("field", name) |
+    ("accfield", name) | ("neg", a) | ("bin", op, l, r) |
+    ("cmp", op, l, r) | ("logic", op, l, r) | ("not", a) |
+    ("if", cond, a, b) | ("call", fname, [args])``.
+    Standard precedence: if < or < and < not < comparison < additive
+    < multiplicative < unary; parens; named-arg stdlib calls."""
+    tokens = _tokenize(src)
     if not tokens:
         raise ValueError(f"map: empty expression {src!r}")
 
@@ -546,6 +729,42 @@ def _parse_arith(src: str):
         idx += 1
         return tok
 
+    def expect(kind, val):
+        tok = take()
+        if tok != (kind, val):
+            raise ValueError(f"map: expected {val!r}, got {tok[1]!r}")
+
+    def call(fname):
+        sig = _CALLS.get(fname)
+        if sig is None:
+            raise ValueError(
+                f"map: unsupported function {fname!r}; supported: "
+                f"{sorted(_CALLS)}"
+            )
+        expect("op", "(")
+        got: dict[str, object] = {}
+        while True:
+            kind, argname = take()
+            if kind == "kw":
+                kind = "name"  # arg named like a keyword (none today)
+            if kind != "name":
+                raise ValueError(
+                    f"map: {fname} expects named arguments, got "
+                    f"{argname!r}"
+                )
+            expect("op", ":")
+            got[argname] = ifexpr()
+            kind, val = peek()
+            if (kind, val) == ("op", ","):
+                take()
+                continue
+            expect("op", ")")
+            break
+        missing = [a for a in sig if a not in got]
+        if missing:
+            raise ValueError(f"map: {fname} missing args {missing}")
+        return ("call", fname, [got[a] for a in sig])
+
     def factor():
         kind, val = peek()
         if kind == "op" and val == "-":
@@ -553,46 +772,159 @@ def _parse_arith(src: str):
             return ("neg", factor())
         if kind == "op" and val == "(":
             take()
-            node = expr()
+            node = ifexpr()
             if peek() != ("op", ")"):
                 raise ValueError("map: unbalanced parens")
             take()
             return node
-        if kind in ("num", "field"):
+        if kind == "kw" and val in ("true", "false"):
+            take()
+            return ("bool-lit", val == "true")
+        if kind == "name":
+            take()
+            return call(val)
+        if kind in ("num", "field", "str", "accfield"):
             return take()
         raise ValueError(f"map: unexpected token {val!r}")
 
     def term():
         node = factor()
-        while peek() == ("op", "*") or peek() == ("op", "/") or peek() == ("op", "%"):
+        while peek()[0] == "op" and peek()[1] in ("*", "/", "%"):
             _, op = take()
             node = ("bin", op, node, factor())
         return node
 
-    def expr():
+    def additive():
         node = term()
-        while peek() == ("op", "+") or peek() == ("op", "-"):
+        while peek()[0] == "op" and peek()[1] in ("+", "-"):
             _, op = take()
             node = ("bin", op, node, term())
         return node
 
-    node = expr()
+    def cmp():
+        node = additive()
+        if peek()[0] == "op" and peek()[1] in (
+            "==", "!=", "<", "<=", ">", ">="
+        ):
+            _, op = take()
+            node = ("cmp", op, node, additive())
+        return node
+
+    def notexpr():
+        if peek() == ("kw", "not"):
+            take()
+            return ("not", notexpr())
+        return cmp()
+
+    def andexpr():
+        node = notexpr()
+        while peek() == ("kw", "and"):
+            take()
+            node = ("logic", "and", node, notexpr())
+        return node
+
+    def orexpr():
+        node = andexpr()
+        while peek() == ("kw", "or"):
+            take()
+            node = ("logic", "or", node, andexpr())
+        return node
+
+    def ifexpr():
+        if peek() == ("kw", "if"):
+            take()
+            cond = orexpr()
+            expect("kw", "then")
+            a = ifexpr()
+            expect("kw", "else")
+            b = ifexpr()
+            return ("if", cond, a, b)
+        return orexpr()
+
+    node = ifexpr()
     if idx != len(tokens):
         raise ValueError(f"map: trailing tokens in {src!r}")
     return node
 
 
 def _ast_to_column(ast, fmap: dict[str, str]):
-    """Bind a map() AST to Spark Columns (field names via ``fmap``)."""
+    """Bind a map()/reduce() AST to Spark Columns (field names via
+    ``fmap``). ``strings.*`` / ``math.*`` calls compile to the
+    equivalent built-in JVM functions — never a Python UDF. Documented
+    mirror notes: ``math.floor``/``ceil`` return float (Flux
+    semantics; Spark's integral result is cast back), ``substring`` is
+    0-based start-inclusive/end-exclusive (Flux) mapped onto Spark's
+    1-based form."""
     from pyspark.sql import functions as F
 
     kind = ast[0]
     if kind == "num":
         return F.lit(ast[1])
+    if kind == "str":
+        return F.lit(ast[1])
+    if kind == "bool-lit":
+        return F.lit(ast[1])
     if kind == "field":
         return F.col(fmap.get(ast[1], ast[1]))
+    if kind == "accfield":
+        raise ValueError(
+            "accumulator.<field> is only meaningful inside reduce()"
+        )
     if kind == "neg":
         return -_ast_to_column(ast[1], fmap)
+    if kind == "not":
+        return ~_ast_to_column(ast[1], fmap)
+    if kind == "if":
+        return F.when(
+            _ast_to_column(ast[1], fmap), _ast_to_column(ast[2], fmap)
+        ).otherwise(_ast_to_column(ast[3], fmap))
+    if kind == "cmp":
+        _, op, left, right = ast
+        lc, rc = _ast_to_column(left, fmap), _ast_to_column(right, fmap)
+        return {
+            "==": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[op]
+    if kind == "logic":
+        _, op, left, right = ast
+        lc, rc = _ast_to_column(left, fmap), _ast_to_column(right, fmap)
+        return lc & rc if op == "and" else lc | rc
+    if kind == "call":
+        _, fname, args = ast
+        cols = [_ast_to_column(a, fmap) for a in args]
+        if fname == "strings.toUpper":
+            return F.upper(cols[0])
+        if fname == "strings.toLower":
+            return F.lower(cols[0])
+        if fname == "strings.trimSpace":
+            return F.trim(cols[0])
+        if fname == "strings.replaceAll":
+            return F.replace(cols[0], cols[1], cols[2])
+        if fname == "strings.containsStr":
+            return F.contains(cols[0], cols[1])
+        if fname == "strings.strlen":
+            return F.length(cols[0])
+        if fname == "strings.substring":
+            # Flux: 0-based start inclusive, end exclusive
+            return F.substring(
+                cols[0],
+                (cols[1] + F.lit(1)).cast("int"),
+                (cols[2] - cols[1]).cast("int"),
+            )
+        if fname == "math.abs":
+            return F.abs(cols[0])
+        if fname == "math.floor":
+            return F.floor(cols[0]).cast("double")
+        if fname == "math.ceil":
+            return F.ceil(cols[0]).cast("double")
+        if fname == "math.sqrt":
+            return F.sqrt(cols[0])
+        if fname == "math.pow":
+            return F.pow(cols[0], cols[1])
+        if fname == "math.exp":
+            return F.exp(cols[0])
+        if fname == "math.log":
+            return F.log(cols[0])
     _, op, left, right = ast
     lc, rc = _ast_to_column(left, fmap), _ast_to_column(right, fmap)
     if op == "+":

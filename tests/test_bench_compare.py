@@ -115,3 +115,37 @@ def test_all_changed_prefers_canary_when_present():
     new = _rec({"a": 1.0, "b": 2.0}, canary=1.1)
     out = compare(old, new, changed={"a", "b"})
     assert out["ambient_used"] == "canary"
+
+
+def test_ambient_flag_roundtrips_and_surfaces(tmp_path):
+    """r12 (VERDICT task #2): bench.py emits ambient_flag; load_bench
+    recovers it from both the raw line and the driver's truncated
+    tail, and compare() surfaces both sides so a 'busy' record is
+    mechanically discountable."""
+    raw = {
+        "metric": "total_query_wall_seconds", "value": 2.0,
+        "unit": "sec", "queries": {"a": 1.0, "b": 1.0},
+        "total": 2.0, "canary_sec": 0.9, "ambient_flag": "busy",
+        "loadavg_1m": 9.0, "sf": 0.1,
+    }
+    p = tmp_path / "raw.json"
+    p.write_text(json.dumps(raw))
+    rec = load_bench(str(p))
+    assert rec["ambient_flag"] == "busy"
+
+    tail = (
+        '"a": 1.0, "b": 1.0, "total": 2.0, "canary_sec": 0.9, '
+        '"ambient_flag": "busy_retried_clean", "loadavg_1m": 2.0, '
+        '"sf": 0.1}'
+    )
+    pw = tmp_path / "wrapped.json"
+    pw.write_text(json.dumps({"n": 2, "rc": 0, "tail": tail}))
+    rec2 = load_bench(str(pw))
+    assert rec2["ambient_flag"] == "busy_retried_clean"
+
+    out = compare(
+        {**_rec({"a": 1.0}, canary=1.0), "ambient_flag": "clean"},
+        {**_rec({"a": 1.0}, canary=1.0), "ambient_flag": "busy"},
+    )
+    assert out["old_ambient_flag"] == "clean"
+    assert out["new_ambient_flag"] == "busy"

@@ -1496,3 +1496,128 @@ def test_parse_set_value_with_trailing_paren():
     [(name2, params2)] = [t for t in pipe2.transforms if t[0] == "set"]
     assert params2["value"] == "x)"
     assert params2["key"] == "k(1)"
+
+
+def test_map_expression_language_r12():
+    """r12 (VERDICT task #4): conditionals, comparisons, and/or/not,
+    string literals, and the strings.*/math.* call subset parse to
+    pure-data ASTs; unsupported functions raise a named error."""
+    import pytest
+
+    from solar_logger_spark.query.flux_parser import _parse_arith
+
+    ast = _parse_arith("if r._value >= 50.0 then 1.0 else 0.0")
+    assert ast[0] == "if" and ast[1][0] == "cmp"
+    ast = _parse_arith(
+        'strings.replaceAll(v: r.name, t: "a", u: "b")'
+    )
+    assert ast == ("call", "strings.replaceAll",
+                   [("field", "name"), ("str", "a"), ("str", "b")])
+    ast = _parse_arith(
+        "if strings.containsStr(v: r.t, substr: \"x\")"
+        " and not r._value > 3.0 then r._value else -1.0"
+    )
+    assert ast[1][0] == "logic" and ast[1][3][0] == "not"
+    assert _parse_arith("math.pow(x: r._value, y: 2.0)")[1] == "math.pow"
+    with pytest.raises(ValueError, match="unsupported function"):
+        _parse_arith("strings.rot13(v: r.t)")
+    with pytest.raises(ValueError, match="named arguments"):
+        _parse_arith("math.abs(3.0)")
+
+
+def test_map_conditional_and_strings_execute(spark, sf_dir):
+    """map() with if/then/else + strings/math calls compiles to native
+    expressions and equals the hand-built frame."""
+    from solar_logger_spark.io.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> map(fn: (r) => ({ r with band: "
+            'if r._value >= 50.0 then strings.toUpper(v: r["_measurement"])'
+            ' else strings.toLower(v: r["_measurement"]) }))'
+            " |> map(fn: (r) => ({ r with dev: "
+            "math.abs(x: r._value - 50.0) }))"
+        )
+        .to_builder(events, field_map={"_measurement": "event_type"},
+                    ts_col="ts", value_col="value",
+                    series_cols=("event_type",))
+        .to_df()
+    )
+    import pyspark.sql.functions as F
+
+    want = events.filter(F.col("ts") >= "2024-01-01").select(
+        "event_id",
+        F.when(F.col("value") >= 50.0, F.upper("event_type"))
+        .otherwise(F.lower("event_type")).alias("band"),
+        F.abs(F.col("value") - 50.0).alias("dev"),
+    )
+    got = {r.event_id: (r.band, r.dev)
+           for r in out.select("event_id", "band", "dev").collect()}
+    for r in want.collect():
+        assert got[r.event_id] == (r.band, r.dev)
+
+
+def test_reduce_lowering_and_execution(spark):
+    """r12: reduce(fn:, identity:) — running count/sum/extremes lower
+    to one native aggregate per series with fold-from-identity
+    composition; unsupported accumulator shapes raise a named error."""
+    import pytest
+    from datetime import datetime, timedelta
+
+    from solar_logger_spark.query.flux_parser import parse_flux
+
+    rows = [
+        ("a", datetime(2024, 1, 1) + timedelta(minutes=i), float(v), i)
+        for i, v in enumerate([5.0, 9.0, 2.0])
+    ] + [
+        ("b", datetime(2024, 1, 1) + timedelta(minutes=i), float(v), 10 + i)
+        for i, v in enumerate([7.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    out = (
+        parse_flux(
+            'from(bucket: "e") |> range(start: 2024-01-01)'
+            " |> reduce(fn: (r, accumulator) => ({ "
+            "cnt: accumulator.cnt + 1.0, "
+            "tot: accumulator.tot + r._value * 2.0, "
+            "mx: if r._value > accumulator.mx then r._value"
+            " else accumulator.mx, "
+            "mn: if accumulator.mn < r._value then accumulator.mn"
+            " else r._value }), "
+            "identity: {cnt: 0.0, tot: 1.0, mx: -1.0, mn: 99.0})"
+        )
+        .to_builder(df, field_map={"_measurement": "event_type"},
+                    ts_col="ts", value_col="value",
+                    series_cols=("event_type",))
+        .to_df()
+    )
+    got = {r.event_type: (r.cnt, r.tot, r.mx, r.mn) for r in out.collect()}
+    assert got["a"] == (3.0, 1.0 + (5.0 * 2 + 9.0 * 2 + 2.0 * 2), 9.0, 2.0)
+    assert got["b"] == (1.0, 15.0, 7.0, 7.0)
+
+    with pytest.raises(ValueError, match="unsupported accumulator"):
+        (
+            parse_flux(
+                'from(bucket: "e") |> reduce(fn: (r, accumulator) => '
+                "({ z: accumulator.z * r._value }), identity: {z: 1.0})"
+            )
+            .to_builder(df, ts_col="ts", value_col="value",
+                        series_cols=("event_type",))
+            .to_df()
+        )
+
+    # renderer round-trip: the reduce stage re-renders its source
+    qb = parse_flux(
+        'from(bucket: "e") |> reduce(fn: (r, accumulator) => '
+        "({ cnt: accumulator.cnt + 1.0 }), identity: {cnt: 0.0})"
+    ).to_builder(df, ts_col="ts", value_col="value",
+                 series_cols=("event_type",))
+    text = qb.to_flux()
+    assert "reduce(fn: (r, accumulator) => ({ cnt: accumulator.cnt + 1.0 })" in text
+    assert "identity: {cnt: 0.0}" in text
+    reparsed = parse_flux(text)
+    assert [t[0] for t in reparsed.transforms] == ["reduce"]

@@ -391,9 +391,11 @@ def test_cusum_drift_matches_textbook_recursion(spark):
 
 
 def test_holt_smoothing_recursion_and_batch_carry(spark):
-    """Levels/trends equal the plain recursion bit-for-bit, including
-    when one series spans Arrow batch boundaries (tiny batch size
-    forces the carry path)."""
+    """r12: levels/trends equal the pinned affine-scan fold
+    bit-for-bit (the closed matrix form of the recursion, entry 0 on
+    the first block — within one 64-row chunk this is the plain
+    within-chunk map fold), and stay within float noise of the
+    classic step-by-step recursion."""
     import numpy as np
     import pandas as pd
 
@@ -408,38 +410,51 @@ def test_holt_smoothing_recursion_and_batch_carry(spark):
         }
     )
     sdf = spark.createDataFrame(pdf)
-    # force multiple small Arrow batches through mapInPandas
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
-    try:
-        out = (
-            T.holt_smoothing(
-                sdf, series=["event_type"], tiebreak=["event_id"]
-            )
-            .toPandas()
-            .sort_values("event_id")
-            .reset_index(drop=True)
-        )
-    finally:
-        if old is None:
-            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
-        else:
-            spark.conf.set(
-                "spark.sql.execution.arrow.maxRecordsPerBatch", old
-            )
+    out = (
+        T.holt_smoothing(sdf, series=["event_type"], tiebreak=["event_id"])
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
 
+    f = np.float64
     a, b_ = 0.2, 0.1
-    l, b = float(vals[0]), 0.0
-    exp_l, exp_b = [l], [b]
-    for x in vals[1:]:
-        ln = a * float(x) + (1 - a) * (l + b)
-        b = b_ * (ln - l) + (1 - b_) * b
-        l = ln
-        exp_l.append(l)
-        exp_b.append(b)
-    assert np.abs(out["level"].to_numpy() - exp_l).max() == 0.0
-    assert np.abs(out["trend"].to_numpy() - exp_b).max() == 0.0
+    consts = (f(1.0 - a), f(1.0 - a), f(-(b_ * a)), f(1.0 - b_ * a))
+    acc = (f(1), f(0), f(0), f(1), f(0), f(0))  # a11 a12 a21 a22 c1 c2
+    exp_l, exp_b = [], []
+    for k, x in enumerate(vals):
+        x = f(x)
+        if k == 0:
+            it = (f(0), f(0), f(0), f(0), x, f(0))
+        else:
+            it = (*consts, f(f(a) * x), f(f(b_ * a) * x))
+        i11, i12, i21, i22, ic1, ic2 = it
+        a11, a12, a21, a22, c1, c2 = acc
+        acc = (
+            f(f(i11 * a11) + f(i12 * a21)),
+            f(f(i11 * a12) + f(i12 * a22)),
+            f(f(i21 * a11) + f(i22 * a21)),
+            f(f(i21 * a12) + f(i22 * a22)),
+            f(f(f(i11 * c1) + f(i12 * c2)) + ic1),
+            f(f(f(i21 * c1) + f(i22 * c2)) + ic2),
+        )
+        # y = apply(acc, (0, 0)) = fl(fl(a11*0 + a12*0) + c)
+        exp_l.append(float(f(f(f(acc[0] * 0.0) + f(acc[1] * 0.0)) + acc[4])))
+        exp_b.append(float(f(f(f(acc[2] * 0.0) + f(acc[3] * 0.0)) + acc[5])))
+    got_l = out["level"].to_numpy()
+    got_b = out["trend"].to_numpy()
+    assert (got_l.view("int64") == np.array(exp_l).view("int64")).all()
+    assert (got_b.view("int64") == np.array(exp_b).view("int64")).all()
 
+    # sanity: the closed matrix form tracks the classic recursion
+    l, b = float(vals[0]), 0.0
+    for k, x in enumerate(vals):
+        if k:
+            ln = a * float(x) + (1 - a) * (l + b)
+            b = b_ * (ln - l) + (1 - b_) * b
+            l = ln
+        assert abs(got_l[k] - l) <= 1e-9 * max(1.0, abs(l))
+        assert abs(got_b[k] - b) <= 1e-9 * max(1.0, abs(b))
 
 def test_cusum_and_holt_keep_null_series_keys(spark):
     """Null series keys form a real series: cusum must not drop the
@@ -877,10 +892,13 @@ def test_histogram_quantile_hand_computed(spark):
 
 
 def test_kaufmans_ama_matches_reference_loop(spark):
-    """r11: kaufmans_ama vs a pure-Python KAMA loop (n=2): null
+    """r12: kaufmans_ama vs a pure-Python KAMA fold (n=2): null
     warm-up, seed = the first full-window row's own value, flat
-    windows use ER = 0, then acc + sc*(x - acc) per step — exact
-    float equality (the loop IS the documented semantics)."""
+    windows use ER = 0, then the pinned affine form
+    acc' = fl(fl((1−sc)·acc) + fl(sc·x)) per step — exact float
+    equality (the fold IS the documented r12 scan semantics; short
+    series stay within one chunk, where the scan equals this plain
+    fold bit-for-bit)."""
     from datetime import datetime, timedelta
 
     from solar_logger_spark.operators.timeseries import kaufmans_ama
@@ -917,7 +935,7 @@ def test_kaufmans_ama_matches_reference_loop(spark):
             net, path = abs(sum(deltas)), sum(abs(d) for d in deltas)
             er = net / path if path > 0 else 0.0
             sc = (er * c1 + slow) ** 2
-            acc = vs[t] if acc is None else acc + sc * (vs[t] - acc)
+            acc = vs[t] if acc is None else (1.0 - sc) * acc + sc * vs[t]
             out.append(acc)
         return out
 

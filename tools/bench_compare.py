@@ -45,6 +45,7 @@ def load_bench(path: str) -> dict:
             "total", "n_queries", "n_failed", "canary_sec",
             "loadavg_1m", "loadavg_5m", "sf", "passes",
         }
+        flag = re.search(r'"ambient_flag": "(\w+)"', tail)
         src = {
             "queries": {
                 k: float(v) for k, v in pairs.items() if k not in meta_keys
@@ -53,6 +54,7 @@ def load_bench(path: str) -> dict:
             "canary_sec": (
                 float(pairs["canary_sec"]) if "canary_sec" in pairs else None
             ),
+            "ambient_flag": flag.group(1) if flag else None,
         }
     return {
         "queries": {
@@ -62,6 +64,9 @@ def load_bench(path: str) -> dict:
             float(v) for v in src["queries"].values() if float(v) >= 0
         ),
         "canary_sec": src.get("canary_sec"),
+        # r12 bench.py guard verdict ("clean" / "busy_retried_clean" /
+        # "busy"); None on pre-r12 records
+        "ambient_flag": src.get("ambient_flag"),
     }
 
 
@@ -116,6 +121,8 @@ def compare(
     out = {
         "old_total": round(old["total"], 1),
         "new_total": round(new["total"], 1),
+        "old_ambient_flag": old.get("ambient_flag"),
+        "new_ambient_flag": new.get("ambient_flag"),
         "raw_ratio": round(new["total"] / old["total"], 3),
         "n_shared": len(shared),
         "n_ratioed": len(ratios),
