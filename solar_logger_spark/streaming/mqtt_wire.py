@@ -56,9 +56,10 @@ def encode_packet(ptype: int, flags: int, body: bytes) -> bytes:
 
 
 def encode_connect(
-    client_id: str, user: str | None, password: str | None, keepalive: int = 60
+    client_id: str, user: str | None, password: str | None,
+    keepalive: int = 60, clean_session: bool = True,
 ) -> bytes:
-    flags = 0x02  # clean session
+    flags = 0x02 if clean_session else 0x00
     payload = encode_string(client_id)
     if user:
         flags |= 0x80
@@ -224,6 +225,7 @@ class MiniMqttClient:
         reconnect: bool = True,
         reconnect_delay: float = 0.2,
         reconnect_delay_max: float = 5.0,
+        clean_session: bool = True,
     ) -> None:
         self._on_message = on_message
         self._keepalive = keepalive
@@ -232,6 +234,8 @@ class MiniMqttClient:
         self._reconnect = reconnect
         self._delay0 = reconnect_delay
         self._delay_max = reconnect_delay_max
+        self._clean = clean_session
+        self.session_present = False  # last CONNACK's session flag
         self.reconnects = 0  # observable in tests / ops logs
         self._connect()  # first connect failure raises to the caller
         self._stop = threading.Event()
@@ -250,22 +254,48 @@ class MiniMqttClient:
             sock = ssl.create_default_context().wrap_socket(
                 sock, server_hostname=host
             )
-        sock.sendall(encode_connect(client_id, user, token, self._keepalive))
+        sock.sendall(encode_connect(client_id, user, token,
+                                    self._keepalive,
+                                    clean_session=self._clean))
         pkt = read_packet(sock)
         if pkt is None or pkt[0] != CONNACK or pkt[2][1] != 0:
             sock.close()
             raise ConnectionError(f"MQTT CONNECT refused: {pkt!r}")
+        self.session_present = bool(pkt[2][0] & 0x01)
         sock.sendall(encode_subscribe(1, topic, qos))
-        pkt = read_packet(sock)
-        if pkt is None or pkt[0] != SUBACK or pkt[2][2] == 0x80:
-            sock.close()
-            raise ConnectionError(f"MQTT SUBSCRIBE refused: {pkt!r}")
+        # A resumed session (CONNECT clean_session=0, session present)
+        # may start delivering QUEUED publishes immediately after
+        # CONNACK — before our SUBACK arrives. Buffer anything that
+        # lands in between; the reader loop drains the buffer first.
+        early: list[tuple[int, int, bytes]] = []
+        while True:
+            pkt = read_packet(sock)
+            if pkt is None:
+                sock.close()
+                raise ConnectionError("MQTT SUBSCRIBE: broker closed")
+            if pkt[0] == SUBACK:
+                if pkt[2][2] == 0x80:
+                    sock.close()
+                    raise ConnectionError(
+                        f"MQTT SUBSCRIBE refused: {pkt!r}"
+                    )
+                break
+            if pkt[0] in (PUBLISH, PUBREL):
+                early.append(pkt)
         sock.settimeout(1.0)
+        self._early = early
         self._seen_pids: "OrderedDict[int, None]" = OrderedDict()
-        # QoS-2 pids delivered on THIS connection, awaiting PUBREL —
-        # a retransmitted PUBLISH whose pid is still here is PUBREC'd
-        # again but not re-delivered (exactly-once, method-A receiver)
-        self._qos2_pending: "OrderedDict[int, None]" = OrderedDict()
+        # QoS-2 pids delivered awaiting PUBREL — a retransmitted
+        # PUBLISH whose pid is still here is PUBREC'd again but not
+        # re-delivered (exactly-once, method-A receiver). Packet ids
+        # are per-connection under a clean session, but SURVIVE a
+        # persistent-session resume (MQTT 3.1.1 [4.4]: unacknowledged
+        # QoS-2 flows continue in the resumed session) — so the
+        # pending set is preserved exactly when the broker confirmed
+        # the session carried over.
+        if not (not self._clean and self.session_present
+                and hasattr(self, "_qos2_pending")):
+            self._qos2_pending: "OrderedDict[int, None]" = OrderedDict()
         self._sock = sock
         # A disconnect() may have raced this dial: it sets _stop, then
         # closes whatever self._sock held BEFORE this assignment. Check
@@ -306,25 +336,34 @@ class MiniMqttClient:
 
         last_ping = time.monotonic()
         while not self._stop.is_set():
-            try:
-                pkt = read_packet(self._sock)
-            except TimeoutError:
-                # idle: ping at keepalive/2 cadence, not every timeout —
-                # a 1s PINGREQ drumbeat would be 30x the negotiated rate
-                now = time.monotonic()
-                if now - last_ping >= self._keepalive / 2:
-                    try:
-                        self._sock.sendall(encode_packet(PINGREQ, 0, b""))
-                    except OSError:
-                        if not self._try_reconnect():
-                            return
-                    last_ping = now
-                continue
-            except OSError:
-                if not self._try_reconnect():
-                    return
-                last_ping = time.monotonic()
-                continue
+            if self._early:
+                # queued-session deliveries buffered between CONNACK
+                # and SUBACK during a persistent-session resume: drain
+                # them through the same dispatch before reading more
+                pkt = self._early.pop(0)
+            else:
+                try:
+                    pkt = read_packet(self._sock)
+                except TimeoutError:
+                    # idle: ping at keepalive/2 cadence, not every
+                    # timeout — a 1s PINGREQ drumbeat would be 30x the
+                    # negotiated rate
+                    now = time.monotonic()
+                    if now - last_ping >= self._keepalive / 2:
+                        try:
+                            self._sock.sendall(
+                                encode_packet(PINGREQ, 0, b"")
+                            )
+                        except OSError:
+                            if not self._try_reconnect():
+                                return
+                        last_ping = now
+                    continue
+                except OSError:
+                    if not self._try_reconnect():
+                        return
+                    last_ping = time.monotonic()
+                    continue
             last_ping = time.monotonic()  # any traffic proves liveness
             if pkt is None:  # orderly EOF from the broker side
                 if not self._try_reconnect():
@@ -429,4 +468,10 @@ def socket_client(options: dict, push):
         qos=int(options.get("qos", "1")),
         tls=options.get("tls", tls_default).lower() == "true",
         client_id=options.get("client_id", "solar-logger-spark"),
+        # clean_session=false + a stable client_id gives a persistent
+        # broker session: QoS 1/2 publishes during a disconnect are
+        # queued broker-side and delivered on resume (r12)
+        clean_session=options.get(
+            "clean_session", "true"
+        ).lower() == "true",
     )

@@ -51,6 +51,11 @@ class EmbeddedBroker:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self.messages: list[tuple[str, bytes]] = []  # every routed publish
+        # persistent sessions (CONNECT clean_session=0), keyed by
+        # client id: subscriptions survive the connection, and
+        # publishes matching them while the client is OFFLINE are
+        # queued for delivery on resume (session-present CONNACK)
+        self._sessions: dict[str, dict] = {}
         t = threading.Thread(target=self._accept_loop, daemon=True)
         t.start()
         self._threads.append(t)
@@ -98,10 +103,43 @@ class EmbeddedBroker:
             pkt = w.read_packet(conn)
             if pkt is None or pkt[0] != w.CONNECT:
                 return
-            rc = self._check_connect(pkt[2])
-            conn.sendall(w.encode_packet(w.CONNACK, 0, bytes([0, rc])))
+            rc, cid, clean = self._parse_connect(pkt[2])
+            session = None
+            present = 0
+            if rc == 0:
+                with self._lock:
+                    if clean:
+                        # a clean CONNECT discards any stored session
+                        self._sessions.pop(cid, None)
+                    else:
+                        session = self._sessions.get(cid)
+                        if session is None:
+                            session = {"subs": [], "queue": [],
+                                       "conn": None}
+                            self._sessions[cid] = session
+                        else:
+                            present = 1
+            conn.sendall(
+                w.encode_packet(w.CONNACK, 0, bytes([present, rc]))
+            )
             if rc != 0:
                 return
+            if session is not None:
+                with self._lock:
+                    session["conn"] = conn
+                    for filt, q in session["subs"]:
+                        self._subs.append((conn, filt, q))
+                    queued = list(session["queue"])
+                    session["queue"].clear()
+                # flush the offline queue right after CONNACK (a
+                # resumed session's subscriptions are live before any
+                # re-SUBSCRIBE arrives — the client buffers these
+                # until its SUBACK); QoS-2 completes via the normal
+                # PUBREC/PUBREL/PUBCOMP exchange below
+                for i, (topic, payload, q) in enumerate(queued):
+                    conn.sendall(w.encode_publish(
+                        topic, payload, q, packet_id=(i % 65000) + 500
+                    ))
             pub_pending: set[int] = set()  # inbound QoS-2 pids awaiting PUBREL
             while not self._stop.is_set():
                 pkt = w.read_packet(conn)
@@ -117,7 +155,22 @@ class EmbeddedBroker:
                         at += 1
                         grants.append(min(qos, 2))
                         with self._lock:
-                            self._subs.append((conn, filt, min(qos, 2)))
+                            # a resumed session re-SUBSCRIBEs over its
+                            # already-re-attached stored subscriptions:
+                            # never double-register one (conn, filter)
+                            if not any(
+                                c is conn and f == filt
+                                for c, f, _ in self._subs
+                            ):
+                                self._subs.append(
+                                    (conn, filt, min(qos, 2))
+                                )
+                            if session is not None and (
+                                (filt, min(qos, 2)) not in session["subs"]
+                            ):
+                                session["subs"].append(
+                                    (filt, min(qos, 2))
+                                )
                     conn.sendall(
                         w.encode_packet(
                             w.SUBACK, 0, struct.pack(">H", pid) + bytes(grants)
@@ -165,24 +218,32 @@ class EmbeddedBroker:
                 self._subs = [s for s in self._subs if s[0] is not conn]
                 if conn in self._conns:
                     self._conns.remove(conn)
+                for sess in self._sessions.values():
+                    if sess.get("conn") is conn:
+                        sess["conn"] = None  # offline: queue from here
             try:
                 conn.close()
             except OSError:
                 pass
 
     def _check_connect(self, body: bytes) -> int:
+        return self._parse_connect(body)[0]
+
+    def _parse_connect(self, body: bytes) -> tuple[int, str, bool]:
+        """(return code, client id, clean-session flag)."""
         _proto, at = w.decode_string(body, 0)
         flags = body[at + 1]
+        clean = bool(flags & 0x02)
         at += 4  # level + flags + keepalive(2)
-        _client_id, at = w.decode_string(body, at)
+        client_id, at = w.decode_string(body, at)
         user = pw = None
         if flags & 0x80:
             user, at = w.decode_string(body, at)
         if flags & 0x40:
             pw, at = w.decode_string(body, at)
         if self._user is not None and (user, pw) != (self._user, self._password):
-            return 4  # bad user name or password
-        return 0
+            return 4, client_id, clean  # bad user name or password
+        return 0, client_id, clean
 
     # -- fault-injection hooks for transport-hardening tests ----------
     def kill_client_connections(self) -> int:
@@ -250,6 +311,10 @@ class EmbeddedBroker:
         self.messages.append((topic, payload))
         with self._lock:
             subs = list(self._subs)
+            offline = [
+                s for s in self._sessions.values()
+                if s.get("conn") is None
+            ]
         pid = (len(self.messages) % 65535) + 1
         for conn, filt, qos in subs:
             if topic_matches(filt, topic):
@@ -259,6 +324,13 @@ class EmbeddedBroker:
                     )
                 except OSError:
                     pass
+        # queue for disconnected persistent sessions (QoS > 0 only —
+        # MQTT 3.1.1 queues QoS 1/2 for offline sessions, QoS 0 drops)
+        for sess in offline:
+            for filt, qos in sess["subs"]:
+                if qos > 0 and topic_matches(filt, topic):
+                    sess["queue"].append((topic, payload, qos))
+                    break
 
 
 def publish_once(

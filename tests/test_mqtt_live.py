@@ -348,3 +348,150 @@ def test_qos2_pubrel_retransmit_gets_pubcomp():
             assert got == [b"m", b"after"]
         finally:
             client.disconnect()
+
+
+def test_persistent_session_resumes_and_delivers_queued():
+    """r12 (VERDICT task #7): CONNECT clean_session=0 — messages
+    published while the subscriber is DISCONNECTED are queued by the
+    broker and delivered exactly once when a client with the same id
+    resumes the session (CONNACK session-present)."""
+    got: list[tuple[str, bytes]] = []
+    with EmbeddedBroker() as broker:
+        c1 = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)),
+            qos=1, clean_session=False,
+            client_id="persistent-reader", reconnect=False,
+        )
+        assert c1.session_present is False  # first contact
+        publish_once(broker.port, "mate/a", b"before")
+        assert _wait_until(lambda: len(got) == 1)
+
+        # deterministic offline window: disconnect, publish into it
+        c1.disconnect()
+        assert _wait_until(lambda: broker.subscriber_count() == 0)
+        publish_once(broker.port, "mate/b", b"gap-1")
+        publish_once(broker.port, "mate/b", b"gap-2")
+        publish_once(broker.port, "other/x", b"not-ours")
+
+        # resume: same client id, clean_session=0 — the queued gap
+        # messages arrive exactly once each, before/with live traffic
+        c2 = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)),
+            qos=1, clean_session=False,
+            client_id="persistent-reader", reconnect=False,
+        )
+        try:
+            assert c2.session_present is True
+            assert _wait_until(lambda: len(got) >= 3)
+            time.sleep(0.3)  # settle: catch any duplicate deliveries
+            assert got.count(("mate/b", b"gap-1")) == 1
+            assert got.count(("mate/b", b"gap-2")) == 1
+            assert ("other/x", b"not-ours") not in got
+            # live delivery still works after the resume
+            publish_once(broker.port, "mate/c", b"after")
+            assert _wait_until(
+                lambda: got.count(("mate/c", b"after")) == 1
+            )
+        finally:
+            c2.disconnect()
+
+
+def test_persistent_session_queues_qos2_exactly_once():
+    """Gap publishes at QoS 2 resume through the full receiver-side
+    handshake: delivered exactly once, PUBREL/PUBCOMP completing after
+    the flush."""
+    got: list[tuple[str, bytes]] = []
+    with EmbeddedBroker() as broker:
+        c1 = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)),
+            qos=2, clean_session=False,
+            client_id="persistent-q2", reconnect=False,
+        )
+        c1.disconnect()
+        assert _wait_until(lambda: broker.subscriber_count() == 0)
+        publish_once(broker.port, "mate/q2", b"gap", qos=2)
+        c2 = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)),
+            qos=2, clean_session=False,
+            client_id="persistent-q2", reconnect=False,
+        )
+        try:
+            assert c2.session_present is True
+            assert _wait_until(
+                lambda: got.count(("mate/q2", b"gap")) >= 1
+            )
+            time.sleep(0.3)
+            assert got.count(("mate/q2", b"gap")) == 1
+        finally:
+            c2.disconnect()
+
+
+def test_clean_session_discards_stored_state():
+    """A clean CONNECT with the same client id drops the stored
+    session: nothing is queued across its gaps."""
+    got: list[tuple[str, bytes]] = []
+    with EmbeddedBroker() as broker:
+        c1 = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)),
+            clean_session=False, client_id="cs-test",
+            reconnect=False,
+        )
+        c1.disconnect()
+        # clean CONNECT with the same id discards the session...
+        c2 = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)),
+            clean_session=True, client_id="cs-test",
+            reconnect=False,
+        )
+        c2.disconnect()
+        # ...so a publish after both are gone queues NOTHING
+        publish_once(broker.port, "mate/z", b"dropped")
+        c3 = MiniMqttClient(
+            "127.0.0.1", broker.port, "mate/#",
+            lambda t, p: got.append((t, p)),
+            clean_session=False, client_id="cs-test",
+            reconnect=False,
+        )
+        try:
+            assert c3.session_present is False
+            time.sleep(0.3)
+            assert ("mate/z", b"dropped") not in got
+        finally:
+            c3.disconnect()
+
+
+def test_stream_reader_persistent_session_gap_delivery():
+    """The ingest path end-to-end (VERDICT task #7 'through the ingest
+    path'): an MqttStreamReader with clean_session=false stops, the
+    gap publishes queue broker-side, and a reader resuming the same
+    client id receives them exactly once via offsets/commit."""
+    with EmbeddedBroker() as broker:
+        opts = {
+            "host": "127.0.0.1", "port": str(broker.port),
+            "topic": "mate/#", "qos": "1",
+            "clean_session": "false", "client_id": "ingest-resume",
+        }
+        r1 = MqttStreamReader(opts)
+        publish_once(broker.port, "mate/dc", b"live-1")
+        assert _wait_until(lambda: len(r1._buffer) >= 1)
+        r1.stop()
+        assert _wait_until(lambda: broker.subscriber_count() == 0)
+
+        publish_once(broker.port, "mate/dc", b"gap-1")
+        publish_once(broker.port, "mate/dc", b"gap-2")
+
+        r2 = MqttStreamReader(opts)
+        try:
+            assert _wait_until(lambda: len(r2._buffer) >= 2)
+            rows, _end = r2.read(r2.initialOffset())
+            payloads = [r[1] for r in rows]
+            assert payloads.count(b"gap-1") == 1
+            assert payloads.count(b"gap-2") == 1
+        finally:
+            r2.stop()
