@@ -78,6 +78,17 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 BLOCK = 4096     # level-0 rank block (64×64 grid)
+
+# rank="auto" crossover: below this optimizer-estimated input size
+# the keyed-window rank wins (fewer stage-jobs — the job-count floor
+# dominates tiny inputs); above it the segmented rank wins and, more
+# importantly, removes the per-series single-task sort that would
+# otherwise cap a low-cardinality corpus at |series| tasks. Measured
+# at the crossover (tools/probe_affine_skew.py + SCALING r12: 500k
+# rows single series window 3.8s vs segmented 4.5s; 1M rows window
+# 5.2s vs segmented 4.8s; 100k rows window faster by ~0.8s — the
+# flip sits between 500k and 1M rows, ~20-40MB estimated).
+AUTO_RANK_BYTES = 32 << 20
 CHUNK = 64
 MIDCAP = 16384   # blocks per mid group (128×128 grid)
 MIDCHUNK = 128
@@ -403,9 +414,13 @@ def _affine_scan_jvm(
         )
     )
     if persist_blocks:
-        from pyspark import StorageLevel
-
-        l0 = l0.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint, not .persist(): the frame feeds both the
+        # block-entry branch and the final row join, so this computes
+        # it once — but unlike a cache-manager entry it is NEVER
+        # matched by logical plan across separate calls (a repeated
+        # identical query re-executes, keeping benchmarks honest) and
+        # needs no unpersist bookkeeping (freed with the DataFrame)
+        l0 = l0.localCheckpoint(eager=False)
 
     # block summaries (O(n) tot-only fold — same pinned association
     # as the grid tot) -> mid/top hierarchy + downward entries
@@ -725,9 +740,10 @@ def _affine_scan_arrow(
 
     prefixed = parted.mapInPandas(_prefix_batches, out_schema)
     if persist_blocks:
-        from pyspark import StorageLevel
-
-        prefixed = prefixed.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint, not .persist() — same rationale as the jvm
+        # path: compute the level-0 pass once for its two consumers
+        # without creating a cross-call cache entry
+        prefixed = prefixed.localCheckpoint(eager=False)
 
     # block summaries: the block total is compose(chunk_excl, w_incl)
     # of the block's LAST row (the arrow pass tags it) — exactly
@@ -776,6 +792,22 @@ def _affine_scan_arrow(
     )
 
 
+def _auto_big(df: DataFrame) -> bool:
+    """True when the optimizer's size estimate for ``df`` exceeds
+    :data:`AUTO_RANK_BYTES`. Unavailable stats (connect mode, exotic
+    plans) resolve True — the segmented rank is the scale-safe side
+    of the crossover, the window rank only the small-input fast
+    path."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:
+        return True
+    return size > AUTO_RANK_BYTES
+
+
 def _affine_scan(
     df: DataFrame,
     coeffs: dict[str, Column],
@@ -785,16 +817,31 @@ def _affine_scan(
     tiebreak: Sequence[str],
     out: dict[str, str],
     emit: Column | None = None,
-    rank: str = "window",
-    persist_blocks: bool = False,
+    rank: str = "auto",
+    persist_blocks: bool = True,
     engine: str = "arrow",
 ) -> DataFrame:
     """Dispatch between the two bit-identical executions of the
     pinned scan: ``engine="arrow"`` (default — vectorized numpy
     level 0, the throughput path) and ``engine="jvm"`` (Catalyst HOF
     folds end to end — the executable specification, used by the
-    equality tests; interpreted HOFs make it several times slower)."""
+    equality tests; interpreted HOFs make it several times slower).
+
+    ``rank="auto"`` (default) resolves per input: the keyed-window
+    rank below :data:`AUTO_RANK_BYTES` of optimizer-estimated input
+    (fewest stage-jobs), the segmented rank above it (no single-task
+    per-series sort — the 100×-scale form). Rank VALUES are identical
+    either way, so the choice never changes output bits.
+
+    ``persist_blocks=True`` (default) materializes the level-0 pass
+    (MEMORY_AND_DISK): its output feeds both the block-entry branch
+    and the final row join, so without it the whole rank+shuffle+
+    Arrow pass executes twice — measured 17.3s → 13.0s at 4M rows.
+    Cached partitions are LRU-evicted to local disk, never dropped,
+    so the default is safe at any input size."""
     series = list(series)
+    if rank == "auto":
+        rank = "segmented" if _auto_big(df) else "window"
     for c in df.columns:
         if (c in _RESERVED or c.startswith("_e_")
                 or c.startswith("_os_") or c.startswith("_f_")
@@ -822,8 +869,8 @@ def scalar_affine_scan(
     tiebreak: Sequence[str] = (),
     alias: str = "y",
     emit: Column | None = None,
-    rank: str = "window",
-    persist_blocks: bool = False,
+    rank: str = "auto",
+    persist_blocks: bool = True,
     engine: str = "arrow",
 ) -> DataFrame:
     """y_t = a_t·y_{t−1} + b_t per series under the pinned
@@ -847,8 +894,8 @@ def affine_n_scan(
     tiebreak: Sequence[str] = (),
     out: dict[str, str] | None = None,
     emit: Column | None = None,
-    rank: str = "window",
-    persist_blocks: bool = False,
+    rank: str = "auto",
+    persist_blocks: bool = True,
     engine: str = "arrow",
 ) -> DataFrame:
     """v_t = M_t·v_{t−1} + c_t per series with d-dimensional state
