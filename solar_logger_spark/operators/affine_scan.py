@@ -157,6 +157,32 @@ class AffineNSpec:
         return out
 
 
+_EXPR_MEMO: dict = {}
+
+
+def _memo_expr(key: tuple, build) -> Column:
+    """Construction-time memo of REUSABLE unresolved Column
+    expressions (never of data or results — every query still
+    computes from its own input). The ``_grid``/``_fold`` builders
+    assemble identical HOF expression trees on every call through
+    thousands of py4j round trips (profiled at 8.6 s of an 11 s
+    ts_tema_events DataFrame build); a Column is an immutable
+    expression, so building each distinct (spec, chunk, input-name)
+    tree once per JVM and reusing the object is plan-identical.
+    Keyed by the live SparkContext so a restarted session (tests)
+    rebuilds instead of referencing dead JVM objects."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    token = sc.applicationId if sc is not None else None
+    full = (token, *key)
+    if full not in _EXPR_MEMO:
+        if len(_EXPR_MEMO) > 256:  # stale sessions
+            _EXPR_MEMO.clear()
+        _EXPR_MEMO[full] = build()
+    return _EXPR_MEMO[full]
+
+
 def _map_struct(spec, vals: dict[str, Column]) -> Column:
     return F.struct(*[vals[f].cast("double").alias(f)
                       for f in spec.FIELDS])
@@ -410,7 +436,12 @@ def _affine_scan_jvm(
         )
         .withColumn(
             "_g",
-            _grid(F.transform("_items", lambda t: t["m"]), CHUNK, spec),
+            _memo_expr(
+                ("grid", spec.d, CHUNK, "_items.m"),
+                lambda: _grid(
+                    F.transform("_items", lambda t: t["m"]), CHUNK, spec
+                ),
+            ),
         )
     )
     if persist_blocks:
@@ -426,14 +457,20 @@ def _affine_scan_jvm(
     # as the grid tot) -> mid/top hierarchy + downward entries
     s0 = l0.select(
         *series, "_blk",
-        _grid_tot(
-            F.transform("_items", lambda t: t["m"]), CHUNK, spec
+        _memo_expr(
+            ("grid_tot", spec.d, CHUNK, "_items.m"),
+            lambda: _grid_tot(
+                F.transform("_items", lambda t: t["m"]), CHUNK, spec
+            ),
         ).alias("_m"),
     )
-    eblk = _block_entries(s0, spec, series)
+    small = rank == "window"
+    eblk = _block_entries(s0, spec, series, small=small)
 
     # final: per-row inclusive prefixes onto the block entries
     la, ea = l0.alias("l"), eblk.alias("e")
+    if small:
+        ea = F.broadcast(ea)
     cond = [F.col("l._blk") == F.col("e._ek")] + [
         F.col(f"l.{c}").eqNullSafe(F.col(f"e.{c}")) for c in series
     ]
@@ -443,9 +480,13 @@ def _affine_scan_jvm(
             F.explode(
                 F.arrays_zip(
                     F.col("l._items").alias("it"),
-                    _zip_grid(
-                        F.transform("l._items", lambda t: t["k"]),
-                        F.col("l._g"), "incl", CHUNK,
+                    _memo_expr(
+                        ("zip_grid", spec.d, "incl", CHUNK,
+                         "l._items/l._g"),
+                        lambda: _zip_grid(
+                            F.transform("l._items", lambda t: t["k"]),
+                            F.col("l._g"), "incl", CHUNK,
+                        ),
                     ).alias("p"),
                 )
             ).alias("_z"),
@@ -576,10 +617,18 @@ def _np_grid(M, gcodes, d, ident):
     return W, C, is_last
 
 
-def _block_entries(s0, spec, series):
+def _block_entries(s0, spec, series, small: bool = False):
     """Entries per rank block from a block-summary frame
     ``(series..., _blk, _m)`` — the mid/top hierarchy and the
-    downward pass (module docstring steps 3–5)."""
+    downward pass (module docstring steps 3–5).
+
+    ``small``: the caller resolved the input under the rank-mode
+    crossover (≤ :data:`AUTO_RANK_BYTES`), so the top-entry frame is
+    at most a few thousand rows — broadcast it into the mid join
+    instead of letting the planner shuffle both sides (post-aggregate
+    size estimates here are useless and default to sort-merge). Large
+    inputs keep the shuffle join: the entry frames grow O(N/4096) and
+    must never be collected to the driver."""
     mid = (
         s0.withColumn("_mid", F.expr(f"_blk DIV {MIDCAP}"))
         .groupBy(*series, "_mid")
@@ -591,15 +640,24 @@ def _block_entries(s0, spec, series):
         )
         .withColumn(
             "_g",
-            _grid(F.transform("_items", lambda t: t["m"]),
-                  MIDCHUNK, spec),
+            _memo_expr(
+                ("grid", spec.d, MIDCHUNK, "_items.m"),
+                lambda: _grid(
+                    F.transform("_items", lambda t: t["m"]),
+                    MIDCHUNK, spec,
+                ),
+            ),
         )
     )
     top = (
         mid.select(
             *series, F.col("_mid").alias("_k"),
-            _grid_tot(
-                F.transform("_items", lambda t: t["m"]), MIDCHUNK, spec
+            _memo_expr(
+                ("grid_tot", spec.d, MIDCHUNK, "_items.m"),
+                lambda: _grid_tot(
+                    F.transform("_items", lambda t: t["m"]),
+                    MIDCHUNK, spec,
+                ),
             ).alias("_m"),
         )
         .groupBy(*series)
@@ -611,26 +669,39 @@ def _block_entries(s0, spec, series):
         )
         .withColumn(
             "_g",
-            _grid(F.transform("_items", lambda t: t["m"]),
-                  TOPCHUNK, spec),
+            _memo_expr(
+                ("grid", spec.d, TOPCHUNK, "_items.m"),
+                lambda: _grid(
+                    F.transform("_items", lambda t: t["m"]),
+                    TOPCHUNK, spec,
+                ),
+            ),
         )
         .select(
             *series,
             F.explode(
-                _zip_grid(
-                    F.transform("_items", lambda t: t["k"]),
-                    F.col("_g"), "excl", TOPCHUNK,
+                _memo_expr(
+                    ("zip_grid", spec.d, "excl", TOPCHUNK, "_items/_g"),
+                    lambda: _zip_grid(
+                        F.transform("_items", lambda t: t["k"]),
+                        F.col("_g"), "excl", TOPCHUNK,
+                    ),
                 )
             ).alias("_z"),
         )
         .select(
             *series,
             F.col("_z.k").alias("_ek"),
-            *_apply2(spec, F.col("_z.w"), F.col("_z.c"),
-                     lambda s: F.lit(0.0)),
+            *_memo_expr(
+                ("apply2", spec.d, "zero"),
+                lambda: _apply2(spec, F.col("_z.w"), F.col("_z.c"),
+                                lambda s: F.lit(0.0)),
+            ),
         )
     )
     ma, ta = mid.alias("m"), top.alias("t")
+    if small:
+        ta = F.broadcast(ta)
     cond = [F.col("m._mid") == F.col("t._ek")] + [
         F.col(f"m.{c}").eqNullSafe(F.col(f"t.{c}")) for c in series
     ]
@@ -639,9 +710,13 @@ def _block_entries(s0, spec, series):
         .select(
             *[F.col(f"m.{c}") for c in series],
             F.explode(
-                _zip_grid(
-                    F.transform("m._items", lambda t: t["k"]),
-                    F.col("m._g"), "excl", MIDCHUNK,
+                _memo_expr(
+                    ("zip_grid", spec.d, "excl", MIDCHUNK,
+                     "m._items/m._g"),
+                    lambda: _zip_grid(
+                        F.transform("m._items", lambda t: t["k"]),
+                        F.col("m._g"), "excl", MIDCHUNK,
+                    ),
                 )
             ).alias("_z"),
             *[F.col(f"t._e_{s}").alias(f"_p_{s}") for s in spec.STATE],
@@ -649,8 +724,11 @@ def _block_entries(s0, spec, series):
         .select(
             *series,
             F.col("_z.k").alias("_ek"),
-            *_apply2(spec, F.col("_z.w"), F.col("_z.c"),
-                     lambda s: F.col(f"_p_{s}")),
+            *_memo_expr(
+                ("apply2", spec.d, "entry"),
+                lambda: _apply2(spec, F.col("_z.w"), F.col("_z.c"),
+                                lambda s: F.col(f"_p_{s}")),
+            ),
         )
     )
 
@@ -681,15 +759,34 @@ def _affine_scan_arrow(
     wcols = [f"_w_{f}" for f in spec.FIELDS]
     ccols = [f"_c_{f}" for f in spec.FIELDS]
 
-    staged = ranker(df, series, order_cols)
-    for f, fc in zip(spec.FIELDS, fcols):
-        staged = staged.withColumn(fc, coeffs[f].cast("double"))
-    staged = staged.withColumn("_emit", emit).withColumn(
-        "_blk", F.expr(f"({RANK_COL} - 1) DIV {BLOCK}")
+    # one withColumns call: each withColumn re-analyzes the growing
+    # plan eagerly, so the per-field loop cost O(fields × plan) of
+    # driver time (profiled — a real fraction of d=3 builds)
+    staged = ranker(df, series, order_cols).withColumns(
+        {
+            **{
+                fc: coeffs[f].cast("double")
+                for f, fc in zip(spec.FIELDS, fcols)
+            },
+            "_emit": emit,
+            "_blk": F.expr(f"({RANK_COL} - 1) DIV {BLOCK}"),
+        }
     )
-    parted = staged.repartition(
-        *[F.col(c) for c in series], F.col("_blk")
-    ).sortWithinPartitions(*series, "_blk", RANK_COL)
+    if rank == "window":
+        # The keyed-window rank already leaves each partition hashed by
+        # series and sorted by (series, order) — every (series, _blk)
+        # group is contiguous and rank-ordered, which is all the Arrow
+        # pass needs (groups never span partitions: a series lives
+        # wholly in its hash partition). Re-exchanging by (series,
+        # _blk) here would only redistribute the same groups at the
+        # cost of a full payload shuffle + sort (measured ~25% of the
+        # query at sf0.1). The segmented rank DOES need it: its groups
+        # span range-partition boundaries by design.
+        parted = staged
+    else:
+        parted = staged.repartition(
+            *[F.col(c) for c in series], F.col("_blk")
+        ).sortWithinPartitions(*series, "_blk", RANK_COL)
 
     from pyspark.sql.types import BooleanType
 
@@ -755,11 +852,18 @@ def _affine_scan_arrow(
     # 4096 rows — take a literal 0.0 through the left-join coalesce,
     # bit-identically, and the mid/top machinery runs on an EMPTY
     # frame.
-    tot = spec.compose(
-        lambda f: F.col(f"_c_{f}"), lambda f: F.col(f"_w_{f}")
-    )
     s0 = prefixed.filter(F.col("_last")).select(
-        *series, "_blk", _map_struct(spec, tot).alias("_m")
+        *series, "_blk",
+        _memo_expr(
+            ("s0_tot", spec.d),
+            lambda: _map_struct(
+                spec,
+                spec.compose(
+                    lambda f: F.col(f"_c_{f}"),
+                    lambda f: F.col(f"_w_{f}"),
+                ),
+            ),
+        ).alias("_m"),
     )
     multi = Window.partitionBy(*series)
     s0m = (
@@ -767,20 +871,33 @@ def _affine_scan_arrow(
         .filter(F.col("_mx") > 0)
         .drop("_mx")
     )
-    eblk = _block_entries(s0m, spec, series)
+    small = rank == "window"
+    eblk = _block_entries(s0m, spec, series, small=small)
 
     pa, ea = prefixed.alias("p"), eblk.alias("e")
+    if small:
+        # under the crossover the entry frame is ≤ input/4096 rows
+        # (usually zero: every series fits one block) — broadcasting
+        # it turns the final attach into a build-right hash join and
+        # spares the payload a full shuffle + sort (the planner's
+        # post-mapInPandas estimates would pick sort-merge). Above the
+        # crossover eblk grows O(N/4096): keep the shuffle join.
+        ea = F.broadcast(ea)
     cond = [F.col("p._blk") == F.col("e._ek")] + [
         F.col(f"p.{c}").eqNullSafe(F.col(f"e.{c}")) for c in series
     ]
     joined = pa.join(ea, cond, "left")
-    inner = spec.apply(
-        lambda f: F.col(f"p._c_{f}"),
-        lambda st: F.coalesce(F.col(f"e._e_{st}"), F.lit(0.0)),
-    )
-    outs = spec.apply(
-        lambda f: F.col(f"p._w_{f}"), lambda s: inner[s]
-    )
+
+    def _final_outs():
+        inner = spec.apply(
+            lambda f: F.col(f"p._c_{f}"),
+            lambda st: F.coalesce(F.col(f"e._e_{st}"), F.lit(0.0)),
+        )
+        return spec.apply(
+            lambda f: F.col(f"p._w_{f}"), lambda s: inner[s]
+        )
+
+    outs = _memo_expr(("final_outs", spec.d), _final_outs)
     return joined.select(
         *[F.col(f"p.{c}") for c in df.columns],
         *[
@@ -799,10 +916,10 @@ def _auto_big(df: DataFrame) -> bool:
     of the crossover, the window rank only the small-input fast
     path."""
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes().toString()
-        )
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j hands back a plain int for BigInt values that fit; only
+        # an actual scala.math.BigInt object needs the string hop
+        size = raw if isinstance(raw, int) else int(raw.toString())
     except Exception:
         return True
     return size > AUTO_RANK_BYTES

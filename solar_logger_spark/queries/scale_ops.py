@@ -1121,7 +1121,13 @@ def ts_ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise-verified at sf0.001 and sf0.01."""
     from solar_logger_spark.operators import timeseries as T
 
-    events = load_table(spark, sf_dir, "events")
+    # scan input pruned to what the scan + final select need:
+    # mapInPandas is opaque to Catalyst, so an unpruned frame
+    # ships every column (incl. the fat props JSON) through the
+    # rank exchange, Arrow, and the block checkpoint (guide 4.1)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
     return T.exponential_moving_average(
         events, n=9, series=["user_id"], tiebreak=["event_id"]
     ).select("event_id", "user_id", "ema")
@@ -3490,7 +3496,13 @@ def ts_holt_smoothing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bitwise-verified at sf0.001 and sf0.01."""
     from solar_logger_spark.operators import timeseries as T
 
-    events = load_table(spark, sf_dir, "events")
+    # scan input pruned to what the scan + final select need:
+    # mapInPandas is opaque to Catalyst, so an unpruned frame
+    # ships every column (incl. the fat props JSON) through the
+    # rank exchange, Arrow, and the block checkpoint (guide 4.1)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
     out = T.holt_smoothing(
         events, series=["user_id"], tiebreak=["event_id"]
     )
@@ -3687,7 +3699,13 @@ def ts_dema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same pinned fold order, bitwise-verified."""
     from solar_logger_spark.operators import timeseries as T
 
-    events = load_table(spark, sf_dir, "events")
+    # scan input pruned to what the scan + final select need:
+    # mapInPandas is opaque to Catalyst, so an unpruned frame
+    # ships every column (incl. the fat props JSON) through the
+    # rank exchange, Arrow, and the block checkpoint (guide 4.1)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
     return T.double_ema(
         events, n=9, series=["user_id"], tiebreak=["event_id"]
     ).select("event_id", "user_id", "dema")
@@ -3730,7 +3748,13 @@ def ts_tema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; fold-order-mirrored oracle, bitwise-verified."""
     from solar_logger_spark.operators import timeseries as T
 
-    events = load_table(spark, sf_dir, "events")
+    # scan input pruned to what the scan + final select need:
+    # mapInPandas is opaque to Catalyst, so an unpruned frame
+    # ships every column (incl. the fat props JSON) through the
+    # rank exchange, Arrow, and the block checkpoint (guide 4.1)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
     return T.triple_ema(
         events, n=9, series=["user_id"], tiebreak=["event_id"]
     ).select("event_id", "user_id", "tema")
@@ -3852,7 +3876,13 @@ def ts_trix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a zero previous e3. Bitwise-verified."""
     from solar_logger_spark.operators import timeseries as T
 
-    events = load_table(spark, sf_dir, "events")
+    # scan input pruned to what the scan + final select need:
+    # mapInPandas is opaque to Catalyst, so an unpruned frame
+    # ships every column (incl. the fat props JSON) through the
+    # rank exchange, Arrow, and the block checkpoint (guide 4.1)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
     return T.trix(
         events, n=9, series=["user_id"], tiebreak=["event_id"]
     ).select("event_id", "user_id", "trix")
@@ -3893,7 +3923,13 @@ def ts_kama_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned fold order, bitwise-verified."""
     from solar_logger_spark.operators import timeseries as T
 
-    events = load_table(spark, sf_dir, "events")
+    # scan input pruned to what the scan + final select need:
+    # mapInPandas is opaque to Catalyst, so an unpruned frame
+    # ships every column (incl. the fat props JSON) through the
+    # rank exchange, Arrow, and the block checkpoint (guide 4.1)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
     return T.kaufmans_ama(
         events, n=10, series=["user_id"], tiebreak=["event_id"]
     ).select("event_id", "user_id", "kama")
