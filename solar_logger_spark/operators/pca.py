@@ -195,9 +195,11 @@ def jl_project(
             )
         )
     )
+    from solar_logger_spark.operators.litfast import dlit
+
     cols = [F.col(id_col)]
     for j, w in enumerate(planes):
-        warr = F.array(*[F.lit(x) for x in w])
+        warr = dlit(w)
         dot = F.aggregate(
             F.zip_with(vec, warr, lambda x, s: x * s),
             F.lit(0.0),
@@ -322,7 +324,9 @@ def pca_fit_deterministic(
     sums, n = _hier_fold(vecs, "v", dim)
     mean = [s / n for s in sums]
 
-    mean_lit = F.array(*[F.lit(x) for x in mean])
+    from solar_logger_spark.operators.litfast import dlit
+
+    mean_lit = dlit(mean)
     cent = vecs.select(
         "vid", F.zip_with("v", mean_lit, lambda a, b: a - b).alias("c")
     )

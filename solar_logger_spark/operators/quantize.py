@@ -65,8 +65,10 @@ def quantize_int8(
     (zero error). Values are within [mn, mx] by construction of the
     global fit, so no clamping is needed.
     """
-    mn = F.array(*[F.lit(float(v)) for v in mins])
-    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    from solar_logger_spark.operators.litfast import dlit
+
+    mn = dlit([float(v) for v in mins])
+    mx = dlit([float(v) for v in maxs])
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def _code(x, i):

@@ -401,8 +401,10 @@ def hyperplane_buckets(
     """Sign-bit LSH bucket id per vector: bit p = (v · plane_p) >= 0."""
     planes = _plane_literals(n_planes, dim, seed)
     bucket = F.lit(0).cast("bigint")
+    from solar_logger_spark.operators.litfast import dlit
+
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in plane])
+        plane_col = dlit(plane)
         bit = F.when(dot(F.col(vec_col), plane_col) >= 0, 1).otherwise(0)
         bucket = bucket + bit.cast("bigint") * F.lit(2 ** p).cast("bigint")
     return df.select(F.col(id_col), bucket.alias("bucket"))
@@ -889,8 +891,10 @@ def topk_ivf_deterministic(
         # map-only nearest-cell: first index achieving the MAX cosine
         # == the (cos desc, cell asc) window selection — no
         # crossJoin, no window shuffle
+        from solar_logger_spark.operators.litfast import dlit
+
         coss = F.transform(
-            F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cs]),
+            dlit([c for _, c in cs]),
             lambda c: _cos_d(F.col("v"), c),
         )
         cell = (

@@ -2456,7 +2456,9 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in evals:  # left fold — mirrors SQL list_sum(evals)
         ratio += e
     ratio = ratio / trace
-    mean_lit = F.array(*[F.lit(x) for x in mean])
+    from solar_logger_spark.operators.litfast import dlit
+
+    mean_lit = dlit(mean)
     vecs = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -2467,7 +2469,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(
                 F.zip_with(
                     "c",
-                    F.array(*[F.lit(x) for x in comps[i]]),
+                    dlit(comps[i]),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),

@@ -387,7 +387,9 @@ def _det_train(corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col):
 
 
 def _cents_lit(cents):
-    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    from solar_logger_spark.operators.litfast import dlit
+
+    return dlit(list(cents))
 
 
 def _det_residual_subs(vn, cents, m, dsub):
