@@ -164,6 +164,13 @@ def cms_estimate(
 
 # -- Bloom filter (row-form, engine-reproducible) -----------------------------
 
+# bloom_prefilter collapses the bit rows to a dense in-expression
+# bitmask when m is at or below this (mask bytes = m/8; 1<<22 -> 512 KB
+# in the task binary). Larger filters keep the broadcast-join probe,
+# whose size follows the SET bit count rather than m.
+_BLOOM_MASK_MAX_M = 1 << 22
+
+
 def _bloom_positions(key: Column, m: int, k: int) -> Column:
     """Array of the ``k`` bit positions for a key: md5-derived 60-bit
     integers mod ``m`` — deterministic AND engine-reproducible (unlike
@@ -269,8 +276,25 @@ def bloom_prefilter(
     Contrast :func:`bloom_might_contain`, which REPORTS membership per
     key (an aggregate over distinct probe keys — it shuffles the key
     set and keeps non-members); this one only prunes, and prunes
-    cheaply."""
-    clash = {f"_bp{s}" for s in range(k)} & set(df.columns)
+    cheaply.
+
+    For small/medium ``m`` (<= ``_BLOOM_MASK_MAX_M``) the filter is
+    collapsed to a DENSE BITMASK LITERAL — one bounded collect of the
+    <= m bit rows (the filter must fit in driver memory in ANY design,
+    guide §3.2), packed into ceil(m/64) longs and tested with a pure
+    map-side expression. That removes every join and broadcast from
+    the probe: the old form built ``k`` separate broadcast relations
+    (one per position column — not exchange-reused, their output names
+    differ) and probed ``k`` hash tables per row; the mask form ships
+    m/8 bytes inside the task binary and costs 3 shifts per position,
+    keeping the whole prefilter inside the scan's codegen stage. Rows
+    with NULL keys are dropped either way (NULL positions fail the
+    test, as they failed the equi-join). Above the cap the join form
+    is kept: a dense mask scales with m, the row form with the
+    (possibly much smaller) set-bit count."""
+    clash = ({f"_bp{s}" for s in range(k)} | {"_bpmask"}) & set(
+        df.columns
+    )
     if clash:
         raise ValueError(
             "bloom_prefilter: input already carries reserved helper "
@@ -278,6 +302,31 @@ def bloom_prefilter(
         )
     b = bits.select("bit").distinct()
     pos = _bloom_positions(F.col(key_col), m, k)
+    if m <= _BLOOM_MASK_MAX_M:
+        words = [0] * ((m + 63) // 64)
+        for r in b.collect():  # bounded: <= m rows by construction
+            bit = r[0]
+            if bit is not None and 0 <= bit < m:
+                words[bit >> 6] |= 1 << (bit & 63)
+        # two's-complement: Spark longs are signed
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        mask = F.expr(
+            "array(" + ",".join(f"{w}L" for w in words) + ")"
+        )
+        out = df.select(
+            *df.columns,
+            *[pos[s].alias(f"_bp{s}") for s in range(k)],
+            mask.alias("_bpmask"),
+        )
+        probe = " AND ".join(
+            f"((shiftright(element_at(_bpmask, "
+            f"CAST(shiftright(_bp{s}, 6) AS INT) + 1), "
+            f"CAST(_bp{s} % 64 AS INT)) & 1) = 1)"
+            for s in range(k)
+        )
+        return out.filter(F.expr(probe)).drop(
+            "_bpmask", *[f"_bp{s}" for s in range(k)]
+        )
     out = df.select(
         *df.columns, *[pos[s].alias(f"_bp{s}") for s in range(k)]
     )

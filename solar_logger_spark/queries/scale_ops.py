@@ -3232,11 +3232,16 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     ).localCheckpoint(eager=False)
     pairs = dedup.ngram_jaccard_pairs(keptq, threshold=0.5)
+    # Third barrier (r12): surv feeds chunk_documents AND the source
+    # join below — without the cut the whole near-dup prune subtree
+    # (inverted-index pair join + left-anti) is planned and EXECUTED
+    # twice (visible as two SortMergeJoin LeftAnti chains in the
+    # before-plan).
     surv = keptq.join(
         pairs.select(F.col("b_id").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
     chunks = (
         text.chunk_documents(surv, chunk_tokens=128, overlap=0)
         .join(surv.select("doc_id", "source"), "doc_id")
@@ -5005,8 +5010,20 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-side pair set."""
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == F.lit(9)
-    return dedup.incremental_lsh_pairs(
-        docs.filter(~is_batch), docs.filter(is_batch), threshold=0.5
+    # r12: artifacts are PER-DOC (a doc's shingles/signature/buckets do
+    # not depend on which side it lands on), so build them ONCE over
+    # the full corpus and split by the id predicate afterwards —
+    # one hashed-shingle materialization and one signature aggregation
+    # (ReuseExchange-shared by both sides) instead of two disjoint
+    # pipelines. Identical output to incremental_lsh_pairs on the two
+    # filtered frames.
+    sh, bk = dedup.index_artifacts(docs)
+    return dedup.incremental_pairs_from_artifacts(
+        sh.filter(~is_batch),
+        bk.filter(~is_batch),
+        sh.filter(is_batch),
+        bk.filter(is_batch),
+        threshold=0.5,
     )
 
 

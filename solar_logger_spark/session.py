@@ -50,4 +50,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Optional conf overrides/extensions: "k1=v1;k2=v2". Lets the bench
+    # A/B candidate configs without code edits, and lets a cluster
+    # deployment pin environment-specific values (executor sizing,
+    # shuffle service, codec) the same way.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        if k.strip():
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

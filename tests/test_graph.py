@@ -77,6 +77,55 @@ def test_random_graphs_match_union_find(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_crossover_paths_agree_on_random_graphs(spark, monkeypatch):
+    """The r12 small-graph crossover: the driver union-find fast path
+    and the distributed star fixpoint must produce the identical
+    (node, min-id component) labeling. Forces EACH path explicitly by
+    moving the edge-count threshold."""
+    from solar_logger_spark.operators import graph as G
+
+    rng = random.Random(12)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+
+    monkeypatch.setattr(G, "CC_DRIVER_MAX_EDGES", 10**9)  # driver path
+    via_driver = {
+        r.node: r.component for r in G.connected_components(df).collect()
+    }
+    monkeypatch.setattr(G, "CC_DRIVER_MAX_EDGES", -1)  # distributed path
+    via_fixpoint = {
+        r.node: r.component for r in G.connected_components(df).collect()
+    }
+    assert via_driver == via_fixpoint
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert via_driver == _uf_components(sorted(touched), edges)
+
+
+def test_crossover_empty_and_string_ids(spark, monkeypatch):
+    """Driver fast path edge cases: empty edge set returns an empty
+    (node, component) frame with the right schema; orderable non-int
+    ids keep min-id semantics under the id type's own ordering."""
+    from pyspark.sql import Row as R
+
+    from solar_logger_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "CC_DRIVER_MAX_EDGES", 10**9)
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = G.connected_components(empty)
+    assert out.columns == ["node", "component"]
+    assert out.collect() == []
+
+    sdf = spark.createDataFrame(
+        [R(src="b", dst="c"), R(src="a", dst="b"), R(src="x", dst="y")]
+    )
+    got = {
+        r.node: r.component for r in G.connected_components(sdf).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dedup_representatives_covers_all_docs(spark):
     pairs = spark.createDataFrame(
         [Row(a_id=10, b_id=11, jaccard=0.9), Row(a_id=11, b_id=12, jaccard=0.8)]

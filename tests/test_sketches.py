@@ -215,8 +215,9 @@ def test_bloom_duplicate_and_null_probes(spark):
 
 def test_bloom_prefilter_map_only_and_complete(spark):
     """bloom_prefilter keeps every true member (no false negatives),
-    prunes most non-members, and its physical plan contains no
-    shuffle of the probe side (broadcast joins only)."""
+    prunes most non-members, and — in the bitmask-literal regime
+    (m <= _BLOOM_MASK_MAX_M) — its physical plan is a pure map-side
+    filter: no join, no broadcast, no exchange of the probe side."""
     from solar_logger_spark.operators import sketches as SK
 
     members = spark.createDataFrame([(i,) for i in range(100)], "k long")
@@ -232,10 +233,69 @@ def test_bloom_prefilter_map_only_and_complete(spark):
     assert None not in got                 # NULL keys dropped
     assert kept.columns == ["k", "v"]      # helper columns removed
     plan = kept._jdf.queryExecution().executedPlan().toString()
-    # the probe side must not be exchanged: broadcast joins only
+    # mask regime: the whole prefilter is one Filter inside the probe
+    # side's own stage — nothing to join, broadcast, or exchange
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_bloom_prefilter_join_regime_above_mask_cap(spark):
+    """Above _BLOOM_MASK_MAX_M the dense mask would outweigh the bit
+    rows, so the broadcast-join probe is kept; results stay complete
+    and the probe side is still never exchanged."""
     import re
+
+    from solar_logger_spark.operators import sketches as SK
+
+    m = SK._BLOOM_MASK_MAX_M * 2
+    members = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bits = SK.bloom_bits(members, "k", m=m, k=3)
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(500)] + [(None, -1)], "k long, v long"
+    )
+    kept = SK.bloom_prefilter(fact, bits, "k", m=m, k=3)
+    got = {r.k for r in kept.collect()}
+    assert set(range(50)) <= got
+    assert None not in got
+    assert kept.columns == ["k", "v"]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert not re.search(r"Exchange hashpartitioning.*\bk\b", plan)
+
+
+def test_bloom_prefilter_mask_equals_join_form(spark):
+    """The bitmask-literal probe keeps EXACTLY the rows the
+    broadcast-join probe keeps — same bits, same positions, same
+    false-positive set (the mask is a representation change, not a
+    semantic one)."""
+    from solar_logger_spark.operators import sketches as SK
+
+    members = spark.createDataFrame(
+        [(i * 7,) for i in range(64)], "k long"
+    )
+    m, k = 1024, 3
+    bits = SK.bloom_bits(members, "k", m=m, k=k)
+    fact = spark.createDataFrame(
+        [(i,) for i in range(2000)], "k long"
+    )
+    mask_kept = {
+        r.k for r in SK.bloom_prefilter(fact, bits, "k", m=m, k=k).collect()
+    }
+    # replicate the join form inline (the pre-r12 implementation)
+    from pyspark.sql import functions as F
+
+    pos = SK._bloom_positions(F.col("k"), m, k)
+    out = fact.select(
+        "k", *[pos[s].alias(f"_bp{s}") for s in range(k)]
+    )
+    b = bits.select("bit").distinct()
+    for s in range(k):
+        out = out.join(
+            F.broadcast(b.select(F.col("bit").alias(f"_bp{s}"))),
+            f"_bp{s}",
+        )
+    join_kept = {r.k for r in out.select("k").collect()}
+    assert mask_kept == join_kept
 
 
 def test_bloom_prefilter_rejects_reserved_column_clash(spark):
