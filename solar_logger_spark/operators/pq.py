@@ -1040,27 +1040,37 @@ def topk_ivfpq_deterministic(
     dsub = dim // m
     cents = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
 
-    def _cdf(cs):
-        return F.broadcast(
-            spark.createDataFrame(cs, "cell int, c array<double>")
-        )
-
     def _cents_lit(cs):
         from solar_logger_spark.operators.litfast import dlit
 
         return dlit([c for _, c in cs])
 
     def _assign(cs):
-        w = Window.partitionBy("vid").orderBy(
-            F.col("d2").asc(), F.col("cell").asc()
+        # map-only nearest cell (r12): fold the pinned d2 against each
+        # centroid of the inlined codebook and take the FIRST index
+        # achieving the minimum — exactly the (d2 asc, cell asc)
+        # window selection, without the crossJoin's n_cells-fold row
+        # inflation or the window's full-corpus shuffle (the same
+        # conversion _encode and similarity.topk_ivf_deterministic's
+        # coarse stage already carry).
+        #
+        # The `+ 0 * rand` term is a constraint-propagation firewall,
+        # not arithmetic: it adds exactly 0 (rand(0)*0 == 0.0, cast to
+        # int) but flags the alias NON-deterministic, so Catalyst
+        # records no `cell = <argmin fold over v>` equality constraint.
+        # Without it, constraint inference at the downstream ADC join
+        # mis-computes the higher-order fold's references and pushes
+        # that equality into the QUERY side of the plan, where `v`
+        # cannot bind (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under a
+        # vanilla driver session). Values and retries are unaffected —
+        # the term is identically zero.
+        d2s = F.transform(
+            _cents_lit(cs), lambda c: _d2(F.col("v"), c)
         )
-        return (
-            vn.crossJoin(_cdf(cs))
-            .withColumn("d2", _d2(F.col("v"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vid", "v", "cell")
-        )
+        cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast(
+            "int"
+        ) + (F.rand(0) * 0).cast("int")
+        return vn.select("vid", "v", cell.alias("cell"))
 
     for _ in range(coarse_rounds):
         means = _pinned_hier_mean(_assign(cents), ["cell"], "v", dim)
@@ -1070,22 +1080,32 @@ def topk_ivfpq_deterministic(
         cents = [(i, got.get(i, c)) for i, c in cents]
 
     # residuals, then per-(vid, subspace) residual subvectors.
-    # Checkpointed: rsubs feeds the residual-codebook init collect,
-    # each Lloyd sweep, and the final encode — a barrier stops every
-    # one of those jobs re-running the coarse assignment upstream.
-    # Lazy: the init collect scans every partition, materializing the
-    # checkpoint as a side effect (one fewer job than eager).
-    assigned = (
-        _assign(cents)
-        .join(_cdf(cents), "cell")
-        .select(
-            "vid", "cell",
-            F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
-        )
+    # Checkpointed at the (vid, v, cell) stage: the barrier stops the
+    # residual-codebook init collect, each Lloyd sweep, and the final
+    # encode from re-running the coarse assignment; the residual
+    # subtraction + subspace explode below it are map-only and cheap
+    # to replay per job (and checkpointing BEFORE v is projected away
+    # keeps the `cell = argmin(...v...)` alias constraint's references
+    # inside the checkpoint output — a checkpoint after the projection
+    # carries the dangling `v` reference in its origin constraints,
+    # which constraint propagation then pushes across the ADC join
+    # into the query side, where it cannot bind). Lazy: the init
+    # collect scans every partition, materializing the checkpoint as
+    # a side effect (one fewer job than eager). Residual subtraction
+    # reads the assigned cell's centroid straight out of the same
+    # literal (identical bits to the broadcast-join form: both sides
+    # carry the same python floats), keeping the residual build inside
+    # one map stage.
+    assigned = _assign(cents).localCheckpoint(eager=False)
+    resid = assigned.select(
+        "vid", "cell",
+        F.zip_with(
+            "v",
+            F.element_at(_cents_lit(cents), F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("r"),
     )
-    rsubs = _subspace_rows(
-        assigned, "r", m, dsub, "sub", ["vid", "cell"]
-    ).localCheckpoint(eager=False)
+    rsubs = _subspace_rows(resid, "r", m, dsub, "sub", ["vid", "cell"])
 
     books = _books_init(rsubs, "ivfpq|", ks)
     books = _books_lloyd(spark, rsubs, books, dsub, lloyd_rounds)
@@ -1094,18 +1114,31 @@ def topk_ivfpq_deterministic(
     )
 
     # ---- query side: probe cells, residual ADC ----------------------
+    # Map-only probe selection (r12): per query, sort (d2, cell)
+    # structs — lexicographic struct order IS the (d2 asc, cell asc)
+    # window order — and explode the first n_probe. No crossJoin row
+    # inflation, no window exchange; residuals read the probed cell's
+    # centroid from the same literal (same bits as the joined column).
     qn = _unit_rows(queries, id_col, vec_col, "query_id", "qv")
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
+    cl = _cents_lit(cents)
+    pairs = F.zip_with(
+        F.transform(cl, lambda c: _d2(F.col("qv"), c)),
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda d, i: F.struct(d.alias("d2"), i.alias("cell")),
     )
     probes = (
-        qn.crossJoin(_cdf(cents))
-        .withColumn("d2", _d2(F.col("qv"), F.col("c")))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
+        qn.select(
+            "query_id", "qv",
+            F.explode(F.slice(F.array_sort(pairs), 1, n_probe)).alias("p"),
+        )
         .select(
-            "query_id", "cell",
-            F.zip_with("qv", "c", lambda a, b: a - b).alias("qr"),
+            "query_id",
+            F.col("p.cell").cast("int").alias("cell"),
+            F.zip_with(
+                "qv",
+                F.element_at(cl, F.col("p.cell") + 1),
+                lambda a, b: a - b,
+            ).alias("qr"),
         )
     )
     qrsubs = _subspace_rows(
