@@ -246,14 +246,26 @@ def _hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(id, 64-bit shingle hash) rows, spread across cores before the
-    CPU-heavy shingling and re-exchanged on the hash so the downstream
+    CPU-heavy shingling and re-exchanged ON THE DOC ID so the downstream
     signature/size/verification consumers all ReuseExchange one
-    materialization (see minhash_lsh_pairs docstring)."""
+    materialization (see minhash_lsh_pairs docstring).
+
+    The exchange key is ``id_col``, not ``h`` (r12): hash-partitioning
+    satisfies any clustering requirement whose keys are a superset of
+    the partition key, so with each doc's shingles co-located BOTH
+    signature aggregations (min per (id, seed), collect per id) and the
+    size count run exchange-free — under ``h`` the (id, seed) partial
+    min re-shuffled ~docs x seeds x partitions rows, a measured ~30x
+    amplification of the shingle table (sig stage 2.28 s -> 0.96 s at
+    sf0.1). The verification joins key on (id) / (id, h) and re-exchange
+    or broadcast identically under either parent key. Skew bound:
+    a doc's shingle count is bounded by its text length, the same
+    per-partition bound the pre-explode doc spread already carries."""
     spread = df.sparkSession.sparkContext.defaultParallelism
     return (
         doc_shingles(df.repartition(spread), id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
-        .repartition(spread, "h")
+        .repartition(spread, id_col)
     )
 
 
