@@ -394,30 +394,36 @@ def _cents_lit(cents):
 
 def _det_residual_subs(vn, cents, m, dsub):
     """(vid, cell, sub) residual subvectors with pinned-L2 cell
-    assignment via broadcast crossJoin + (d2 asc, cell asc) window —
-    the shape the SQL twin's ``casg`` CTE mirrors. NOT the map-only
-    argmin reshape: inlining n_cells × dim nested folds per row
-    measured 3× worse on this stage in r8 (the pq.py coarse-stage
-    revert); the window's shuffle also spreads a single-split
-    small-SF corpus across cores for free."""
-    from solar_logger_spark.operators import pq
+    assignment — map-only (r12): fold the pinned d2 against each
+    centroid of the inlined codebook and take the FIRST index achieving
+    the minimum, which is exactly the (d2 asc, cell asc) window
+    selection the SQL twin's ``casg`` CTE mirrors, without the
+    crossJoin's n_cells-fold row inflation or the window's full-corpus
+    shuffle. (The r8 note that the inlined fold measured 3× worse
+    predates ``litfast.dlit``; re-measured r12 at sf0.1 the map-only
+    form is at parity locally and strictly cheaper at scale — no
+    corpus-sized exchange at all.)
 
-    spark = vn.sparkSession
-    cdf = F.broadcast(spark.createDataFrame(
-        list(enumerate(cents)), "cell int, c array<double>"
-    ))
-    w = Window.partitionBy("vid").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
-    )
-    assigned = (
-        vn.crossJoin(cdf)
-        .withColumn("d2", pq._d2(F.col("v"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vid", "cell",
-            F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
-        )
+    The ``+ 0 * rand`` term is a constraint-propagation firewall, not
+    arithmetic (see pq.topk_ivfpq_deterministic._assign): it adds
+    exactly 0 but flags the alias non-deterministic, so Catalyst
+    records no `cell = <argmin fold over v>` constraint that downstream
+    joins could push to a side where ``v`` cannot bind."""
+    from solar_logger_spark.operators import pq
+    from solar_logger_spark.operators.litfast import dlit
+
+    cl = dlit(list(cents))
+    d2s = F.transform(cl, lambda c: pq._d2(F.col("v"), c))
+    cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int") + (
+        F.rand(0) * 0
+    ).cast("int")
+    assigned = vn.select("vid", "v", cell.alias("cell")).select(
+        "vid", "cell",
+        F.zip_with(
+            "v",
+            F.element_at(dlit(list(cents)), F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("r"),
     )
     return pq._subspace_rows(assigned, "r", m, dsub, "sub", ["vid", "cell"])
 
