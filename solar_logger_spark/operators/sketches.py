@@ -171,11 +171,35 @@ def cms_estimate(
 _BLOOM_MASK_MAX_M = 1 << 22
 
 
-def _bloom_positions(key: Column, m: int, k: int) -> Column:
-    """Array of the ``k`` bit positions for a key: md5-derived 60-bit
-    integers mod ``m`` — deterministic AND engine-reproducible (unlike
-    xxhash64, DuckDB computes identical md5 bytes), so a filter built
-    by any engine tests identically in any other."""
+def _bloom_positions(
+    key: Column, m: int, k: int, scheme: str = "md5"
+) -> Column:
+    """Array of the ``k`` bit positions for a key.
+
+    ``scheme="md5"`` (default): md5-derived 60-bit integers mod ``m`` —
+    deterministic AND engine-reproducible (unlike xxhash64, DuckDB
+    computes identical md5 bytes), so a filter built by any engine
+    tests identically in any other. Required whenever bit positions or
+    membership verdicts are EXPOSED in query output (bloom_bits rows,
+    bloom_might_contain — their oracles replay this exact scheme).
+
+    ``scheme="xxh64"`` (r12): ``pmod(xxhash64(key, seed_s), m)`` —
+    pure integer ops, measured ~5x cheaper per probe row than the
+    string-heavy cast→concat→md5→substring→conv chain (the base-16
+    ``conv`` alone is ~2/3 of it). Deterministic within Spark but NOT
+    cross-engine; use only where the filter is output-invisible — the
+    build/probe pair of a prefilter whose false positives an exact
+    join removes (join_bloom_prefilter_lineitem's oracle is the plain
+    join, independent of the scheme)."""
+    if scheme == "xxh64":
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m))
+                for s in range(k)
+            ]
+        )
+    if scheme != "md5":
+        raise ValueError(f"unknown bloom position scheme: {scheme!r}")
     return F.array(
         *[
             F.conv(
@@ -191,7 +215,11 @@ def _bloom_positions(key: Column, m: int, k: int) -> Column:
 
 
 def bloom_bits(
-    df: DataFrame, key_col: str, m: int = 8192, k: int = 3
+    df: DataFrame,
+    key_col: str,
+    m: int = 8192,
+    k: int = 3,
+    scheme: str = "md5",
 ) -> DataFrame:
     """Bloom filter over ``df[key_col]`` (Bloom 1970 — public),
     materialized as ROWS of distinct set bits ``(bit,)`` — the same
@@ -199,11 +227,13 @@ def bloom_bits(
     (map-side combinable; shuffle bounded by min(m, k·distinct keys),
     never input rows), MERGING filters is a plain union-distinct, and
     the whole filter is at most ``m`` rows — always broadcastable at
-    probe time no matter how many keys went in."""
+    probe time no matter how many keys went in. ``scheme`` must match
+    between build and probe — see :func:`_bloom_positions` for when
+    the cheap ``"xxh64"`` scheme is admissible."""
     return (
         df.select(
             F.explode(
-                _bloom_positions(F.col(key_col), m, k)
+                _bloom_positions(F.col(key_col), m, k, scheme)
             ).alias("bit")
         )
         .distinct()
@@ -263,6 +293,7 @@ def bloom_prefilter(
     key_col: str,
     m: int = 8192,
     k: int = 3,
+    scheme: str = "md5",
 ) -> DataFrame:
     """MAP-ONLY Bloom pre-filter: keep the rows of ``df`` whose key
     might be in the filter — the runtime-filter shape for protecting a
@@ -291,7 +322,11 @@ def bloom_prefilter(
     with NULL keys are dropped either way (NULL positions fail the
     test, as they failed the equi-join). Above the cap the join form
     is kept: a dense mask scales with m, the row form with the
-    (possibly much smaller) set-bit count."""
+    (possibly much smaller) set-bit count.
+
+    ``scheme`` must match the ``bloom_bits`` build; pass ``"xxh64"``
+    when the filter is output-invisible (false positives removed by an
+    exact join downstream) — see :func:`_bloom_positions`."""
     clash = ({f"_bp{s}" for s in range(k)} | {"_bpmask"}) & set(
         df.columns
     )
@@ -301,7 +336,7 @@ def bloom_prefilter(
             f"column(s) {sorted(clash)}; rename them before filtering"
         )
     b = bits.select("bit").distinct()
-    pos = _bloom_positions(F.col(key_col), m, k)
+    pos = _bloom_positions(F.col(key_col), m, k, scheme)
     if m <= _BLOOM_MASK_MAX_M:
         words = [0] * ((m + 63) // 64)
         for r in b.collect():  # bounded: <= m rows by construction

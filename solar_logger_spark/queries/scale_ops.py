@@ -5545,13 +5545,17 @@ def join_bloom_prefilter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderpriority") == "1-URGENT"
     )
     line = load_table(spark, sf_dir, "lineitem")
+    # scheme="xxh64" (r12): the filter is output-invisible here (the
+    # exact join removes its false positives — the oracle is the plain
+    # join), so the cheap integer position scheme replaces the
+    # engine-reproducible md5 chain on both the build and probe sides.
     bits = sketches.bloom_bits(
         orders.select(F.col("o_orderkey").alias("k")), "k",
-        m=1 << 17, k=3,
+        m=1 << 17, k=3, scheme="xxh64",
     )
     pre = sketches.bloom_prefilter(
         line.select(F.col("l_orderkey").alias("k"), "l_quantity"),
-        bits, "k", m=1 << 17, k=3,
+        bits, "k", m=1 << 17, k=3, scheme="xxh64",
     )
     joined = pre.join(
         orders.select(F.col("o_orderkey").alias("k"), "o_orderpriority"),

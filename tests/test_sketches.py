@@ -298,6 +298,39 @@ def test_bloom_prefilter_mask_equals_join_form(spark):
     assert mask_kept == join_kept
 
 
+def test_bloom_prefilter_xxh64_scheme(spark):
+    """The r12 integer position scheme: build+probe with
+    scheme="xxh64" keeps every true member (no false negatives),
+    prunes most non-members, stays join/exchange-free in the mask
+    regime, and positions stay in [0, m) (xxhash64 is signed — pmod
+    must fold negatives). The md5 default is untouched: same inputs
+    under the default scheme still produce the md5-chain positions."""
+    from solar_logger_spark.operators import sketches as SK
+
+    members = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    m, k = 4096, 3
+    bits = SK.bloom_bits(members, "k", m=m, k=k, scheme="xxh64")
+    got_bits = [r.bit for r in bits.collect()]
+    assert got_bits and all(0 <= b < m for b in got_bits)
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(3000)] + [(None, -1)], "k long, v long"
+    )
+    kept = SK.bloom_prefilter(fact, bits, "k", m=m, k=k, scheme="xxh64")
+    got = {r.k for r in kept.collect()}
+    assert set(range(100)) <= got          # no false negatives
+    assert len(got) < 1500                 # prunes most non-members
+    assert None not in got                 # NULL keys dropped
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    # default scheme unchanged: md5 and xxh64 filters differ
+    md5_bits = {r.bit for r in SK.bloom_bits(members, "k", m=m, k=k).collect()}
+    assert md5_bits != set(got_bits)
+    import pytest
+
+    with pytest.raises(ValueError, match="scheme"):
+        SK.bloom_bits(members, "k", m=m, k=k, scheme="fnv")
+
+
 def test_bloom_prefilter_rejects_reserved_column_clash(spark):
     """An input already carrying a _bp0 column would ambiguate the
     positional helper joins; the guard must refuse loudly."""
