@@ -55,3 +55,64 @@ def dlit(vals) -> Column:
     except _Fallback:
         return _slow(vals)
     return F.expr(sql)
+
+
+def dlit_s(vals) -> str:
+    """The SQL-text form of :func:`dlit`, for embedding inside a
+    larger expression string (one parse for the WHOLE tree instead of
+    one py4j trip per node). Raises ``ValueError`` on the non-finite /
+    empty shapes the Column form would silently fall back on — callers
+    composing text must handle those explicitly."""
+    try:
+        return _render(vals)
+    except _Fallback as exc:
+        raise ValueError(
+            "dlit_s: non-finite value or empty array has no single-"
+            "expression SQL literal — use dlit()'s Column fallback"
+        ) from exc
+
+
+# -- SQL-text twins of the pinned-fold Column builders ------------------------
+# Each helper renders EXACTLY the expression its Column sibling builds
+# (same functions, same literal types, same left-to-right association),
+# as a Python string: composing a whole scoring/assignment tree costs
+# ONE ``F.expr`` round trip instead of one per node. Lambda variables
+# use a leading-underscore namespace no engine frame ever declares, so
+# they can never shadow a real column referenced inside the body.
+# (Profiled: the per-node builders cost 1-3 ms of py4j latency PER
+# round trip on a loaded host — a 3k-node ANN build was pure driver
+# stall; the text form is plan- and bit-identical.)
+
+def cd_s(a: str) -> str:
+    """``transform(a, x -> CAST(x AS DOUBLE))`` — the text twin of
+    ``similarity._to_double``."""
+    return f"transform({a}, _cd -> CAST(_cd AS DOUBLE))"
+
+
+def fold_sum_s(arr: str) -> str:
+    """Left-to-right fold sum of a double array — the text twin of
+    ``pq._fold_sum``."""
+    return f"aggregate({arr}, 0.0D, (_ac, _fx) -> _ac + _fx)"
+
+
+def dot_s(a: str, b: str) -> str:
+    """Σ a_i*b_i over already-double arrays, left-to-right."""
+    return fold_sum_s(f"zip_with({a}, {b}, (_zx, _zy) -> _zx * _zy)")
+
+
+def cosd_s(a: str, b: str) -> str:
+    """Cosine over already-double arrays — the text twin of
+    ``similarity._cos_d`` (dot / (sqrt(dot)·sqrt(dot)), each fold
+    left-to-right)."""
+    return (
+        f"({dot_s(a, b)} / "
+        f"(SQRT({dot_s(a, a)}) * SQRT({dot_s(b, b)})))"
+    )
+
+
+def d2_s(a: str, b: str) -> str:
+    """Squared L2 between two double arrays, accumulated in dimension
+    order — the text twin of ``pq._d2``."""
+    return fold_sum_s(
+        f"zip_with({a}, {b}, (_zx, _zy) -> (_zx - _zy) * (_zx - _zy))"
+    )

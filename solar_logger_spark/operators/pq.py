@@ -653,6 +653,13 @@ def _d2(a, b):
     return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
 
+def _d2_s(a: str, b: str) -> str:
+    """SQL-text twin of :func:`_d2` (litfast)."""
+    from solar_logger_spark.operators.litfast import d2_s
+
+    return d2_s(a, b)
+
+
 # -- shared deterministic-codebook machinery ---------------------------------
 # ONE copy of every determinism-critical construction (md5-seeded init
 # window, argmin tie-break, pinned member-order mean fold, ADC tail) so
@@ -675,23 +682,21 @@ def _vec_dim(df, vec_col: str, op: str) -> int:
 def _unit_rows(df, id_col, vec_col, out_id, out_vec):
     """(id, unit-normalized double vector): cast per element, norm as a
     pinned fold, exact per-element division — identical ops on corpus
-    and query sides, so shared vectors get identical bits."""
+    and query sides, so shared vectors get identical bits. Built from
+    the litfast SQL-text twins (bit-identical expressions, one parse
+    round trip per select instead of one per node)."""
+    from solar_logger_spark.operators.litfast import cd_s, dot_s
+
     return (
-        df.select(
-            F.col(id_col).alias(out_id),
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double")
-            ).alias(out_vec),
+        df.selectExpr(
+            f"{id_col} AS {out_id}", f"{cd_s(vec_col)} AS {out_vec}"
         )
-        .withColumn(
-            "_nrm",
-            F.sqrt(_fold_sum(
-                F.zip_with(out_vec, out_vec, lambda a, b: a * b)
-            )),
+        .selectExpr(
+            "*", f"SQRT({dot_s(out_vec, out_vec)}) AS _nrm"
         )
-        .select(
+        .selectExpr(
             out_id,
-            F.transform(out_vec, lambda x: x / F.col("_nrm")).alias(out_vec),
+            f"transform({out_vec}, _ux -> _ux / _nrm) AS {out_vec}",
         )
     )
 
@@ -741,16 +746,16 @@ def _books_bdf(spark, books):
     ))
 
 
-def _books_lit(books):
-    """The codebook as ONE nested array literal, [ms+1][code+1] →
-    centroid — what lets assignment run as a map-only projection.
-    Built via :func:`~solar_logger_spark.operators.litfast.dlit` (one
-    py4j round trip instead of m·ks·dsub — profiled at 12 s/call of
-    pure driver time in the per-element form)."""
-    from solar_logger_spark.operators.litfast import dlit
+def _books_lit_s(books) -> str:
+    """The codebook as ONE nested array-literal SQL string,
+    [ms+1][code+1] → centroid — what lets assignment run as a map-only
+    projection, composed into a single parsed expression (litfast;
+    the per-element ``F.lit`` form profiled at 12 s/call of pure
+    driver time)."""
+    from solar_logger_spark.operators.litfast import dlit_s
 
     mss = sorted({msi for msi, _ in books})
-    return dlit([
+    return dlit_s([
         [
             books[(msi, cd)]
             for cd in range(
@@ -759,6 +764,11 @@ def _books_lit(books):
         ]
         for msi in mss
     ])
+
+
+def _books_lit(books):
+    """Column form of :func:`_books_lit_s`."""
+    return F.expr(_books_lit_s(books))
 
 
 def _encode(subs, books, keep):
@@ -770,12 +780,18 @@ def _encode(subs, books, keep):
     row inflation or the window shuffle (measured ~2x on the bench
     registry). The SQL twins' join+row_number shape selects the same
     rows from the same bits, so they stay untouched."""
-    d2s = F.transform(
-        F.element_at(_books_lit(books), F.col("ms") + 1),
-        lambda c: _d2(F.col("sub"), c),
+    from solar_logger_spark.operators.litfast import d2_s
+
+    d2s = (
+        f"transform(element_at({_books_lit_s(books)}, ms + 1), "
+        f"_bc -> {d2_s('sub', '_bc')})"
     )
-    code = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-    return subs.select(*keep, "ms", code.alias("code"), "sub")
+    return subs.selectExpr(
+        *keep, "ms",
+        f"CAST(array_position({d2s}, array_min({d2s})) - 1 AS INT) "
+        "AS code",
+        "sub",
+    )
 
 
 def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
@@ -802,8 +818,20 @@ def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
     ``list(s2 ORDER BY sb)``), so the result stays cross-engine
     bit-identical AND partition-invariant. Input must carry ``vid``;
     returns one row per key with the mean array as ``c``."""
-    z = F.array_repeat(F.lit(0.0), width)
-    zadd = lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b)  # noqa: E731
+    # SQL-text twins (litfast): each level's fold is the IDENTICAL
+    # expression the Column builders assembled (same zip_with adds in
+    # the same order over the same array_sort'ed member lists), parsed
+    # in one round trip per select — this helper sits inside every
+    # trainer loop, so its per-node construction cost was paid several
+    # times per ANN query build.
+    z = f"array_repeat(0.0D, {int(width)})"
+
+    def zfold(arr: str, field: str) -> str:
+        return (
+            f"aggregate({arr}, {z}, (_ac, _t) -> "
+            f"zip_with(_ac, _t.{field}, (_za, _zb) -> _za + _zb))"
+        )
+
     per_block = (
         frame.withColumn("_b", F.expr(f"vid DIV {block}"))
         .groupBy(*keys, "_b")
@@ -812,12 +840,10 @@ def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
                 F.collect_list(F.struct("vid", vec_col))
             ).alias("_ms")
         )
-        .select(
+        .selectExpr(
             *keys, "_b",
-            F.aggregate(
-                "_ms", z, lambda acc, t: zadd(acc, t[vec_col])
-            ).alias("_s"),
-            F.size("_ms").alias("_cnt"),
+            f"{zfold('_ms', vec_col)} AS _s",
+            "size(_ms) AS _cnt",
         )
     )
     per_super = (
@@ -827,11 +853,9 @@ def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
             F.array_sort(F.collect_list(F.struct("_b", "_s"))).alias("_bl"),
             F.sum("_cnt").alias("_scnt"),
         )
-        .select(
+        .selectExpr(
             *keys, "_sb",
-            F.aggregate(
-                "_bl", z, lambda acc, t: zadd(acc, t["_s"])
-            ).alias("_s2"),
+            f"{zfold('_bl', '_s')} AS _s2",
             "_scnt",
         )
     )
@@ -841,14 +865,9 @@ def _pinned_hier_mean(frame, keys, vec_col, width, block=256):
             F.array_sort(F.collect_list(F.struct("_sb", "_s2"))).alias("_sl"),
             F.sum("_scnt").alias("_n"),
         )
-        .select(
+        .selectExpr(
             *keys,
-            F.transform(
-                F.aggregate(
-                    "_sl", z, lambda acc, t: zadd(acc, t["_s2"])
-                ),
-                lambda x: x / F.col("_n"),
-            ).alias("c"),
+            f"transform({zfold('_sl', '_s2')}, _tx -> _tx / _n) AS c",
         )
     )
 
@@ -879,9 +898,9 @@ def _adc_rank_tail(codes, dtab, qn, vn, rerank, k, join_cols):
         .filter(F.col("vid") != F.col("query_id"))
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
         .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("ms", "d2"))),
-                F.lit(0.0), lambda acc, t: acc + t["d2"],
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(ms, d2))), "
+                "0.0D, (_ac, _t) -> _ac + _t.d2)"
             ).alias("adc")
         )
     )
@@ -900,9 +919,9 @@ def _adc_rank_tail(codes, dtab, qn, vn, rerank, k, join_cols):
             "neighbor_id",
         )
         .join(F.broadcast(qn), "query_id")
-        .select(
+        .selectExpr(
             "query_id", "neighbor_id",
-            _d2(F.col("qv"), F.col("cv")).alias("approx_dist"),
+            f"{_d2_s('qv', 'cv')} AS approx_dist",
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -976,9 +995,9 @@ def topk_pq_deterministic(
     qn = _unit_rows(queries, id_col, vec_col, "query_id", "qv")
     qsubs = _subspace_rows(qn, "qv", m, dsub, "qsub", ["query_id"])
     # ADC tables: |queries| * m * ks exact subspace distances
-    dtab = qsubs.join(_books_bdf(spark, books), "ms").select(
+    dtab = qsubs.join(_books_bdf(spark, books), "ms").selectExpr(
         "query_id", "ms", "code",
-        _d2(F.col("qsub"), F.col("c")).alias("d2"),
+        f"{_d2_s('qsub', 'c')} AS d2",
     )
     return _adc_rank_tail(codes, dtab, qn, vn, rerank, k, ["ms", "code"])
 
@@ -1040,10 +1059,10 @@ def topk_ivfpq_deterministic(
     dsub = dim // m
     cents = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
 
-    def _cents_lit(cs):
-        from solar_logger_spark.operators.litfast import dlit
+    def _cents_lit_s(cs) -> str:
+        from solar_logger_spark.operators.litfast import dlit_s
 
-        return dlit([c for _, c in cs])
+        return dlit_s([c for _, c in cs])
 
     def _assign(cs):
         # map-only nearest cell (r12): fold the pinned d2 against each
@@ -1064,13 +1083,15 @@ def topk_ivfpq_deterministic(
         # cannot bind (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under a
         # vanilla driver session). Values and retries are unaffected —
         # the term is identically zero.
-        d2s = F.transform(
-            _cents_lit(cs), lambda c: _d2(F.col("v"), c)
+        d2s = (
+            f"transform({_cents_lit_s(cs)}, "
+            f"_cc -> {_d2_s('v', '_cc')})"
         )
-        cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast(
-            "int"
-        ) + (F.rand(0) * 0).cast("int")
-        return vn.select("vid", "v", cell.alias("cell"))
+        return vn.selectExpr(
+            "vid", "v",
+            f"CAST(array_position({d2s}, array_min({d2s})) - 1 AS INT)"
+            " + CAST(rand(0) * 0 AS INT) AS cell",
+        )
 
     for _ in range(coarse_rounds):
         means = _pinned_hier_mean(_assign(cents), ["cell"], "v", dim)
@@ -1097,13 +1118,10 @@ def topk_ivfpq_deterministic(
     # carry the same python floats), keeping the residual build inside
     # one map stage.
     assigned = _assign(cents).localCheckpoint(eager=False)
-    resid = assigned.select(
+    resid = assigned.selectExpr(
         "vid", "cell",
-        F.zip_with(
-            "v",
-            F.element_at(_cents_lit(cents), F.col("cell") + 1),
-            lambda a, b: a - b,
-        ).alias("r"),
+        f"zip_with(v, element_at({_cents_lit_s(cents)}, cell + 1), "
+        "(_za, _zb) -> _za - _zb) AS r",
     )
     rsubs = _subspace_rows(resid, "r", m, dsub, "sub", ["vid", "cell"])
 
@@ -1120,33 +1138,31 @@ def topk_ivfpq_deterministic(
     # inflation, no window exchange; residuals read the probed cell's
     # centroid from the same literal (same bits as the joined column).
     qn = _unit_rows(queries, id_col, vec_col, "query_id", "qv")
-    cl = _cents_lit(cents)
-    pairs = F.zip_with(
-        F.transform(cl, lambda c: _d2(F.col("qv"), c)),
-        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-        lambda d, i: F.struct(d.alias("d2"), i.alias("cell")),
+    cl_s = _cents_lit_s(cents)
+    pairs = (
+        f"zip_with(transform({cl_s}, _cc -> {_d2_s('qv', '_cc')}), "
+        f"sequence(0, {len(cents) - 1}), "
+        "(_pd, _pi) -> struct(_pd AS d2, _pi AS cell))"
     )
     probes = (
-        qn.select(
+        qn.selectExpr(
             "query_id", "qv",
-            F.explode(F.slice(F.array_sort(pairs), 1, n_probe)).alias("p"),
+            f"explode(slice(array_sort({pairs}), 1, {int(n_probe)})) "
+            "AS p",
         )
-        .select(
+        .selectExpr(
             "query_id",
-            F.col("p.cell").cast("int").alias("cell"),
-            F.zip_with(
-                "qv",
-                F.element_at(cl, F.col("p.cell") + 1),
-                lambda a, b: a - b,
-            ).alias("qr"),
+            "CAST(p.cell AS INT) AS cell",
+            f"zip_with(qv, element_at({cl_s}, p.cell + 1), "
+            "(_za, _zb) -> _za - _zb) AS qr",
         )
     )
     qrsubs = _subspace_rows(
         probes, "qr", m, dsub, "qsub", ["query_id", "cell"]
     )
-    dtab = qrsubs.join(_books_bdf(spark, books), "ms").select(
+    dtab = qrsubs.join(_books_bdf(spark, books), "ms").selectExpr(
         "query_id", "cell", "ms", "code",
-        _d2(F.col("qsub"), F.col("c")).alias("d2"),
+        f"{_d2_s('qsub', 'c')} AS d2",
     )
     return _adc_rank_tail(
         codes, dtab, qn, vn, rerank, k, ["cell", "ms", "code"]

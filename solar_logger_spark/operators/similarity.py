@@ -23,6 +23,16 @@ def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _cosine_expr(a: str, b: str) -> Column:
+    """``cosine`` over two float-array COLUMN NAMES, rendered as one
+    SQL expression (litfast text twins — bit-identical to the
+    :func:`cosine` Column builder, which costs ~100 py4j round trips
+    per call)."""
+    from solar_logger_spark.operators.litfast import cd_s, cosd_s
+
+    return F.expr(cosd_s(cd_s(a), cd_s(b)))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i in double, accumulated left-to-right (deterministic)."""
     return F.aggregate(
@@ -75,7 +85,7 @@ def topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            _cosine_expr("q_vec", "c_vec").alias("cos_sim"),
         )
     )
     if band is not None:
@@ -215,7 +225,7 @@ def neardup_pairs(
         pairs = pairs.join(a, "a_id").join(b, "b_id")
         return (
             pairs.select(
-                "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim")
+                "a_id", "b_id", _cosine_expr("a_vec", "b_vec").alias("cos_sim")
             )
             .filter(F.col("cos_sim") >= threshold)
         )
@@ -400,14 +410,19 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Sign-bit LSH bucket id per vector: bit p = (v · plane_p) >= 0."""
     planes = _plane_literals(n_planes, dim, seed)
-    bucket = F.lit(0).cast("bigint")
-    from solar_logger_spark.operators.litfast import dlit
+    from solar_logger_spark.operators.litfast import cd_s, dlit_s, dot_s
 
+    # one SQL expression for the whole signature (litfast): integer
+    # math, so any association gives the identical bucket; the folds
+    # inside each sign bit stay the pinned dimension-order form
+    bucket = "CAST(0 AS BIGINT)"
     for p, plane in enumerate(planes):
-        plane_col = dlit(plane)
-        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, 1).otherwise(0)
-        bucket = bucket + bit.cast("bigint") * F.lit(2 ** p).cast("bigint")
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+        d = dot_s(cd_s(vec_col), cd_s(dlit_s(plane)))
+        bucket = (
+            f"({bucket} + CAST(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END "
+            f"AS BIGINT) * CAST({2 ** p} AS BIGINT))"
+        )
+    return df.selectExpr(id_col, f"{bucket} AS bucket")
 
 
 def _table_buckets(
@@ -560,7 +575,7 @@ def topk_lsh(
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+                _cosine_expr("q_vec", "c_vec").alias("cos_sim"))
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -784,7 +799,7 @@ def topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            _cosine_expr("q_vec", "c_vec").alias("cos_sim"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -853,9 +868,11 @@ def topk_ivf_deterministic(
     Empty cells keep their previous centroid. ``lloyd_rounds=0`` is
     the pure hash-seeded codebook.
     """
+    from solar_logger_spark.operators.litfast import cd_s, cosd_s, dlit_s
+
     spark = corpus.sparkSession
-    vecs = corpus.select(
-        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    vecs = corpus.selectExpr(
+        f"{id_col} AS vid", f"{cd_s(vec_col)} AS v"
     )
     # Deliberately NOT localCheckpoint-ed: vecs/assigned are
     # CORPUS-sized, and pinning a whole corpus in executor memory is
@@ -890,17 +907,19 @@ def topk_ivf_deterministic(
     def _assign(cs):
         # map-only nearest-cell: first index achieving the MAX cosine
         # == the (cos desc, cell asc) window selection — no
-        # crossJoin, no window shuffle
-        from solar_logger_spark.operators.litfast import dlit
-
-        coss = F.transform(
-            dlit([c for _, c in cs]),
-            lambda c: _cos_d(F.col("v"), c),
+        # crossJoin, no window shuffle. Rendered as ONE SQL expression
+        # (litfast text twins — bit-identical folds): the per-node
+        # Column builders cost ~60 py4j trips per cosine and were the
+        # dominant DRIVER cost of this query on a loaded host.
+        coss = (
+            f"transform({dlit_s([c for _, c in cs])}, "
+            f"_cc -> {cosd_s('v', '_cc')})"
         )
-        cell = (
-            F.array_position(coss, F.array_max(coss)) - 1
-        ).cast("int")
-        return vecs.select("vid", "v", cell.alias("cell"))
+        return vecs.selectExpr(
+            "vid", "v",
+            f"CAST(array_position({coss}, array_max({coss})) - 1 "
+            "AS INT) AS cell",
+        )
 
     for _ in range(lloyd_rounds):
         # bounded hierarchical id-ordered mean fold — no full member
@@ -915,16 +934,15 @@ def topk_ivf_deterministic(
         cents = [(i, got.get(i, c)) for i, c in cents]
 
     assigned = _assign(cents)
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        _to_double(F.col(vec_col)).alias("qv"),
+    qv = queries.selectExpr(
+        f"{id_col} AS query_id", f"{cd_s(vec_col)} AS qv"
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cell").asc()
     )
     probes = (
         qv.crossJoin(_cdf(cents))
-        .withColumn("cos", _cos_d(F.col("qv"), F.col("c")))
+        .withColumn("cos", F.expr(cosd_s("qv", "c")))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "cell")
@@ -932,10 +950,10 @@ def topk_ivf_deterministic(
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vid") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
-            F.col("vid").alias("neighbor_id"),
-            _cos_d(F.col("qv"), F.col("v")).alias("cos_sim"),
+            "vid AS neighbor_id",
+            f"{cosd_s('qv', 'v')} AS cos_sim",
         )
     )
     win = Window.partitionBy("query_id").orderBy(

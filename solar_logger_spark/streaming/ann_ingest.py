@@ -410,20 +410,18 @@ def _det_residual_subs(vn, cents, m, dsub):
     records no `cell = <argmin fold over v>` constraint that downstream
     joins could push to a side where ``v`` cannot bind."""
     from solar_logger_spark.operators import pq
-    from solar_logger_spark.operators.litfast import dlit
+    from solar_logger_spark.operators.litfast import d2_s, dlit_s
 
-    cl = dlit(list(cents))
-    d2s = F.transform(cl, lambda c: pq._d2(F.col("v"), c))
-    cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int") + (
-        F.rand(0) * 0
-    ).cast("int")
-    assigned = vn.select("vid", "v", cell.alias("cell")).select(
+    cl_s = dlit_s(list(cents))
+    d2s = f"transform({cl_s}, _cc -> {d2_s('v', '_cc')})"
+    assigned = vn.selectExpr(
+        "vid", "v",
+        f"CAST(array_position({d2s}, array_min({d2s})) - 1 AS INT)"
+        " + CAST(rand(0) * 0 AS INT) AS cell",
+    ).selectExpr(
         "vid", "cell",
-        F.zip_with(
-            "v",
-            F.element_at(dlit(list(cents)), F.col("cell") + 1),
-            lambda a, b: a - b,
-        ).alias("r"),
+        f"zip_with(v, element_at({cl_s}, cell + 1), "
+        "(_za, _zb) -> _za - _zb) AS r",
     )
     return pq._subspace_rows(assigned, "r", m, dsub, "sub", ["vid", "cell"])
 
@@ -645,22 +643,24 @@ def search_ann_index(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("cell").asc()
     )
+    from solar_logger_spark.operators.litfast import d2_s
+
     probes = (
         qn.crossJoin(cdf)
-        .withColumn("d2", pq._d2(F.col("qv"), F.col("c")))
+        .withColumn("d2", F.expr(d2_s("qv", "c")))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select(
+        .selectExpr(
             "query_id", "cell",
-            F.zip_with("qv", "c", lambda a, b: a - b).alias("qr"),
+            "zip_with(qv, c, (_za, _zb) -> _za - _zb) AS qr",
         )
     )
     qrsubs = pq._subspace_rows(
         probes, "qr", m, dsub, "qsub", ["query_id", "cell"]
     )
-    dtab = qrsubs.join(pq._books_bdf(spark, books), "ms").select(
+    dtab = qrsubs.join(pq._books_bdf(spark, books), "ms").selectExpr(
         "query_id", "cell", "ms", "code",
-        pq._d2(F.col("qsub"), F.col("c")).alias("d2"),
+        f"{d2_s('qsub', 'c')} AS d2",
     )
     res = pq._adc_rank_tail(
         codes, dtab, qn, vn, rerank, k, ["cell", "ms", "code"]
