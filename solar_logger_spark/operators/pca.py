@@ -182,31 +182,22 @@ def jl_project(
     from solar_logger_spark.operators.similarity import _plane_literals
 
     planes = _plane_literals(out_dim, dim, seed)
-    scale = F.sqrt(F.lit(3.0) / F.lit(float(out_dim)))
+    from solar_logger_spark.operators.litfast import dlit_s, dot_s
+
+    scale = f"SQRT(3.0D / {float(out_dim)!r}D)"
     # fail fast on a length mismatch: zip_with pads the shorter array
     # with nulls, which would silently poison every fold to NULL
-    vec = F.when(
-        F.size(vec_col) == dim, F.col(vec_col).cast("array<double>")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"jl_project: expected {dim}-dim embeddings, got "),
-                F.size(vec_col).cast("string"),
-            )
-        )
+    vec = (
+        f"CASE WHEN size({vec_col}) = {dim} "
+        f"THEN CAST({vec_col} AS ARRAY<DOUBLE>) "
+        f"ELSE raise_error(concat("
+        f"'jl_project: expected {dim}-dim embeddings, got ', "
+        f"CAST(size({vec_col}) AS STRING))) END"
     )
-    from solar_logger_spark.operators.litfast import dlit
-
-    cols = [F.col(id_col)]
+    cols = [id_col]
     for j, w in enumerate(planes):
-        warr = dlit(w)
-        dot = F.aggregate(
-            F.zip_with(vec, warr, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cols.append((dot * scale).alias(f"jl{j}"))
-    return df.select(*cols)
+        cols.append(f"({dot_s(vec, dlit_s(w))} * {scale}) AS jl{j}")
+    return df.selectExpr(*cols)
 
 
 def _zip_add(acc, arr):
@@ -255,14 +246,14 @@ def pca_fit_deterministic(
     import hashlib
     import math
 
-    vecs = df.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    from solar_logger_spark.operators.litfast import cd_s, dlit_s
+
+    vecs = df.selectExpr(
+        f"{id_col} AS vid", f"{cd_s(vec_col)} AS v"
     )
     from solar_logger_spark.operators.pq import _vec_dim
 
     dim = _vec_dim(df, vec_col, "pca_fit_deterministic")
-    zeros = F.array_repeat(F.lit(0.0), dim)
 
     def _hier_fold(frame, arr_col, width):
         """blocks (id order) -> block partials (block order, within a
@@ -272,8 +263,16 @@ def pca_fit_deterministic(
         fold has ONE key — the whole corpus — so a two-level form
         concentrated O(N/block) structs in the single final task;
         the middle level bounds it at ``block`` structs per task and
-        leaves O(N/block²) for the top."""
-        z = F.array_repeat(F.lit(0.0), width)
+        leaves O(N/block²) for the top. Fold expressions rendered as
+        SQL text (litfast — identical trees, one parse each)."""
+        z = f"array_repeat(0.0D, {int(width)})"
+
+        def zfold(arr: str, field: str) -> str:
+            return (
+                f"aggregate({arr}, {z}, (_ac, _t) -> "
+                f"zip_with(_ac, _t.{field}, (_za, _zb) -> _za + _zb))"
+            )
+
         per_block = (
             frame.withColumn("b", F.expr(f"vid DIV {block}"))
             .groupBy("b")
@@ -282,12 +281,10 @@ def pca_fit_deterministic(
                     F.collect_list(F.struct("vid", arr_col))
                 ).alias("ms")
             )
-            .select(
+            .selectExpr(
                 "b",
-                F.aggregate(
-                    "ms", z, lambda acc, t: _zip_add(acc, t[arr_col])
-                ).alias("s"),
-                F.size("ms").alias("cnt"),
+                f"{zfold('ms', arr_col)} AS s",
+                "size(ms) AS cnt",
             )
         )
         per_super = (
@@ -297,11 +294,9 @@ def pca_fit_deterministic(
                 F.array_sort(F.collect_list(F.struct("b", "s"))).alias("bl"),
                 F.sum("cnt").alias("scnt"),
             )
-            .select(
+            .selectExpr(
                 "sb",
-                F.aggregate(
-                    "bl", z, lambda acc, t: _zip_add(acc, t["s"])
-                ).alias("s2"),
+                f"{zfold('bl', 's')} AS s2",
                 "scnt",
             )
         )
@@ -311,10 +306,8 @@ def pca_fit_deterministic(
                 F.array_sort(F.collect_list(F.struct("sb", "s2"))).alias("sl"),
                 F.sum("scnt").alias("n"),
             )
-            .select(
-                F.aggregate(
-                    "sl", z, lambda acc, t: _zip_add(acc, t["s2"])
-                ).alias("total"),
+            .selectExpr(
+                f"{zfold('sl', 's2')} AS total",
                 "n",
             )
             .collect()[0]
@@ -324,19 +317,14 @@ def pca_fit_deterministic(
     sums, n = _hier_fold(vecs, "v", dim)
     mean = [s / n for s in sums]
 
-    from solar_logger_spark.operators.litfast import dlit
-
-    mean_lit = dlit(mean)
-    cent = vecs.select(
-        "vid", F.zip_with("v", mean_lit, lambda a, b: a - b).alias("c")
-    )
-    outer = cent.select(
+    cent = vecs.selectExpr(
         "vid",
-        F.flatten(
-            F.transform(
-                "c", lambda a: F.transform("c", lambda b: a * b)
-            )
-        ).alias("o"),
+        f"zip_with(v, {dlit_s(mean)}, (_za, _zb) -> _za - _zb) AS c",
+    )
+    outer = cent.selectExpr(
+        "vid",
+        "flatten(transform(c, _oa -> transform(c, _ob -> _oa * _ob))) "
+        "AS o",
     )
     cflat, _ = _hier_fold(outer, "o", dim * dim)
 

@@ -50,26 +50,38 @@ def profile_columns(
     """
     if cols is None:
         cols = df.columns
+    # Aggregates and the unpivot rendered as SQL text (litfast posture):
+    # the per-column Column builders cost ~5k py4j round trips on a
+    # 16-column table — pure driver stall per build. Same expressions,
+    # one parse each.
     plain, dist = [], []
     for c in cols:
         numeric = isinstance(df.schema[c].dataType, _NUMERIC)
-        plain.append(F.count(F.col(c)).alias(f"_cnt_{c}"))
+        plain.append(F.expr(f"count({c})").alias(f"_cnt_{c}"))
         plain.append(
-            F.count_if(F.col(c).isNull()).alias(f"_null_{c}")
+            F.expr(f"count_if({c} IS NULL)").alias(f"_null_{c}")
         )
         dist.append(
-            (
-                F.count_distinct(F.col(c))
+            F.expr(
+                f"count(DISTINCT {c})"
                 if exact_distinct
-                else F.approx_count_distinct(F.col(c))
+                else f"approx_count_distinct({c})"
             ).alias(f"_dist_{c}")
         )
         if numeric:
-            plain.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
-            plain.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
+            plain.append(
+                F.expr(f"CAST(min({c}) AS DOUBLE)").alias(f"_min_{c}")
+            )
+            plain.append(
+                F.expr(f"CAST(max({c}) AS DOUBLE)").alias(f"_max_{c}")
+            )
         else:
-            plain.append(F.lit(None).cast("double").alias(f"_min_{c}"))
-            plain.append(F.lit(None).cast("double").alias(f"_max_{c}"))
+            plain.append(
+                F.expr("CAST(NULL AS DOUBLE)").alias(f"_min_{c}")
+            )
+            plain.append(
+                F.expr("CAST(NULL AS DOUBLE)").alias(f"_max_{c}")
+            )
     # Approx mode: one fused aggregation — HLL++ sketches join the
     # plain metrics in the same hash aggregate with no Expand, so the
     # whole profile is a single scan. Exact mode: two aggregations
@@ -82,20 +94,15 @@ def profile_columns(
     else:
         wide = df.agg(*plain, *dist)
     # unpivot the 1-row wide frame into per-column rows, JVM-side
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col(f"_cnt_{c}").cast("long").alias("n_nonnull"),
-                F.col(f"_null_{c}").cast("long").alias("n_null"),
-                F.col(f"_dist_{c}").cast("long").alias("n_distinct"),
-                F.col(f"_min_{c}").alias("min_value"),
-                F.col(f"_max_{c}").alias("max_value"),
-            )
-            for c in cols
-        ]
-    )
-    return wide.select(F.explode(rows).alias("p")).select("p.*")
+    rows = "array(" + ",".join(
+        f"named_struct('column', '{c}', "
+        f"'n_nonnull', CAST(_cnt_{c} AS BIGINT), "
+        f"'n_null', CAST(_null_{c} AS BIGINT), "
+        f"'n_distinct', CAST(_dist_{c} AS BIGINT), "
+        f"'min_value', _min_{c}, 'max_value', _max_{c})"
+        for c in cols
+    ) + ")"
+    return wide.selectExpr(f"explode({rows}) AS p").select("p.*")
 
 
 class QualityGateViolation(Exception):

@@ -2456,28 +2456,21 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in evals:  # left fold — mirrors SQL list_sum(evals)
         ratio += e
     ratio = ratio / trace
-    from solar_logger_spark.operators.litfast import dlit
+    from solar_logger_spark.operators.litfast import cd_s, dlit_s, dot_s
 
-    mean_lit = dlit(mean)
-    vecs = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("c", F.zip_with("v", mean_lit, lambda a, b: a - b))
-    return vecs.select(
+    vecs = emb.selectExpr(
+        "vec_id", f"{cd_s('embedding')} AS v"
+    ).selectExpr(
+        "vec_id", "v",
+        f"zip_with(v, {dlit_s(mean)}, (_za, _zb) -> _za - _zb) AS c",
+    )
+    return vecs.selectExpr(
         "vec_id",
         *[
-            F.aggregate(
-                F.zip_with(
-                    "c",
-                    dlit(comps[i]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"pc{i}")
+            f"{dot_s('c', dlit_s(comps[i]))} AS pc{i}"
             for i in range(8)
         ],
-        F.lit(ratio).alias("explained_ratio"),
+        f"{dlit_s(ratio)} AS explained_ratio",
     )
 
 
