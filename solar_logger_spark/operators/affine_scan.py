@@ -193,53 +193,108 @@ def _arr_type(spec) -> str:
     return f"array<struct<{inner}>>"
 
 
-def _ident(spec) -> Column:
-    return _map_struct(spec, spec.identity())
+# -- SQL-text fold builders ---------------------------------------------------
+# The grid/fold trees are the largest expression trees in the codebase
+# (a d=3 first build cost ~29k py4j round trips of per-node Column
+# construction before memoization could help). Rendered as Python
+# strings they cost ZERO round trips to assemble and one parse at the
+# F.expr boundary. Every expression below mirrors the retired Column
+# builder node for node (same functions, same literal types, same
+# left-to-right association, same FIELDS order — the HOF aggregate
+# binds the accumulator struct positionally), so results stay
+# bit-identical; lambda variables live in the same leading-underscore
+# namespace no engine frame declares.
+
+def _compose_s(spec, acc, item) -> dict[str, str]:
+    """Text twin of ``AffineNSpec.compose`` — ``acc``/``item`` map a
+    field name to its SQL text."""
+    out = {}
+    rng = range(1, spec.d + 1)
+    for i in rng:
+        for j in rng:
+            terms = [f"({item(f'a{i}{k}')} * {acc(f'a{k}{j}')})"
+                     for k in rng]
+            e = terms[0]
+            for t in terms[1:]:
+                e = f"({e} + {t})"
+            out[f"a{i}{j}"] = e
+        terms = [f"({item(f'a{i}{k}')} * {acc(f'c{k}')})" for k in rng]
+        e = terms[0]
+        for t in terms[1:]:
+            e = f"({e} + {t})"
+        out[f"c{i}"] = f"({e} + {item(f'c{i}')})"
+    return out
 
 
-def _fold(maps: Column, spec) -> Column:
+def _ident_vals_s(spec) -> dict[str, str]:
+    out = {}
+    for i in range(1, spec.d + 1):
+        for j in range(1, spec.d + 1):
+            out[f"a{i}{j}"] = "1.0D" if i == j else "0.0D"
+        out[f"c{i}"] = "0.0D"
+    return out
+
+
+def _map_struct_s(spec, vals: dict[str, str]) -> str:
+    """Text twin of :func:`_map_struct` (fields in FIELDS order, each
+    cast to double)."""
+    inner = ", ".join(
+        f"'{f}', CAST({vals[f]} AS DOUBLE)" for f in spec.FIELDS
+    )
+    return f"named_struct({inner})"
+
+
+def _ident_s(spec) -> str:
+    return _map_struct_s(spec, _ident_vals_s(spec))
+
+
+def _fold_s(maps: str, spec) -> str:
     """Order-pinned left fold of an array of map structs from the
     identity. Returns struct(arr: inclusive prefix per item, tot: the
     full composition). O(n²/2) element copies from the growing array
     accumulator — callers bound n by a grid chunk (or the documented
     top-level chunk count)."""
-    # field order MUST be spec.FIELDS — the HOF aggregate binds the
-    # accumulator struct positionally, so an init built in a different
-    # field order would scramble the map entries
-    ident = spec.identity()
-    init = F.struct(
-        *[ident[f].cast("double").alias(f) for f in spec.FIELDS],
-        F.array().cast(_arr_type(spec)).alias("arr"),
+    ident = _ident_vals_s(spec)
+    init_fields = ", ".join(
+        f"'{f}', CAST({ident[f]} AS DOUBLE)" for f in spec.FIELDS
+    )
+    init = (
+        f"named_struct({init_fields}, "
+        f"'arr', CAST(array() AS {_arr_type(spec)}))"
+    )
+    new = _compose_s(
+        spec, lambda f: f"_fac.{f}", lambda f: f"_fm.{f}"
+    )
+    merge_fields = ", ".join(
+        f"'{f}', CAST({new[f]} AS DOUBLE)" for f in spec.FIELDS
+    )
+    merge = (
+        f"named_struct({merge_fields}, "
+        f"'arr', concat(_fac.arr, array({_map_struct_s(spec, new)})))"
+    )
+    tot_fields = ", ".join(
+        f"'{f}', _fac.{f}" for f in spec.FIELDS
+    )
+    finish = (
+        f"named_struct('arr', _fac.arr, "
+        f"'tot', named_struct({tot_fields}))"
+    )
+    return (
+        f"aggregate({maps}, {init}, (_fac, _fm) -> {merge}, "
+        f"_fac -> {finish})"
     )
 
-    def merge(acc, m):
-        new = spec.compose(lambda f: acc[f], lambda f: m[f])
-        return F.struct(
-            *[new[f].cast("double").alias(f) for f in spec.FIELDS],
-            F.concat(acc["arr"], F.array(_map_struct(spec, new)))
-            .alias("arr"),
-        )
 
-    return F.aggregate(
-        maps, init, merge,
-        lambda acc: F.struct(
-            acc["arr"].alias("arr"),
-            F.struct(*[acc[f].alias(f) for f in spec.FIELDS])
-            .alias("tot"),
-        ),
-    )
-
-
-def _excl(incl_arr: Column, spec) -> Column:
+def _excl_s(incl_arr: str, spec) -> str:
     """Exclusive prefixes from inclusive ones: identity, then all but
     the last."""
-    return F.concat(
-        F.array(_ident(spec)),
-        F.slice(incl_arr, 1, F.size(incl_arr) - 1),
+    return (
+        f"concat(array({_ident_s(spec)}), "
+        f"slice({incl_arr}, 1, size({incl_arr}) - 1))"
     )
 
 
-def _grid(maps: Column, chunk: int, spec) -> Column:
+def _grid_s(maps: str, chunk: int, spec) -> str:
     """The pinned two-level fold of one group's map array in
     ``chunk``-sized slices. Returns struct(
       incl:  per-item INCLUSIVE within-chunk prefix,
@@ -247,51 +302,58 @@ def _grid(maps: Column, chunk: int, spec) -> Column:
       cexcl: per-chunk EXCLUSIVE prefix (over chunk totals),
       tot:   the group's chunked composition — fold of chunk totals
              in order)."""
-    nchunks = F.ceil(F.size(maps) / F.lit(chunk)).cast("int")
-    folded = F.transform(
-        F.sequence(F.lit(0), nchunks - 1),
-        lambda ci: _fold(F.slice(maps, ci * chunk + 1, chunk), spec),
+    nchunks = f"CAST(CEIL(size({maps}) / {chunk}) AS INT)"
+    folded = (
+        f"transform(sequence(0, {nchunks} - 1), "
+        f"_ci -> {_fold_s(f'slice({maps}, _ci * {chunk} + 1, {chunk})', spec)})"
     )
-    cfold = _fold(F.transform(folded, lambda f: f["tot"]), spec)
-    return F.struct(
-        F.flatten(F.transform(folded, lambda f: f["arr"])).alias("incl"),
-        F.flatten(
-            F.transform(folded, lambda f: _excl(f["arr"], spec))
-        ).alias("excl"),
-        _excl(cfold["arr"], spec).alias("cexcl"),
-        cfold["tot"].alias("tot"),
+    cfold = _fold_s(f"transform({folded}, _fr -> _fr.tot)", spec)
+    return (
+        "named_struct("
+        f"'incl', flatten(transform({folded}, _fr -> _fr.arr)), "
+        f"'excl', flatten(transform({folded}, "
+        f"_fr -> {_excl_s('_fr.arr', spec)})), "
+        f"'cexcl', {_excl_s(f'({cfold}).arr', spec)}, "
+        f"'tot', ({cfold}).tot)"
     )
 
 
-def _fold_tot(maps: Column, spec) -> Column:
+def _fold_tot_s(maps: str, spec) -> str:
     """The total composition only — O(n), no prefix arrays. Same
-    association as :func:`_fold`'s ``tot`` (a plain left fold)."""
-    init = _ident(spec)
+    association as :func:`_fold_s`'s ``tot`` (a plain left fold)."""
+    new = _compose_s(
+        spec, lambda f: f"_fac.{f}", lambda f: f"_fm.{f}"
+    )
+    return (
+        f"aggregate({maps}, {_ident_s(spec)}, "
+        f"(_fac, _fm) -> {_map_struct_s(spec, new)})"
+    )
 
-    def merge(acc, m):
-        return _map_struct(
-            spec, spec.compose(lambda f: acc[f], lambda f: m[f])
-        )
 
-    return F.aggregate(maps, init, merge)
-
-
-def _grid_tot(maps: Column, chunk: int, spec) -> Column:
+def _grid_tot_s(maps: str, chunk: int, spec) -> str:
     """The group total under the SAME chunked association as
-    :func:`_grid`'s ``tot`` (fold of flat-folded chunk totals), at
+    :func:`_grid_s`'s ``tot`` (fold of flat-folded chunk totals), at
     O(n) — no prefix arrays. Summary branches use this so the heavy
     grid is evaluated only on the branch that needs per-item
     prefixes."""
-    nchunks = F.ceil(F.size(maps) / F.lit(chunk)).cast("int")
-    return _fold_tot(
-        F.transform(
-            F.sequence(F.lit(0), nchunks - 1),
-            lambda ci: _fold_tot(
-                F.slice(maps, ci * chunk + 1, chunk), spec
-            ),
-        ),
+    nchunks = f"CAST(CEIL(size({maps}) / {chunk}) AS INT)"
+    inner = _fold_tot_s(
+        f"slice({maps}, _ci * {chunk} + 1, {chunk})", spec
+    )
+    return _fold_tot_s(
+        f"transform(sequence(0, {nchunks} - 1), _ci -> {inner})",
         spec,
     )
+
+
+def _grid(maps: str, chunk: int, spec) -> Column:
+    """Column boundary of :func:`_grid_s` (one parse round trip)."""
+    return F.expr(_grid_s(maps, chunk, spec))
+
+
+def _grid_tot(maps: str, chunk: int, spec) -> Column:
+    """Column boundary of :func:`_grid_tot_s`."""
+    return F.expr(_grid_tot_s(maps, chunk, spec))
 
 
 def _zip_grid(items_key: Column, g: Column, which: str,
@@ -439,7 +501,7 @@ def _affine_scan_jvm(
             _memo_expr(
                 ("grid", spec.d, CHUNK, "_items.m"),
                 lambda: _grid(
-                    F.transform("_items", lambda t: t["m"]), CHUNK, spec
+                    "transform(_items, _t -> _t.m)", CHUNK, spec
                 ),
             ),
         )
@@ -460,7 +522,7 @@ def _affine_scan_jvm(
         _memo_expr(
             ("grid_tot", spec.d, CHUNK, "_items.m"),
             lambda: _grid_tot(
-                F.transform("_items", lambda t: t["m"]), CHUNK, spec
+                "transform(_items, _t -> _t.m)", CHUNK, spec
             ),
         ).alias("_m"),
     )
@@ -643,8 +705,7 @@ def _block_entries(s0, spec, series, small: bool = False):
             _memo_expr(
                 ("grid", spec.d, MIDCHUNK, "_items.m"),
                 lambda: _grid(
-                    F.transform("_items", lambda t: t["m"]),
-                    MIDCHUNK, spec,
+                    "transform(_items, _t -> _t.m)", MIDCHUNK, spec
                 ),
             ),
         )
@@ -655,8 +716,7 @@ def _block_entries(s0, spec, series, small: bool = False):
             _memo_expr(
                 ("grid_tot", spec.d, MIDCHUNK, "_items.m"),
                 lambda: _grid_tot(
-                    F.transform("_items", lambda t: t["m"]),
-                    MIDCHUNK, spec,
+                    "transform(_items, _t -> _t.m)", MIDCHUNK, spec
                 ),
             ).alias("_m"),
         )
@@ -672,8 +732,7 @@ def _block_entries(s0, spec, series, small: bool = False):
             _memo_expr(
                 ("grid", spec.d, TOPCHUNK, "_items.m"),
                 lambda: _grid(
-                    F.transform("_items", lambda t: t["m"]),
-                    TOPCHUNK, spec,
+                    "transform(_items, _t -> _t.m)", TOPCHUNK, spec
                 ),
             ),
         )
