@@ -80,24 +80,26 @@ def exploded_shingles(
             f"{sorted(dup or {out_col})} collide with kept/other output "
             "columns; the result would carry duplicate-named columns"
         )
-    toks = tokens(text_col)
-    nsh = F.size(toks) - F.lit(n - 1)
-    gram = F.concat_ws(
-        " ",
-        *[F.element_at(F.col("_t"), F.col("_i") + j + 1) for j in range(n)],
+    # Rendered as SQL text (litfast posture): this helper fronts ~10
+    # gram-family queries and its per-node Column build was 0.8-1.5 s
+    # of driver time per call. Same expressions, one parse per select.
+    gram = (
+        "concat_ws(' ', "
+        + ", ".join(f"element_at(_t, _i + {j + 1})" for j in range(n))
+        + ")"
     )
-    head = [F.col(c) for c in keep]
-    out = head + (
-        [F.col("_i").cast("int").alias(pos_col)] if pos_col else []
+    out = list(keep) + (
+        [f"CAST(_i AS INT) AS {pos_col}"] if pos_col else []
     )
     return (
-        df.select(*head, toks.alias("_t"), nsh.alias("_n"))
-        .filter(F.col("_n") > 0)
-        .select(
-            *head, "_t",
-            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i"),
+        df.selectExpr(
+            *keep,
+            f"split({text_col}, ' ') AS _t",
+            f"size(split({text_col}, ' ')) - {n - 1} AS _n",
         )
-        .select(*out, gram.alias(out_col))
+        .filter(F.col("_n") > 0)
+        .selectExpr(*keep, "_t", "explode(sequence(0, _n - 1)) AS _i")
+        .selectExpr(*out, f"{gram} AS {out_col}")
     )
 
 
@@ -317,42 +319,43 @@ def minhash_signatures(
 def _band_bucket_rows(
     sig: DataFrame,
     id_col: str,
-    sig_col: Column,
+    sig_s: str,
     num_hashes: int,
     bands: int,
 ) -> DataFrame:
     """(id, band, bucket) rows: each band of r = num_hashes/bands
-    signature slots hashed to one bucket."""
+    signature slots hashed to one bucket. ``sig_s`` is the signature
+    array as SQL text — the whole banded explode is one parsed
+    expression (the per-slot Column builders cost ~bands·r py4j round
+    trips per build)."""
     rows = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(
-                *[sig_col[band * rows + r] for r in range(rows)]
-            ).alias("bucket"),
-        )
+    band_structs = ",".join(
+        f"named_struct('band', {band}, 'bucket', xxhash64("
+        + ", ".join(f"{sig_s}[{band * rows + r}]" for r in range(rows))
+        + "))"
         for band in range(bands)
-    ]
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    )
+    return sig.selectExpr(
+        id_col, f"explode(array({band_structs})) AS bb"
     ).select(id_col, "bb.band", "bb.bucket")
 
 
 def _banded_candidate_pairs(
     sig: DataFrame,
     id_col: str,
-    sig_col: Column,
+    sig_s: str,
     num_hashes: int,
     bands: int,
 ) -> DataFrame:
     """Shared LSH banding: hash each band of r = num_hashes/bands
-    signature slots (taken from the array expression ``sig_col``) to a
-    bucket; docs sharing any (band, bucket) become candidate pairs."""
+    signature slots (taken from the SQL-text array expression
+    ``sig_s``) to a bucket; docs sharing any (band, bucket) become
+    candidate pairs."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    buckets = _band_bucket_rows(sig, id_col, sig_col, num_hashes, bands)
+    buckets = _band_bucket_rows(sig, id_col, sig_s, num_hashes, bands)
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
     return (
@@ -376,7 +379,9 @@ def minhash_lsh_candidates(
     bucket key; a pair with Jaccard j collides with prob 1-(1-j^r)^b —
     with (64, 32, r=2) the curve passes 99.97% at j=0.5.
     """
-    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    sig_arr = "array(" + ",".join(
+        f"mh_{i}" for i in range(num_hashes)
+    ) + ")"
     return _banded_candidate_pairs(
         signatures, id_col, sig_arr, num_hashes, bands
     )
@@ -433,7 +438,7 @@ def minhash_lsh_pairs(
     sh = _hashed_shingles(df, id_col, text_col, n)
     sig = _rowwise_signatures(sh, id_col, num_hashes)
     cands = _banded_candidate_pairs(
-        sig, id_col, F.col("sig"), num_hashes, bands
+        sig, id_col, "sig", num_hashes, bands
     )
 
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -527,7 +532,7 @@ def index_artifacts(
     sh = _hashed_shingles(df, id_col, text_col, n)
     bk = _band_bucket_rows(
         _rowwise_signatures(sh, id_col, num_hashes),
-        id_col, F.col("sig"), num_hashes, bands,
+        id_col, "sig", num_hashes, bands,
     )
     return sh, bk
 
