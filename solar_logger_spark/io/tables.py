@@ -54,6 +54,39 @@ def _epoch_ns(dt) -> int:
     return calendar.timegm(dt.timetuple()) * 10**9 + dt.microsecond * 1000
 
 
+_READER_MEMO: dict = {}
+
+
+def _base_read(spark: SparkSession, path: str):
+    """The (lazy DataFrame, ns-column list) for ``path``, memoized per
+    (session, path, mtime).
+
+    Caches PLAN METADATA only — a DataFrame is an unexecuted logical
+    plan; every action on it still scans the parquet bytes. What the
+    memo skips is the per-call schema/footer work (a pyarrow footer
+    read plus the JVM-side schema inference + file listing,
+    0.1-0.4 s per call) that a production deployment pays once at
+    catalog registration, not per query. Keyed by applicationId (a
+    restarted session rebuilds — no dead-JVM handles), absolute path,
+    and the file/directory mtime (a rewritten fixture invalidates)."""
+    sc = spark.sparkContext
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (sc.applicationId, os.path.abspath(path), mtime)
+    hit = _READER_MEMO.get(key)
+    if hit is None:
+        if len(_READER_MEMO) > 64:  # stale sessions / rewritten dirs
+            _READER_MEMO.clear()
+        ns_cols = _ns_timestamp_cols(path)
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        hit = (spark.read.parquet(path), tuple(ns_cols))
+        _READER_MEMO[key] = hit
+    return hit
+
+
 def read_parquet(spark: SparkSession, path: str, ns_range=None) -> DataFrame:
     """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
 
@@ -71,10 +104,7 @@ def read_parquet(spark: SparkSession, path: str, ns_range=None) -> DataFrame:
     layout, whole partitions). The caller's post-conversion filter still
     applies — this pushed predicate just has to be a superset.
     """
-    ns_cols = _ns_timestamp_cols(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df, ns_cols = _base_read(spark, path)
     if ns_range:
         for col, (t0, t1) in ns_range.items():
             if col in ns_cols:

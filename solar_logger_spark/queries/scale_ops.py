@@ -3081,34 +3081,25 @@ def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     )
     cents.sort(key=lambda r: r["vec_id"])
-    carr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["vec_id"])).alias("cid"),
-                F.array(
-                    *[F.lit(float(x)) for x in r["embedding"]]
-                ).alias("cvec"),
-            )
-            for r in cents
-        ]
+    from solar_logger_spark.operators.litfast import cd_s, d2_s, dlit_s
+
+    # centroid literal + argmin rendered as ONE SQL expression
+    # (litfast): the per-element F.lit / per-node HOF build cost ~3k
+    # py4j round trips per call — identical values and folds.
+    carr = "array(" + ",".join(
+        f"named_struct('cid', {int(r['vec_id'])}, "
+        f"'cvec', {dlit_s([float(x) for x in r['embedding']])})"
+        for r in cents
+    ) + ")"
+    scores = (
+        f"transform({carr}, _c -> named_struct("
+        f"'d2', {d2_s(cd_s('embedding'), '_c.cvec')}, 'cid', _c.cid))"
     )
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scores = F.transform(
-        carr,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(vec, c["cvec"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    best = F.array_min(scores)
-    assigned = emb.select(
-        F.col("vec_id"),
-        best["cid"].alias("cluster_id"),
-        best["d2"].alias("d2"),
+    best = f"array_min({scores})"
+    assigned = emb.selectExpr(
+        "vec_id",
+        f"({best}).cid AS cluster_id",
+        f"({best}).d2 AS d2",
     )
     return (
         assigned.groupBy("cluster_id")
