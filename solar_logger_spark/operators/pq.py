@@ -969,8 +969,14 @@ def topk_pq_deterministic(
     over bounded 256-id blocks (:func:`_pinned_hier_mean` — no full
     member list in any task; :func:`train_codebooks`'s sampled numpy
     Lloyd remains the throughput trainer)."""
+    from solar_logger_spark.operators.spread import spread_small
+
     spark = corpus.sparkSession
-    vn = _unit_rows(corpus, id_col, vec_col, "vid", "v")
+    # single-file corpus scans arrive as ONE partition; every fold
+    # below (normalize, encode distance chains, ADC) is map-side and
+    # order-pinned, so spreading is free for results and turns the
+    # trainer's interpreted-HOF stages multi-core (guide §2.5)
+    vn = _unit_rows(spread_small(corpus), id_col, vec_col, "vid", "v")
     dim = _vec_dim(corpus, vec_col, "topk_pq_deterministic")
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1037,8 +1043,12 @@ def topk_ivfpq_deterministic(
     that operator ranks by pinned-fold cosine over raw vectors, this
     one by pinned-fold L2 over unit vectors — the metrics diverge on
     purpose (each mirrors its own SQL twin)."""
+    from solar_logger_spark.operators.spread import spread_small
+
     spark = corpus.sparkSession
-    vn = _unit_rows(corpus, id_col, vec_col, "vid", "v")
+    # spread the single-partition corpus scan before the pinned folds
+    # (same rationale as topk_pq_deterministic)
+    vn = _unit_rows(spread_small(corpus), id_col, vec_col, "vid", "v")
     if coarse_rounds is None:
         coarse_rounds = lloyd_rounds
 

@@ -73,12 +73,18 @@ def topk_bruteforce(
     a trillion-row exchange at 100 TB with a real query batch."""
     import pandas as pd
 
+    from solar_logger_spark.operators.spread import spread_small
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    # spread a single-partition corpus scan: the |corpus| x |queries|
+    # cosine folds below are interpreted HOFs and otherwise run in one
+    # task (guide §2.5); per-partition top-k selection is exact under
+    # any partitioning
+    c = spread_small(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -534,6 +540,10 @@ def topk_lsh(
     matmul fast path — same recall contract (tests/test_ann_recall.py
     covers both) — use it everywhere a bit-identical candidate set is
     not being audited."""
+    from solar_logger_spark.operators.spread import spread_small
+
+    corpus = spread_small(corpus)  # single-file scans bucketize and
+    # re-score in ONE task otherwise; buckets/cosines are per-row math
     cb = _table_buckets(
         corpus, "neighbor_id", id_col, vec_col, n_planes, dim, n_tables,
         seed, exact_fold,
@@ -869,9 +879,12 @@ def topk_ivf_deterministic(
     the pure hash-seeded codebook.
     """
     from solar_logger_spark.operators.litfast import cd_s, cosd_s, dlit_s
+    from solar_logger_spark.operators.spread import spread_small
 
     spark = corpus.sparkSession
-    vecs = corpus.selectExpr(
+    # spread the single-partition corpus scan before the pinned cosine
+    # folds (assignment + re-score are per-row; means pin member order)
+    vecs = spread_small(corpus).selectExpr(
         f"{id_col} AS vid", f"{cd_s(vec_col)} AS v"
     )
     # Deliberately NOT localCheckpoint-ed: vecs/assigned are

@@ -338,7 +338,11 @@ def bootstrap_ann_index_deterministic(
     # over the whole bootstrap corpus a second time
     codes = pq._encode(rsubs, books, ["vid", "cell"]).select(
         "vid", "cell", "ms", "code"
-    )
+    ).repartition("cell")
+    # ^ cluster by cell so the partitionBy write lands one file per
+    # cell (the compaction cadence's posture) instead of
+    # |input partitions| x |cells| shards — the encode itself still
+    # runs on the spread partitioning upstream of this exchange
     return M.init_table(
         codes, index_dir, partition_by=["cell"],
         sidecar={MODEL_SIDECAR: _model_json(
@@ -353,8 +357,11 @@ def _det_train(corpus, n_cells, m, ks, lloyd_rounds, id_col, vec_col):
     training half of ``pq.topk_ivfpq_deterministic`` (coarse_rounds=0)
     with the trained model returned instead of consumed in place."""
     from solar_logger_spark.operators import pq
+    from solar_logger_spark.operators.spread import spread_small
 
-    vn = pq._unit_rows(corpus, id_col, vec_col, "vid", "v")
+    # spread the single-partition bootstrap scan before the pinned
+    # folds (normalize/assign/encode are per-row; means pin order)
+    vn = pq._unit_rows(spread_small(corpus), id_col, vec_col, "vid", "v")
     init_rows = (
         vn.withColumn(
             "h", F.md5(F.concat(F.lit("ivfpq|"), F.col("vid").cast("string")))
@@ -634,8 +641,12 @@ def search_ann_index(
         )
     cents, books = model["centroids"], model["books_dict"]
     m = model["m"]
+    from solar_logger_spark.operators.spread import spread_small
+
     dsub = len(cents[0]) // m
-    vn = pq._unit_rows(corpus, id_col, vec_col, "vid", "v")
+    # spread the single-partition raw-corpus scan feeding the exact
+    # rescoring join (per-row folds; result is partition-invariant)
+    vn = pq._unit_rows(spread_small(corpus), id_col, vec_col, "vid", "v")
     qn = pq._unit_rows(queries, id_col, vec_col, "query_id", "qv")
     cdf = F.broadcast(spark.createDataFrame(
         list(enumerate(cents)), "cell int, c array<double>"
