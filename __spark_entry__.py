@@ -1310,6 +1310,10 @@ def q_packet_decode_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     packets = streams[0].unionByName(streams[1]).unionByName(streams[2])
+    # measured r13: spreading the events scan before the branch split
+    # LOSES here (1.89 -> 2.4 s even with a post-union coalesce) — the
+    # Arrow encode/decode kernels amortize better over 3 full branch
+    # partitions than over 3x32 shards plus an exchange
     return decode_packets(packets)
 
 

@@ -38,9 +38,14 @@ def disc_price() -> Column:
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report (TPC-H Q1 shape) over lineitem."""
-    l = load_table(spark, sf_dir, "lineitem").filter(
+    from solar_logger_spark.operators.spread import spread_small
+
+    # single-file scan = one task for the five exact-decimal partial
+    # sums; spread after the pushed filter (decimal sums are exact,
+    # so partitioning cannot change a bit)
+    l = spread_small(load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit(datetime(1999, 12, 31))
-    )
+    ))
     charge = (disc_price() * (_one() + _dec("l_tax"))).cast("decimal(24,6)")
     g = l.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).alias("_sum_qty"),
@@ -781,7 +786,10 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all four grouping sets in one
     pass — completes the grouping-sets family next to rollup
     (SURVEY.md §2.4 'beyond-reference, built-in')."""
-    line = load_table(spark, sf_dir, "lineitem")
+    from solar_logger_spark.operators.spread import spread_small
+
+    # spread before the 4-way grouping-set Expand (one task otherwise)
+    line = spread_small(load_table(spark, sf_dir, "lineitem"))
     g = line.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_dec("l_quantity")).alias("_qty"),
