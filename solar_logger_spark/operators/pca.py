@@ -247,8 +247,12 @@ def pca_fit_deterministic(
     import math
 
     from solar_logger_spark.operators.litfast import cd_s, dlit_s
+    from solar_logger_spark.operators.spread import spread_small
 
-    vecs = df.selectExpr(
+    # spread a single-partition scan: the scatter fold below builds a
+    # dim^2 outer-product array PER ROW through interpreted HOFs — one
+    # task otherwise (guide §2.5); the hier folds pin order explicitly
+    vecs = spread_small(df).selectExpr(
         f"{id_col} AS vid", f"{cd_s(vec_col)} AS v"
     )
     from solar_logger_spark.operators.pq import _vec_dim
