@@ -890,8 +890,10 @@ def append_delta(
     for d in os.listdir(table_dir):
         if d.startswith(_DELTA_STAGE_PREFIX):
             shutil.rmtree(os.path.join(table_dir, d))  # dead half-write
-    if not df.take(1):
-        return None  # empty delivery: appending nothing
+    # No pre-write emptiness probe (r13): the has_parquet check below
+    # already detects an empty delivery (zero rows -> zero part files
+    # -> stage removed, None returned), so a take(1) here only added a
+    # second full job per delivery — the write IS the single pass.
     floor = delta_floor(table_dir)
     existing = [_delta_idx(d) for d in _delta_dirs(table_dir)]
     idx = max([floor, *existing]) + 1
@@ -901,11 +903,19 @@ def append_delta(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
-    has_parquet = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(stage) for f in files
+    # footer row count, not file presence: a non-partitioned empty
+    # frame still writes one schema-only part file, and the contract
+    # is that an empty delivery appends NOTHING (driver-side footer
+    # reads of the just-written local files — no second Spark job)
+    import pyarrow.parquet as _pq
+
+    n_rows = sum(
+        _pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _, files in os.walk(stage)
+        for f in files
+        if f.endswith(".parquet")
     )
-    if not has_parquet:
+    if n_rows == 0:
         shutil.rmtree(stage)  # empty delivery: appending nothing
         return None
     os.rename(stage, os.path.join(table_dir, name))

@@ -236,8 +236,14 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
+    from solar_logger_spark.operators.spread import spread_small
+
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1: {k}, {window}")
+    # spread a single-file doc scan before the gram explode + per-gram
+    # md5 (they run inside the SCAN stage — one task otherwise; the
+    # window min below re-exchanges by doc either way)
+    df = spread_small(df)
     toks = _toks(text_col)
     n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     rows = (
@@ -1176,10 +1182,13 @@ def ngram_lm_score(
     c_ctx = c_full.groupBy(*gram_fields[:-1]).agg(
         F.sum("c_full").alias("c_ctx")
     )
-    vocab_size = (
+    # V as a one-row broadcast (not a driver collect): saves a whole
+    # scheduler job per build — the crossJoin below carries the same
+    # long count into the same integer adds, so every p is bit-equal
+    # to the literal form (r13; the collect was the build's hot spot)
+    vocab = (
         train_df.select(F.explode(ws).alias("w"))
-        .agg(F.count_distinct("w"))
-        .collect()[0][0]
+        .agg(F.count_distinct("w").alias("_vsize"))
     )
 
     model_full = F.broadcast(c_full) if broadcast_model else c_full
@@ -1188,11 +1197,12 @@ def ngram_lm_score(
         gram_rows(df, [id_col], with_pos=True)
         .join(model_full, on=gram_fields, how="left")
         .join(model_ctx, on=gram_fields[:-1], how="left")
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
             "p",
             (F.coalesce(F.col("c_full"), F.lit(0)) + F.lit(1)).cast("double")
             / (F.coalesce(F.col("c_ctx"), F.lit(0))
-               + F.lit(int(vocab_size))).cast("double"),
+               + F.col("_vsize")).cast("double"),
         )
     )
     agg = scored.groupBy(id_col).agg(

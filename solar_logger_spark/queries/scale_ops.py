@@ -4906,7 +4906,11 @@ def text_lang_confidence_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     different language than declared: >= 3 hits, confidence >= 0.8,
     prediction != declared). Row-stable output (one row per doc, kept
     flag) so the filter semantics hash-compare exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    from solar_logger_spark.operators.spread import spread_small
+
+    # map-only regex marker counting over a single-file scan = one
+    # task; spread first (per-row math — partition-invariant)
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     scored = cleaning.lang_confidence(docs)
     keep = (
         (F.col("lang_hits_total") < F.lit(3))

@@ -502,16 +502,16 @@ def ann_ingest_sink(index_dir: str):
     """
 
     def _write(batch_df: DataFrame, _batch_id: int) -> None:
-        # No separate empty-batch probe: append_delta's take(1) is the
-        # single emptiness check, and the lazy checkpoint means that
-        # probe materializes the encoded partitions it touches while
-        # the write reuses them — two scheduler jobs per delivery
-        # instead of four. read_model runs first even for an empty
-        # trigger, so the bootstrap-first contract is enforced
-        # explicitly here (ADVICE r10): an empty trigger against a
-        # not-yet-bootstrapped index is a harmless no-op (the probe
-        # job is paid only on this error path), a non-empty one is a
-        # real misuse and raises a named error.
+        # No separate empty-batch probe: append_delta detects an empty
+        # delivery from the written files' footers (r13 — previously a
+        # take(1) pre-probe; now the write itself is the delivery's
+        # single scheduler job, materializing the lazy checkpoint).
+        # read_model runs first even for an empty trigger, so the
+        # bootstrap-first contract is enforced explicitly here
+        # (ADVICE r10): an empty trigger against a not-yet-bootstrapped
+        # index is a harmless no-op (the probe job is paid only on
+        # this error path), a non-empty one is a real misuse and
+        # raises a named error.
         try:
             model = read_model(index_dir)
         except FileNotFoundError:
